@@ -16,8 +16,8 @@ object SparkEntry {
     operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++ operators.CdcOps.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++ operators.CdcOps.oracles
 }
