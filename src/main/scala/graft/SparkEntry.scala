@@ -16,8 +16,10 @@ object SparkEntry {
     operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.CdcOps.queries
+    operators.Relational.queries ++ operators.CdcOps.queries ++
+      operators.TxOps.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.CdcOps.oracles
+    operators.Relational.oracles ++ operators.CdcOps.oracles ++
+      operators.TxOps.oracles
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming transaction grouping — the semantic heart of the
+  * reference (SURVEY.md §2.4 T1–T5): between BEGIN and COMMIT the
+  * consumer buffers mutations per connection and assigns a txid; COMMIT
+  * flushes the buffer with every mutation's timestamp rewritten to the
+  * commit timestamp; ROLLBACK discards it (reference `mypipe-api/src/
+  * main/scala/mypipe/api/consumer/AbstractBinaryLogConsumer.scala:15-21,
+  * 74-82,124-177`).
+  *
+  * Spark-first shape: `Dataset[ChangeEvent].groupByKey(connection)
+  * .flatMapGroupsWithState` — the buffer lives in Spark's state store,
+  * so a transaction spanning micro-batches survives (checkpointed,
+  * SURVEY §7.5 "hard parts"), and the reference's "don't advance the
+  * binlog position mid-tx" rule falls out of checkpointed state +
+  * replayable sources: a crash replays the open tx's events.
+  *
+  * Differences from the reference, by design:
+  *  - txid is deterministic (`tx-<conn>-<begin event id>`) rather than
+  *    UUIDv1, for replay-stable output (SURVEY §7.5);
+  *  - abandoned transactions: the reference waits forever; we take a
+  *    ProcessingTimeTimeout and discard stale open buffers (counted in
+  *    [[TxStats]]) — at 100 TB an unbounded state store is a leak.
+  *
+  * Scale: state is partitioned by connection id; throughput scales with
+  * connection cardinality and state size is bounded by open-tx size ×
+  * open connections, independent of history length.
+  */
+object TxPipeline {
+
+  /** Raw change-stream event: `kind` ∈ begin|commit|rollback|mutation
+    * (the reference's BeginEvent/CommitEvent/RollbackEvent/Mutation ADT,
+    * event/package.scala:7-41,47-139). `seq` is the total per-connection
+    * order (binlog position analog). */
+  case class ChangeEvent(
+      conn: Long, seq: Long, kind: String, op: String,
+      pk: String, tsUs: Long, payload: Map[String, String])
+
+  /** A committed, tx-stamped mutation (the pipeline's output). */
+  case class TxMutation(
+      conn: Long, seq: Long, txid: String, op: String,
+      pk: String, commitTsUs: Long, payload: Map[String, String])
+
+  /** Open-transaction buffer persisted in the state store. */
+  case class TxState(
+      open: Boolean, beginSeq: Long, buffer: List[ChangeEvent])
+
+  val emptyState: TxState = TxState(open = false, beginSeq = -1L, Nil)
+
+  implicit val eventEnc: Encoder[ChangeEvent] = Encoders.product[ChangeEvent]
+  implicit val mutationEnc: Encoder[TxMutation] = Encoders.product[TxMutation]
+  implicit val stateEnc: Encoder[TxState] = Encoders.product[TxState]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  def txid(conn: Long, beginSeq: Long): String = s"tx-$conn-$beginSeq"
+
+  /** Core state transition: fold this micro-batch's events (in `seq`
+    * order) into the open-tx buffer, emitting committed mutations.
+    * Pure function → unit-testable without a stream. */
+  def advance(conn: Long, events: Seq[ChangeEvent], state: TxState)
+      : (TxState, Seq[TxMutation]) = {
+    val out = Seq.newBuilder[TxMutation]
+    var st = state
+    events.sortBy(_.seq).foreach { e =>
+      e.kind match {
+        case "begin" =>
+          // implicit commit of a dangling open tx is NOT performed —
+          // mirror the reference: a new BEGIN discards nothing, but we
+          // reset to the new tx (binlog never interleaves txs per conn)
+          st = TxState(open = true, beginSeq = e.seq, Nil)
+        case "mutation" =>
+          if (st.open) st = st.copy(buffer = e :: st.buffer)
+          else
+            // non-tx mutation passes straight through, txid = own seq
+            out += TxMutation(conn, e.seq, txid(conn, e.seq), e.op, e.pk,
+              e.tsUs, e.payload)
+        case "commit" =>
+          if (st.open) {
+            val id = txid(conn, st.beginSeq)
+            // commit-timestamp rewrite (T2): all buffered mutations take
+            // the commit event's timestamp
+            st.buffer.reverse.foreach { m =>
+              out += TxMutation(conn, m.seq, id, m.op, m.pk, e.tsUs,
+                m.payload)
+            }
+          } // empty commit (T4): nothing buffered → no rows, no error
+          st = emptyState
+        case "rollback" =>
+          st = emptyState // discard buffer (T1 rollback)
+        case _ => // unknown event kinds are skipped (reference UnknownEvent)
+      }
+    }
+    (st, out.result())
+  }
+
+  /** Wire the state transition into a streaming Dataset. Timeout: open
+    * transactions idle past `abandonedTxTimeoutMs` are discarded. */
+  def groupByTransaction(
+      events: Dataset[ChangeEvent],
+      abandonedTxTimeoutMs: Long = 0L): Dataset[TxMutation] = {
+    val timeoutConf =
+      if (abandonedTxTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.conn)
+      .flatMapGroupsWithState[TxState, TxMutation](
+        OutputMode.Append, timeoutConf) {
+        (conn: Long, it: Iterator[ChangeEvent], gs: GroupState[TxState]) =>
+          if (gs.hasTimedOut) {
+            gs.remove() // abandoned open tx → discard buffer
+            Iterator.empty
+          } else {
+            val st = gs.getOption.getOrElse(emptyState)
+            val (next, out) = advance(conn, it.toSeq, st)
+            if (next.open) {
+              gs.update(next)
+              if (abandonedTxTimeoutMs > 0)
+                gs.setTimeoutDuration(abandonedTxTimeoutMs)
+            } else gs.remove()
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.TxPipeline
+import graft.streaming.TxPipeline.{ChangeEvent, TxMutation, emptyState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class TxPipelineSpec extends SparkSpec {
+
+  def ev(seq: Long, kind: String, op: String = "", ts: Long = 0,
+      conn: Long = 1): ChangeEvent =
+    ChangeEvent(conn, seq, kind, op, s"pk$seq", ts, Map("v" -> seq.toString))
+
+  test("T1/T2: commit flushes buffer with commit-timestamp rewrite") {
+    val (st, out) = TxPipeline.advance(1, Seq(
+      ev(1, "begin"),
+      ev(2, "mutation", "insert", ts = 100),
+      ev(3, "mutation", "update", ts = 200),
+      ev(4, "commit", ts = 999)), emptyState)
+    assert(!st.open)
+    assert(out.map(_.op) === Seq("insert", "update"))
+    assert(out.forall(_.commitTsUs == 999), "T2 rewrite")
+    assert(out.forall(_.txid == "tx-1-1"), "T3 deterministic txid")
+  }
+
+  test("T1: rollback discards the buffer") {
+    val (st, out) = TxPipeline.advance(1, Seq(
+      ev(1, "begin"), ev(2, "mutation", "insert", 100),
+      ev(3, "rollback")), emptyState)
+    assert(out.isEmpty && !st.open)
+  }
+
+  test("T4: empty commit emits nothing and resets cleanly") {
+    val (st, out) = TxPipeline.advance(1,
+      Seq(ev(1, "begin"), ev(2, "commit", ts = 5)), emptyState)
+    assert(out.isEmpty && !st.open)
+  }
+
+  test("non-tx mutations pass straight through with own-position txid") {
+    val (_, out) = TxPipeline.advance(1,
+      Seq(ev(7, "mutation", "delete", ts = 70)), emptyState)
+    assert(out === Seq(TxMutation(1, 7, "tx-1-7", "delete", "pk7", 70,
+      Map("v" -> "7"))))
+  }
+
+  test("transaction spanning micro-batches survives in state") {
+    val (st1, out1) = TxPipeline.advance(1,
+      Seq(ev(1, "begin"), ev(2, "mutation", "insert", 100)), emptyState)
+    assert(out1.isEmpty && st1.open)
+    val (st2, out2) = TxPipeline.advance(1,
+      Seq(ev(3, "mutation", "update", 200), ev(4, "commit", ts = 300)), st1)
+    assert(!st2.open)
+    assert(out2.map(_.seq) === Seq(2, 3))
+    assert(out2.forall(_.commitTsUs == 300))
+  }
+
+  test("out-of-order arrival within a batch is healed by seq sort") {
+    val (_, out) = TxPipeline.advance(1, Seq(
+      ev(4, "commit", ts = 9), ev(2, "mutation", "insert", 1),
+      ev(1, "begin"), ev(3, "mutation", "update", 2)), emptyState)
+    assert(out.map(_.seq) === Seq(2, 3))
+  }
+
+  test("streaming end-to-end: tx spanning two micro-batches, rollback tx dropped") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val q = TxPipeline.groupByTransaction(input.toDS())
+      .writeStream.format("memory").queryName("txout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: open tx on conn 1 + a full rolled-back tx on conn 2
+      input.addData(
+        ev(1, "begin"), ev(2, "mutation", "insert", 100),
+        ev(1, "begin", conn = 2), ev(2, "mutation", "insert", 100, conn = 2),
+        ev(3, "rollback", conn = 2))
+      q.processAllAvailable()
+      assert(spark.table("txout").count() === 0, "nothing committed yet")
+      // batch 2: commit conn 1's tx
+      input.addData(ev(3, "mutation", "update", 200), ev(4, "commit", ts = 500))
+      q.processAllAvailable()
+      val rows = spark.table("txout").as[TxMutation].collect().sortBy(_.seq)
+      assert(rows.map(_.seq).toSeq === Seq(2, 3))
+      assert(rows.forall(r => r.conn == 1 && r.commitTsUs == 500 &&
+        r.txid == "tx-1-1"))
+    } finally q.stop()
+  }
+
+  test("T5: checkpointed parquet sink resumes without loss or duplication") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsink").toString
+    val input = MemoryStream[ChangeEvent](spark)
+    def start() = graft.streaming.CdcStream.toParquetSink(
+      TxPipeline.groupByTransaction(input.toDS()),
+      s"$dir/data", s"$dir/chk",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    input.addData(ev(1, "begin"), ev(2, "mutation", "insert", 10),
+      ev(3, "commit", ts = 11))
+    val q1 = start(); q1.awaitTermination(60000); q1.stop()
+    input.addData(ev(4, "mutation", "delete", 20))
+    val q2 = start(); q2.awaitTermination(60000); q2.stop()
+    val rows = spark.read.parquet(s"$dir/data").as[TxMutation].collect()
+    assert(rows.map(_.seq).sorted.toSeq === Seq(2, 4),
+      "each mutation delivered exactly once across restarts")
+  }
+
+  test("T9: snapshot boundary excludes already-snapshotted positions") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val snap = Seq((1L, 10L), (2L, 20L)).toDF("id", "seq")
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val boundary = graft.streaming.CdcStream.snapshotBoundary(
+      snap, s"$dir/t", "seq")
+    assert(boundary === 20L)
+    val live = Seq(
+      TxMutation(1, 15, "a", "insert", "p", 1, Map()),
+      TxMutation(1, 25, "b", "insert", "p", 2, Map())).toDS()
+    val resumed = graft.streaming.CdcStream.resumeAfter(live, boundary)
+    assert(resumed.collect().map(_.seq).toSeq === Seq(25L))
+  }
+}
