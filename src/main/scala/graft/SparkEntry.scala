@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.CdcOps.queries ++
-      operators.TxOps.queries
+      operators.TxOps.queries ++ functions.Envelope.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.CdcOps.oracles ++
-      operators.TxOps.oracles
+      operators.TxOps.oracles ++ functions.Envelope.oracles
 }

@@ -1,0 +1,164 @@
+package graft.functions
+
+import graft.avro.{AvroSubjects, SchemaRegistry}
+import graft.sources.ChangeFeed
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The wire envelope (SURVEY.md §2.3 P1–P5, P12; §2.2 F3/F4).
+  *
+  * Frame layout (reference `mypipe-kafka/src/main/scala/mypipe/kafka/
+  * package.scala:5-24`): `MAGIC(1B) | MTYPE(1B) | SCHEMA_ID(2B BE) |
+  * AVRO_PAYLOAD`. Framing/unframing is pure built-ins (concat / unhex /
+  * substring / conv — all codegen'd); the Avro payload uses the custom
+  * expressions in [[AvroCodec]].
+  */
+object Envelope {
+
+  val Magic: Int = 0
+
+  /** Generic mutation record schema v1 (mirrors the shape of reference
+    * mypipe-avro/src/main/avro/mutations.avsc: headers + typed maps;
+    * null cells are simply absent from the maps — F3). */
+  val genericSchemaV1: String =
+    """{"type":"record","name":"GenericMutation","namespace":"graft.avro",
+      |"fields":[
+      |  {"name":"database","type":"string"},
+      |  {"name":"tbl","type":"string"},
+      |  {"name":"table_id","type":"int"},
+      |  {"name":"pk","type":["null","string"],"default":null},
+      |  {"name":"integers","type":{"type":"map","values":"int"},"default":{}},
+      |  {"name":"strings","type":{"type":"map","values":"string"},"default":{}},
+      |  {"name":"longs","type":{"type":"map","values":"long"},"default":{}}
+      |]}""".stripMargin
+
+  /** Spark-side struct matching [[genericSchemaV1]]. */
+  val genericStructV1: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("tbl", StringType),
+    StructField("table_id", IntegerType),
+    StructField("pk", StringType),
+    StructField("integers", MapType(StringType, IntegerType)),
+    StructField("strings", MapType(StringType, StringType)),
+    StructField("longs", MapType(StringType, LongType))))
+
+  // ── P1: columns → typed-maps projection ─────────────────────────────
+  /** Group payload cells into per-type maps with null omission (F3) and
+    * Int→Long coercion for long-typed columns (reference
+    * KafkaGenericAvroSerializer.scala:70-116). Pure built-ins:
+    * map_filter drops null cells exactly like the reference's
+    * `value != null` guard. */
+  def genericRecord(feed: DataFrame): DataFrame =
+    feed.withColumn("record", struct(
+      col("database"), col("tbl"), col("table_id"), col("pk"),
+      map_filter(
+        map(lit("table_id"), col("table_id")),
+        (_, v) => v.isNotNull).as("integers"),
+      map_filter(
+        map(lit("event_type"), col("event_type")),
+        (_, v) => v.isNotNull).as("strings"),
+      map_filter(
+        map(lit("event_id"), col("event_id").cast("long"),
+          lit("user_id"), col("user_id").cast("long")),
+        (_, v) => v.isNotNull).as("longs")))
+
+  // ── P5: binary envelope framing ─────────────────────────────────────
+  /** MAGIC | MTYPE | SCHEMA_ID(2B BE) | payload, all codegen built-ins. */
+  def frame(mtype: Column, schemaId: Column, payload: Column): Column =
+    concat(
+      lit(Array[Byte](Magic.toByte)),
+      unhex(lpad(hex(mtype), 2, "0")),
+      unhex(lpad(hex(schemaId), 4, "0")),
+      payload)
+
+  // ── P12: envelope slicing (consumer side) ───────────────────────────
+  def sliceMagic(env: Column): Column =
+    conv(hex(substring(env, 1, 1)), 16, 10).cast("int")
+  def sliceMtype(env: Column): Column =
+    conv(hex(substring(env, 2, 1)), 16, 10).cast("int")
+  def sliceSchemaId(env: Column): Column =
+    conv(hex(substring(env, 3, 2)), 16, 10).cast("int")
+  /** Payload slice, by column name (binary substring past the header). */
+  def slicePayload(envColName: String): Column =
+    expr(s"substring($envColName, 5, length($envColName) - 4)")
+
+  // ── F4: schema-compat validation ────────────────────────────────────
+  /** A mutation is serializable iff every row column has a matching
+    * schema field (reference KafkaSpecificAvroSerializer.scala:44-53;
+    * retry-with-refreshed-schema at KafkaAvroSerializer.scala:47-55).
+    * Driver-side check against the registry's latest version; caller
+    * re-invokes after an ALTER registers the new version (T7). */
+  def compatible(schemaJson: String, rowFields: Seq[String]): Boolean = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    rowFields.forall(f => schema.getField(f) != null)
+  }
+
+  /** Full producer-side pipeline: feed → generic record → avro → framed
+    * envelope, with the schema id resolved from the registry per the
+    * mutation's subject. Returns (envelope bytes, topic) — the Kafka
+    * message shape (value, topic). */
+  def serialize(feed: DataFrame, registry: SchemaRegistry): DataFrame = {
+    // one schema id per op subject, resolved driver-side (tiny map),
+    // joined in as a literal CASE — no shuffle
+    val ids = Seq("insert", "update", "delete").map { op =>
+      op -> registry.register(AvroSubjects.generic(op), genericSchemaV1)
+    }.toMap
+    val schemaIdCol = ids.foldLeft(lit(null).cast("int")) {
+      case (acc, (op, id)) => when(col("op") === op, lit(id)).otherwise(acc)
+    }
+    genericRecord(feed)
+      .withColumn("schema_id", schemaIdCol)
+      .withColumn("envelope", frame(col("mtype"), col("schema_id"),
+        AvroCodec.encode(col("record"), genericSchemaV1)))
+      .withColumn("topic",
+        concat_ws("_", col("database"), col("tbl"), lit("generic")))
+  }
+
+  /** Consumer-side decode of [[serialize]]'s output. */
+  def deserialize(envelopes: DataFrame, registry: SchemaRegistry): DataFrame = {
+    // single generic schema in this engine build: v1 for all subjects
+    envelopes
+      .withColumn("magic", sliceMagic(col("envelope")))
+      .withColumn("mtype_decoded", sliceMtype(col("envelope")))
+      .withColumn("schema_id_decoded", sliceSchemaId(col("envelope")))
+      .withColumn("payload",
+        expr("substring(envelope, 5, length(envelope) - 4)"))
+      .withColumn("decoded",
+        AvroCodec.decode(col("payload"), genericSchemaV1, genericStructV1))
+  }
+
+  // ── P5+P12 oracle query: full round trip ────────────────────────────
+  /** Encode → frame → slice → decode → project scalars. The oracle is a
+    * plain SELECT of the same fields from the feed — if any byte of the
+    * envelope or any codec rule were wrong, values would not survive the
+    * round trip. */
+  def p5EnvelopeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val registry = new SchemaRegistry
+    val enveloped = serialize(ChangeFeed.fromEvents(spark, dir), registry)
+    deserialize(enveloped, registry).select(
+      col("event_id"),
+      col("magic"), col("mtype_decoded"),
+      col("decoded.database").as("database"),
+      col("decoded.tbl").as("tbl"),
+      col("decoded.table_id").as("table_id"),
+      col("decoded.pk").as("pk"),
+      element_at(col("decoded.strings"), "event_type").as("event_type_rt"),
+      element_at(col("decoded.longs"), "user_id").as("user_id_rt"),
+      col("topic"))
+  }
+
+  val p5Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql})
+       |SELECT event_id, 0 AS magic, CAST(mtype AS INT) AS mtype_decoded,
+       |  database, tbl, table_id, pk,
+       |  event_type AS event_type_rt, user_id AS user_id_rt,
+       |  concat_ws('_', database, tbl, 'generic') AS topic
+       |FROM feed""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p5_envelope_roundtrip" -> (p5EnvelopeRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "p5_envelope_roundtrip" -> p5Sql)
+}
