@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.CdcOps.queries ++
-      operators.TxOps.queries ++ functions.Envelope.queries
+      operators.TxOps.queries ++ functions.Envelope.queries ++
+      functions.TextAnalysis.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.CdcOps.oracles ++
-      operators.TxOps.oracles ++ functions.Envelope.oracles
+      operators.TxOps.oracles ++ functions.Envelope.oracles ++
+      functions.TextAnalysis.oracles
 }

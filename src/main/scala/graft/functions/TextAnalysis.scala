@@ -1,0 +1,161 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (builder
+  * brief: language-ID, quality scoring, token counting, document
+  * fingerprinting) over the `documents` table.
+  *
+  * Everything except the fingerprint is pure built-in column algebra —
+  * codegen'd, no UDFs, no shuffle (narrow projections over the scan), so
+  * at 100 TB these run at parquet-scan speed. Ratios are produced by a
+  * single double division of exact integers, which is IEEE-deterministic
+  * and therefore oracle-comparable (same idiom as QueryUtil.cents).
+  */
+object TextAnalysis {
+
+  // ── token counting ──────────────────────────────────────────────────
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish sub-word tokens: letter runs | digit runs | single
+    * punctuation. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def taTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_computed"))
+
+  val taTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_computed
+       |FROM documents""".stripMargin
+
+  // ── quality scoring ─────────────────────────────────────────────────
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Length / stopword / punctuation signals combined into one score.
+    * All ratios are (exact int) / (exact int) double divisions; the
+    * blend uses the same literal arithmetic on both engines. */
+  def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(Stopwords))).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+      .cast("double")
+    val nChars = length(col("text")).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nStop / nTok).as("stopword_ratio"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nChars / nTok).as("avg_token_span"),
+      ((nStop / nTok) * lit(0.5d) + (lit(1.0d) - nPunct / nChars) * lit(0.3d)
+        + least(nChars / nTok / lit(10.0d), lit(1.0d)) * lit(0.2d))
+        .as("quality_score"))
+  }
+
+  val taQualitySql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x IN ($stop))) AS DOUBLE) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  n_stop / n_tokens AS stopword_ratio,
+       |  n_punct / n_chars AS punct_ratio,
+       |  n_chars / n_tokens AS avg_token_span,
+       |  (n_stop / n_tokens) * 0.5 + (1.0 - n_punct / n_chars) * 0.3
+       |    + least(n_chars / n_tokens / 10.0, 1.0) * 0.2 AS quality_score
+       |FROM t""".stripMargin
+  }
+
+  // ── language identification ─────────────────────────────────────────
+  /** Marker-word profiles (tiny stopword n-gram model). Scores are
+    * exact integer marker counts; prediction is a deterministic argmax
+    * chain (ties break in en>fr>es>de order). CJK presence short-
+    * circuits to zh. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "de"),
+    "de" -> Seq("der", "und", "die", "das"))
+
+  private def markerCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(LangMarkers(lang))))
+
+  def taLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val en = markerCount(toks, "en"); val fr = markerCount(toks, "fr")
+    val es = markerCount(toks, "es"); val de = markerCount(toks, "de")
+    val cjk = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("score_en"), fr.as("score_fr"), es.as("score_es"),
+      de.as("score_de"), cjk.as("n_non_ascii"),
+      when(cjk > 0, "zh")
+        .when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr")
+        .when(es >= de, "es")
+        .otherwise("de").as("predicted_lang"))
+  }
+
+  val taLangIdSql: String = {
+    def cnt(lang: String) = {
+      val m = LangMarkers(lang).map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ($m))) AS INT)"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${cnt("en")} AS score_en, ${cnt("fr")} AS score_fr,
+       |    ${cnt("es")} AS score_es, ${cnt("de")} AS score_de,
+       |    CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS INT)
+       |      AS n_non_ascii
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, score_en, score_fr, score_es, score_de,
+       |  n_non_ascii,
+       |  CASE WHEN n_non_ascii > 0 THEN 'zh'
+       |       WHEN score_en >= score_fr AND score_en >= score_es
+       |         AND score_en >= score_de THEN 'en'
+       |       WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+       |       WHEN score_es >= score_de THEN 'es'
+       |       ELSE 'de' END AS predicted_lang
+       |FROM t""".stripMargin
+  }
+
+  // ── document fingerprinting ─────────────────────────────────────────
+  /** Rolling-hash fingerprint of the full text plus a coarse 64-bucket
+    * shard id — the custom codegen expression ([[RollingHash]]); no SQL
+    * oracle (engine-specific hash), validated against the plain-Scala
+    * reference in ScalaTest and rows-checked by the driver. */
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      HashFunctions.rolling_hash(col("text")).as("fingerprint"),
+      pmod(HashFunctions.rolling_hash(col("text")), lit(64)).as("shard"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_count" -> (taTokenCount _),
+    "ta_quality_score" -> (taQualityScore _),
+    "ta_lang_id" -> (taLangId _),
+    "ta_fingerprint" -> (taFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_count" -> taTokenCountSql,
+    "ta_quality_score" -> taQualitySql,
+    "ta_lang_id" -> taLangIdSql)
+}
