@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
-      functions.TextAnalysis.queries
+      functions.TextAnalysis.queries ++ functions.Dedup.queries ++
+      functions.Similarity.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
-      functions.TextAnalysis.oracles
+      functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
+      functions.Similarity.oracles
 }

@@ -1,0 +1,240 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. Each is a composable
+  * DataFrame transform designed for the 100 TB shape:
+  *
+  *  - exact dedup: one hash-shuffle on a 64-bit text hash (not the full
+  *    text), partial-aggregated map-side;
+  *  - n-gram Jaccard: the exact similarity measure, blocked by a
+  *    partition key so the self-join never goes all-pairs-global;
+  *  - MinHash+LSH: the scale path — fixed-width signatures via
+  *    higher-order functions (no UDFs, no explode of the shingle set),
+  *    banded bucketing so candidate generation is a hash join on band
+  *    keys; candidates then verified with exact Jaccard;
+  *  - SimHash: one 64-bit fingerprint per doc computed entirely with
+  *    per-row array algebra (zero shuffles), near-dups = small hamming
+  *    distance within blocking buckets.
+  */
+object Dedup {
+
+  // ── exact dedup ─────────────────────────────────────────────────────
+  /** Exact duplicate groups: group by text, keep the smallest doc_id.
+    * At scale, group on xxhash64(text) so the shuffle carries 8 bytes
+    * per row instead of the document body (collision probability at
+    * 10^12 docs ≈ 10^-7; confirm with a byte-compare pass if needed). */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("group_size"))
+
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    exactDuplicates(Tables.documents(spark, dir))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"), min("keeper").as("min_keeper"))
+      .orderBy("group_size")
+
+  /** Oracle groups by the text itself — same group structure as the
+    * hash (collision-free at this scale), so the summary matches. */
+  val ddExactSql: String =
+    """SELECT group_size, COUNT(*) AS n_groups, MIN(keeper) AS min_keeper
+      |FROM (SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size
+      |      FROM documents GROUP BY text)
+      |GROUP BY group_size ORDER BY group_size""".stripMargin
+
+  // ── word-bigram shingles (shared by jaccard/minhash) ────────────────
+  /** Distinct word-bigram set per doc via posexplode + lead window —
+    * the construction is mirrored 1:1 in the DuckDB oracle. */
+  def bigramSets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .distinct()
+  }
+
+  // ── n-gram Jaccard ──────────────────────────────────────────────────
+  /** Exact bigram-set Jaccard over pairs blocked by `source` (the
+    * blocking key bounds the self-join: candidates only form inside a
+    * bucket, never across the whole corpus). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingles = bigramSets(docs)
+    val sizes = shingles.groupBy("doc_id")
+      .agg(count(lit(1)).as("set_size"))
+    val a = shingles.alias("a")
+    val b = shingles.alias("b")
+    val inter = a.join(b,
+        col("a.bigram") === col("b.bigram") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("set_size", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("set_size", "s2"), "d2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("s1") + col("s2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "n_common", "s1", "s2", "jaccard")
+  }
+
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), 0.2)
+
+  val ddNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source, bigram FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_transform(range(1, len(arr)),
+      |        i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+      |    FROM (SELECT doc_id, source,
+      |            regexp_split_to_array(text, '\s+') AS arr
+      |          FROM documents))),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON a.bigram = b.bigram AND a.source = b.source
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, n_common, s1.set_size AS s1, s2.set_size AS s2,
+      |  CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+      |FROM inter
+      |  JOIN sizes s1 ON inter.d1 = s1.doc_id
+      |  JOIN sizes s2 ON inter.d2 = s2.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.2""".stripMargin
+
+  // ── MinHash + LSH ───────────────────────────────────────────────────
+  val MinHashK = 32 // signature width
+  val LshBands = 8 // → 4 rows per band; P(candidate) ≈ 1-(1-j^4)^8
+  val MinHashPrime = 2147483647L // 2^31-1
+
+  /** Deterministic per-function coefficients (odd multipliers). */
+  private def coefA(i: Int): Long = 2L * i + 1L + 104729L * i
+  private def coefB(i: Int): Long = 7919L * (i + 1)
+
+  /** Per-doc MinHash signature as an array column — computed entirely
+    * with higher-order functions over the shingle-hash array: no
+    * explode, no shuffle, signature width fixed regardless of doc size. */
+  def withSignature(docsWithShingleHashes: DataFrame): DataFrame = {
+    // reduce into [0, prime) first: prime < 2^31 and coefA < 2^23, so
+    // the product stays < 2^54 — no ANSI long overflow
+    val sigExprs = (0 until MinHashK).map { i =>
+      array_min(transform(col("shingle_hashes"),
+        h => pmod(pmod(h, lit(MinHashPrime)) * coefA(i) + coefB(i),
+          lit(MinHashPrime))))
+    }
+    docsWithShingleHashes.withColumn("signature", array(sigExprs: _*))
+  }
+
+  /** Shingle-hash array per doc: rolling hash of each word bigram. */
+  def withShingleHashes(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    // bigrams zipped from the token array (no explode): tokens[i] + " " + tokens[i+1]
+    val bigrams = expr(
+      "transform(slice(split(text, '\\\\s+'), 1, size(split(text, '\\\\s+')) - 1), " +
+        "(t, i) -> concat(t, ' ', element_at(split(text, '\\\\s+'), i + 2)))")
+    docs.withColumn("shingle_hashes",
+      array_distinct(transform(bigrams,
+        b => HashFunctions.rolling_hash(b))))
+  }
+
+  /** LSH banding: band key = hash of the signature slice; docs sharing
+    * any (band, key) bucket are candidates. Output one row per doc per
+    * band → the candidate join is a plain hash join on (band, key). */
+  def lshBuckets(signed: DataFrame): DataFrame = {
+    val rows = MinHashK / LshBands
+    val bands = (0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("signature"), b * rows + 1, rows))).as("bucket"))
+    }
+    signed.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs from shared LSH buckets, verified with exact
+    * Jaccard over the shingle-hash sets. */
+  def minhashDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val signed = withSignature(withShingleHashes(docs))
+      .select("doc_id", "shingle_hashes", "signature")
+    val buckets = lshBuckets(signed)
+    val cands = buckets.alias("x").join(buckets.alias("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sets = signed.select(col("doc_id"), col("shingle_hashes"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"),
+        col("shingle_hashes").as("h1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"),
+        col("shingle_hashes").as("h2")), "d2")
+      .withColumn("n_common", size(array_intersect(col("h1"), col("h2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashDuplicatePairs(Tables.documents(spark, dir), 0.2)
+
+  // ── SimHash ─────────────────────────────────────────────────────────
+  /** 64-bit SimHash per doc, zero-shuffle: token-hash array → per-bit
+    * majority vote → packed long, all per-row array algebra (the
+    * aggregate/filter/shift chain is one codegen'd expression tree). */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tok_hashes", array_distinct(
+        transform(split(col("text"), "\\s+"),
+          t => HashFunctions.rolling_hash(t))))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  sequence(0, 63), 0L,
+          |  (acc, j) -> acc + IF(
+          |    2 * size(filter(tok_hashes, h -> ((h >> j) & 1L) = 1L))
+          |      >= size(tok_hashes),
+          |    shiftleft(1L, j), 0L))""".stripMargin))
+      .drop("tok_hashes")
+
+  /** Near-dup pairs by hamming distance over SimHash, blocked by
+    * `source` (at 100 TB: block by simhash byte-prefix so candidates
+    * stay bucket-local, or multi-probe the 4 16-bit quarters). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val s = withSimhash(docs).select(
+      col("doc_id"), col("source"), col("simhash"))
+    s.alias("a").join(s.alias("b"),
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("hamming"))
+  }
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), 16)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _))
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql)
+}

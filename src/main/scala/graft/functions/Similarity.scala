@@ -1,0 +1,143 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH as the scale path, and a quantized-vector near-dup with a SQL
+  * oracle.
+  *
+  * Vector math is pure higher-order column algebra (`zip_with` +
+  * `aggregate` with a double accumulator) — codegen'd, deterministic
+  * (sequential fold in index order), no UDFs.
+  *
+  * 100 TB shape: brute-force is O(Q·N) with the query set broadcast —
+  * right when Q is small; the LSH path turns it into a hash join on
+  * bucket keys, trading recall for a ~bands/2^bits fraction of the
+  * comparisons. An IVF variant is the same join with k-means centroid
+  * ids as bucket keys.
+  */
+object Similarity {
+
+  /** dot(a, b) with double accumulation in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ── brute-force top-k ───────────────────────────────────────────────
+  /** Exact top-k cosine neighbors for each query vector. The query set
+    * is broadcast (small side); candidates never leave their partition
+    * until the final per-query top-k (TakeOrdered via window + filter). */
+  def topKBruteForce(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec")))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    val scored = c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "cos", "rank")
+  }
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    topKBruteForce(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  // ── random-hyperplane LSH ───────────────────────────────────────────
+  val LshBits = 12
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes via a fixed LCG — same
+    * planes on every run/executor (no RNG state shipped around). */
+  private[functions] def hyperplanes(bits: Int = LshBits, dim: Int = Dim)
+      : Array[Array[Double]] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(bits, dim)(next())
+  }
+
+  /** Sign-bit signature: bit i = [dot(v, plane_i) > 0]. Planes enter the
+    * plan as literal arrays (broadcast with the task binary). */
+  def withLshKey(df: DataFrame, vecCol: String): DataFrame = {
+    val planes = hyperplanes()
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col(vecCol), planeCol) > 0d,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn("lsh_key", bitExprs.reduce(_ + _))
+  }
+
+  /** ANN: exact cosine ranking restricted to same-bucket candidates. */
+  def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(withLshKey(queries, "embedding")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("lsh_key")))
+    val c = withLshKey(corpus, "embedding")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("lsh_key"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(q, Seq("lsh_key")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "cos", "rank")
+  }
+
+  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    topKLsh(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  // ── quantized near-dup (SQL oracle) ─────────────────────────────────
+  /** Embedding near-dup by quantized prefix: floor(x·10) over the first
+    * 16 dims → exact integer key, groupable and oracle-checkable (float
+    * → double widening and ·10 are IEEE-exact in both engines). */
+  def simQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val key = concat_ws(",",
+      transform(slice(col("embedding"), 1, 16),
+        x => floor(x.cast("double") * 10d).cast("long").cast("string")))
+    Tables.embeddings(spark, dir)
+      .groupBy(key.as("qkey"), col("label"))
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("keeper"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_buckets"), sum("n_vecs").as("n_vecs"),
+        min("keeper").as("min_keeper"))
+      .orderBy("label")
+  }
+
+  val simQuantizedSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    array_to_string(list_transform(embedding[1:16],
+      |      x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT) AS VARCHAR)), ',') AS qkey,
+      |    COUNT(*) AS n_vecs, MIN(vec_id) AS keeper
+      |  FROM embeddings GROUP BY label, qkey)
+      |SELECT label, COUNT(*) AS n_buckets,
+      |  CAST(SUM(n_vecs) AS BIGINT) AS n_vecs, MIN(keeper) AS min_keeper
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (simTopK _),
+    "sim_lsh_ann" -> (simLsh _),
+    "sim_quantized_dedup" -> (simQuantized _))
+
+  def oracles: Map[String, String] = Map(
+    "sim_quantized_dedup" -> simQuantizedSql)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** Fixture with known duplicates: real docs plus planted copies. */
+  private lazy val planted = {
+    val copies = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val nearCopy = docs.filter(col("doc_id") === 7)
+      .withColumn("doc_id", lit(20007L))
+      .withColumn("text", concat(col("text"), lit(" extra tail words here")))
+    docs.unionByName(copies).unionByName(nearCopy)
+  }
+
+  test("exact dedup finds planted exact copies and nothing else") {
+    val groups = Dedup.exactDuplicates(planted)
+    assert(groups.filter(col("group_size") === 2).count() === 5)
+    assert(groups.filter(col("group_size") > 2).count() === 0)
+    // keeper is the original (smaller) id
+    assert(groups.filter(col("group_size") === 2)
+      .filter(col("keeper") >= 10000).count() === 0)
+  }
+
+  test("bigram shingle sets are distinct per doc and non-empty") {
+    val sh = Dedup.bigramSets(docs.limit(50))
+    assert(sh.groupBy("doc_id", "bigram").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(sh.select("doc_id").distinct().count() === 50)
+  }
+
+  test("minhash signature: identical docs agree, planted near-dup mostly agrees") {
+    val signed = Dedup.withSignature(Dedup.withShingleHashes(planted))
+      .select(col("doc_id"), col("signature"))
+    val sig = signed.filter(col("doc_id").isin(7, 20007, 0, 10000))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1)).toMap
+    assert(sig(0L) === sig(10000L), "exact copy → identical signature")
+    val agree7 = sig(7L).zip(sig(20007L)).count { case (a, b) => a == b }
+    assert(agree7 >= Dedup.MinHashK / 2,
+      s"near-dup should agree on most minhashes, got $agree7/${Dedup.MinHashK}")
+  }
+
+  test("minhash LSH recalls exact and near duplicates, verified by jaccard") {
+    val pairs = Dedup.minhashDuplicatePairs(planted, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 10000L)),
+        s"exact copy pair $i missing")
+    }
+    assert(pairs.contains((7L, 20007L)), "near-dup pair missing")
+  }
+
+  test("simhash: exact copies collide, near-dups land within hamming 16") {
+    val s = Dedup.withSimhash(planted)
+      .filter(col("doc_id").isin(7, 20007, 0, 10000))
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(0L) === s(10000L))
+    val ham = java.lang.Long.bitCount(s(7L) ^ s(20007L))
+    assert(ham <= 16, s"near-dup hamming was $ham")
+  }
+
+  test("simhash pairs on real corpus: hamming bounded, pairs deduped") {
+    val p = Dedup.ddSimhash(spark, sf)
+    assert(p.filter(col("hamming") > 16).count() === 0)
+    assert(p.groupBy("d1", "d2").count().filter(col("count") > 1)
+      .count() === 0)
+  }
+
+  test("ngram jaccard pairs are symmetric-free and within [0,1]") {
+    val p = Dedup.ddNgramJaccard(spark, sf)
+    assert(p.filter(col("d1") >= col("d2")).count() === 0)
+    assert(p.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+  }
+}
