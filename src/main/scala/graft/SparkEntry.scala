@@ -19,11 +19,11 @@ object SparkEntry {
     operators.Relational.queries ++ operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
-      functions.Similarity.queries
+      functions.Similarity.queries ++ functions.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
-      functions.Similarity.oracles
+      functions.Similarity.oracles ++ functions.Multimodal.oracles
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batched decode / feature-extract /
+  * resize / frame-sample transforms.
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * libraries): [[FakeDecoder.decode]] produces a deterministic feature
+  * vector from the bytes. Everything around it — the schema, the
+  * per-partition batching (the Scala analog of `mapInPandas`: amortize
+  * per-batch setup like a JNI decoder handle across rows), the UDF
+  * signature, and the downstream composition into similarity search —
+  * is real and tested. Swap [[FakeDecoder]] for a real codec and
+  * nothing else changes.
+  *
+  * 100 TB notes: media bytes never visit the driver; decode is a narrow
+  * per-partition pass; metadata transforms are pure column algebra; the
+  * binary column stays pruned away unless a transform asks for it.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+      nFrames: Int, mime: String)
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, sample_rate: Int, n_frames: Int, mime: String)
+  case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Float])
+
+  implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** Deterministic media lake synthesized from `documents` (the binary
+    * payload is the text's bytes — a stand-in for real object storage;
+    * the SQL oracle mirrors the integer metadata derivations). */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+      (lit(64) + (col("doc_id") % 5) * 32).cast("int").as("height"),
+      (lit(8000) * ((col("doc_id") % 3) + 1)).cast("int").as("sample_rate"),
+      ((col("n_chars") % 100) + 1).cast("int").as("n_frames"),
+      concat(lit("x-fake/"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 3 + 1).cast("int"))).as("mime"))
+
+  // ── stubbed decode ──────────────────────────────────────────────────
+  /** Deterministic fake decoder. A real build would call the codec
+    * library here (per-partition handle, batch decode); the signature
+    * bytes→features and the batching contract are what downstream code
+    * depends on. */
+  object FakeDecoder extends Serializable {
+    val FeatureDim = 8
+    /** Real implementation intentionally absent (no codec libs in this
+      * container): features are a deterministic fold of the bytes so
+      * tests can assert exact values. */
+    def decode(content: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < content.length) {
+        out(i % FeatureDim) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+    /** Batch entry point — one call per partition-batch, mirroring a
+      * vectorized `mapInPandas` body. */
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map(r => MediaFeatures(r.media_id, r.kind, decode(r.content)))
+  }
+
+  /** Batched feature extraction: one decoder invocation per partition
+    * (the `mapInPandas` shape), output is a typed Dataset that composes
+    * with the Similarity operators. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] =
+    media.as[MediaRow].mapPartitions(FakeDecoder.decodeBatch _)
+
+  // ── metadata transforms (pure column algebra) ───────────────────────
+  /** Resize plan: integer target box scaling, aspect preserved via
+    * integer arithmetic (no FP). */
+  def withResizePlan(media: DataFrame, maxSide: Int): DataFrame =
+    media
+      .withColumn("out_width", expr(
+        s"CAST(CAST(width AS BIGINT) * $maxSide div greatest(width, height) AS INT)"))
+      .withColumn("out_height", expr(
+        s"CAST(CAST(height AS BIGINT) * $maxSide div greatest(width, height) AS INT)"))
+
+  /** Frame sampling: every `stride`-th frame index per video. */
+  def sampledFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+
+  // ── queries ─────────────────────────────────────────────────────────
+  /** Metadata plumbing end-to-end (oracle-checked): synthesis, resize
+    * planning, frame-sample counts — all exact integer arithmetic. */
+  def mmMetaExtract(spark: SparkSession, dir: String): DataFrame = {
+    val media = withResizePlan(syntheticMedia(spark, dir), 256)
+    val frames = sampledFrames(media, 7)
+      .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+    media.join(frames, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_width"), col("out_height"), col("sample_rate"),
+        col("n_frames"), length(col("content")).as("n_bytes"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  val mmMetaExtractSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |    CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+      |    CAST(8000 * ((doc_id % 3) + 1) AS INT) AS sample_rate,
+      |    CAST((n_chars % 100) + 1 AS INT) AS n_frames,
+      |    CAST(length(text) AS INT) AS n_bytes
+      |  FROM documents)
+      |SELECT media_id, kind, width, height,
+      |  CAST(CAST(width AS BIGINT) * 256 // greatest(width, height) AS INT) AS out_width,
+      |  CAST(CAST(height AS BIGINT) * 256 // greatest(width, height) AS INT) AS out_height,
+      |  sample_rate, n_frames, n_bytes,
+      |  CASE WHEN kind = 'video'
+      |    THEN CAST((n_frames + 6) // 7 AS BIGINT) ELSE 0 END AS n_sampled
+      |FROM media""".stripMargin
+
+  /** Batched stub decode → features (rows-only; exact values asserted
+    * in ScalaTest against the reference fold). */
+  def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(syntheticMedia(spark, dir))
+      .select(col("media_id"), col("kind"),
+        col("features")(0).as("f0"),
+        round(aggregate(col("features"),
+          lit(0.0d), (a, x) => a + x), 3).as("feature_sum"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta_extract" -> (mmMetaExtract _),
+    "mm_decode_features" -> (mmDecodeFeatures _))
+
+  def oracles: Map[String, String] = Map(
+    "mm_meta_extract" -> mmMetaExtractSql)
+}

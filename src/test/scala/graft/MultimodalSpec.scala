@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal.FakeDecoder
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark, sf)
+
+  test("media schema: binary content + typed metadata, 3 kinds") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName === "binary")
+    val kinds = media.select("kind").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(kinds.toSeq === Seq("audio", "image", "video"))
+  }
+
+  test("batched decode produces exact deterministic features") {
+    val feats = Multimodal.extractFeatures(media.filter(col("media_id") === 3))
+      .collect().head
+    val content = media.filter(col("media_id") === 3)
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    assert(feats.features.toSeq === FakeDecoder.decode(content).toSeq)
+    assert(feats.features.length === FakeDecoder.FeatureDim)
+  }
+
+  test("decode is a distributed per-partition pass (no driver collect)") {
+    val ds = Multimodal.extractFeatures(media)
+    assert(ds.rdd.getNumPartitions >= 1)
+    assert(ds.count() === media.count())
+  }
+
+  test("features compose with similarity search") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val feats = Multimodal.extractFeatures(media.limit(50))
+      .select(col("media_id").as("vec_id"),
+        col("features").as("embedding"))
+    val topk = graft.functions.Similarity.topKBruteForce(
+      feats.filter(col("vec_id") < 2), feats, k = 3)
+    assert(topk.groupBy("q_id").count().collect().forall(_.getLong(1) === 3))
+  }
+
+  test("resize plan preserves aspect and respects the bounding box") {
+    val r = Multimodal.withResizePlan(media, 256)
+      .select("width", "height", "out_width", "out_height").collect()
+    r.foreach { row =>
+      val (w, h, ow, oh) = (row.getInt(0), row.getInt(1),
+        row.getInt(2), row.getInt(3))
+      assert(math.max(ow, oh) <= 256)
+      assert(math.max(ow, oh) === 256, "long side hits the box")
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1)
+    }
+  }
+
+  test("frame sampling: stride-7 indices within range, videos only") {
+    val f = Multimodal.sampledFrames(media, 7)
+    assert(f.filter(col("frame_idx") % 7 =!= 0).count() === 0)
+    assert(f.filter(col("frame_idx") >= col("n_frames")).count() === 0)
+    val nonVideo = media.filter(col("kind") =!= "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(f.filter(col("media_id").isInCollection(nonVideo)).count() === 0)
+  }
+}
