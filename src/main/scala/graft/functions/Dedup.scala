@@ -119,35 +119,32 @@ object Dedup {
   val LshBands = 8 // → 4 rows per band; P(candidate) ≈ 1-(1-j^4)^8
   val MinHashPrime = 2147483647L // 2^31-1
 
-  /** Deterministic per-function coefficients (odd multipliers). */
+  /** Deterministic per-function coefficients (odd multipliers; < 2^23
+    * so the prime-field product stays ANSI-safe). */
   private def coefA(i: Int): Long = 2L * i + 1L + 104729L * i
   private def coefB(i: Int): Long = 7919L * (i + 1)
 
-  /** Per-doc MinHash signature as an array column — computed entirely
-    * with higher-order functions over the shingle-hash array: no
-    * explode, no shuffle, signature width fixed regardless of doc size. */
-  def withSignature(docsWithShingleHashes: DataFrame): DataFrame = {
-    // reduce into [0, prime) first: prime < 2^31 and coefA < 2^23, so
-    // the product stays < 2^54 — no ANSI long overflow
-    val sigExprs = (0 until MinHashK).map { i =>
-      array_min(transform(col("shingle_hashes"),
-        h => pmod(pmod(h, lit(MinHashPrime)) * coefA(i) + coefB(i),
-          lit(MinHashPrime))))
-    }
-    docsWithShingleHashes.withColumn("signature", array(sigExprs: _*))
-  }
+  /** Per-doc MinHash signature as an array column — one generated Java
+    * loop per row ([[MinHashSignature]]): no explode, no shuffle,
+    * signature width fixed regardless of doc size. */
+  def withSignature(docsWithShingleHashes: DataFrame): DataFrame =
+    docsWithShingleHashes.withColumn("signature",
+      HashFunctions.minhash_signature(col("shingle_hashes"),
+        (0 until MinHashK).map(coefA), (0 until MinHashK).map(coefB),
+        MinHashPrime))
 
-  /** Shingle-hash array per doc: rolling hash of each word bigram. */
-  def withShingleHashes(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    // bigrams zipped from the token array (no explode): tokens[i] + " " + tokens[i+1]
-    val bigrams = expr(
-      "transform(slice(split(text, '\\\\s+'), 1, size(split(text, '\\\\s+')) - 1), " +
-        "(t, i) -> concat(t, ' ', element_at(split(text, '\\\\s+'), i + 2)))")
-    docs.withColumn("shingle_hashes",
-      array_distinct(transform(bigrams,
+  /** Shingle-hash array per doc: rolling hash of each word bigram,
+    * zipped from a token array that is materialized ONCE per row (a
+    * lambda that re-splits the text per element is O(tokens²) and
+    * benched 25× slower). */
+  def withShingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("shingle_hashes", array_distinct(transform(
+        expr("transform(slice(__toks, 1, size(__toks) - 1), " +
+          "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))"),
         b => HashFunctions.rolling_hash(b))))
-  }
+      .drop("__toks")
 
   /** LSH banding: band key = hash of the signature slice; docs sharing
     * any (band, key) bucket are candidates. Output one row per doc per
@@ -193,20 +190,15 @@ object Dedup {
 
   // ── SimHash ─────────────────────────────────────────────────────────
   /** 64-bit SimHash per doc, zero-shuffle: token-hash array → per-bit
-    * majority vote → packed long, all per-row array algebra (the
-    * aggregate/filter/shift chain is one codegen'd expression tree). */
+    * majority vote → packed long, one generated loop per row
+    * ([[SimHash64]]; replaced a 64-pass HOF chain that benched 30×
+    * slower at sf0.1). */
   def withSimhash(docs: DataFrame): DataFrame =
     docs
       .withColumn("tok_hashes", array_distinct(
         transform(split(col("text"), "\\s+"),
           t => HashFunctions.rolling_hash(t))))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  sequence(0, 63), 0L,
-          |  (acc, j) -> acc + IF(
-          |    2 * size(filter(tok_hashes, h -> ((h >> j) & 1L) = 1L))
-          |      >= size(tok_hashes),
-          |    shiftleft(1L, j), 0L))""".stripMargin))
+      .withColumn("simhash", HashFunctions.simhash64(col("tok_hashes")))
       .drop("tok_hashes")
 
   /** Near-dup pairs by hamming distance over SimHash, blocked by

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan audits: these lock in the plan shapes that make the
+  * queries scale — a regression that drops a pushdown or inflates a
+  * broadcast into a shuffle join should fail CI, not show up at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: predicates are pushed into the parquet scan") {
+    val p = plan(Relational.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate filter reaches the scan")
+    // column pruning: scan must not read the unused columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_returnflag"),
+      "unused column not read")
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("partial_"), "partial aggregation present:\n" + p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      "single shuffle keyed on the group columns")
+  }
+
+  test("q3: customer dimension is broadcast, not shuffled") {
+    val p = plan(Relational.q3ShippingPriority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 uses TakeOrdered, not a global sort")
+  }
+
+  test("q5: all dimension joins are broadcast; only the fact side shuffles") {
+    val p = plan(Relational.q5LocalSupplier(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // orders⋈lineitem + final agg only
+    assert(shuffles <= 3, s"too many shuffles ($shuffles):\n$p")
+  }
+
+  test("change feed decode is a pure narrow projection (no shuffle)") {
+    val p = plan(graft.operators.CdcOps.s2EventDecode(spark, sf))
+    assert(!p.contains("Exchange"), "decode must not shuffle:\n" + p)
+  }
+
+  test("simhash/fingerprint path stays inside whole-stage codegen") {
+    val p = plan(graft.functions.Dedup.withSimhash(
+      Tables.documents(spark, sf)))
+    assert(p.contains("*(1)"), "codegen stage present:\n" + p)
+    assert(!p.contains("Exchange"), "zero-shuffle simhash:\n" + p)
+  }
+}
