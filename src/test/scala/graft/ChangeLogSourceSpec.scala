@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.sources.{ChangeLogSource, ChangeLogSourceProvider}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+class ChangeLogSourceSpec extends SparkSpec {
+
+  private def writeLog(lines: Seq[String]): String = {
+    val f = Files.createTempFile("changelog", ".tsv")
+    Files.write(f, lines.mkString("\n").concat("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  private val fmt = classOf[ChangeLogSourceProvider].getName
+
+  test("S1: micro-batch source streams the log with line-position offsets") {
+    val log = writeLog((1 to 25).map(i =>
+      ChangeLogSource.renderLine(1, i, "mutation", "insert", s"pk$i",
+        i * 1000L, s"v$i")))
+    val dir = Files.createTempDirectory("cls").toString
+    val q = spark.readStream.format(fmt)
+      .option("path", log).option("maxLinesPerTrigger", "10")
+      .load()
+      .writeStream.format("memory").queryName("cls_out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("cls_out")
+    assert(rows.count() === 25)
+    // 10-line cap → at least 3 micro-batches (10+10+5)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "maxLinesPerTrigger bounds each batch")
+    assert(rows.agg(min("seq"), max("seq")).collect().head.toSeq ===
+      Seq(1L, 25L))
+    q.stop()
+  }
+
+  test("S1+T5: restart resumes from the checkpointed position, no dupes") {
+    val lines = (1 to 10).map(i =>
+      ChangeLogSource.renderLine(2, i, "mutation", "update", s"pk$i",
+        i * 10L, ""))
+    val log = writeLog(lines)
+    val dir = Files.createTempDirectory("cls2").toString
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", log).load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    run()
+    // append more events (the binlog grows), then restart
+    Files.write(Paths.get(log),
+      ((11 to 15).map(i => ChangeLogSource.renderLine(2, i, "mutation",
+        "update", s"pk$i", i * 10L, "")).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+    run()
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() === 15, "each line delivered exactly once")
+    assert(out.select("seq").distinct().count() === 15)
+  }
+
+  test("S1→T1: source composes with the transaction pipeline") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.streaming.TxPipeline
+    val log = writeLog(Seq(
+      ChangeLogSource.renderLine(1, 1, "begin", "", "", 0L, ""),
+      ChangeLogSource.renderLine(1, 2, "mutation", "insert", "pk1", 5L, "a"),
+      ChangeLogSource.renderLine(1, 3, "commit", "", "", 99L, ""),
+      ChangeLogSource.renderLine(1, 4, "begin", "", "", 0L, ""),
+      ChangeLogSource.renderLine(1, 5, "mutation", "insert", "pk2", 6L, "b"),
+      ChangeLogSource.renderLine(1, 6, "rollback", "", "", 0L, "")))
+    val events = spark.readStream.format(fmt).option("path", log).load()
+      .select(col("conn"), col("seq"), col("kind"),
+        coalesce(col("op"), lit("")).as("op"),
+        coalesce(col("pk"), lit("")).as("pk"),
+        coalesce(col("ts_us"), lit(0L)).as("tsUs"))
+      .withColumn("payload",
+        map(lit("v"), lit("x")))
+      .as[TxPipeline.ChangeEvent]
+    val q = TxPipeline.groupByTransaction(events)
+      .writeStream.format("memory").queryName("cls_tx")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val out = spark.table("cls_tx").as[TxPipeline.TxMutation].collect()
+    assert(out.length === 1, "committed tx only; rolled-back dropped")
+    assert(out.head.pk === "pk1" && out.head.commitTsUs === 99L)
+  }
+}
