@@ -16,13 +16,15 @@ object SparkEntry {
     operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.CdcOps.queries ++
+    operators.Relational.queries ++ operators.RelationalExt.queries ++
+      operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
       functions.Similarity.queries ++ functions.Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.CdcOps.oracles ++
+    operators.Relational.oracles ++ operators.RelationalExt.oracles ++
+      operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
       functions.Similarity.oracles ++ functions.Multimodal.oracles

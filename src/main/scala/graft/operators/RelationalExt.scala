@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Extended relational surface (SURVEY.md §2.5): the join/aggregate/
+  * window/set-op/scalar-function operators the reference lacks entirely
+  * and Catalyst provides — declared here as oracle-checked queries so
+  * the engine's query surface is verified, not assumed.
+  *
+  * Determinism idioms as in [[Relational]]: money through integer
+  * cents; ties broken by unique keys; ratios as single double
+  * divisions.
+  */
+object RelationalExt {
+
+  // ── window functions ────────────────────────────────────────────────
+  /** Running per-customer order total (cumulative window). One shuffle
+    * on o_custkey; the frame is rows-unbounded-preceding so each
+    * partition streams in sorted order — no buffering blowup at scale. */
+  def w1RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("o_date"),
+      sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+  }
+
+  val w1Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS running_cents
+      |FROM orders""".stripMargin
+
+  /** Top-3 orders per customer by price (rank window + filter —
+    * Spark turns this into a per-partition top-k, no global sort). */
+  def w2TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("rk"))
+  }
+
+  val w2Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, rk
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+      |             o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3""".stripMargin
+
+  // ── grouping sets / rollup ──────────────────────────────────────────
+  /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    * with NULL group keys, exact integer measures. */
+  def g1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), intSum(col("l_quantity")).as("sum_qty"))
+
+  val g1Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact distinct counts, global and per group. */
+  def g2DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val g2Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ── set operations ──────────────────────────────────────────────────
+  /** INTERSECT / EXCEPT between the customer key space and the keys
+    * that actually ordered. */
+  def set1Ops(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = Tables.customer(spark, dir).select(col("c_custkey"))
+    val buyers = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    val both = custKeys.intersect(buyers)
+      .withColumn("tag", lit("with_orders"))
+    val none = custKeys.except(buyers)
+      .withColumn("tag", lit("no_orders"))
+    both.unionByName(none)
+      .groupBy("tag").agg(count(lit(1)).as("n"),
+        min("c_custkey").as("min_key"))
+      .orderBy("tag")
+  }
+
+  val set1Sql: String =
+    """WITH with_orders AS (
+      |  SELECT c_custkey FROM customer
+      |  INTERSECT SELECT o_custkey FROM orders),
+      |no_orders AS (
+      |  SELECT c_custkey FROM customer
+      |  EXCEPT SELECT o_custkey FROM orders)
+      |SELECT tag, COUNT(*) AS n, MIN(c_custkey) AS min_key FROM (
+      |  SELECT c_custkey, 'with_orders' AS tag FROM with_orders
+      |  UNION ALL SELECT c_custkey, 'no_orders' AS tag FROM no_orders)
+      |GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ── semi / anti joins (EXISTS / NOT EXISTS) ─────────────────────────
+  def j1SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val cust = Tables.customer(spark, dir)
+    val withUrgent = cust.join(urgent,
+        cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_urgent"))
+    val withoutUrgent = cust.join(urgent,
+        cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_urgent"))
+    withUrgent.unionByName(withoutUrgent)
+      .groupBy("tag", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("tag", "c_mktsegment")
+  }
+
+  val j1Sql: String =
+    """SELECT tag, c_mktsegment, COUNT(*) AS n FROM (
+      |  SELECT c.*, 'has_urgent' AS tag FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT c.*, 'no_urgent' AS tag FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'))
+      |GROUP BY tag, c_mktsegment ORDER BY tag, c_mktsegment""".stripMargin
+
+  // ── JSON extraction ─────────────────────────────────────────────────
+  /** JSON path extraction from the props column (the oracle mirrors the
+    * value via a regex so it does not depend on DuckDB's json
+    * extension being loadable offline). */
+  def f2JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val f2Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ── date functions ──────────────────────────────────────────────────
+  def d1DateBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy("yr", "mo")
+
+  val d1Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
+
+  // ── string scalar library ───────────────────────────────────────────
+  def str1Functions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+      length(col("c_name")).as("name_len"),
+      instr(col("c_name"), "1").as("first_one"))
+
+  val str1Sql: String =
+    """SELECT c_custkey, UPPER(c_name) AS uname,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  CAST(instr(c_name, '1') AS INT) AS first_one
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_running_total" -> (w1RunningTotal _),
+    "w2_top_orders" -> (w2TopOrders _),
+    "g1_rollup" -> (g1Rollup _),
+    "g2_distinct_count" -> (g2DistinctCount _),
+    "set1_intersect_except" -> (set1Ops _),
+    "j1_semi_anti" -> (j1SemiAnti _),
+    "f2_json_extract" -> (f2JsonExtract _),
+    "d1_date_buckets" -> (d1DateBuckets _),
+    "str1_functions" -> (str1Functions _))
+
+  val oracles: Map[String, String] = Map(
+    "w1_running_total" -> w1Sql,
+    "w2_top_orders" -> w2Sql,
+    "g1_rollup" -> g1Sql,
+    "g2_distinct_count" -> g2Sql,
+    "set1_intersect_except" -> set1Sql,
+    "j1_semi_anti" -> j1Sql,
+    "f2_json_extract" -> f2Sql,
+    "d1_date_buckets" -> d1Sql,
+    "str1_functions" -> str1Sql)
+}
