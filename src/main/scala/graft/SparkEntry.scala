@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
+      functions.SpecificEnvelope.queries ++
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
       functions.Similarity.queries ++ functions.Multimodal.queries
 
@@ -26,6 +27,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
+      functions.SpecificEnvelope.oracles ++
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
       functions.Similarity.oracles ++ functions.Multimodal.oracles
 }

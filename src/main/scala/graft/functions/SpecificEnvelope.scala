@@ -1,0 +1,118 @@
+package graft.functions
+
+import graft.avro.{AvroSubjects, SchemaRegistry}
+import graft.sources.ChangeFeed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The "specific" (per-table, typed) Avro path (SURVEY.md §2.3 P4 +
+  * P3): unlike the generic typed-maps record, each table gets a
+  * concrete schema with one Avro field per column; updates flatten the
+  * (before, after) images into `old_`/`new_`-prefixed fields (reference
+  * `KafkaAvroSerializer.scala:149-160`), and string columns ride as
+  * Avro `bytes` (reference `KafkaSpecificAvroSerializer.scala:55-60`).
+  *
+  * Schemas are derived from the Spark StructType — the engine's
+  * schema-inference step (S7's information_schema read maps to reading
+  * the source relation's schema) — and registered under the
+  * `<db>_<table>_<op>` subject (T7: an ALTER re-derives and registers a
+  * new version; F4 compatibility gates serialization).
+  */
+object SpecificEnvelope {
+
+  /** Spark type → Avro schema fragment (nullable via union-with-null). */
+  def avroType(dt: DataType): String = dt match {
+    case StringType | BinaryType => "\"bytes\"" // strings→bytes, P4 rule
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case BooleanType => "\"boolean\""
+    case other =>
+      throw new UnsupportedOperationException(s"specific avro: $other")
+  }
+
+  /** Derive the specific record schema for a table shape. */
+  def schemaFor(db: String, table: String, op: String,
+      fields: Seq[StructField]): String = {
+    val fs = fields.map { f =>
+      s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"${table}_$op","namespace":"graft.avro.$db","fields":[$fs]}"""
+  }
+
+  /** The update-image record for the events feed: headers + old_/new_
+    * value fields (P3 flattening) + event_type as bytes (P4 rule). */
+  val updateFields: Seq[StructField] = Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", BinaryType),
+    StructField("old_value", DoubleType),
+    StructField("new_value", DoubleType))
+
+  val updateStruct: StructType = StructType(updateFields)
+
+  /** Serialize the update stream with the specific schema; decode it
+    * back; project scalars. Oracle = the un-serialized image query, so
+    * every typed field must survive the specific wire format exactly. */
+  def p4SpecificRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val registry = new SchemaRegistry
+    val schemaJson = schemaFor("testdb", "events", "update", updateFields)
+    val schemaId =
+      registry.register(AvroSubjects.specific("testdb", "events", "update"),
+        schemaJson)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val images = ChangeFeed.fromEvents(spark, dir)
+      .withColumn("old_value", lag("value", 1).over(w))
+      .filter(col("op") === "update" && col("old_value").isNotNull)
+    val record = images.withColumn("record", struct(
+      col("event_id"), col("user_id"),
+      col("event_type").cast("binary").as("event_type"),
+      col("old_value"), col("value").as("new_value")))
+    val enveloped = record.withColumn("envelope",
+      Envelope.frame(col("mtype"), lit(schemaId),
+        AvroCodec.encode(col("record"), schemaJson)))
+    enveloped
+      .withColumn("schema_id_rt", Envelope.sliceSchemaId(col("envelope")))
+      .withColumn("decoded", AvroCodec.decode(
+        Envelope.slicePayload("envelope"), schemaJson, updateStruct))
+      .select(
+        col("decoded.event_id").as("event_id"),
+        col("decoded.user_id").as("user_id"),
+        col("decoded.event_type").cast("string").as("event_type"),
+        col("decoded.old_value").as("old_value"),
+        col("decoded.new_value").as("new_value"),
+        col("schema_id_rt"))
+  }
+
+  val p4Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |imaged AS (
+       |  SELECT event_id, user_id, event_type, op,
+       |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |      AS old_value,
+       |    value AS new_value
+       |  FROM feed)
+       |SELECT event_id, user_id, event_type, old_value, new_value,
+       |  1 AS schema_id_rt
+       |FROM imaged WHERE op = 'update' AND old_value IS NOT NULL""".stripMargin
+
+  /** F4 on the specific path: the serializer refuses rows whose fields
+    * are missing from the registered schema; after an ALTER the caller
+    * refreshes to latest and retries (reference
+    * KafkaAvroSerializer.scala:47-55). */
+  def serializableFields(registry: SchemaRegistry, db: String,
+      table: String, op: String, rowFields: Seq[String]): Boolean =
+    registry.latest(AvroSubjects.specific(db, table, op)) match {
+      case Some((_, schema)) => Envelope.compatible(schema, rowFields)
+      case None => false
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p4_specific_roundtrip" -> (p4SpecificRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "p4_specific_roundtrip" -> p4Sql)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.sources.ChangeLogSource
+import graft.streaming.{BinlogPosition, FilePositionRepository, PipeAssembly}
+import org.apache.spark.sql.functions._
+
+class PipeAssemblySpec extends SparkSpec {
+
+  test("T6: file position repo round-trips and elides unchanged writes") {
+    val dir = Files.createTempDirectory("posrepo").toString
+    val repo = new FilePositionRepository(dir)
+    assert(repo.load("c1").isEmpty)
+    repo.save("c1", BinlogPosition("binlog.000001", 120))
+    assert(repo.load("c1") === Some(BinlogPosition("binlog.000001", 120)))
+    repo.save("c1", BinlogPosition("binlog.000001", 120)) // unchanged
+    assert(repo.writes === 1, "unchanged position save is elided")
+    repo.save("c1", BinlogPosition("binlog.000002", 4))
+    assert(repo.writes === 2)
+    assert(repo.load("c1") === Some(BinlogPosition("binlog.000002", 4)))
+    // corrupted file → None, not a crash
+    Files.write(java.nio.file.Paths.get(dir, "binlogpos-c2.pos"),
+      "garbage".getBytes(StandardCharsets.UTF_8))
+    assert(repo.load("c2").isEmpty)
+  }
+
+  test("E2: config map assembles the full pipe end-to-end") {
+    val log = Files.createTempFile("pipe", ".tsv")
+    Files.write(log, Seq(
+      ChangeLogSource.renderLine(1, 1, "begin", "", "", 0, ""),
+      ChangeLogSource.renderLine(1, 2, "mutation", "insert", "a", 5, "x"),
+      ChangeLogSource.renderLine(1, 3, "commit", "", "", 77, ""),
+      ChangeLogSource.renderLine(2, 4, "mutation", "insert", "skipme", 9, "y"),
+      ChangeLogSource.renderLine(3, 5, "mutation", "delete", "keep", 8, ""))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("pipeout").toString
+    val q = PipeAssembly.start(spark, Map(
+      "source.path" -> log.toString,
+      "filter.condition" -> "conn <> 2", // F1 skip filter
+      "sink.path" -> s"$out/data",
+      "sink.checkpoint" -> s"$out/chk"), availableNow = true)
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.read.parquet(s"$out/data")
+    val pks = rows.select("pk").collect().map(_.getString(0)).sorted.toSeq
+    assert(pks === Seq("a", "keep"), "tx committed + non-tx kept, conn 2 skipped")
+    assert(rows.filter(col("pk") === "a").collect().head
+      .getAs[Long]("commitTsUs") === 77L, "commit-ts rewrite applied")
+  }
+}
