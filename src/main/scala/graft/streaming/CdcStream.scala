@@ -63,6 +63,11 @@ object CdcStream {
           case e: Throwable =>
             policy.failed.incrementAndGet()
             if (policy.quitOnError) throw e
+            // continue-past-error must still EXECUTE the batch: with a
+            // stateful upstream, skipping it would leave the state
+            // store uncommitted and fail commit validation — this is
+            // the dead-letter drain
+            try { batch.count(); () } catch { case _: Throwable => }
         }
       }
       .start()

@@ -26,6 +26,38 @@ class PipeAssemblySpec extends SparkSpec {
     assert(repo.load("c2").isEmpty)
   }
 
+  test("E1: guarded sink counts failures and continues unless quit-on-error") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.streaming.{CdcStream, TxPipeline}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[TxPipeline.ChangeEvent](spark)
+    input.addData(TxPipeline.ChangeEvent(1, 1, "mutation", "insert", "p",
+      1L, Map()))
+    val policy = new CdcStream.ErrorPolicy(quitOnError = false)
+    val dir = Files.createTempDirectory("guard").toString
+    val q = CdcStream.toGuardedSink(
+      TxPipeline.groupByTransaction(input.toDS()), policy, s"$dir/chk",
+      Trigger.AvailableNow()) { (batch, id) =>
+      if (id == 0) throw new RuntimeException("boom")
+      batch.count(); ()
+    }
+    q.awaitTermination(60000); q.stop()
+    assert(policy.failed.get() === 1, "failure counted, query survived")
+    // second run: batch ids advance past 0 → succeeds
+    input.addData(TxPipeline.ChangeEvent(1, 2, "mutation", "delete", "p2",
+      2L, Map()))
+    val q2 = CdcStream.toGuardedSink(
+      TxPipeline.groupByTransaction(input.toDS()), policy, s"$dir/chk",
+      Trigger.AvailableNow()) { (batch, id) =>
+      if (id == 0) throw new RuntimeException("boom")
+      batch.count(); ()
+    }
+    q2.awaitTermination(60000); q2.stop()
+    assert(policy.succeeded.get() >= 1)
+  }
+
   test("E2: config map assembles the full pipe end-to-end") {
     val log = Files.createTempFile("pipe", ".tsv")
     Files.write(log, Seq(
