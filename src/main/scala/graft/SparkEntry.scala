@@ -21,7 +21,8 @@ object SparkEntry {
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.SpecificEnvelope.queries ++
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
-      functions.Similarity.queries ++ functions.Multimodal.queries
+      functions.Similarity.queries ++ functions.Multimodal.queries ++
+      streaming.WindowedAgg.queries ++ functions.Ivf.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.SpecificEnvelope.oracles ++
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
-      functions.Similarity.oracles ++ functions.Multimodal.oracles
+      functions.Similarity.oracles ++ functions.Multimodal.oracles ++
+      streaming.WindowedAgg.oracles
 }

@@ -65,7 +65,12 @@ object Dedup {
     * blocking key bounds the self-join: candidates only form inside a
     * bucket, never across the whole corpus). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // join/shuffle on a 64-bit hash of the shingle, not the string —
+    // same set cardinalities (collision-free at corpus scale), a
+    // fraction of the shuffle bytes
     val shingles = bigramSets(docs)
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("bigram")).as("bigram"))
     val sizes = shingles.groupBy("doc_id")
       .agg(count(lit(1)).as("set_size"))
     val a = shingles.alias("a")

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.sources.ChangeFeed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarking — the streaming
+  * capability SURVEY.md §2.4 calls out as a free extension over the
+  * reference (which has no event-time windows at all: ordering is its
+  * only correctness device). The CDC envelope carries `ts` end-to-end,
+  * so tumbling/sliding windows and late-data policy come straight from
+  * Structured Streaming.
+  */
+object WindowedAgg {
+
+  /** Streaming tumbling-window counts per event type; events later than
+    * `watermark` behind the max seen event time are dropped and their
+    * windows finalized (append-mode emission). */
+  def tumblingCounts(events: DataFrame, windowLength: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Batch analog over the feed, bucketed by exact integer hour —
+    * oracle-checkable (pure integer arithmetic on epoch micros). */
+  def t10TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    ChangeFeed.fromEvents(spark, dir)
+      .withColumn("bucket_start_us",
+        expr(s"ts_us div ${hourUs}L") * hourUs)
+      .groupBy("bucket_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket_start_us", "event_type")
+  }
+
+  val t10Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql})
+       |SELECT (ts_us // 3600000000) * 3600000000 AS bucket_start_us,
+       |  event_type, COUNT(*) AS n
+       |FROM feed GROUP BY bucket_start_us, event_type
+       |ORDER BY bucket_start_us, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_tumbling_window" -> (t10TumblingWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "t10_tumbling_window" -> t10Sql)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Ivf
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val centroids = Ivf.trainCentroids(emb, k = 8, iters = 2)
+
+  test("k-means: k centroids of full dimension, assignments total") {
+    assert(centroids.count() === 8)
+    assert(centroids.select(size(col("centroid"))).distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(64))
+    val assigned = Ivf.assign(emb, centroids)
+    assert(assigned.count() === emb.count(), "every vector lands in a cell")
+    assert(assigned.select("cid").distinct().count() > 1,
+      "cells are non-degenerate")
+  }
+
+  test("lloyd step reduces (or holds) total within-cell distortion") {
+    def distortion(c: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = emb.crossJoin(broadcast(c))
+        .withColumn("d", aggregate(zip_with(col("embedding"), col("centroid"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0d), (a, v) => a + v))
+        .groupBy("vec_id").agg(min("d").as("dmin"))
+      assigned.agg(sum("dmin")).collect().head.getDouble(0)
+    }
+    val c0 = Ivf.seedCentroids(emb, 8)
+    val c1 = Ivf.lloydStep(emb, c0)
+    assert(distortion(c1) <= distortion(c0) * 1.0001)
+  }
+
+  test("IVF self-retrieval: a corpus vector always finds itself at rank 1") {
+    val res = Ivf.simIvf(spark, sf)
+    val selfHits = res.filter(col("q_id") === col("c_id") &&
+      col("rank") === 1)
+    assert(selfHits.count() === 10,
+      "query's own cell is always probed (nearest centroid = assigned)")
+  }
+
+  test("IVF recall vs brute force is substantial at nprobe=2/8") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val exact = graft.functions.Similarity.simTopK(spark, sf)
+      .filter(col("rank") <= 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.simIvf(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall@probe2 was $recall")
+  }
+}
