@@ -105,6 +105,26 @@ object Similarity {
     topKLsh(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
 
+  // ── embedding-cosine near-dup pairs ─────────────────────────────────
+  /** Near-duplicate pairs by cosine threshold, blocked by `label` (at
+    * 100 TB: block by LSH key or IVF cell instead — [[withLshKey]] /
+    * [[Ivf.assign]] produce exactly that key). No SQL oracle (double
+    * cosine accumulation is engine-specific); exactness is spec-checked
+    * against a driver-side computation. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("label"), col("embedding"))
+    v.alias("a").join(v.alias("b"),
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("cos"))
+  }
+
+  def simNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.embeddings(spark, dir), 0.5)
+
   // ── quantized near-dup (SQL oracle) ─────────────────────────────────
   /** Embedding near-dup by quantized prefix: floor(x·10) over the first
     * 16 dims → exact integer key, groupable and oracle-checkable (float
@@ -136,7 +156,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopK _),
     "sim_lsh_ann" -> (simLsh _),
-    "sim_quantized_dedup" -> (simQuantized _))
+    "sim_quantized_dedup" -> (simQuantized _),
+    "sim_neardup_cosine" -> (simNearDup _))
 
   def oracles: Map[String, String] = Map(
     "sim_quantized_dedup" -> simQuantizedSql)
