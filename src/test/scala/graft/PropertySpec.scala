@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{Dedup, HashFunctions, SignatureUnion}
+import graft.sources.Snapshot
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based tests (SURVEY §5 test plan: envelope round-trip and
+  * partitioning-equivalence properties). The scalatest/scalacheck
+  * bridge artifact isn't in the offline cache, so generators are
+  * sampled directly. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      f: (A, B, C) => Unit): Unit =
+    samples(Gen.zip(ga, gb, gc), 60).foreach { case (a, b, c) => f(a, b, c) }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(Gen.zip(ga, gb), 20).foreach { case (a, b) => f(a, b) }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    samples(ga, 20).foreach(f)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("splitter: full coverage, no overlap, ordered, for arbitrary domains") {
+    forAll(Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(1, 64)) { (min: Long, span: Long, n: Int) =>
+      val max = min + span
+      val r = Snapshot.splitRanges(min, max, n)
+      assert(r.nonEmpty)
+      assert(r.head._1 === min && r.last._2 === max)
+      assert(r.forall { case (lo, hi) => lo <= hi })
+      assert(r.sliding(2).forall {
+        case Seq(a, b) => a._2 + 1 == b._1
+        case _ => true
+      })
+      assert(r.length === math.min(n.toLong, span + 1))
+    }
+  }
+
+  test("splitter: splitLimit bounds every split's key-space width") {
+    forAll(Gen.chooseNum(0L, 10000L), Gen.chooseNum(1L, 500L),
+      Gen.chooseNum(1, 8)) { (span: Long, limit: Long, n: Int) =>
+      val r = Snapshot.splitRanges(0, span, n, splitLimit = limit)
+      // the limit only triggers when needed; when it does, widths comply
+      if (span + 1 > limit * n)
+        assert(r.forall { case (lo, hi) => hi - lo + 1 <= limit })
+    }
+  }
+
+  test("rolling hash: expression agrees with reference on arbitrary strings") {
+    val sparkS = spark
+    import sparkS.implicits._
+    forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { (ss: List[String]) =>
+      whenever(ss.nonEmpty) {
+        val got = ss.toDF("s")
+          .select(HashFunctions.rolling_hash(col("s")))
+          .collect().map(_.getLong(0)).toSeq
+        assert(got === ss.map(HashFunctions.rollingHashRef(_)))
+      }
+    }
+  }
+
+  test("minhash union property: sig(A∪B) = elementwiseMin(sig(A), sig(B))") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val words = Gen.listOfN(12,
+      Gen.oneOf("spark", "row", "scan", "join", "agg", "sort", "key",
+        "col", "map", "part"))
+    forAll(words, words) { (wa: List[String], wb: List[String]) =>
+      whenever(wa.size > 1 && wb.size > 1) {
+        val docs = Seq((1L, wa.mkString(" "), "s"),
+          (2L, wb.mkString(" "), "s"),
+          (3L, (wa ++ wb).mkString(" "), "s"))
+          .toDF("doc_id", "text", "source")
+        val signed = Dedup.withSignature(Dedup.withShingleHashes(docs))
+          .select("doc_id", "signature").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        // A∪B's bigram set isn't exactly bigrams(A)∪bigrams(B) (the seam
+        // bigram differs), so check the union property on the aggregator
+        val unioned = SignatureUnion.merge(signed(1L).toArray.clone(),
+          signed(2L).toArray)
+        val expected = signed(1L).zip(signed(2L)).map {
+          case (a, b) => math.min(a, b)
+        }
+        assert(unioned.toSeq === expected)
+      }
+    }
+  }
+
+  test("signature union aggregator distributes over a grouped corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Tables.documents(spark, sf).limit(40)
+    val signed = Dedup.withSignature(Dedup.withShingleHashes(docs))
+      .select(col("source"), col("signature"))
+    val grouped = signed.as[(String, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SignatureUnion.column.name("corpus_sig"))
+      .collect().toMap
+    // driver-side reference union per group
+    val ref = signed.as[(String, Seq[Long])].collect()
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.map(_._2).reduce((a, b) =>
+          a.zip(b).map(t => math.min(t._1, t._2)))
+      }
+    ref.foreach { case (s, sig) =>
+      assert(grouped(s).toSeq === sig.toSeq, s"group $s")
+    }
+  }
+}
