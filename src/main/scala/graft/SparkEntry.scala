@@ -22,7 +22,8 @@ object SparkEntry {
       functions.SpecificEnvelope.queries ++
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
       functions.Similarity.queries ++ functions.Multimodal.queries ++
-      streaming.WindowedAgg.queries ++ functions.Ivf.queries
+      streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
+      operators.Sketches.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++

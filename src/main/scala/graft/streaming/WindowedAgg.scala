@@ -44,9 +44,39 @@ object WindowedAgg {
        |FROM feed GROUP BY bucket_start_us, event_type
        |ORDER BY bucket_start_us, event_type""".stripMargin
 
+  /** Native gap-based session windows (`session_window`) per user —
+    * the same sessionization the tx operators derive via LAG+cumsum,
+    * so the DuckDB oracle mirrors exactly that construction: session
+    * start = min event time of each gap-delimited run. */
+  def t11SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    ChangeFeed.fromEvents(spark, dir)
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start"))
+        .as("session_start_us"), col("user_id"), col("n"))
+      .orderBy("user_id", "session_start_us")
+
+  val t11Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |marked AS (
+       |  SELECT user_id, ts_us,
+       |    CASE WHEN LAG(ts_us) OVER w IS NULL
+       |           OR ts_us - LAG(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0
+       |    END AS s
+       |  FROM feed
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT MIN(ts_us) AS session_start_us, user_id, COUNT(*) AS n
+       |FROM (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts_us
+       |        ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM marked)
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t10_tumbling_window" -> (t10TumblingWindow _))
+    "t10_tumbling_window" -> (t10TumblingWindow _),
+    "t11_session_window" -> (t11SessionWindow _))
 
   val oracles: Map[String, String] = Map(
-    "t10_tumbling_window" -> t10Sql)
+    "t10_tumbling_window" -> t10Sql,
+    "t11_session_window" -> t11Sql)
 }

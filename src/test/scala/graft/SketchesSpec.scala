@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("HLL distinct counts land within the configured error of exact") {
+    val approx = Sketches.skApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (p, o)) =>
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"$flag orders: $ao vs $o")
+    }
+  }
+
+  test("approximate percentiles bracket the exact quantiles") {
+    val r = Sketches.skApproxPercentiles(spark, sf).collect().head
+    val (p50, p95, p99) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(p50 < p95 && p95 < p99)
+    val exact = Tables.lineitem(spark, sf)
+      .stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    assert(math.abs(p50 - exact) / exact < 0.05,
+      s"p50 $p50 vs exact-ish $exact")
+  }
+}
