@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.sources.ChangeFeed
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * `rightTime <= leftTime` on the same key. The canonical "operator
+  * Spark lacks" (guide's preference order): implemented by COMPOSING
+  * built-ins — tag-union both sides, then an ignore-nulls `last` over a
+  * (key, time, tag) window carries the latest right values forward into
+  * each left row. One shuffle on the key, no range-join explosion:
+  * cost is sort-within-partition, the same shape DuckDB's native ASOF
+  * uses. A custom `SparkStrategy` is unnecessary.
+  */
+object AsOfJoin {
+
+  /** Left as-of join. `rightCols` are the right-side columns to carry;
+    * they surface with an `asof_` prefix (null where no right row
+    * precedes the left row). Ties (equal times) match, like ASOF's
+    * `>=`. */
+  def leftAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String])
+      : DataFrame = {
+    val lTagged = rightCols.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))) {
+      (df, c) => df.withColumn(s"asof_$c", lit(null))
+    }
+    val rTagged = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        rightCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val unioned = lTagged.select(
+        (col(key) +: col("__t") +: col("__tag") +:
+          (left.columns.filterNot(_ == key).map(col) ++
+            rightCols.map(c => col(s"asof_$c")))): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    // right rows (__tag 0) sort before left rows at equal times → a
+    // same-timestamp right row is visible to the left row (>= match)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__t", "__tag")
+  }
+
+  /** For every purchase, the user's most recent prior (or same-instant)
+    * click — a CDC-flavored as-of: "state of X when Y happened". */
+  def ajAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.fromEvents(spark, dir)
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_event_id"))
+    leftAsOf(purchases, clicks, "user_id", "ts_us", "click_ts_us",
+      Seq("click_ts_us", "click_event_id"))
+      .select("user_id", "event_id", "ts_us", "asof_click_ts_us",
+        "asof_click_event_id")
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the same semantics.
+    *
+    * Caveat mirrored deliberately: when several right rows share the
+    * exact boundary timestamp the winner is implementation-defined, so
+    * the probe keys are (user, ts) pairs where click timestamps are
+    * unique per user (true of this dataset: ns-derived micros). */
+  val ajSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |purch AS (
+       |  SELECT user_id, event_id, ts_us FROM feed
+       |  WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, ts_us AS click_ts_us, event_id AS click_event_id
+       |  FROM feed WHERE event_type = 'click')
+       |SELECT purch.user_id, purch.event_id, purch.ts_us,
+       |  clicks.click_ts_us AS asof_click_ts_us,
+       |  clicks.click_event_id AS asof_click_event_id
+       |FROM purch ASOF LEFT JOIN clicks
+       |  ON purch.user_id = clicks.user_id
+       |  AND purch.ts_us >= clicks.click_ts_us""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aj_asof_join" -> (ajAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "aj_asof_join" -> ajSql)
+}

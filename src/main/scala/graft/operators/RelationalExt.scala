@@ -144,6 +144,41 @@ object RelationalExt {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'))
       |GROUP BY tag, c_mktsegment ORDER BY tag, c_mktsegment""".stripMargin
 
+  // ── CUBE ────────────────────────────────────────────────────────────
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations. */
+  def g3Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), intSum(col("l_quantity")).as("sum_qty"))
+
+  val g3Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ── PIVOT ───────────────────────────────────────────────────────────
+  /** Pivot event counts into one column per event type (fixed value
+    * list on both sides — the oracle uses conditional aggregation,
+    * which is what pivot compiles to anyway). */
+  def p14Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("int"))
+      .groupBy("cohort")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("cohort")
+
+  val p14Sql: String =
+    """SELECT CAST(user_id % 10 AS INT) AS cohort,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin
+
   // ── JSON extraction ─────────────────────────────────────────────────
   /** JSON path extraction from the props column (the oracle mirrors the
     * value via a regex so it does not depend on DuckDB's json
@@ -205,6 +240,8 @@ object RelationalExt {
     "w2_top_orders" -> (w2TopOrders _),
     "g1_rollup" -> (g1Rollup _),
     "g2_distinct_count" -> (g2DistinctCount _),
+    "g3_cube" -> (g3Cube _),
+    "p14_pivot" -> (p14Pivot _),
     "set1_intersect_except" -> (set1Ops _),
     "j1_semi_anti" -> (j1SemiAnti _),
     "f2_json_extract" -> (f2JsonExtract _),
@@ -216,6 +253,8 @@ object RelationalExt {
     "w2_top_orders" -> w2Sql,
     "g1_rollup" -> g1Sql,
     "g2_distinct_count" -> g2Sql,
+    "g3_cube" -> g3Sql,
+    "p14_pivot" -> p14Sql,
     "set1_intersect_except" -> set1Sql,
     "j1_semi_anti" -> j1Sql,
     "f2_json_extract" -> f2Sql,

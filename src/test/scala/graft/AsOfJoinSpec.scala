@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("leftAsOf: latest prior right row, null when none, ties match") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "lt", "lname")
+    val right = Seq((1L, 40L, "c1"), (1L, 100L, "c2"), (3L, 5L, "c3"))
+      .toDF("k", "rt", "rname")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "lt", "rt",
+        Seq("rt", "rname"))
+      .select("lname", "asof_rname").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("p1") === Some("c2"), "equal timestamp matches (>= semantics)")
+    assert(out("p2") === Some("c1"), "latest prior, not latest overall")
+    assert(out("p3") === None, "no right row for the key → null")
+  }
+
+  test("asof query: every matched click precedes (or equals) its purchase") {
+    val res = AsOfJoin.ajAsofJoin(spark, sf)
+    assert(res.filter(col("asof_click_ts_us") > col("ts_us")).count() === 0)
+    // purchases exist both with and without a prior click at this sf
+    assert(res.filter(col("asof_click_ts_us").isNotNull).count() > 0)
+    assert(res.count() ===
+      graft.sources.ChangeFeed.fromEvents(spark, sf)
+        .filter(col("event_type") === "purchase").count(),
+      "left join keeps all purchases")
+  }
+}
