@@ -23,7 +23,8 @@ object SparkEntry {
       functions.TextAnalysis.queries ++ functions.Dedup.queries ++
       functions.Similarity.queries ++ functions.Multimodal.queries ++
       streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
-      operators.Sketches.queries ++ operators.AsOfJoin.queries
+      operators.Sketches.queries ++ operators.AsOfJoin.queries ++
+      functions.TrainPrep.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       functions.SpecificEnvelope.oracles ++
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
       functions.Similarity.oracles ++ functions.Multimodal.oracles ++
-      streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles
+      streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
+      functions.TrainPrep.oracles
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: overlapping token-window
+  * chunking and deterministic train/test splitting. Both are pure
+  * per-row column algebra (chunking) or integer hashing (splits) — no
+  * RNG state, no shuffle, reproducible across runs and engines, which
+  * is what makes dataset builds auditable at 100 TB.
+  */
+object TrainPrep {
+
+  /** Overlapping token-window chunks: windows of `size` tokens every
+    * `stride` tokens (last window truncated). The number of chunks for
+    * n tokens is 1 if n ≤ size else ⌈(n-size)/stride⌉ + 1. */
+  def tcChunking(spark: SparkSession, dir: String,
+      size: Int = 32, stride: Int = 24): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .withColumn("__nchunks",
+        when(col("__n") <= size, 1).otherwise(
+          expr(s"CAST((__n - $size + $stride - 1) div $stride AS INT) + 1")))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, __nchunks - 1), " +
+            s"i -> array_join(slice(__toks, i * $stride + 1, $size), ' '))"))
+          .as("chunk"))
+
+  def tcChunkingSql(size: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr,
+       |    len(regexp_split_to_array(text, '\\s+')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, arr,
+       |    CASE WHEN n <= $size THEN 1
+       |         ELSE CAST((n - $size + $stride - 1) // $stride AS INT) + 1
+       |    END AS nchunks
+       |  FROM t)
+       |SELECT doc_id,
+       |  unnest(list_transform(range(0, nchunks),
+       |    i -> array_to_string(
+       |      arr[(i * $stride + 1):(i * $stride + $size)], ' '))) AS chunk
+       |FROM c""".stripMargin
+
+  /** Deterministic train/val/test assignment by integer hashing of the
+    * stable id — the same row lands in the same split on every engine
+    * and every run (Knuth multiplicative hash, pure i64 arithmetic). */
+  def splitCol(idCol: String): org.apache.spark.sql.Column =
+    when(expr(s"($idCol * 2654435761) % 100") < 80, "train")
+      .when(expr(s"($idCol * 2654435761) % 100") < 90, "val")
+      .otherwise("test")
+
+  def tsHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("split", "lang")
+
+  val tsHashSplitSql: String =
+    """SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
+    "ts_hash_split" -> (tsHashSplit _))
+
+  val oracles: Map[String, String] = Map(
+    "tc_chunking" -> tcChunkingSql(),
+    "ts_hash_split" -> tsHashSplitSql)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.TrainPrep
+import org.apache.spark.sql.functions._
+
+class TrainPrepSpec extends SparkSpec {
+
+  test("chunking: windows cover the doc with the configured overlap") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, doc)).toDF("doc_id", "text")
+      .createOrReplaceTempView("chunk_fixture")
+    val chunks = TrainPrep.tcChunking(spark, sf, size = 32, stride = 24)
+    // real-table smoke: every chunk is ≤ size tokens and non-empty
+    val sizes = chunks.select(size(split(col("chunk"), " ")).as("n"))
+    assert(sizes.filter(col("n") > 32 || col("n") < 1).count() === 0)
+    // short docs yield exactly one chunk
+    val short = Tables.documents(spark, sf)
+      .withColumn("n", size(split(col("text"), "\\s+")))
+      .filter(col("n") <= 32).count()
+    val oneChunkDocs = chunks.groupBy("doc_id").count()
+      .filter(col("count") === 1).count()
+    assert(oneChunkDocs >= short)
+  }
+
+  test("chunk multiset reconstructs consecutive windows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq((9L, toks.mkString(" "))).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_fixture")
+    // size 4, stride 3 over 10 tokens → chunks at 0,3,6 → 3 chunks...
+    // nchunks = ceil((10-4)/3)+1 = 3
+    val got = df.withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nchunks", when(col("__n") <= 4, 1).otherwise(
+        expr("CAST((__n - 4 + 3 - 1) div 3 AS INT) + 1")))
+      .select(explode(expr(
+        "transform(sequence(0, __nchunks - 1), " +
+          "i -> array_join(slice(__toks, i * 3 + 1, 4), ' '))")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+  }
+
+  test("hash split: deterministic, complete, roughly 80/10/10") {
+    val split1 = TrainPrep.tsHashSplit(spark, sf).collect()
+    val split2 = TrainPrep.tsHashSplit(spark, sf).collect()
+    assert(split1.map(_.toSeq).toSeq === split2.map(_.toSeq).toSeq,
+      "identical on re-run")
+    val bySplit = split1.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total === Tables.documents(spark, sf).count())
+    assert(bySplit("train").toDouble / total > 0.6, s"$bySplit")
+    assert(bySplit.keySet === Set("train", "val", "test"))
+  }
+}
