@@ -19,13 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between two float/double array columns. */
+  /** Squared L2 distance between two float/double array columns —
+    * native codegen ([[SqL2Distance]]). */
   private def sqDist(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+      b: org.apache.spark.sql.Column) = VectorFunctions.sq_l2(a, b)
 
   /** Deterministic seeds: the k lowest vec_ids. */
   def seedCentroids(corpus: DataFrame, k: Int): DataFrame =

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) with double accumulation in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** dot(a, b) with double accumulation in index order — a native
+    * codegen expression ([[DotProduct]]; the HOF formulation it
+    * replaces was ~10× slower on the pair joins). */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
