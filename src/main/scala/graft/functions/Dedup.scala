@@ -47,18 +47,18 @@ object Dedup {
       |GROUP BY group_size ORDER BY group_size""".stripMargin
 
   // ── word-bigram shingles (shared by jaccard/minhash) ────────────────
-  /** Distinct word-bigram set per doc via posexplode + lead window —
-    * the construction is mirrored 1:1 in the DuckDB oracle. */
-  def bigramSets(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(w))
-      .filter(col("nxt").isNotNull)
+  /** Distinct word-bigram set per doc: the bigram array is built
+    * per-row (zero shuffle — an earlier lead()-window formulation
+    * shuffled every token row) and then exploded; only the distinct
+    * dedupe shuffles, on (doc, hashable bigram). */
+  def bigramSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
       .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+        explode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
+          "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))"))
+          .as("bigram"))
       .distinct()
-  }
 
   // ── n-gram Jaccard ──────────────────────────────────────────────────
   /** Exact bigram-set Jaccard over pairs blocked by `source` (the
@@ -168,8 +168,12 @@ object Dedup {
   /** Candidate pairs from shared LSH buckets, verified with exact
     * Jaccard over the shingle-hash sets. */
   def minhashDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // signatures feed both the bucket join and the verification join —
+    // persist so the shingle/signature computation runs once (at real
+    // scale this is a materialized signature table)
     val signed = withSignature(withShingleHashes(docs))
       .select("doc_id", "shingle_hashes", "signature")
+      .persist()
     val buckets = lshBuckets(signed)
     val cands = buckets.alias("x").join(buckets.alias("y"),
         col("x.band") === col("y.band") &&
