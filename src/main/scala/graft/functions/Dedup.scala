@@ -138,18 +138,13 @@ object Dedup {
         (0 until MinHashK).map(coefA), (0 until MinHashK).map(coefB),
         MinHashPrime))
 
-  /** Shingle-hash array per doc: rolling hash of each word bigram,
-    * zipped from a token array that is materialized ONCE per row (a
-    * lambda that re-splits the text per element is O(tokens²) and
-    * benched 25× slower). */
+  /** Shingle-hash array per doc: one scan over the text bytes
+    * ([[BigramShingleHashes]] — no token/bigram strings materialized;
+    * proven byte-equivalent to the split+concat+hash formulation in
+    * `ShingleExpressionsSpec`). */
   def withShingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__toks", split(col("text"), "\\s+"))
-      .withColumn("shingle_hashes", array_distinct(transform(
-        expr("transform(slice(__toks, 1, size(__toks) - 1), " +
-          "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))"),
-        b => HashFunctions.rolling_hash(b))))
-      .drop("__toks")
+    docs.withColumn("shingle_hashes",
+      ShingleFunctions.bigram_shingle_hashes(col("text")))
 
   /** LSH banding: band key = hash of the signature slice; docs sharing
     * any (band, key) bucket are candidates. Output one row per doc per
