@@ -17,6 +17,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.RelationalExt.queries ++
+      operators.RelationalSql.queries ++
       operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.SpecificEnvelope.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
+      operators.RelationalSql.oracles ++
       operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.SpecificEnvelope.oracles ++
