@@ -215,6 +215,38 @@ object RelationalExt {
       |    AS rev_cents
       |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
 
+  // ── integer math / bitwise scalar library ───────────────────────────
+  /** Math + bitwise scalar functions over exact integers (float
+    * transcendentals — pow/exp/log — are deliberately excluded from the
+    * oracle surface: libm rounding is not engine-portable). */
+  def m1IntMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      abs(col("user_id") - 750).as("abs_centered"),
+      pmod(col("user_id") - 750, lit(13)).as("pmod13"),
+      (col("user_id") % 13).as("rem13"),
+      col("event_id").bitwiseAND(col("user_id")).as("band"),
+      col("event_id").bitwiseOR(col("user_id")).as("bor"),
+      col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+      shiftleft(col("event_id"), 3).as("shl3"),
+      shiftright(col("event_id"), 2).as("shr2"),
+      greatest(col("event_id"), col("user_id")).as("gmax"),
+      least(col("event_id"), col("user_id")).as("lmin"))
+
+  val m1Sql: String =
+    """SELECT event_id,
+      |  abs(user_id - 750) AS abs_centered,
+      |  (((user_id - 750) % 13) + 13) % 13 AS pmod13,
+      |  user_id % 13 AS rem13,
+      |  event_id & user_id AS band,
+      |  event_id | user_id AS bor,
+      |  xor(event_id, user_id) AS bxor,
+      |  event_id << 3 AS shl3,
+      |  event_id >> 2 AS shr2,
+      |  greatest(event_id, user_id) AS gmax,
+      |  least(event_id, user_id) AS lmin
+      |FROM events""".stripMargin
+
   // ── string scalar library ───────────────────────────────────────────
   def str1Functions(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(
@@ -246,6 +278,7 @@ object RelationalExt {
     "j1_semi_anti" -> (j1SemiAnti _),
     "f2_json_extract" -> (f2JsonExtract _),
     "d1_date_buckets" -> (d1DateBuckets _),
+    "m1_int_math" -> (m1IntMath _),
     "str1_functions" -> (str1Functions _))
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +292,6 @@ object RelationalExt {
     "j1_semi_anti" -> j1Sql,
     "f2_json_extract" -> f2Sql,
     "d1_date_buckets" -> d1Sql,
+    "m1_int_math" -> m1Sql,
     "str1_functions" -> str1Sql)
 }
