@@ -30,4 +30,24 @@ object CdcLake {
     read(spark, path)
       .filter(col("database") === database && col("tbl") === table)
   }
+
+  /** Log compaction: collapse the change log to the latest surviving
+    * image per (database, tbl, pk), dropping keys whose last change is
+    * a delete — the Kafka-compacted-topic bootstrap the reference
+    * leans on (reference README.md:12) as a batch maintenance job.
+    * `ordCol` is the total per-key order (position/ts). One shuffle on
+    * the key; output is the compacted lake at `outPath`.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      ordCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("database", "tbl", "pk")
+      .orderBy(col(ordCol).desc)
+    val latest = read(spark, path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "delete")
+      .drop("__rn")
+    write(latest, outPath)
+  }
 }
