@@ -215,6 +215,34 @@ object RelationalExt {
       |    AS rev_cents
       |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
 
+  // ── range (inequality) join ─────────────────────────────────────────
+  /** Bounded-interval self-join: pairs of same-user events within 10
+    * minutes. The equi-key (user_id) carries the hash join; the
+    * interval predicate filters inside the partition, so the plan never
+    * degrades to a broadcast-nested-loop over the full corpus — the
+    * range-join shape that survives scale. */
+  def r1RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.ChangeFeed.fromEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    ev.alias("a").join(ev.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_id") < col("b.event_id") &&
+        col("b.ts_us") >= col("a.ts_us") - 600000000L &&
+        col("b.ts_us") <= col("a.ts_us") + 600000000L)
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("user_id")
+  }
+
+  val r1Sql: String =
+    s"""WITH feed AS (${graft.sources.ChangeFeed.feedSql})
+       |SELECT a.user_id, COUNT(*) AS n_close_pairs
+       |FROM feed a JOIN feed b
+       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+       |  AND b.ts_us >= a.ts_us - 600000000
+       |  AND b.ts_us <= a.ts_us + 600000000
+       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   // ── integer math / bitwise scalar library ───────────────────────────
   /** Math + bitwise scalar functions over exact integers (float
     * transcendentals — pow/exp/log — are deliberately excluded from the
@@ -279,6 +307,7 @@ object RelationalExt {
     "f2_json_extract" -> (f2JsonExtract _),
     "d1_date_buckets" -> (d1DateBuckets _),
     "m1_int_math" -> (m1IntMath _),
+    "r1_range_join" -> (r1RangeJoin _),
     "str1_functions" -> (str1Functions _))
 
   val oracles: Map[String, String] = Map(
@@ -293,5 +322,6 @@ object RelationalExt {
     "f2_json_extract" -> f2Sql,
     "d1_date_buckets" -> d1Sql,
     "m1_int_math" -> m1Sql,
+    "r1_range_join" -> r1Sql,
     "str1_functions" -> str1Sql)
 }
