@@ -23,19 +23,26 @@ object Bench {
     // one-off plan + whole-stage-codegen compilation (~0.2 s/plan),
     // which a long-lived cluster amortizes across thousands of
     // executions; the warm run measures steady-state execution
+    // a failed query is reported as -1, never as its (misleadingly
+    // fast) elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
         }
         val cold = once(); val warm = once()
-        name -> math.min(cold, warm)
+        name -> (if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

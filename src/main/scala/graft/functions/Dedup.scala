@@ -156,7 +156,10 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(col("signature"), b * rows + 1, rows))).as("bucket"))
     }
-    signed.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+    // degenerate docs (<2 tokens → null signature) must not band: they
+    // would all hash to the empty-string bucket and pair quadratically
+    signed.filter(col("signature").isNotNull)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -165,7 +168,9 @@ object Dedup {
   def minhashDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
     // signatures feed both the bucket join and the verification join —
     // persist so the shingle/signature computation runs once (at real
-    // scale this is a materialized signature table)
+    // scale this is a materialized signature table; within a session
+    // the cached blocks live until the session ends — callers running
+    // many corpora should materialize signatures to storage instead)
     val signed = withSignature(withShingleHashes(docs))
       .select("doc_id", "shingle_hashes", "signature")
       .persist()

@@ -64,13 +64,23 @@ object Envelope {
         (_, v) => v.isNotNull).as("longs")))
 
   // ── P5: binary envelope framing ─────────────────────────────────────
-  /** MAGIC | MTYPE | SCHEMA_ID(2B BE) | payload, all codegen built-ins. */
-  def frame(mtype: Column, schemaId: Column, payload: Column): Column =
+  /** MAGIC | MTYPE | SCHEMA_ID(2B BE) | payload, all codegen built-ins.
+    * Widths are enforced: lpad would silently TRUNCATE hex() output for
+    * mtype ≥ 256 / schemaId ≥ 65536, corrupting the wire id, so
+    * out-of-range headers fail the query instead. */
+  def frame(mtype: Column, schemaId: Column, payload: Column): Column = {
+    val mt = when(mtype < 0 || mtype > 0xff,
+      raise_error(concat(lit("envelope mtype out of byte range: "),
+        mtype.cast("string")))).otherwise(mtype)
+    val sid = when(schemaId < 0 || schemaId > 0xffff,
+      raise_error(concat(lit("envelope schema id out of 2-byte range: "),
+        schemaId.cast("string")))).otherwise(schemaId)
     concat(
       lit(Array[Byte](Magic.toByte)),
-      unhex(lpad(hex(mtype), 2, "0")),
-      unhex(lpad(hex(schemaId), 4, "0")),
+      unhex(lpad(hex(mt), 2, "0")),
+      unhex(lpad(hex(sid), 4, "0")),
       payload)
+  }
 
   // ── P12: envelope slicing (consumer side) ───────────────────────────
   def sliceMagic(env: Column): Column =

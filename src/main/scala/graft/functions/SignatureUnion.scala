@@ -23,6 +23,10 @@ object SignatureUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     if (sig == null || sig.isEmpty) acc
     else if (acc.isEmpty) sig.toArray
     else {
+      // mixed-width signatures are invalid input (different MinHashK
+      // generations); fail loudly rather than truncate or overrun
+      require(sig.length == acc.length,
+        s"signature width mismatch: ${sig.length} vs ${acc.length}")
       var i = 0
       while (i < acc.length) {
         if (sig(i) < acc(i)) acc(i) = sig(i)

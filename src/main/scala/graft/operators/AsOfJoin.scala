@@ -23,27 +23,33 @@ object AsOfJoin {
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String])
       : DataFrame = {
-    val lTagged = rightCols.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))) {
-      (df, c) => df.withColumn(s"asof_$c", lit(null))
-    }
+    // the right row image is carried as ONE struct, not per-column:
+    // carrying columns independently with ignoreNulls would stitch
+    // together values from different right rows whenever the latest
+    // right row holds a null in one of them
+    val lTagged = left
+      .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            right.schema(c).dataType)))))
     val rTagged = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        rightCols.map(c => col(c).as(s"asof_$c"))): _*)
+      col(key), col(rightTime).as("__t"), lit(0).as("__tag"),
+      struct(rightCols.map(col): _*).as("__r"))
     val unioned = lTagged.select(
-        (col(key) +: col("__t") +: col("__tag") +:
-          (left.columns.filterNot(_ == key).map(col) ++
-            rightCols.map(c => col(s"asof_$c")))): _*)
+        (col(key) +: col("__t") +: col("__tag") +: col("__r") +:
+          left.columns.filterNot(_ == key).map(col)): _*)
       .unionByName(rTagged, allowMissingColumns = true)
     // right rows (__tag 0) sort before left rows at equal times → a
     // same-timestamp right row is visible to the left row (>= match)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__t", "__tag")
+    val carried = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried.filter(col("__tag") === 1)) { (df, c) =>
+        df.withColumn(s"asof_$c", col("__r")(c))
+      }
+      .drop("__t", "__tag", "__r")
   }
 
   /** For every purchase, the user's most recent prior (or same-instant)

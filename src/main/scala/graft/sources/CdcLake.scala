@@ -48,6 +48,9 @@ object CdcLake {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "delete")
       .drop("__rn")
-    write(latest, outPath)
+    // overwrite, not append: compaction must be idempotent — a re-run
+    // (retry, re-fired maintenance job) replaces the compacted lake
+    latest.write.partitionBy("database", "tbl").mode("overwrite")
+      .parquet(outPath)
   }
 }

@@ -36,6 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Row schema = [[ChangeLogSource.schema]] (conn, seq, kind, op, pk,
   * ts_us, value) — feed it `TxPipeline.groupByTransaction` after a
   * `.as[ChangeEvent]`.
+  *
+  * Record contract: entries are newline-TERMINATED — an unterminated
+  * tail (a partially flushed write) is invisible until its terminator
+  * lands, so readers never observe half an entry.
   */
 object ChangeLogSource {
   val schema: StructType = StructType(Seq(
@@ -47,14 +51,51 @@ object ChangeLogSource {
     StructField("ts_us", LongType, nullable = true),
     StructField("value", StringType, nullable = true)))
 
+  /** Escape a field for the TSV frame: a literal tab/newline/backslash
+    * in pk or value would otherwise shift or split the record. */
+  def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  def unescape(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => out.append('\t'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case other => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** TSV render of one change event (inverse of the reader). */
   def renderLine(conn: Long, seq: Long, kind: String, op: String,
       pk: String, tsUs: Long, value: String): String =
-    s"$conn\t$seq\t$kind\t$op\t$pk\t$tsUs\t$value"
+    s"$conn\t$seq\t${escape(kind)}\t${escape(op)}\t${escape(pk)}\t$tsUs\t${escape(value)}"
 }
 
-case class ChangeLogOffset(line: Long) extends Offset {
-  override def json(): String = line.toString
+/** Offset = (line, byte) — the byte position lets a reader seek
+  * straight to its slice instead of skip-scanning from the top, and the
+  * line count keeps offsets human-debuggable (the `(file, pos)` shape
+  * of a binlog position). */
+case class ChangeLogOffset(line: Long, byte: Long) extends Offset {
+  override def json(): String = s"""{"line":$line,"byte":$byte}"""
+}
+
+object ChangeLogOffset {
+  private val Pattern = """\{"line":(\d+),"byte":(\d+)\}""".r
+  def parse(json: String): ChangeLogOffset = json match {
+    case Pattern(l, b) => ChangeLogOffset(l.toLong, b.toLong)
+    case other => // legacy plain line number
+      ChangeLogOffset(other.trim.toLong, -1L)
+  }
 }
 
 class ChangeLogSourceProvider extends TableProvider {
@@ -87,82 +128,131 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def countLines(): Long = {
+  // Incremental line index: lineStarts(i) = byte offset of line i's
+  // first byte; refresh() scans only bytes appended since the last
+  // trigger, so a long-lived stream over a growing log does O(new
+  // bytes) work per trigger, not O(file). Only complete
+  // newline-terminated lines are admitted (a partially-flushed tail
+  // entry is invisible until its terminator lands — binlog semantics).
+  // At 100 TB scale this dense index becomes a sparse one (every Nth
+  // line) with a short scan from the nearest anchor.
+  private val lineStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
+  private var scannedBytes = 0L
+
+  private def refresh(): Unit = synchronized {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return 0L
-    val in = new BufferedReader(new InputStreamReader(fs.open(p),
-      StandardCharsets.UTF_8))
-    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
-    finally in.close()
+    if (!fs.exists(p)) return
+    val len = fs.getFileStatus(p).getLen
+    if (len <= scannedBytes) return
+    val in = fs.open(p)
+    try {
+      in.seek(scannedBytes)
+      val buf = new Array[Byte](64 * 1024)
+      var pos = scannedBytes
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          if (buf(i) == '\n') {
+            lineStarts += pos + i + 1
+            scannedBytes = pos + i + 1
+          }
+          i += 1
+        }
+        pos += read
+        read = in.read(buf)
+      }
+    } finally in.close()
   }
+
+  private def totalLines: Long = lineStarts.length - 1L
 
   // Trigger.AvailableNow snapshots the end position up front and drains
   // to it in rate-limited batches
-  private var availableNowTarget: Option[Long] = None
+  private var availableNowTarget: Option[ChangeLogOffset] = None
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(countLines())
+  override def prepareForTriggerAvailableNow(): Unit = {
+    refresh()
+    availableNowTarget =
+      Some(ChangeLogOffset(totalLines, lineStarts.last))
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxLinesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxLinesPerTrigger)
 
-  override def initialOffset(): Offset = ChangeLogOffset(0L)
+  override def initialOffset(): Offset = ChangeLogOffset(0L, 0L)
 
   /** Admission-controlled advance: at most `limit` lines past `start`,
     * never past the (possibly snapshotted) end of the log. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = availableNowTarget.getOrElse(countLines())
+    refresh()
+    val end = availableNowTarget.getOrElse(
+      ChangeLogOffset(totalLines, lineStarts.last))
     val s = start.asInstanceOf[ChangeLogOffset].line
-    val capped = limit match {
-      case mr: ReadMaxRows => math.min(total, s + mr.maxRows())
-      case _ => total
+    val cappedLine = limit match {
+      case mr: ReadMaxRows => math.min(end.line, s + mr.maxRows())
+      case _ => end.line
     }
-    ChangeLogOffset(math.max(s, capped))
+    if (cappedLine <= s) ChangeLogOffset(s,
+      start.asInstanceOf[ChangeLogOffset].byte)
+    else ChangeLogOffset(cappedLine, lineStarts(cappedLine.toInt))
   }
 
-  override def latestOffset(): Offset = ChangeLogOffset(countLines())
+  override def latestOffset(): Offset = {
+    refresh(); ChangeLogOffset(totalLines, lineStarts.last)
+  }
 
-  override def reportLatestOffset(): Offset = ChangeLogOffset(countLines())
+  override def reportLatestOffset(): Offset = {
+    refresh(); ChangeLogOffset(totalLines, lineStarts.last)
+  }
 
   override def deserializeOffset(json: String): Offset =
-    ChangeLogOffset(json.toLong)
+    ChangeLogOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[ChangeLogOffset].line
-    val e = end.asInstanceOf[ChangeLogOffset].line
-    if (e <= s) Array.empty
-    else Array(ChangeLogInputPartition(path, s, e))
+    val s = start.asInstanceOf[ChangeLogOffset]
+    val e = end.asInstanceOf[ChangeLogOffset]
+    if (e.line <= s.line) Array.empty
+    else {
+      // resolve a missing byte position (legacy offset) via the index
+      val sByte =
+        if (s.byte >= 0) s.byte
+        else { refresh(); lineStarts(s.line.toInt) }
+      Array(ChangeLogInputPartition(path, s.line, e.line, sByte))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ChangeLogInputPartition]
-      new ChangeLogPartitionReader(p.path, p.startLine, p.endLine)
+      new ChangeLogPartitionReader(p.path, p.startLine, p.endLine,
+        p.startByte)
     }
 }
 
 case class ChangeLogInputPartition(path: String, startLine: Long,
-    endLine: Long) extends InputPartition
+    endLine: Long, startByte: Long) extends InputPartition
 
 /** Streams lines [startLine, endLine) of the log, parsing TSV into
-  * InternalRows — the row-materialization step (S5) at the source. */
-class ChangeLogPartitionReader(path: String, startLine: Long, endLine: Long)
+  * InternalRows — the row-materialization step (S5) at the source.
+  * Seeks directly to the slice's byte offset (no skip-scan). */
+class ChangeLogPartitionReader(path: String, startLine: Long,
+    endLine: Long, startByte: Long)
     extends PartitionReader[InternalRow] {
 
   private val in: BufferedReader = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val r = new BufferedReader(new InputStreamReader(fs.open(p),
+    val stream = fs.open(p)
+    stream.seek(startByte)
+    new BufferedReader(new InputStreamReader(stream,
       StandardCharsets.UTF_8))
-    var skipped = 0L
-    while (skipped < startLine && r.readLine() != null) skipped += 1
-    r
   }
   private var pos = startLine
   private var current: InternalRow = _
@@ -173,13 +263,15 @@ class ChangeLogPartitionReader(path: String, startLine: Long, endLine: Long)
     if (line == null) return false
     pos += 1
     val f = line.split("\t", -1)
+    def str(s: String) =
+      if (s.isEmpty) null
+      else UTF8String.fromString(ChangeLogSource.unescape(s))
     current = InternalRow(
       f(0).toLong, f(1).toLong,
-      UTF8String.fromString(f(2)),
-      if (f(3).isEmpty) null else UTF8String.fromString(f(3)),
-      if (f(4).isEmpty) null else UTF8String.fromString(f(4)),
+      UTF8String.fromString(ChangeLogSource.unescape(f(2))),
+      str(f(3)), str(f(4)),
       if (f(5).isEmpty) null else java.lang.Long.valueOf(f(5).toLong),
-      if (f(6).isEmpty) null else UTF8String.fromString(f(6)))
+      str(f(6)))
     true
   }
 

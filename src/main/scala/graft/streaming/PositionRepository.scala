@@ -23,8 +23,12 @@ case class BinlogPosition(filename: String, position: Long) {
 }
 
 object BinlogPosition {
+  // ASCII digits only, bounded length — Character.isDigit also accepts
+  // Unicode digit classes toLong rejects, and 20+ digits overflow
+  private val PosPattern = "^[0-9]{1,18}$".r
+
   def parse(s: String): Option[BinlogPosition] = s.split(":", 2) match {
-    case Array(f, p) if p.nonEmpty && p.forall(_.isDigit) =>
+    case Array(f, p) if PosPattern.matches(p) =>
       Some(BinlogPosition(f, p.toLong))
     case _ => None
   }

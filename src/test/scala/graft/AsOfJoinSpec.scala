@@ -21,6 +21,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p3") === None, "no right row for the key → null")
   }
 
+  test("leftAsOf: null in the latest right row is NOT patched from older rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq((1L, 12L, "p1")).toDF("k", "lt", "lname")
+    val right = Seq(
+      (1L, 5L, Some("a1"), Some("b1")),
+      (1L, 10L, Some("a2"), None)) // latest row: b is null
+      .toDF("k", "rt", "a", "b")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "lt", "rt",
+      Seq("rt", "a", "b")).collect().head
+    assert(out.getAs[String]("asof_a") === "a2")
+    assert(out.getAs[String]("asof_b") === null,
+      "the carried image is the latest right ROW, not a column-wise mix")
+  }
+
   test("asof query: every matched click precedes (or equals) its purchase") {
     val res = AsOfJoin.ajAsofJoin(spark, sf)
     assert(res.filter(col("asof_click_ts_us") > col("ts_us")).count() === 0)

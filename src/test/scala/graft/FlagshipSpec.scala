@@ -42,7 +42,7 @@ class FlagshipSpec extends SparkSpec {
       ctl(9, "begin"),
       m(10, "update", "u1", "175.0", 50),
       ctl(11, "commit", ts = 60)
-    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
     // 3. run the pipe: source → tx-group → checkpointed sink
     val out = Files.createTempDirectory("flagship").toString

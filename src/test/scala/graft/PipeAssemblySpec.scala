@@ -66,7 +66,7 @@ class PipeAssemblySpec extends SparkSpec {
       ChangeLogSource.renderLine(1, 3, "commit", "", "", 77, ""),
       ChangeLogSource.renderLine(2, 4, "mutation", "insert", "skipme", 9, "y"),
       ChangeLogSource.renderLine(3, 5, "mutation", "delete", "keep", 8, ""))
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     val out = Files.createTempDirectory("pipeout").toString
     val q = PipeAssembly.start(spark, Map(
       "source.path" -> log.toString,
