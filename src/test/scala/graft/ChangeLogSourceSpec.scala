@@ -40,6 +40,26 @@ class ChangeLogSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("fields with tabs/newlines/backslashes survive the TSV frame") {
+    val log = writeLog(Seq(
+      ChangeLogSource.renderLine(1, 1, "mutation", "insert",
+        "pk\twith\ttabs", 5L, "line1\nline2"),
+      ChangeLogSource.renderLine(1, 2, "mutation", "insert",
+        "back\\slash", 6L, "v\r\n")))
+    val dir = java.nio.file.Files.createTempDirectory("esc").toString
+    val q = spark.readStream.format(fmt).option("path", log).load()
+      .writeStream.format("memory").queryName("esc_out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("esc_out").orderBy("seq").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("pk") === "pk\twith\ttabs")
+    assert(rows(0).getAs[String]("value") === "line1\nline2")
+    assert(rows(1).getAs[String]("pk") === "back\\slash")
+    assert(rows(1).getAs[String]("value") === "v\r\n")
+  }
+
   test("S1+T5: restart resumes from the checkpointed position, no dupes") {
     val lines = (1 to 10).map(i =>
       ChangeLogSource.renderLine(2, i, "mutation", "update", s"pk$i",
