@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Engine catalog installer: registers every lake table as a view and
+  * the engine's native expressions as SQL functions, so the full
+  * surface is reachable from pure `spark.sql` — the Spark analog of the
+  * reference's config-file-driven setup (a mypipe user drives
+  * everything declaratively; here that means SQL).
+  */
+object GraftCatalog {
+
+  def install(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head, HashFunctions.DefaultBase),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_shingle_hashes",
+      exprs => BigramShingleHashes(exprs.head, HashFunctions.DefaultBase),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sq_l2",
+      exprs => SqL2Distance(exprs(0), exprs(1)), "scala_udf")
+  }
+}
