@@ -93,6 +93,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("avro codec: arbitrary maps and strings survive the roundtrip") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.functions.{AvroCodec, Envelope}
+    import org.apache.spark.sql.functions.{col, struct}
+    val genStr = Gen.oneOf(Gen.alphaNumStr,
+      Gen.const(""), Gen.const("日本語 🎉 \t\n"))
+    val genRow = for {
+      db <- genStr; tbl <- genStr
+      tid <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      strs <- Gen.mapOfN(3, Gen.zip(Gen.identifier, genStr))
+      longs <- Gen.mapOfN(3, Gen.zip(Gen.identifier,
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    } yield (db, tbl, tid, strs, longs)
+    val rows = samples(genRow, 40)
+    val df = rows.toDF("database", "tbl", "table_id", "strings", "longs")
+      .withColumn("integers",
+        org.apache.spark.sql.functions.expr("map()").cast("map<string,int>"))
+      .withColumn("pk", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+      .withColumn("record", struct(col("database"), col("tbl"),
+        col("table_id"), col("pk"), col("integers"), col("strings"),
+        col("longs")))
+    val back = df.withColumn("bin",
+        AvroCodec.encode(col("record"), Envelope.genericSchemaV1))
+      .select(AvroCodec.decode(col("bin"), Envelope.genericSchemaV1,
+        Envelope.genericStructV1).as("d"))
+      .select("d.database", "d.tbl", "d.table_id", "d.strings", "d.longs")
+      .collect()
+    rows.zip(back).foreach { case ((db, tbl, tid, strs, longs), r) =>
+      assert(r.getString(0) === db)
+      assert(r.getString(1) === tbl)
+      assert(r.getInt(2) === tid)
+      assert(r.getAs[Map[String, String]](3) === strs)
+      assert(r.getAs[Map[String, Long]](4) === longs)
+    }
+  }
+
+  test("tx pipeline invariants over random event sequences") {
+    import graft.streaming.TxPipeline
+    import graft.streaming.TxPipeline.{ChangeEvent, emptyState}
+    val genKind = Gen.frequency((5, "mutation"), (2, "begin"),
+      (2, "commit"), (1, "rollback"))
+    val genSeqs = Gen.listOfN(30, genKind)
+    samples(genSeqs, 40).foreach { kinds =>
+      val events = kinds.zipWithIndex.map { case (k, i) =>
+        ChangeEvent(1, i + 1L, k, "update", s"pk$i", i * 10L, Map())
+      }
+      val (st, out) = TxPipeline.advance(1, events, emptyState)
+      val mutationSeqs = events.filter(_.kind == "mutation").map(_.seq).toSet
+      // emitted mutations are a subset of input mutations, no dupes
+      assert(out.map(_.seq).distinct.length === out.length)
+      assert(out.forall(m => mutationSeqs.contains(m.seq)))
+      // every tx-grouped output shares its tx's single commit ts
+      out.groupBy(_.txid).foreach { case (_, ms) =>
+        assert(ms.map(_.commitTsUs).distinct.length === 1)
+      }
+      // buffer only survives for an open tx
+      assert(st.open || st.buffer.isEmpty)
+      // replay determinism
+      val (st2, out2) = TxPipeline.advance(1, events, emptyState)
+      assert(out2 === out && st2 === st)
+    }
+  }
+
   test("signature union aggregator distributes over a grouped corpus") {
     val sparkS = spark
     import sparkS.implicits._
