@@ -43,7 +43,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // the JSON must land alone on one stdout line for the driver's
+    // parser (round 1 emitted it amid sbt/Spark noise → parsed:null);
+    // stop Spark first, flush stderr, then print with a leading newline
+    // and mirror to a file as a belt-and-braces artifact
+    System.err.flush()
+    println()
+    println(json)
+    System.out.flush()
+    try {
+      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => }
   }
 }

@@ -95,6 +95,7 @@ object Dedup {
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), 0.2)
+      .orderBy("d1", "d2")
 
   val ddNgramJaccardSql: String =
     """WITH sh AS (
@@ -117,7 +118,8 @@ object Dedup {
       |FROM inter
       |  JOIN sizes s1 ON inter.d1 = s1.doc_id
       |  JOIN sizes s2 ON inter.d2 = s2.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.2""".stripMargin
+      |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.2
+      |ORDER BY d1, d2""".stripMargin
 
   // ── MinHash + LSH ───────────────────────────────────────────────────
   val MinHashK = 32 // signature width
@@ -196,6 +198,7 @@ object Dedup {
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashDuplicatePairs(Tables.documents(spark, dir), 0.2)
+      .orderBy("d1", "d2")
 
   // ── SimHash ─────────────────────────────────────────────────────────
   /** 64-bit SimHash per doc, zero-shuffle: token-hash array → per-bit
@@ -210,10 +213,10 @@ object Dedup {
       .withColumn("simhash", HashFunctions.simhash64(col("tok_hashes")))
       .drop("tok_hashes")
 
-  /** Near-dup pairs by hamming distance over SimHash, blocked by
-    * `source` (at 100 TB: block by simhash byte-prefix so candidates
-    * stay bucket-local, or multi-probe the 4 16-bit quarters). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** All-pairs near-dup baseline (O(n²) per source block) — retained
+    * ONLY as the exactness reference for [[simhashPairsBanded]]'s
+    * result-equivalence spec; never declared as a query. */
+  def simhashPairsAllPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val s = withSimhash(docs).select(
       col("doc_id"), col("source"), col("simhash"))
     s.alias("a").join(s.alias("b"),
@@ -226,8 +229,49 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Near-dup pairs by hamming ≤ maxHamming over SimHash — banded
+    * candidate generation, the shape that survives 100 TB. Pigeonhole:
+    * the 64 bits are split into `maxHamming + 1` disjoint bands, so any
+    * pair within the radius differs in at most maxHamming bands and
+    * therefore matches EXACTLY on at least one band → candidates come
+    * from a hash join on (band, bits, source), never an all-pairs
+    * block scan; candidates are verified with bit_count(xor). Result-
+    * identical to [[simhashPairsAllPairs]] (DedupSpec asserts).
+    * Radius 3 → 4 bands of 16 bits (64k buckets per band). */
+  def simhashPairsBanded(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands >= 2 && bands <= 32,
+      s"banded simhash supports radius 1..31, got $maxHamming")
+    val width = 64 / bands
+    val s = withSimhash(docs).select(
+      col("doc_id"), col("source"), col("simhash"))
+    val bandCols = (0 until bands).map { b =>
+      val shifted = shiftrightunsigned(col("simhash"), b * width)
+      val bits = // last band keeps the leftover high bits
+        if (b == bands - 1) shifted
+        else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    val banded = s
+      .select(col("doc_id"), col("source"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("source"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bits") === col("b.bits") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can match in several bands
+  }
+
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir), 16)
+    simhashPairsBanded(Tables.documents(spark, dir), 3)
+      .orderBy("d1", "d2")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),

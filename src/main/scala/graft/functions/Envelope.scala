@@ -156,6 +156,7 @@ object Envelope {
       element_at(col("decoded.strings"), "event_type").as("event_type_rt"),
       element_at(col("decoded.longs"), "user_id").as("user_id_rt"),
       col("topic"))
+      .orderBy("event_id")
   }
 
   val p5Sql: String =
@@ -164,7 +165,7 @@ object Envelope {
        |  database, tbl, table_id, pk,
        |  event_type AS event_type_rt, user_id AS user_id_rt,
        |  concat_ws('_', database, tbl, 'generic') AS topic
-       |FROM feed""".stripMargin
+       |FROM feed ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p5_envelope_roundtrip" -> (p5EnvelopeRoundtrip _))

@@ -117,6 +117,12 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long],
   require(as.length == bs.length)
   private val k = as.length
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // eval returns null for EMPTY input arrays even when the child is
+  // non-nullable; without this override the default (child.nullable)
+  // would claim non-nullable, making codegen emit an assignment to a
+  // constant-false isNull and letting NullPropagation erase the
+  // IsNotNull guard that keeps degenerate docs out of LSH bands
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(input: Any): Any = {

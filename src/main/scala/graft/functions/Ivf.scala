@@ -43,15 +43,44 @@ object Ivf {
       .select(col("cid"), transform(col("dm"), x => x("m")).as("centroid"))
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, narrow pass). */
+  /** Centroids materialized driver-side — k rows of k-means state, the
+    * legitimate "broadcast table" of a coarse quantizer (k ≪ corpus;
+    * this is model state, not data). Sorted by cid. */
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Int, Array[Double])] =
+    centroids.select(col("cid").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Nearest-centroid assignment — ZERO shuffle: the k centroids enter
+    * the plan as literal arrays and the argmin is per-row column
+    * algebra (k distance projections + a least() + a when-chain, all
+    * codegen'd). The earlier crossJoin+row_number formulation shuffled
+    * k× the corpus per pass; this one never leaves the input
+    * partitioning, which is what lets Lloyd iterations and cell
+    * assignment run at 100 TB. Ties break to the lowest cid (the
+    * when-chain tests cids in ascending order). For k beyond a few
+    * hundred, switch the unrolled chain to an aggregate() fold over one
+    * literal array of struct(cid, centroid). */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("__d"), col("cid"))
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("__d", sqDist(col("embedding"), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__d", "__rk", "centroid")
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "assign: empty centroid set")
+    val distCols = cents.map { case (cid, c) =>
+      cid -> sqDist(col("embedding"), array(c.map(lit).toSeq: _*))
+    }
+    val withDists = distCols.foldLeft(corpus) { case (df, (cid, d)) =>
+      df.withColumn(s"__d$cid", d)
+    }
+    val minD =
+      if (cents.length == 1) col(s"__d${cents.head._1}")
+      else least(cents.map { case (cid, _) => col(s"__d$cid") }.toSeq: _*)
+    val cidCol = cents.init.foldRight(lit(cents.last._1)) {
+      case ((cid, _), acc) =>
+        when(col(s"__d$cid") === minD, lit(cid)).otherwise(acc)
+    }
+    withDists.withColumn("cid", cidCol)
+      .drop(cents.map { case (cid, _) => s"__d$cid" }.toSeq: _*)
   }
 
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame =
@@ -60,19 +89,26 @@ object Ivf {
     }
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact
-    * cosine rank within the probed cells. */
+    * cosine rank within the probed cells. Probe selection is narrow:
+    * per-query distances to the literal centroids → array_sort (struct
+    * sort orders by (d, cid), the deterministic tie-break) → slice
+    * nprobe → explode. No crossJoin, no window on the query side. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val cells = assign(corpus, centroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("cid"))
-    val probeW = Window.partitionBy("vec_id").orderBy(col("__d"), col("cid"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__d", sqDist(col("embedding"), col("centroid")))
-      .withColumn("__rk", row_number().over(probeW))
-      .filter(col("__rk") <= nprobe)
+    val cents = collectCentroids(centroids)
+    val probeArr = array(cents.map { case (cid, c) =>
+      struct(sqDist(col("embedding"), array(c.map(lit).toSeq: _*)).as("d"),
+        lit(cid).as("cid"))
+    }.toSeq: _*)
+    val probes = queries
+      .withColumn("__probe",
+        slice(array_sort(probeArr), 1, math.min(nprobe, cents.length)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("cid"))
+        explode(col("__probe")).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.cid").as("cid"))
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("c_id"))
     probes.join(cells, Seq("cid"))
@@ -87,6 +123,7 @@ object Ivf {
     val centroids = trainCentroids(emb, k = 8, iters = 2)
     topKIvf(emb.filter(col("vec_id") < 10), emb, centroids, k = 5,
       nprobe = 2)
+      .orderBy("q_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,6 +110,7 @@ object Multimodal {
         col("out_width"), col("out_height"), col("sample_rate"),
         col("n_frames"), length(col("content")).as("n_bytes"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("media_id")
   }
 
   val mmMetaExtractSql: String =
@@ -128,7 +129,7 @@ object Multimodal {
       |  sample_rate, n_frames, n_bytes,
       |  CASE WHEN kind = 'video'
       |    THEN CAST((n_frames + 6) // 7 AS BIGINT) ELSE 0 END AS n_sampled
-      |FROM media""".stripMargin
+      |FROM media ORDER BY media_id""".stripMargin
 
   /** Batched stub decode → features (rows-only; exact values asserted
     * in ScalaTest against the reference fold). */
@@ -139,6 +140,7 @@ object Multimodal {
         col("features")(0).as("f0"),
         round(aggregate(col("features"),
           lit(0.0d), (a, x) => a + x), 3).as("feature_sum"))
+      .orderBy("media_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

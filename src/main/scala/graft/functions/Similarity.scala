@@ -53,6 +53,7 @@ object Similarity {
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     topKBruteForce(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("q_id", "rank")
   }
 
   // ── random-hyperplane LSH ───────────────────────────────────────────
@@ -72,11 +73,13 @@ object Similarity {
   }
 
   /** Sign-bit signature: bit i = [dot(v, plane_i) > 0]. Planes enter the
-    * plan as literal arrays (broadcast with the task binary). */
-  def withLshKey(df: DataFrame, vecCol: String): DataFrame = {
-    val planes = hyperplanes()
+    * plan as literal arrays (broadcast with the task binary). Fewer bits
+    * → bigger buckets → higher recall and more candidate comparisons. */
+  def withLshKey(df: DataFrame, vecCol: String,
+      bits: Int = LshBits): DataFrame = {
+    val planes = hyperplanes(bits)
     val bitExprs = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.map(lit).toSeq: _*)
       when(dot(col(vecCol), planeCol) > 0d,
         lit(1L << i)).otherwise(lit(0L))
     }
@@ -103,18 +106,30 @@ object Similarity {
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     topKLsh(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("q_id", "rank")
   }
 
   // ── embedding-cosine near-dup pairs ─────────────────────────────────
-  /** Near-duplicate pairs by cosine threshold, blocked by `label` (at
-    * 100 TB: block by LSH key or IVF cell instead — [[withLshKey]] /
-    * [[Ivf.assign]] produce exactly that key). No SQL oracle (double
-    * cosine accumulation is engine-specific); exactness is spec-checked
-    * against a driver-side computation. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val v = corpus.select(col("vec_id"), col("label"), col("embedding"))
+  /** How many hyperplane bits the near-dup blocking key uses: 8 bits →
+    * 256 buckets; a cos ≥ 0.3 pair agrees per-bit with p = 1 − θ/π ≈
+    * 0.6, so recall trades against the n²/buckets candidate count. */
+  val NearDupBits = 8
+
+  /** Near-duplicate pairs by cosine threshold over candidates sharing a
+    * random-hyperplane LSH bucket — the 100 TB shape: candidate
+    * generation is a hash join on `lsh_key`, NEVER an all-pairs block
+    * scan (the earlier `label`-blocked formulation was O(n²) per label
+    * AND returned zero rows at the old 0.5 threshold — vacuous). The
+    * semantics are bucket-restricted by design (documented recall < 1,
+    * like any LSH method); SimilaritySpec asserts exact equality vs
+    * brute-force-within-bucket. No SQL oracle (double cosine
+    * accumulation is engine-specific). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = NearDupBits): DataFrame = {
+    val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
+      "embedding", bits)
     v.alias("a").join(v.alias("b"),
-        col("a.label") === col("b.label") &&
+        col("a.lsh_key") === col("b.lsh_key") &&
         col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= threshold)
@@ -123,7 +138,8 @@ object Similarity {
   }
 
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(Tables.embeddings(spark, dir), 0.5)
+    nearDupPairs(Tables.embeddings(spark, dir), 0.3)
+      .orderBy("v1", "v2")
 
   // ── quantized near-dup (SQL oracle) ─────────────────────────────────
   /** Embedding near-dup by quantized prefix: floor(x·10) over the first

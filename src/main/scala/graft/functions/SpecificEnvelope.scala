@@ -85,6 +85,7 @@ object SpecificEnvelope {
         col("decoded.old_value").as("old_value"),
         col("decoded.new_value").as("new_value"),
         col("schema_id_rt"))
+      .orderBy("event_id")
   }
 
   val p4Sql: String =
@@ -97,7 +98,8 @@ object SpecificEnvelope {
        |  FROM feed)
        |SELECT event_id, user_id, event_type, old_value, new_value,
        |  1 AS schema_id_rt
-       |FROM imaged WHERE op = 'update' AND old_value IS NOT NULL""".stripMargin
+       |FROM imaged WHERE op = 'update' AND old_value IS NOT NULL
+       |ORDER BY event_id""".stripMargin
 
   /** F4 on the specific path: the serializer refuses rows whose fields
     * are missing from the registered schema; after an ALTER the caller

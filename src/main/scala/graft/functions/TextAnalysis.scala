@@ -32,13 +32,14 @@ object TextAnalysis {
       size(wsTokens(col("text"))).as("n_ws_tokens"),
       size(bpeTokens(col("text"))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_computed"))
+      .orderBy("doc_id")
 
   val taTokenCountSql: String =
     s"""SELECT doc_id,
        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_ws_tokens,
        |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens,
        |  CAST(length(text) AS INT) AS n_chars_computed
-       |FROM documents""".stripMargin
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ── quality scoring ─────────────────────────────────────────────────
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
@@ -63,6 +64,7 @@ object TextAnalysis {
       ((nStop / nTok) * lit(0.5d) + (lit(1.0d) - nPunct / nChars) * lit(0.3d)
         + least(nChars / nTok / lit(10.0d), lit(1.0d)) * lit(0.2d))
         .as("quality_score"))
+      .orderBy("doc_id")
   }
 
   val taQualitySql: String = {
@@ -81,7 +83,7 @@ object TextAnalysis {
        |  n_chars / n_tokens AS avg_token_span,
        |  (n_stop / n_tokens) * 0.5 + (1.0 - n_punct / n_chars) * 0.3
        |    + least(n_chars / n_tokens / 10.0, 1.0) * 0.2 AS quality_score
-       |FROM t""".stripMargin
+       |FROM t ORDER BY doc_id""".stripMargin
   }
 
   // ── language identification ─────────────────────────────────────────
@@ -112,6 +114,7 @@ object TextAnalysis {
         .when(fr >= es && fr >= de, "fr")
         .when(es >= de, "es")
         .otherwise("de").as("predicted_lang"))
+      .orderBy("doc_id")
   }
 
   val taLangIdSql: String = {
@@ -134,7 +137,7 @@ object TextAnalysis {
        |       WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
        |       WHEN score_es >= score_de THEN 'es'
        |       ELSE 'de' END AS predicted_lang
-       |FROM t""".stripMargin
+       |FROM t ORDER BY doc_id""".stripMargin
   }
 
   // ── document fingerprinting ─────────────────────────────────────────
@@ -147,6 +150,7 @@ object TextAnalysis {
       col("doc_id"),
       HashFunctions.rolling_hash(col("text")).as("fingerprint"),
       pmod(HashFunctions.rolling_hash(col("text")), lit(64)).as("shard"))
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_count" -> (taTokenCount _),

@@ -28,6 +28,7 @@ object TrainPrep {
           s"transform(sequence(0, __nchunks - 1), " +
             s"i -> array_join(slice(__toks, i * $stride + 1, $size), ' '))"))
           .as("chunk"))
+      .orderBy("doc_id", "chunk")
 
   def tcChunkingSql(size: Int = 32, stride: Int = 24): String =
     s"""WITH t AS (
@@ -44,14 +45,23 @@ object TrainPrep {
        |  unnest(list_transform(range(0, nchunks),
        |    i -> array_to_string(
        |      arr[(i * $stride + 1):(i * $stride + $size)], ' '))) AS chunk
-       |FROM c""".stripMargin
+       |FROM c ORDER BY doc_id, chunk""".stripMargin
 
   /** Deterministic train/val/test assignment by integer hashing of the
     * stable id — the same row lands in the same split on every engine
-    * and every run (Knuth multiplicative hash, pure i64 arithmetic). */
+    * and every run (Knuth multiplicative hash, pure i64 arithmetic).
+    *
+    * Overflow-safe at any id: the id is first reduced into [0, 1000003)
+    * (pmod a prime), so the product is < 2^52 — no i64 wrap under ANSI
+    * mode, no engine divergence, and negative ids hash like any other
+    * value instead of all landing in 'train'. */
+  private val SplitPrime = 1000003L
+  private def splitHash(idCol: String): String =
+    s"pmod(pmod($idCol, $SplitPrime) * 2654435761, 100)"
+
   def splitCol(idCol: String): org.apache.spark.sql.Column =
-    when(expr(s"($idCol * 2654435761) % 100") < 80, "train")
-      .when(expr(s"($idCol * 2654435761) % 100") < 90, "val")
+    when(expr(splitHash(idCol)) < 80, "train")
+      .when(expr(splitHash(idCol)) < 90, "val")
       .otherwise("test")
 
   def tsHashSplit(spark: SparkSession, dir: String): DataFrame =
@@ -64,8 +74,10 @@ object TrainPrep {
   val tsHashSplitSql: String =
     """SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
       |  SELECT doc_id, lang,
-      |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |    CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+      |                * 2654435761) % 100 < 80 THEN 'train'
+      |         WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+      |                * 2654435761) % 100 < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents)
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin

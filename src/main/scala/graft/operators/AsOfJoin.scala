@@ -65,6 +65,7 @@ object AsOfJoin {
       Seq("click_ts_us", "click_event_id"))
       .select("user_id", "event_id", "ts_us", "asof_click_ts_us",
         "asof_click_event_id")
+      .orderBy("event_id")
   }
 
   /** Oracle: DuckDB's native ASOF LEFT JOIN — an independent
@@ -87,7 +88,8 @@ object AsOfJoin {
        |  clicks.click_event_id AS asof_click_event_id
        |FROM purch ASOF LEFT JOIN clicks
        |  ON purch.user_id = clicks.user_id
-       |  AND purch.ts_us >= clicks.click_ts_us""".stripMargin
+       |  AND purch.ts_us >= clicks.click_ts_us
+       |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aj_asof_join" -> (ajAsofJoin _))

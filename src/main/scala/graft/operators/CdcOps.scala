@@ -26,11 +26,12 @@ object CdcOps {
     ChangeFeed.fromEvents(spark, dir)
       .select("event_id", "op", "mtype", "database", "tbl", "table_id",
         "pk", "ts_us")
+      .orderBy("event_id")
 
   val s2Sql: String =
     s"""WITH feed AS (${ChangeFeed.feedSql})
        |SELECT event_id, op, mtype, database, tbl, table_id, pk, ts_us
-       |FROM feed""".stripMargin
+       |FROM feed ORDER BY event_id""".stripMargin
 
   // ── S3: QUERY classifier (prefix dispatch) ──────────────────────────
   /** SQL-text prefix → Begin/Commit/Rollback/Alter/Unknown (reference
@@ -44,6 +45,7 @@ object CdcOps {
         .when(col("text").startsWith("agg"), "rollback")
         .when(col("text").startsWith("spark"), "alter")
         .otherwise("unknown").as("query_class"))
+      .orderBy("doc_id")
 
   val s3Sql: String =
     """SELECT doc_id,
@@ -52,7 +54,7 @@ object CdcOps {
       |       WHEN starts_with(text, 'agg') THEN 'rollback'
       |       WHEN starts_with(text, 'spark') THEN 'alter'
       |       ELSE 'unknown' END AS query_class
-      |FROM documents""".stripMargin
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ── S4: ALTER db/table extraction ───────────────────────────────────
   /** Tokenize DDL text to pull `db.table` (reference
@@ -65,6 +67,7 @@ object CdcOps {
       col("doc_id"),
       regexp_extract(ddl, "ALTER TABLE (\\w+)\\.(\\w+)", 1).as("db_name"),
       regexp_extract(ddl, "ALTER TABLE (\\w+)\\.(\\w+)", 2).as("table_name"))
+      .orderBy("doc_id")
   }
 
   val s4Sql: String =
@@ -73,7 +76,7 @@ object CdcOps {
       |    'ALTER TABLE (\w+)\.(\w+)', 1) AS db_name,
       |  regexp_extract('ALTER TABLE testdb.' || source || ' ADD COLUMN c INT',
       |    'ALTER TABLE (\w+)\.(\w+)', 2) AS table_name
-      |FROM documents""".stripMargin
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ── S9/S12: snapshot scan → insert mutations ────────────────────────
   /** Bulk table load stamped as insert mutations (reference
@@ -81,13 +84,14 @@ object CdcOps {
   def s9SnapshotScan(spark: SparkSession, dir: String): DataFrame =
     Snapshot.asInsertMutations(Tables.customer(spark, dir),
       "testdb", "customer", Seq("c_custkey"))
+      .orderBy("c_custkey")
 
   val s9Sql: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
       |  'insert' AS op, CAST(1 AS TINYINT) AS mtype,
       |  'testdb' AS database, 'customer' AS tbl,
       |  CAST(c_custkey AS VARCHAR) AS pk, CAST(NULL AS BIGINT) AS ts_us
-      |FROM customer""".stripMargin
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ── S10: bounding-values probe ──────────────────────────────────────
   /** MIN/MAX split-range probe (reference MySQLSnapshotter.scala:174-195). */
@@ -127,7 +131,12 @@ object CdcOps {
       .select("op", "mtype", "database", "tbl", "pk", "ts_us")
     val live = ChangeFeed.fromEvents(spark, dir)
       .select("op", "mtype", "database", "tbl", "pk", "ts_us")
+    // Total order over every output column (ts_us NULLS FIRST on both
+    // engines) — identical rows are interchangeable, so this is a
+    // deterministic multiset order for the driver's order-sensitive hash.
     snap.unionByName(live)
+      .orderBy(col("tbl"), col("pk"), col("op"), col("mtype"),
+        col("database"), col("ts_us").asc_nulls_first)
   }
 
   val s12Sql: String =
@@ -137,7 +146,8 @@ object CdcOps {
        |  CAST(c_custkey AS VARCHAR) AS pk, CAST(NULL AS BIGINT) AS ts_us
        |FROM customer
        |UNION ALL
-       |SELECT op, mtype, database, tbl, pk, ts_us FROM feed""".stripMargin
+       |SELECT op, mtype, database, tbl, pk, ts_us FROM feed
+       |ORDER BY tbl, pk, op, mtype, database, ts_us NULLS FIRST""".stripMargin
 
   // ── F1: include-event condition (skip filter) ───────────────────────
   /** Config-supplied predicate dropping events before any downstream
@@ -147,11 +157,13 @@ object CdcOps {
     ChangeFeed.includeEvents(ChangeFeed.fromEvents(spark, dir),
         "tbl <> 'error' AND user_id % 7 <> 0")
       .select("event_id", "tbl", "user_id")
+      .orderBy("event_id")
 
   val f1Sql: String =
     s"""WITH feed AS (${ChangeFeed.feedSql})
        |SELECT event_id, tbl, user_id FROM feed
-       |WHERE tbl <> 'error' AND user_id % 7 <> 0""".stripMargin
+       |WHERE tbl <> 'error' AND user_id % 7 <> 0
+       |ORDER BY event_id""".stripMargin
 
   // ── P3: update old/new image pairs ──────────────────────────────────
   /** Updates carry (before, after) row images (reference
@@ -166,6 +178,7 @@ object CdcOps {
       .filter(col("op") === "update")
       .select(col("event_id"), col("user_id"), col("old_value"),
         col("value").as("new_value"))
+      .orderBy("event_id")
   }
 
   val p3Sql: String =
@@ -176,7 +189,7 @@ object CdcOps {
        |    value AS new_value
        |  FROM feed)
        |SELECT event_id, user_id, old_value, new_value
-       |FROM imaged WHERE op = 'update'""".stripMargin
+       |FROM imaged WHERE op = 'update' ORDER BY event_id""".stripMargin
 
   // ── F3: null-column omission ────────────────────────────────────────
   /** The generic encoder drops null cells (reference
@@ -184,6 +197,7 @@ object CdcOps {
     * imaged stream — first change per key has no before-image. */
   def f3NullOmission(spark: SparkSession, dir: String): DataFrame =
     p3UpdateImages(spark, dir).filter(col("old_value").isNotNull)
+      .orderBy("event_id")
 
   val f3Sql: String =
     s"""WITH feed AS (${ChangeFeed.feedSql}),
@@ -193,7 +207,8 @@ object CdcOps {
        |    value AS new_value
        |  FROM feed)
        |SELECT event_id, user_id, old_value, new_value
-       |FROM imaged WHERE op = 'update' AND old_value IS NOT NULL""".stripMargin
+       |FROM imaged WHERE op = 'update' AND old_value IS NOT NULL
+       |ORDER BY event_id""".stripMargin
 
   // ── P6: mutation → per-row fan-out ──────────────────────────────────
   /** One mutation with N rows → N messages (reference
@@ -202,9 +217,11 @@ object CdcOps {
   def p6RowFanout(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(col("embedding")).as("component"))
+      .orderBy("vec_id", "component")
 
   val p6Sql: String =
-    "SELECT vec_id, unnest(embedding) AS component FROM embeddings"
+    """SELECT vec_id, unnest(embedding) AS component FROM embeddings
+      |ORDER BY vec_id, component""".stripMargin
 
   // ── P7: topic-name routing ──────────────────────────────────────────
   /** topic = "${db}_${table}_generic" (reference KafkaUtil.scala:7-27,
@@ -248,12 +265,13 @@ object CdcOps {
       col("l_orderkey"), col("l_linenumber"),
       concat_ws(".", col("l_orderkey").cast("string"),
         col("l_linenumber").cast("string")).as("pk"))
+      .orderBy("l_orderkey", "l_linenumber")
 
   val p9Sql: String =
     """SELECT l_orderkey, l_linenumber,
       |  concat_ws('.', CAST(l_orderkey AS VARCHAR),
       |    CAST(l_linenumber AS VARCHAR)) AS pk
-      |FROM lineitem""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ── P10: SQL rendering (stdout producer) ────────────────────────────
   /** Mutation → printable INSERT/UPDATE/DELETE text (reference
@@ -272,6 +290,7 @@ object CdcOps {
         .otherwise(
           concat(lit("UPDATE testdb."), col("tbl"),
             lit(" SET ... WHERE pk = "), col("pk"))).as("sql_text"))
+      .orderBy("event_id")
 
   val p10Sql: String =
     s"""WITH feed AS (${ChangeFeed.feedSql})
@@ -283,7 +302,7 @@ object CdcOps {
        |    'DELETE FROM testdb.' || tbl || ' WHERE pk = ' || pk
        |  ELSE 'UPDATE testdb.' || tbl || ' SET ... WHERE pk = ' || pk
        |  END AS sql_text
-       |FROM feed""".stripMargin
+       |FROM feed ORDER BY event_id""".stripMargin
 
   // ── P11: value stringification ──────────────────────────────────────
   /** Typed cell → string (reference ColumnType.scala:53-67). Dates and
@@ -294,13 +313,14 @@ object CdcOps {
       col("ts").cast("date").cast("string").as("day_str"),
       col("user_id").cast("string").as("uid_str"),
       upper(col("event_type")).as("type_str"))
+      .orderBy("event_id")
 
   val p11Sql: String =
     """SELECT event_id,
       |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day_str,
       |  CAST(user_id AS VARCHAR) AS uid_str,
       |  UPPER(event_type) AS type_str
-      |FROM events""".stripMargin
+      |FROM events ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_event_decode" -> (s2EventDecode _),

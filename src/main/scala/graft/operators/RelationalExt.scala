@@ -30,6 +30,7 @@ object RelationalExt {
       col("o_custkey"), col("o_orderkey"),
       col("o_orderdate").cast("date").as("o_date"),
       sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   val w1Sql: String =
@@ -37,7 +38,7 @@ object RelationalExt {
       |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |          ROWS UNBOUNDED PRECEDING) AS running_cents
-      |FROM orders""".stripMargin
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Top-3 orders per customer by price (rank window + filter —
     * Spark turns this into a per-partition top-k, no global sort). */
@@ -49,6 +50,7 @@ object RelationalExt {
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
         cents(col("o_totalprice")).as("price_cents"), col("rk"))
+      .orderBy("o_custkey", "rk")
   }
 
   val w2Sql: String =
@@ -59,7 +61,7 @@ object RelationalExt {
       |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
       |             o_orderkey) AS rk
       |  FROM orders)
-      |WHERE rk <= 3""".stripMargin
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
   // ── grouping sets / rollup ──────────────────────────────────────────
   /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
@@ -68,11 +70,14 @@ object RelationalExt {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), intSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
 
   val g1Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   /** Exact distinct counts, global and per group. */
   def g2DistinctCount(spark: SparkSession, dir: String): DataFrame =
@@ -150,11 +155,14 @@ object RelationalExt {
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), intSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
 
   val g3Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   // ── PIVOT ───────────────────────────────────────────────────────────
   /** Pivot event counts into one column per event type (fixed value
@@ -260,6 +268,7 @@ object RelationalExt {
       shiftright(col("event_id"), 2).as("shr2"),
       greatest(col("event_id"), col("user_id")).as("gmax"),
       least(col("event_id"), col("user_id")).as("lmin"))
+      .orderBy("event_id")
 
   val m1Sql: String =
     """SELECT event_id,
@@ -273,7 +282,7 @@ object RelationalExt {
       |  event_id >> 2 AS shr2,
       |  greatest(event_id, user_id) AS gmax,
       |  least(event_id, user_id) AS lmin
-      |FROM events""".stripMargin
+      |FROM events ORDER BY event_id""".stripMargin
 
   // ── string scalar library ───────────────────────────────────────────
   def str1Functions(spark: SparkSession, dir: String): DataFrame =
@@ -285,6 +294,7 @@ object RelationalExt {
       regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
       length(col("c_name")).as("name_len"),
       instr(col("c_name"), "1").as("first_one"))
+      .orderBy("c_custkey")
 
   val str1Sql: String =
     """SELECT c_custkey, UPPER(c_name) AS uname,
@@ -293,7 +303,7 @@ object RelationalExt {
       |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
       |  CAST(length(c_name) AS INT) AS name_len,
       |  CAST(instr(c_name, '1') AS INT) AS first_one
-      |FROM customer""".stripMargin
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_running_total" -> (w1RunningTotal _),

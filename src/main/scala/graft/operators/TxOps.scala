@@ -72,12 +72,14 @@ object TxOps {
       .groupBy("txid", "user_id")
       .agg(count(lit(1)).as("n_mutations"),
         min("ts_us").as("begin_ts_us"), max("ts_us").as("commit_ts_us"))
+      .orderBy("user_id", "txid")
 
   val t1Sql: String =
     s"""WITH $withTxSql
        |SELECT txid, user_id, COUNT(*) AS n_mutations,
        |  MIN(ts_us) AS begin_ts_us, MAX(ts_us) AS commit_ts_us
-       |FROM sessioned GROUP BY txid, user_id""".stripMargin
+       |FROM sessioned GROUP BY txid, user_id
+       |ORDER BY user_id, txid""".stripMargin
 
   // ── T2: commit-timestamp rewrite ────────────────────────────────────
   /** Every buffered mutation takes the COMMIT event's timestamp on
@@ -86,12 +88,13 @@ object TxOps {
     withTx(ChangeFeed.fromEvents(spark, dir))
       .withColumn("commit_ts_us", max("ts_us").over(byTx))
       .select("event_id", "user_id", "txid", "ts_us", "commit_ts_us")
+      .orderBy("event_id")
 
   val t2Sql: String =
     s"""WITH $withTxSql
        |SELECT event_id, user_id, txid, ts_us,
        |  MAX(ts_us) OVER (PARTITION BY user_id, tx_seq) AS commit_ts_us
-       |FROM sessioned""".stripMargin
+       |FROM sessioned ORDER BY event_id""".stripMargin
 
   // ── T3: txid assignment ─────────────────────────────────────────────
   /** Row-level txid attachment (reference Mutation.txAware,
@@ -99,10 +102,12 @@ object TxOps {
   def t3TxidAssign(spark: SparkSession, dir: String): DataFrame =
     withTx(ChangeFeed.fromEvents(spark, dir))
       .select("event_id", "user_id", "txid", "op")
+      .orderBy("event_id")
 
   val t3Sql: String =
     s"""WITH $withTxSql
-       |SELECT event_id, user_id, txid, op FROM sessioned""".stripMargin
+       |SELECT event_id, user_id, txid, op FROM sessioned
+       |ORDER BY event_id""".stripMargin
 
   // ── T4: rollback discard ────────────────────────────────────────────
   /** ROLLBACK discards the buffered tx (reference
@@ -116,6 +121,7 @@ object TxOps {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("last_op") =!= "delete")
       .select("event_id", "user_id", "txid", "op")
+      .orderBy("event_id")
 
   val t4Sql: String =
     s"""WITH $withTxSql
@@ -124,7 +130,7 @@ object TxOps {
        |    ORDER BY ts_us, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_op
        |  FROM sessioned)
-       |WHERE last_op <> 'delete'""".stripMargin
+       |WHERE last_op <> 'delete' ORDER BY event_id""".stripMargin
 
   // ── §7.3 flagship: latest-image reconstruction ──────────────────────
   /** Reconstruct current table state from the change stream: latest
@@ -138,6 +144,7 @@ object TxOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "delete")
       .select("user_id", "event_id", "op", "value", "ts_us")
+      .orderBy("user_id")
   }
 
   val t9Sql: String =
@@ -146,7 +153,7 @@ object TxOps {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
        |    ORDER BY ts_us DESC, event_id DESC) AS rn
        |  FROM feed)
-       |WHERE rn = 1 AND op <> 'delete'""".stripMargin
+       |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tx_grouping" -> (t1TxGrouping _),

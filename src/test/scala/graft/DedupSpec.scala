@@ -67,9 +67,25 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs on real corpus: hamming bounded, pairs deduped") {
     val p = Dedup.ddSimhash(spark, sf)
-    assert(p.filter(col("hamming") > 16).count() === 0)
+    assert(p.filter(col("hamming") > 3).count() === 0)
     assert(p.groupBy("d1", "d2").count().filter(col("count") > 1)
       .count() === 0)
+    assert(p.count() > 0, "declared simhash query must not be vacuous")
+  }
+
+  test("banded simhash pairs EQUAL the all-pairs baseline (pigeonhole)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (radius <- Seq(1, 3, 7)) {
+      val banded = Dedup.simhashPairsBanded(planted, radius)
+        .select("d1", "d2", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val allPairs = Dedup.simhashPairsAllPairs(planted, radius)
+        .select("d1", "d2", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(banded === allPairs,
+        s"radius $radius: banded candidate generation must be lossless")
+    }
   }
 
   test("ngram jaccard pairs are symmetric-free and within [0,1]") {

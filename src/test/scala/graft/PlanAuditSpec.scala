@@ -45,8 +45,41 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("change feed decode is a pure narrow projection (no shuffle)") {
-    val p = plan(graft.operators.CdcOps.s2EventDecode(spark, sf))
+    // the declared s2 query adds a final presentation orderBy for the
+    // oracle hash; the operator itself must stay narrow
+    val p = plan(graft.sources.ChangeFeed.fromEvents(spark, sf)
+      .select("event_id", "op", "mtype", "database", "tbl", "table_id",
+        "pk", "ts_us"))
     assert(!p.contains("Exchange"), "decode must not shuffle:\n" + p)
+  }
+
+  test("IVF assignment is zero-shuffle (broadcast-literal argmin)") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = graft.functions.Ivf.seedCentroids(emb, 4)
+    val p = plan(graft.functions.Ivf.assign(emb, centroids))
+    assert(!p.contains("Exchange"),
+      "cell assignment must not shuffle the corpus:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no corpus×centroids join:\n" + p)
+  }
+
+  test("banded simhash candidates come from a hash join, not all-pairs") {
+    val p = plan(graft.functions.Dedup.simhashPairsBanded(
+      Tables.documents(spark, sf), 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on band keys:\n" + p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("cosine near-dup candidates come from a hash join on lsh_key") {
+    val p = plan(graft.functions.Similarity.nearDupPairs(
+      Tables.embeddings(spark, sf), 0.3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no unblocked all-pairs join:\n" + p)
+    assert(p.contains("lsh_key"), p)
   }
 
   test("simhash/fingerprint path stays inside whole-stage codegen") {

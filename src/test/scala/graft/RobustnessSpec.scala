@@ -47,12 +47,17 @@ class RobustnessSpec extends SparkSpec {
     assert(sims.count() === 3)
   }
 
-  test("cosine near-dup pairs match a driver-side exact computation") {
+  test("cosine near-dup pairs equal brute force restricted to LSH buckets") {
     val sparkS = spark
     import sparkS.implicits._
-    val emb = Tables.embeddings(spark, sf).filter(col("label") === 0)
-    val vecs = emb.select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val emb = Tables.embeddings(spark, sf)
+    // driver-side oracle: all pairs SHARING A BUCKET with cos >= t —
+    // the operator's declared semantics (bucket-restricted candidates)
+    val rows = Similarity
+      .withLshKey(emb.select("vec_id", "embedding"), "embedding",
+        Similarity.NearDupBits)
+      .select("vec_id", "lsh_key", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -64,12 +69,13 @@ class RobustnessSpec extends SparkSpec {
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     val expected = (for {
-      (i, vi) <- vecs; (j, vj) <- vecs if i < j
-      c = cos(vi, vj) if c >= 0.5
+      (i, ki, vi) <- rows; (j, kj, vj) <- rows
+      if i < j && ki == kj && cos(vi, vj) >= 0.3
     } yield (i, j)).toSet
-    val got = Similarity.nearDupPairs(emb, 0.5)
+    val got = Similarity.nearDupPairs(emb, 0.3)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
     assert(got === expected)
+    assert(got.nonEmpty, "declared near-dup query must not be vacuous")
   }
 
   test("splitter edge cases: single key, negative domains, huge limits") {
