@@ -200,6 +200,64 @@ object Dedup {
     minhashDuplicatePairs(Tables.documents(spark, dir), 0.2)
       .orderBy("d1", "d2")
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: each round every node takes the minimum of
+    * its own label and its neighbors' labels; converged when no label
+    * moves. Rounds = O(component diameter) — tiny for near-dup
+    * clusters — and every round is two hash-shuffles over the PAIR
+    * list (orders of magnitude smaller than the corpus at 100 TB).
+    * No driver-side union-find: the driver only reads the one-scalar
+    * convergence count per round. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
+      : DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
+        .groupBy("a").agg(min("bl").as("nbl"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"),
+          "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbl"), col("label")))
+            .as("label"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end MinHash dedup keeper selection: verified LSH pairs →
+    * connected components → one keeper (min doc_id) per duplicate
+    * cluster, with the full sorted member list for auditability. */
+  def minhashDuplicateGroups(docs: DataFrame, threshold: Double)
+      : DataFrame =
+    connectedComponents(
+      minhashDuplicatePairs(docs, threshold).select("d1", "d2"))
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("id"))),
+            _.cast("string"))) // sort as longs, not lexicographically
+          .as("members"))
+      .orderBy("keeper")
+
+  def ddMinhashGroups(spark: SparkSession, dir: String): DataFrame =
+    minhashDuplicateGroups(Tables.documents(spark, dir), 0.2)
+
   // ── SimHash ─────────────────────────────────────────────────────────
   /** 64-bit SimHash per doc, zero-shuffle: token-hash array → per-bit
     * majority vote → packed long, one generated loop per row
@@ -277,6 +335,7 @@ object Dedup {
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_groups" -> (ddMinhashGroups _),
     "dd_simhash" -> (ddSimhash _))
 
   def oracles: Map[String, String] = Map(

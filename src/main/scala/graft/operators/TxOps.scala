@@ -132,6 +132,33 @@ object TxOps {
        |  FROM sessioned)
        |WHERE last_op <> 'delete' ORDER BY event_id""".stripMargin
 
+  // ── T12: group-mutations-by-tx batch emission ───────────────────────
+  /** Whole-transaction flush units (reference `reference.conf:21`
+    * group-mutations-by-tx + `AbstractBinaryLogConsumer.scala:155`):
+    * one row per transaction carrying the full mutation list in a
+    * deterministic order. The list rides as a canonical string
+    * (sorted "seq:op" entries) so the oracle compares it exactly;
+    * the streaming equivalent is `TxPipeline.groupByTransactionBatched`. */
+  def t12TxBatch(spark: SparkSession, dir: String): DataFrame =
+    withTx(ChangeFeed.fromEvents(spark, dir))
+      .withColumn("entry", concat_ws(":",
+        col("event_id").cast("string"), col("op")))
+      .groupBy("txid", "user_id")
+      .agg(count(lit(1)).as("n_mutations"),
+        max("ts_us").as("commit_ts_us"),
+        concat_ws(",", array_sort(collect_list(col("entry"))))
+          .as("batch"))
+      .orderBy("user_id", "txid")
+
+  val t12Sql: String =
+    s"""WITH $withTxSql
+       |SELECT txid, user_id, COUNT(*) AS n_mutations,
+       |  MAX(ts_us) AS commit_ts_us,
+       |  array_to_string(list_sort(list(
+       |    CAST(event_id AS VARCHAR) || ':' || op)), ',') AS batch
+       |FROM sessioned GROUP BY txid, user_id
+       |ORDER BY user_id, txid""".stripMargin
+
   // ── §7.3 flagship: latest-image reconstruction ──────────────────────
   /** Reconstruct current table state from the change stream: latest
     * image per PK, deletes dropped (SURVEY §7.3 — the reference's core
@@ -160,6 +187,7 @@ object TxOps {
     "t2_commit_ts" -> (t2CommitTs _),
     "t3_txid_assign" -> (t3TxidAssign _),
     "t4_rollback_discard" -> (t4RollbackDiscard _),
+    "t12_tx_batch" -> (t12TxBatch _),
     "t9_latest_image" -> (t9LatestImage _))
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +195,6 @@ object TxOps {
     "t2_commit_ts" -> t2Sql,
     "t3_txid_assign" -> t3Sql,
     "t4_rollback_discard" -> t4Sql,
+    "t12_tx_batch" -> t12Sql,
     "t9_latest_image" -> t9Sql)
 }

@@ -75,10 +75,20 @@ object ChangeLogSource {
     out.toString
   }
 
-  /** TSV render of one change event (inverse of the reader). */
+  /** NULL sentinel on the wire (MySQL-dump convention): a raw `\N`
+    * field is SQL NULL. Unambiguous: a literal backslash in data is
+    * escaped to `\\`, so data can never render as a bare `\N` — which
+    * makes empty string and NULL distinct, round-trippable values. */
+  val NullField: String = "\\N"
+
+  private def renderField(s: String): String =
+    if (s == null) NullField else escape(s)
+
+  /** TSV render of one change event (inverse of the reader). Nullable
+    * fields (op, pk, value) accept null and render the `\N` sentinel. */
   def renderLine(conn: Long, seq: Long, kind: String, op: String,
       pk: String, tsUs: Long, value: String): String =
-    s"$conn\t$seq\t${escape(kind)}\t${escape(op)}\t${escape(pk)}\t$tsUs\t${escape(value)}"
+    s"$conn\t$seq\t${escape(kind)}\t${renderField(op)}\t${renderField(pk)}\t$tsUs\t${renderField(value)}"
 }
 
 /** Offset = (line, byte) — the byte position lets a reader seek
@@ -263,8 +273,10 @@ class ChangeLogPartitionReader(path: String, startLine: Long,
     if (line == null) return false
     pos += 1
     val f = line.split("\t", -1)
+    // `\N` (raw, pre-unescape) is NULL; everything else — including the
+    // empty string — is data. See ChangeLogSource.NullField.
     def str(s: String) =
-      if (s.isEmpty) null
+      if (s == ChangeLogSource.NullField) null
       else UTF8String.fromString(ChangeLogSource.unescape(s))
     current = InternalRow(
       f(0).toLong, f(1).toLong,

@@ -57,16 +57,23 @@ object Snapshot {
     * range into `numSplits` buckets using pure integer arithmetic (no
     * per-row driver logic, identical in any engine):
     * `least((key - lo) * numSplits div (hi - lo + 1), numSplits - 1)`.
-    * Bounds arrive via a 1-row broadcast join, not a driver collect. */
+    * Bounds arrive via a 1-row broadcast join, not a driver collect.
+    *
+    * NULL keys get their own sentinel split (`split_id = numSplits`),
+    * matching the reference's explicit `col IS NULL` split (reference
+    * IntegerSplitter.scala:27-28,65) — NULL-keyed rows are part of the
+    * table and must be snapshotted, not dropped. MIN/MAX ignore NULLs,
+    * so the numeric splits are unaffected. */
   def withSplitId(df: DataFrame, keyCol: String, numSplits: Int): DataFrame = {
     val bounds = boundingValues(df, keyCol).select(
       col("lo").cast("long").as("__lo"), col("hi").cast("long").as("__hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn("split_id",
-        least(
-          expr(s"(CAST($keyCol AS BIGINT) - __lo) * $numSplits" +
-            " div (__hi - __lo + 1)").cast("int"),
-          lit(numSplits - 1)))
+        when(col(keyCol).isNull, lit(numSplits)).otherwise(
+          least(
+            expr(s"(CAST($keyCol AS BIGINT) - __lo) * $numSplits" +
+              " div (__hi - __lo + 1)").cast("int"),
+            lit(numSplits - 1))))
       .drop("__lo", "__hi")
   }
 

@@ -1,9 +1,11 @@
 package graft.streaming
 
+import graft.avro.SchemaRepo
+import graft.functions.{AvroCodec, Envelope}
 import graft.streaming.TxPipeline.TxMutation
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
 import java.util.concurrent.atomic.AtomicLong
 
@@ -38,6 +40,78 @@ object CdcStream {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  // ── Kafka-shaped sink (the reference's primary output contract) ─────
+
+  /** Avro wire schema for a committed mutation — the generic record the
+    * Kafka value carries (reference KafkaMutationAvroProducer.scala:
+    * 61-77 publishes the framed Avro mutation per topic). */
+  val txMutationSchemaJson: String =
+    """{"type":"record","name":"TxMutation","namespace":"graft.avro",
+      |"fields":[
+      |  {"name":"conn","type":"long"},
+      |  {"name":"seq","type":"long"},
+      |  {"name":"txid","type":["null","string"],"default":null},
+      |  {"name":"op","type":["null","string"],"default":null},
+      |  {"name":"pk","type":["null","string"],"default":null},
+      |  {"name":"commitTsUs","type":"long"},
+      |  {"name":"payload","type":{"type":"map","values":"string"},"default":{}}
+      |]}""".stripMargin
+
+  /** Runtime-compiled topic template (reference KafkaUtil.scala:7-27):
+    * `${column}` placeholders become column refs, everything else is
+    * literal — e.g. `"changelog_${conn}_generic"`. */
+  def topicColumn(template: String): Column = {
+    val ph = """\$\{([A-Za-z0-9_]+)\}""".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    ph.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += col(m.group(1)).cast("string")
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit(template) else concat(parts.toSeq: _*)
+  }
+
+  /** Kafka message projection: (topic, key, value) — topic from the
+    * template, key = pk (partition affinity per row identity), value =
+    * the framed Avro envelope (MAGIC|MTYPE|SCHEMA_ID|payload). This is
+    * exactly the frame the reference's consumers decode; mtype mirrors
+    * the reference's mutation magic bytes. */
+  def kafkaFrame(mutations: Dataset[TxMutation], registry: SchemaRepo,
+      topicTemplate: String): DataFrame = {
+    val schemaId =
+      registry.register("generic_txmutation", txMutationSchemaJson)
+    val mtype = when(col("op") === "insert", 1)
+      .when(col("op") === "update", 2)
+      .when(col("op") === "delete", 3)
+      .otherwise(0)
+    mutations.toDF()
+      .select(
+        topicColumn(topicTemplate).as("topic"),
+        col("pk").cast("string").as("key"),
+        Envelope.frame(mtype, lit(schemaId),
+          AvroCodec.encode(
+            struct(col("conn"), col("seq"), col("txid"), col("op"),
+              col("pk"), col("commitTsUs"), col("payload")),
+            txMutationSchemaJson)).as("value"))
+  }
+
+  /** Fully configured Kafka DataStreamWriter — the caller starts it.
+    * (This sandbox has no broker or kafka connector jar; the message
+    * projection and writer wiring are the testable contract, and they
+    * are what a deployment points at a real cluster.) */
+  def toKafkaSink(mutations: Dataset[TxMutation], registry: SchemaRepo,
+      topicTemplate: String, bootstrapServers: String,
+      checkpointDir: String, trigger: Trigger = DefaultTrigger)
+      : DataStreamWriter[Row] =
+    kafkaFrame(mutations, registry, topicTemplate).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
 
   /** Error-policy counters (quit-on-* analog, reference
     * reference.conf:31-53): continue past bad batches unless

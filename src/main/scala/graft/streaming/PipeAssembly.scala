@@ -19,10 +19,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   source.maxLinesPerTrigger admission cap per micro-batch
   *   filter.condition          SQL predicate on the event columns (F1)
   *   tx.timeoutMs              abandoned-transaction discard timeout
+  *   sink.format               parquet | console | kafka
   *   sink.path                 parquet sink directory
   *   sink.checkpoint           checkpoint dir (position repo, T5)
   *   sink.triggerSeconds       processing-time trigger (flush interval,
   *                             T8; reference default 10 s)
+  *   sink.topicTemplate        kafka topic template with `${column}`
+  *                             placeholders (reference KafkaUtil
+  *                             topic naming, e.g. db_table_generic)
+  *   sink.bootstrapServers     kafka bootstrap servers
   */
 object PipeAssembly {
 
@@ -30,7 +35,10 @@ object PipeAssembly {
     "source.maxLinesPerTrigger" -> Long.MaxValue.toString,
     "filter.condition" -> "true",
     "tx.timeoutMs" -> "0",
-    "sink.triggerSeconds" -> "10")
+    "sink.format" -> "parquet",
+    "sink.triggerSeconds" -> "10",
+    "sink.topicTemplate" -> "changelog_${conn}_generic",
+    "sink.bootstrapServers" -> "localhost:9092")
 
   def events(spark: SparkSession, config: Map[String, String])
       : Dataset[ChangeEvent] = {
@@ -51,17 +59,57 @@ object PipeAssembly {
       .as[ChangeEvent]
   }
 
-  /** Assemble and start the full pipe: source → skip-filter → tx-group
-    * → checkpointed parquet sink. */
-  def start(spark: SparkSession, config: Map[String, String],
-      availableNow: Boolean = false): StreamingQuery = {
+  /** The tx-grouped mutation stream for a config (shared by every sink
+    * format). */
+  def mutations(spark: SparkSession, config: Map[String, String])
+      : org.apache.spark.sql.Dataset[TxPipeline.TxMutation] = {
     val conf = Defaults ++ config
-    val mutations = TxPipeline.groupByTransaction(
+    TxPipeline.groupByTransaction(
       events(spark, config), conf("tx.timeoutMs").toLong)
-    val trigger =
-      if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(s"${conf("sink.triggerSeconds")} seconds")
-    CdcStream.toParquetSink(mutations, conf("sink.path"),
-      conf("sink.checkpoint"), trigger)
+  }
+
+  private def trigger(conf: Map[String, String],
+      availableNow: Boolean): Trigger =
+    if (availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(s"${conf("sink.triggerSeconds")} seconds")
+
+  /** The configured-but-unstarted Kafka writer for a config — exposed
+    * separately because starting it needs a broker + connector jar that
+    * a sandbox lacks, while the wiring (topic template → topic column,
+    * framed Avro value, checkpointing, trigger) is the contract. */
+  def kafkaWriter(spark: SparkSession, config: Map[String, String],
+      registry: graft.avro.SchemaRepo,
+      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val conf = Defaults ++ config
+    CdcStream.toKafkaSink(mutations(spark, config), registry,
+      conf("sink.topicTemplate"), conf("sink.bootstrapServers"),
+      conf("sink.checkpoint"), trigger(conf, availableNow))
+  }
+
+  /** Assemble and start the full pipe: source → skip-filter → tx-group
+    * → checkpointed sink, format-routed per `sink.format` (E2: the
+    * reference's producer plugin slot). */
+  def start(spark: SparkSession, config: Map[String, String],
+      availableNow: Boolean = false,
+      registry: graft.avro.SchemaRepo = new graft.avro.SchemaRegistry)
+      : StreamingQuery = {
+    val conf = Defaults ++ config
+    val ms = mutations(spark, config)
+    val trg = trigger(conf, availableNow)
+    conf("sink.format") match {
+      case "parquet" =>
+        CdcStream.toParquetSink(ms, conf("sink.path"),
+          conf("sink.checkpoint"), trg)
+      case "console" => // reference StdoutProducer analog
+        ms.writeStream.format("console")
+          .option("checkpointLocation", conf("sink.checkpoint"))
+          .outputMode("append").trigger(trg).start()
+      case "kafka" =>
+        kafkaWriter(spark, config, registry, availableNow).start()
+      case other =>
+        throw new IllegalArgumentException(s"unknown sink.format: $other")
+    }
   }
 }

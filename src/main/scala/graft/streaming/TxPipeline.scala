@@ -1,7 +1,9 @@
 package graft.streaming
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** Structured-Streaming transaction grouping — the semantic heart of the
   * reference (SURVEY.md §2.4 T1–T5): between BEGIN and COMMIT the
@@ -44,6 +46,29 @@ object TxPipeline {
       conn: Long, seq: Long, txid: String, op: String,
       pk: String, commitTsUs: Long, payload: Map[String, String])
 
+  /** A whole committed transaction flushed as one unit — the
+    * reference's optional `group-mutations-by-tx` emission mode
+    * (`AbstractBinaryLogConsumer.scala:155`, `reference.conf:21`):
+    * consumers that need tx-atomic delivery get the full mutation list
+    * in commit order, one record per transaction. */
+  case class TxBatch(
+      conn: Long, txid: String, commitTsUs: Long,
+      mutations: Seq[TxMutation])
+
+  /** Discard observability (Spark accumulators, safe to increment from
+    * state-function closures): `rollbacks` counts explicit ROLLBACKs,
+    * `resetDiscards` counts buffers dropped by a BEGIN arriving while a
+    * transaction was open, `abandonedDiscards` counts open buffers
+    * discarded by the state timeout. */
+  class TxStats(sc: SparkContext) extends Serializable {
+    val rollbacks: LongAccumulator =
+      sc.longAccumulator("graft.tx.rollbacks")
+    val resetDiscards: LongAccumulator =
+      sc.longAccumulator("graft.tx.resetDiscards")
+    val abandonedDiscards: LongAccumulator =
+      sc.longAccumulator("graft.tx.abandonedDiscards")
+  }
+
   /** Open-transaction buffer persisted in the state store. */
   case class TxState(
       open: Boolean, beginSeq: Long, buffer: List[ChangeEvent])
@@ -59,17 +84,22 @@ object TxPipeline {
 
   /** Core state transition: fold this micro-batch's events (in `seq`
     * order) into the open-tx buffer, emitting committed mutations.
-    * Pure function → unit-testable without a stream. */
-  def advance(conn: Long, events: Seq[ChangeEvent], state: TxState)
-      : (TxState, Seq[TxMutation]) = {
+    * Pure function → unit-testable without a stream; `stats` counters
+    * are optional observability. */
+  def advance(conn: Long, events: Seq[ChangeEvent], state: TxState,
+      stats: Option[TxStats] = None): (TxState, Seq[TxMutation]) = {
     val out = Seq.newBuilder[TxMutation]
     var st = state
     events.sortBy(_.seq).foreach { e =>
       e.kind match {
         case "begin" =>
-          // implicit commit of a dangling open tx is NOT performed —
-          // mirror the reference: a new BEGIN discards nothing, but we
-          // reset to the new tx (binlog never interleaves txs per conn)
+          // a BEGIN while a tx is open DROPS the buffered mutations —
+          // an open tx can't commit once its connection starts a new
+          // one (binlog never interleaves txs per conn). No implicit
+          // commit, mirroring the reference; the drop is counted in
+          // TxStats.resetDiscards.
+          if (st.open && st.buffer.nonEmpty)
+            stats.foreach(_.resetDiscards.add(st.buffer.length))
           st = TxState(open = true, beginSeq = e.seq, Nil)
         case "mutation" =>
           if (st.open) st = st.copy(buffer = e :: st.buffer)
@@ -89,6 +119,8 @@ object TxPipeline {
           } // empty commit (T4): nothing buffered → no rows, no error
           st = emptyState
         case "rollback" =>
+          if (st.open && st.buffer.nonEmpty)
+            stats.foreach(_.rollbacks.add(st.buffer.length))
           st = emptyState // discard buffer (T1 rollback)
         case _ => // unknown event kinds are skipped (reference UnknownEvent)
       }
@@ -96,25 +128,75 @@ object TxPipeline {
     (st, out.result())
   }
 
+  /** Batched state transition: same fold as [[advance]], but committed
+    * transactions surface as one [[TxBatch]] each, in commit order.
+    * Non-tx mutations flush as singleton batches (their own txid).
+    * Mutations within a tx share one commitTsUs, so grouping the flat
+    * output by consecutive txid runs is lossless. */
+  def advanceBatched(conn: Long, events: Seq[ChangeEvent], state: TxState,
+      stats: Option[TxStats] = None): (TxState, Seq[TxBatch]) = {
+    val (st, flat) = advance(conn, events, state, stats)
+    val batches = Seq.newBuilder[TxBatch]
+    var run = List.empty[TxMutation] // reversed current-txid run
+    def flush(): Unit = run match {
+      case Nil =>
+      case last :: _ =>
+        val ms = run.reverse
+        batches += TxBatch(conn, last.txid, last.commitTsUs, ms)
+        run = Nil
+    }
+    flat.foreach { m =>
+      if (run.nonEmpty && run.head.txid != m.txid) flush()
+      run = m :: run
+    }
+    flush()
+    (st, batches.result())
+  }
+
   /** Wire the state transition into a streaming Dataset. Timeout: open
-    * transactions idle past `abandonedTxTimeoutMs` are discarded. */
+    * transactions idle past `abandonedTxTimeoutMs` are discarded
+    * (counted in TxStats.abandonedDiscards). */
   def groupByTransaction(
       events: Dataset[ChangeEvent],
-      abandonedTxTimeoutMs: Long = 0L): Dataset[TxMutation] = {
+      abandonedTxTimeoutMs: Long = 0L,
+      stats: Option[TxStats] = None): Dataset[TxMutation] =
+    stateful[TxMutation](events, abandonedTxTimeoutMs, stats,
+      (conn, it, st, s) => advance(conn, it, st, s))
+
+  /** [[groupByTransaction]] in `group-mutations-by-tx` mode: one output
+    * record per committed transaction. */
+  def groupByTransactionBatched(
+      events: Dataset[ChangeEvent],
+      abandonedTxTimeoutMs: Long = 0L,
+      stats: Option[TxStats] = None): Dataset[TxBatch] =
+    stateful[TxBatch](events, abandonedTxTimeoutMs, stats,
+      (conn, it, st, s) => advanceBatched(conn, it, st, s))
+
+  implicit val batchEnc: Encoder[TxBatch] = Encoders.product[TxBatch]
+
+  private def stateful[O: Encoder](
+      events: Dataset[ChangeEvent],
+      abandonedTxTimeoutMs: Long,
+      stats: Option[TxStats],
+      step: (Long, Seq[ChangeEvent], TxState, Option[TxStats])
+        => (TxState, Seq[O])): Dataset[O] = {
     val timeoutConf =
       if (abandonedTxTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.conn)
-      .flatMapGroupsWithState[TxState, TxMutation](
+      .flatMapGroupsWithState[TxState, O](
         OutputMode.Append, timeoutConf) {
         (conn: Long, it: Iterator[ChangeEvent], gs: GroupState[TxState]) =>
           if (gs.hasTimedOut) {
-            gs.remove() // abandoned open tx → discard buffer
+            // abandoned open tx → discard buffer, counted
+            gs.getOption.filter(_.open).foreach(s =>
+              stats.foreach(_.abandonedDiscards.add(s.buffer.length)))
+            gs.remove()
             Iterator.empty
           } else {
             val st = gs.getOption.getOrElse(emptyState)
-            val (next, out) = advance(conn, it.toSeq, st)
+            val (next, out) = step(conn, it.toSeq, st, stats)
             if (next.open) {
               gs.update(next)
               if (abandonedTxTimeoutMs > 0)

@@ -39,6 +39,21 @@ class CdcOpsSpec extends SparkSpec {
     assert(split.count() === Tables.customer(spark, sf).count())
   }
 
+  test("S11: NULL keys land in the sentinel split, no row dropped") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 3 numeric keys + 2 NULL-keyed rows (reference emits an explicit
+    // `col IS NULL` split — IntegerSplitter.scala:27-28,65)
+    val df = Seq(Some(1L), Some(5L), Some(9L), None, None)
+      .toDF("k")
+    val split = Snapshot.withSplitId(df, "k", 3)
+    assert(split.count() === 5, "NULL-keyed rows are snapshotted too")
+    val byId = split.groupBy("split_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byId(3) === 2, "split_id = numSplits is the NULL split")
+    assert((0 to 2).map(i => byId.getOrElse(i, 0L)).sum === 3)
+  }
+
   test("F1: include-event condition is a pushed-down SQL predicate") {
     val feed = ChangeFeed.fromEvents(spark, sf)
     val kept = ChangeFeed.includeEvents(feed, "tbl <> 'error'")

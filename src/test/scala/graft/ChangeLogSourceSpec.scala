@@ -40,6 +40,28 @@ class ChangeLogSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("NULL and empty string are distinct on the wire and round-trip") {
+    val log = writeLog(Seq(
+      ChangeLogSource.renderLine(1, 1, "mutation", "insert", null, 5L, ""),
+      ChangeLogSource.renderLine(1, 2, "mutation", "insert", "", 6L, null),
+      // a literal "\N" VALUE must escape to \\N and come back as data
+      ChangeLogSource.renderLine(1, 3, "mutation", "insert", "\\N", 7L,
+        "x")))
+    val dir = java.nio.file.Files.createTempDirectory("nulls").toString
+    val q = spark.readStream.format(fmt).option("path", log).load()
+      .writeStream.format("memory").queryName("nulls_out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("nulls_out").orderBy("seq").collect()
+    assert(rows(0).getAs[String]("pk") === null)
+    assert(rows(0).getAs[String]("value") === "")
+    assert(rows(1).getAs[String]("pk") === "")
+    assert(rows(1).getAs[String]("value") === null)
+    assert(rows(2).getAs[String]("pk") === "\\N",
+      "escaped literal backslash-N is data, not the sentinel")
+  }
+
   test("fields with tabs/newlines/backslashes survive the TSV frame") {
     val log = writeLog(Seq(
       ChangeLogSource.renderLine(1, 1, "mutation", "insert",

@@ -55,6 +55,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((7L, 20007L)), "near-dup pair missing")
   }
 
+  test("minhash groups: planted multi-doc cluster collapses to one keeper") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // extend the fixture with TWO more copies of doc 3 → a 4-member
+    // cluster {3, 10003, 30003, 40003}; pairwise LSH pairs chain them
+    val more = docs.filter(col("doc_id") === 3)
+      .withColumn("doc_id", lit(30003L))
+      .unionByName(docs.filter(col("doc_id") === 3)
+        .withColumn("doc_id", lit(40003L)))
+    val corpus = planted.unionByName(more)
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashDuplicatePairs(corpus, 0.2).select("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    // copies MUST co-cluster (the corpus may contribute extra members —
+    // real near-dups exist in the documents table — so assert
+    // membership, not exact cluster size)
+    (0 until 5).foreach { i =>
+      assert(labels(i.toLong) === labels(i + 10000L),
+        s"copy pair $i clusters together")
+    }
+    assert(labels(7L) === labels(20007L), "near-dup pair clusters")
+    assert(labels(3L) === labels(30003L) &&
+      labels(3L) === labels(40003L), "multi-copy cluster is connected")
+    // keeper selection: every group key is the minimum of its members
+    val groups = Dedup.minhashDuplicateGroups(corpus, 0.2)
+      .as[(Long, Long, String)].collect()
+    groups.foreach { case (keeper, n, members) =>
+      val ids = members.split(",").map(_.toLong)
+      assert(ids.length === n.toInt && ids.min === keeper &&
+        ids.toSeq === ids.sorted.toSeq,
+        s"keeper $keeper is min of sorted members $members")
+    }
+    val clusterOf3 = groups.find(_._3.split(",").contains("3")).get
+    assert(Seq("3", "10003", "30003", "40003")
+      .forall(clusterOf3._3.split(",").contains),
+      "all four copies of doc 3 share one cluster")
+  }
+
   test("simhash: exact copies collide, near-dups land within hamming 16") {
     val s = Dedup.withSimhash(planted)
       .filter(col("doc_id").isin(7, 20007, 0, 10000))

@@ -48,6 +48,51 @@ class EnvelopeSpec extends SparkSpec {
     assert(reg.versionCount(specific) === 2)
   }
 
+  test("schema repo client: mid-stream ALTER heals via flush-on-miss retry") {
+    import graft.avro.CachingSchemaRepoClient
+    val remote = new SchemaRegistry
+    val subj = AvroSubjects.specific("testdb", "user", "insert")
+    val v1 =
+      """{"type":"record","name":"user_insert","namespace":"graft.avro.testdb",
+        |"fields":[{"name":"a","type":["null","int"],"default":null}]}"""
+        .stripMargin.replace("\n", "")
+    val id1 = remote.register(subj, v1)
+    val client = new CachingSchemaRepoClient(remote)
+    assert(client.schemaById(id1) === Some(v1)) // primes the snapshot
+    assert(client.cachedSchemaById(id1) === Some(v1), "cache hit")
+
+    // ALTER lands out-of-band: a NEW schema version registered directly
+    // on the remote — this client's snapshot doesn't know its id yet
+    val v2 =
+      """{"type":"record","name":"user_insert","namespace":"graft.avro.testdb",
+        |"fields":[{"name":"a","type":["null","int"],"default":null},
+        |{"name":"b","type":["null","string"],"default":null}]}"""
+        .stripMargin.replace("\n", "")
+    val id2 = remote.register(subj, v2)
+    assert(client.cachedSchemaById(id2) === None, "stale snapshot misses")
+
+    // consumer retry dance: flush + one retry resolves the new writer
+    // schema (reference KafkaAvroDecoder.scala:61-64)
+    val resolved = CachingSchemaRepoClient.resolveWithRetry(client, id2)
+    assert(resolved === Some(v2))
+    assert(client.flushes === 1)
+    assert(client.cachedSchemaById(id2) === Some(v2), "healed snapshot")
+
+    // unknown ids stay unknown after the retry (no infinite loop)
+    assert(CachingSchemaRepoClient.resolveWithRetry(client, 999) === None)
+
+    // and the resolved schema actually decodes a v2 payload end-to-end
+    val sparkS = spark
+    import sparkS.implicits._
+    val st = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val decoded = Seq((7, "x")).toDF("a", "b")
+      .select(AvroCodec.encode(struct(col("a"), col("b")), v2).as("env"))
+      .select(AvroCodec.decode(col("env"), resolved.get, st).as("d"))
+      .select("d.a", "d.b").collect().head
+    assert(decoded.getInt(0) === 7 && decoded.getString(1) === "x")
+  }
+
   test("avro codec: struct survives encode/decode including null map entries") {
     val sparkS = spark
     import sparkS.implicits._

@@ -28,12 +28,12 @@ class FlagshipSpec extends SparkSpec {
     def m(seq: Long, op: String, pk: String, v: String, ts: Long) =
       ChangeLogSource.renderLine(1, seq, "mutation", op, pk, ts, v)
     def ctl(seq: Long, kind: String, ts: Long = 0) =
-      ChangeLogSource.renderLine(1, seq, kind, "", "", ts, "")
+      ChangeLogSource.renderLine(1, seq, kind, null, null, ts, null)
     val log = Files.createTempFile("flagship", ".tsv")
     Files.write(log, Seq(
       ctl(1, "begin"),
       m(2, "update", "u1", "150.0", 10),
-      m(3, "delete", "u2", "", 11),
+      m(3, "delete", "u2", null, 11),
       ctl(4, "commit", ts = 20),
       ctl(5, "begin"),
       m(6, "update", "u3", "999.0", 30), // rolled back — must NOT apply

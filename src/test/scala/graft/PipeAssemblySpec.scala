@@ -58,6 +58,79 @@ class PipeAssemblySpec extends SparkSpec {
     assert(policy.succeeded.get() >= 1)
   }
 
+  test("T6: table position repo — shared store, atomic, write-elided") {
+    import graft.streaming.TablePositionRepository
+    val dir = Files.createTempDirectory("postable").toString
+    val repo = new TablePositionRepository(s"$dir/positions.tsv")
+    assert(repo.load("c1").isEmpty)
+    repo.save("c1", BinlogPosition("binlog.000001", 120))
+    repo.save("c2", BinlogPosition("binlog.000009", 7))
+    assert(repo.load("c1") === Some(BinlogPosition("binlog.000001", 120)))
+    assert(repo.load("c2") === Some(BinlogPosition("binlog.000009", 7)))
+    repo.save("c1", BinlogPosition("binlog.000001", 120)) // unchanged
+    assert(repo.writes === 2, "unchanged position save is elided")
+    repo.save("c1", BinlogPosition("binlog.000002", 4))
+    assert(repo.load("c1") === Some(BinlogPosition("binlog.000002", 4)))
+    assert(repo.load("c2") === Some(BinlogPosition("binlog.000009", 7)),
+      "other consumers' rows survive a save")
+    // a second repo instance over the same table sees the saved state
+    val repo2 = new TablePositionRepository(s"$dir/positions.tsv")
+    assert(repo2.load("c1") === Some(BinlogPosition("binlog.000002", 4)))
+  }
+
+  test("kafka sink: topic template, key and framed-Avro value wiring") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.avro.SchemaRegistry
+    import graft.functions.{AvroCodec, Envelope}
+    import graft.streaming.{CdcStream, TxPipeline}
+    import org.apache.spark.sql.types._
+    val registry = new SchemaRegistry
+    val ms = Seq(
+      TxPipeline.TxMutation(1, 2, "tx-1-1", "insert", "a", 77,
+        Map("value" -> "x")),
+      TxPipeline.TxMutation(3, 5, "tx-3-5", "delete", "keep", 8, Map()))
+      .toDS()
+    val frame = CdcStream.kafkaFrame(ms, registry,
+      "changelog_${conn}_generic")
+    // the Kafka writer contract: exactly (topic string, key, value binary)
+    assert(frame.schema.fieldNames.toSeq === Seq("topic", "key", "value"))
+    assert(frame.schema("value").dataType === BinaryType)
+    val rows = frame.orderBy("topic").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("changelog_1_generic", "changelog_3_generic"),
+      "topic template substitutes column values")
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "keep"))
+    // value frame: MAGIC|MTYPE|SCHEMA_ID decode + Avro payload roundtrip
+    val schemaId = registry
+      .idOf("generic_txmutation", CdcStream.txMutationSchemaJson).get
+    val st = StructType(Seq(
+      StructField("conn", LongType), StructField("seq", LongType),
+      StructField("txid", StringType), StructField("op", StringType),
+      StructField("pk", StringType), StructField("commitTsUs", LongType),
+      StructField("payload", MapType(StringType, StringType))))
+    val decoded = frame
+      .withColumn("mtype", Envelope.sliceMtype(col("value")))
+      .withColumn("sid", Envelope.sliceSchemaId(col("value")))
+      .withColumn("d", AvroCodec.decode(Envelope.slicePayload("value"),
+        CdcStream.txMutationSchemaJson, st))
+      .select("mtype", "sid", "d.pk", "d.commitTsUs", "d.op")
+      .orderBy("pk").collect()
+    assert(decoded.map(_.getInt(0)).toSeq === Seq(1, 3), "insert=1 delete=3")
+    assert(decoded.forall(_.getInt(1) == schemaId))
+    assert(decoded.map(_.getLong(3)).toSeq === Seq(77L, 8L))
+    // and the assembled writer is a kafka-format DataStreamWriter
+    val log = Files.createTempFile("kpipe", ".tsv")
+    Files.write(log, ChangeLogSource.renderLine(1, 1, "mutation",
+      "insert", "p", 1, "v").concat("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    val w = PipeAssembly.kafkaWriter(spark, Map(
+      "source.path" -> log.toString,
+      "sink.checkpoint" -> Files.createTempDirectory("kchk").toString),
+      registry)
+    assert(w != null) // wiring builds without a broker; start() needs one
+  }
+
   test("E2: config map assembles the full pipe end-to-end") {
     val log = Files.createTempFile("pipe", ".tsv")
     Files.write(log, Seq(

@@ -86,6 +86,63 @@ class TxPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batched mode: one TxBatch per tx, singleton for non-tx mutations") {
+    val (st, out) = TxPipeline.advanceBatched(1, Seq(
+      ev(1, "begin"), ev(2, "mutation", "insert", 100),
+      ev(3, "mutation", "update", 200), ev(4, "commit", ts = 999),
+      ev(5, "mutation", "delete", 300), // non-tx → singleton batch
+      ev(6, "begin"), ev(7, "mutation", "insert", 400),
+      ev(8, "commit", ts = 1000)), emptyState)
+    assert(!st.open)
+    assert(out.map(_.txid) === Seq("tx-1-1", "tx-1-5", "tx-1-6"))
+    assert(out.head.mutations.map(_.seq) === Seq(2, 3))
+    assert(out.head.commitTsUs === 999)
+    assert(out(1).mutations.map(_.seq) === Seq(5))
+    assert(out(2).mutations.map(_.seq) === Seq(7))
+  }
+
+  test("batched streaming end-to-end: tx spanning micro-batches flushes as one unit") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val stats = new TxPipeline.TxStats(spark.sparkContext)
+    val q = TxPipeline.groupByTransactionBatched(input.toDS(),
+        stats = Some(stats))
+      .writeStream.format("memory").queryName("txbatchout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "begin"), ev(2, "mutation", "insert", 100))
+      q.processAllAvailable()
+      assert(spark.table("txbatchout").count() === 0)
+      input.addData(ev(3, "mutation", "update", 200),
+        ev(4, "commit", ts = 500),
+        // rollback tx on conn 2 → counted, not emitted
+        ev(1, "begin", conn = 2), ev(2, "mutation", "insert", 1, conn = 2),
+        ev(3, "rollback", conn = 2))
+      q.processAllAvailable()
+      val batches = spark.table("txbatchout")
+        .as[TxPipeline.TxBatch].collect()
+      assert(batches.length === 1)
+      assert(batches.head.txid === "tx-1-1")
+      assert(batches.head.mutations.map(_.seq) === Seq(2, 3))
+      assert(batches.head.mutations.forall(_.commitTsUs == 500))
+      assert(stats.rollbacks.value === 1)
+    } finally q.stop()
+  }
+
+  test("TxStats counts reset discards (BEGIN while a tx is open)") {
+    val stats = new TxPipeline.TxStats(spark.sparkContext)
+    val (st, out) = TxPipeline.advance(1, Seq(
+      ev(1, "begin"), ev(2, "mutation", "insert", 100),
+      ev(3, "mutation", "update", 200),
+      ev(4, "begin"), // drops the 2 buffered mutations
+      ev(5, "mutation", "insert", 300), ev(6, "commit", ts = 400)),
+      emptyState, Some(stats))
+    assert(!st.open)
+    assert(out.map(_.seq) === Seq(5))
+    assert(stats.resetDiscards.value === 2)
+  }
+
   test("T5: checkpointed parquet sink resumes without loss or duplication") {
     val sparkS = spark
     import sparkS.implicits._
