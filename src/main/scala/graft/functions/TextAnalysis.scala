@@ -140,6 +140,71 @@ object TextAnalysis {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ── PII / URL redaction ─────────────────────────────────────────────
+  /** Training-data scrubbing: redact email-like and URL-like spans
+    * before a corpus ships (patterns restricted to syntax Java regex
+    * and RE2 interpret identically — no backrefs, no lookaround).
+    * Narrow projection: runs at scan speed, oracle-checkable. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** The redaction transform itself (URLs first — an email inside a
+    * URL query string is already covered by the URL span). */
+  def redacted(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
+  def taRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = this.redacted(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+        .as("n_urls"),
+      length(col("text")).as("len_before"),
+      length(redacted).as("len_after"))
+      .orderBy("doc_id")
+  }
+
+  // both patterns use only syntax Java regex and RE2 read identically,
+  // so the same literal works in Spark and DuckDB
+  val taRedactSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INT)
+       |    AS n_urls,
+       |  CAST(length(text) AS INT) AS len_before,
+       |  CAST(length(regexp_replace(
+       |    regexp_replace(text, '$UrlPattern', '<URL>', 'g'),
+       |    '$EmailPattern', '<EMAIL>', 'g')) AS INT) AS len_after
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── vocabulary builder ──────────────────────────────────────────────
+  /** Corpus vocabulary: top-k whitespace tokens by document frequency
+    * (the explode shuffles one row per distinct (doc, token) — the
+    * same map-side-combined shape as word count; at 100 TB add a
+    * frequency-threshold pre-filter per partition). Ties break
+    * lexicographically for a total order. */
+  def taVocab(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+
+  def taVocabSql(k: Int = 50): String =
+    s"""SELECT token, COUNT(*) AS doc_freq FROM (
+       |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+'))
+       |    AS token
+       |  FROM documents)
+       |GROUP BY token
+       |ORDER BY doc_freq DESC, token
+       |LIMIT $k""".stripMargin
+
   // ── document fingerprinting ─────────────────────────────────────────
   /** Rolling-hash fingerprint of the full text plus a coarse 64-bucket
     * shard id — the custom codegen expression ([[RollingHash]]); no SQL
@@ -156,10 +221,14 @@ object TextAnalysis {
     "ta_token_count" -> (taTokenCount _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_lang_id" -> (taLangId _),
+    "ta_redact" -> (taRedact _),
+    "ta_vocab" -> ((s: SparkSession, d: String) => taVocab(s, d)),
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "ta_token_count" -> taTokenCountSql,
     "ta_quality_score" -> taQualitySql,
-    "ta_lang_id" -> taLangIdSql)
+    "ta_lang_id" -> taLangIdSql,
+    "ta_redact" -> taRedactSql,
+    "ta_vocab" -> taVocabSql())
 }

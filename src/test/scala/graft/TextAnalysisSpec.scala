@@ -77,6 +77,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("redaction scrubs planted emails and URLs, leaves prose intact") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      "contact alice.smith+spam@example.co.uk for details",
+      "see https://example.com/a?b=c&d=e and http://x.io/p",
+      "plain text with no pii at all",
+      "mixed: bob@test.org then https://y.z/path end").toDF("text")
+    val out = docs.select(TextAnalysis.redacted(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "contact <EMAIL> for details")
+    assert(out(1) === "see <URL> and <URL>")
+    assert(out(2) === "plain text with no pii at all")
+    assert(out(3) === "mixed: <EMAIL> then <URL> end")
+  }
+
+  test("vocabulary builder: document frequency, deterministic ties") {
+    val v = TextAnalysis.taVocab(spark, sf, k = 20).collect()
+    assert(v.length === 20)
+    val freqs = v.map(_.getLong(1))
+    assert(freqs.toSeq === freqs.sorted(Ordering[Long].reverse).toSeq)
+    // doc frequency can never exceed the corpus size
+    val n = Tables.documents(spark, sf).count()
+    assert(freqs.forall(_ <= n))
+  }
+
   test("fingerprint shards spread across buckets") {
     val shards = TextAnalysis.taFingerprint(spark, sf)
       .select("shard").distinct().count()
