@@ -205,7 +205,45 @@ object RelationalMore {
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
 
+  // ── Q18 flavor: large-volume customers ──────────────────────────────
+  /** Orders whose total quantity exceeds a threshold, with their
+    * customers — the aggregate-then-semi-join shape: the HAVING
+    * aggregate runs map-side-combined on lineitem, its (small) result
+    * broadcasts into the orders join, so the fact table is scanned
+    * once and never re-shuffled. Top-100 via TakeOrderedAndProject. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(intSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        cents(col("o_totalprice")).as("price_cents"), col("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |  sum_qty
+      |FROM orders
+      |  JOIN (SELECT l_orderkey,
+      |          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |        FROM lineitem GROUP BY l_orderkey
+      |        HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) big
+      |    ON o_orderkey = big.l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |ORDER BY price_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_orders" -> (q18LargeOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -213,6 +251,7 @@ object RelationalMore {
     "q14_promo_effect" -> (q14PromoEffect _))
 
   val oracles: Map[String, String] = Map(
+    "q18_large_orders" -> q18Sql,
     "q7_volume_shipping" -> q7Sql,
     "q9_product_profit" -> q9Sql,
     "q10_returned_items" -> q10Sql,

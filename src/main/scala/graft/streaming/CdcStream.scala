@@ -164,4 +164,19 @@ object CdcStream {
   def resumeAfter(changes: Dataset[TxMutation], boundary: Long)
       : Dataset[TxMutation] =
     changes.filter(_.seq > boundary)
+
+  /** Full T9 handoff with the boundary made durable: snapshot → sink,
+    * boundary position → the [[PositionRepository]] (reference
+    * MySQLSnapshotter.scala:245-247 records `SHOW MASTER STATUS` so a
+    * later consumer starts exactly past the snapshot). Returns the
+    * boundary; a restart loads it back instead of re-snapshotting. */
+  def snapshotHandoff(snapshot: DataFrame, sinkDir: String,
+      positionCol: String, repo: PositionRepository,
+      consumerId: String, logName: String = "changelog"): Long = {
+    val boundary = snapshotBoundary(snapshot, sinkDir, positionCol)
+    // empty snapshot → Long.MinValue sentinel; persist 0 (positions are
+    // non-negative on the wire) — both mean "replay from the start"
+    repo.save(consumerId, BinlogPosition(logName, math.max(boundary, 0L)))
+    boundary
+  }
 }

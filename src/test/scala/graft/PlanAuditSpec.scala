@@ -44,6 +44,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 3, s"too many shuffles ($shuffles):\n$p")
   }
 
+  test("q18: the HAVING aggregate joins back via broadcast, fact scans once") {
+    val p = plan(graft.operators.RelationalMore.q18LargeOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 uses TakeOrdered")
+    assert(p.contains("partial_"), "quantity aggregate is map-side combined")
+  }
+
   test("change feed decode is a pure narrow projection (no shuffle)") {
     // the declared s2 query adds a final presentation orderBy for the
     // oracle hash; the operator itself must stay narrow

@@ -162,6 +162,27 @@ class TxPipelineSpec extends SparkSpec {
       "each mutation delivered exactly once across restarts")
   }
 
+  test("T9: handoff persists the boundary to the position repository") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.streaming.{BinlogPosition, CdcStream, TablePositionRepository}
+    val dir = java.nio.file.Files.createTempDirectory("handoff").toString
+    val repo = new TablePositionRepository(s"$dir/positions.tsv")
+    val snap = Seq((1L, 10L), (2L, 42L)).toDF("id", "seq")
+    val boundary = CdcStream.snapshotHandoff(snap, s"$dir/t", "seq",
+      repo, "consumer-1", "log-A")
+    assert(boundary === 42L)
+    assert(repo.load("consumer-1") === Some(BinlogPosition("log-A", 42L)),
+      "a restarting consumer reads the boundary instead of re-snapshotting")
+    // empty snapshot → sentinel boundary, persisted as replay-from-start
+    val empty = Seq.empty[(Long, Long)].toDF("id", "seq")
+    val b2 = CdcStream.snapshotHandoff(empty, s"$dir/t2", "seq",
+      repo, "consumer-2")
+    assert(b2 === Long.MinValue)
+    assert(repo.load("consumer-2") ===
+      Some(BinlogPosition("changelog", 0L)))
+  }
+
   test("T9: snapshot boundary excludes already-snapshotted positions") {
     val sparkS = spark
     import sparkS.implicits._
