@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector — the deployment-grade registration
+  * path for the engine's native expressions: point
+  * `spark.sql.extensions` at this class (or use
+  * `builder.withExtensions(new GraftExtensions)`) and every session
+  * built from that config exposes the functions in SQL, with no
+  * session-local install call. [[GraftCatalog.install]] remains the
+  * imperative per-session variant for notebooks/tests.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(str) - polynomial rolling hash of the UTF-8 bytes"),
+      (exprs: Seq[Expression]) =>
+        RollingHash(exprs.head, HashFunctions.DefaultBase)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(array<bigint>) - 64-bit SimHash of token hashes"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bigram_shingle_hashes"),
+      info("bigram_shingle_hashes",
+        "bigram_shingle_hashes(str) - distinct word-bigram shingle hashes"),
+      (exprs: Seq[Expression]) =>
+        BigramShingleHashes(exprs.head, HashFunctions.DefaultBase)))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - double-accumulated vector dot product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sq_l2"),
+      info("sq_l2",
+        "sq_l2(a, b) - squared L2 distance between vectors"),
+      (exprs: Seq[Expression]) => SqL2Distance(exprs(0), exprs(1))))
+  }
+}

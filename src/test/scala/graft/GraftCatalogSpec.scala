@@ -28,4 +28,30 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()
     assert(sh.forall(r => r.getInt(0) > 0))
   }
+
+  test("GraftExtensions injects the native functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    // build a sibling session over the same SparkContext with the
+    // extensions applied the deployment way (builder.withExtensions)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    assert(s2 ne spark, "extensions need a freshly built session")
+    val h = s2.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    assert(h === HashFunctions.rollingHashRef("abc"))
+    val d = s2.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d === 11.0)
+    // the injected functions are visible in the catalog
+    assert(s2.catalog.functionExists("simhash64"))
+    assert(s2.catalog.functionExists("sq_l2"))
+  }
 }

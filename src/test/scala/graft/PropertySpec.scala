@@ -131,6 +131,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TSV wire format: arbitrary fields (incl null/\\N/tabs) roundtrip") {
+    import graft.sources.ChangeLogSource
+    // strings with the full hazard set: tabs, newlines, CRs,
+    // backslashes, the \N sentinel itself, empty, unicode
+    val hazard = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("", "\\N", "\\\\N", "a\tb", "x\ny", "r\rs", "tail\\",
+        "héllo\t wörld", "\\t not a tab"),
+      Gen.option(Gen.asciiPrintableStr).map(_.orNull))
+    def parse(line: String): (String, String, String) = {
+      val f = line.split("\t", -1)
+      assert(f.length === 7, s"field count stable for: $line")
+      def str(s: String) =
+        if (s == ChangeLogSource.NullField) null
+        else ChangeLogSource.unescape(s)
+      (str(f(3)), str(f(4)), str(f(6)))
+    }
+    forAll(hazard, hazard, hazard) { (op, pk, value) =>
+      val line =
+        ChangeLogSource.renderLine(1L, 2L, "mutation", op, pk, 3L, value)
+      assert(!line.contains('\n') && !line.contains('\r'),
+        "rendered line never breaks the newline framing")
+      val (o, p, v) = parse(line)
+      assert(o === op && p === pk && v === value,
+        s"roundtrip for (${Option(op)}, ${Option(pk)}, ${Option(value)})")
+    }
+  }
+
   test("tx pipeline invariants over random event sequences") {
     import graft.streaming.TxPipeline
     import graft.streaming.TxPipeline.{ChangeEvent, emptyState}
