@@ -215,8 +215,17 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // convergence via the monotone label sum: labels only ever
+    // decrease, so an unchanged sum means a fixed point — one cheap
+    // aggregate per round instead of a next⋈old diff join. Decimal
+    // accumulation so arbitrary 64-bit ids can't overflow the sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = labels.isEmpty // no pairs → nothing to propagate
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
@@ -228,12 +237,11 @@ object Dedup {
           least(col("label"), coalesce(col("nbl"), col("label")))
             .as("label"))
         .persist()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

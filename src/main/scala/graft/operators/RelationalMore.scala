@@ -148,13 +148,18 @@ object RelationalMore {
     * keeps zero-order customers; the double aggregation is two
     * shuffles, the second over a tiny histogram. */
   def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
+    // aggregate orders BEFORE the outer join: the per-customer counts
+    // are customer-cardinality (small), so they broadcast into the
+    // preserved customer side — the raw orders table never rides
+    // through the join, and customer itself never shuffles
+    val perCust = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") =!= "1-URGENT")
-      .select("o_orderkey", "o_custkey")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
     Tables.customer(spark, dir)
-      .join(ord, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(broadcast(perCust), col("c_custkey") === col("o_custkey"),
+        "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
