@@ -72,11 +72,41 @@ object WindowedAgg {
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Sliding windows (1 h length, 30 min step): every event lands in
+    * exactly length/step = 2 windows. The batch analog assigns both
+    * window starts per row via explode — the same fan-out Structured
+    * Streaming's `window(ts, "1 hour", "30 minutes")` performs — and
+    * the oracle mirrors it with unnest, all in exact integer micros. */
+  def t13SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stepUs = 1800L * 1000000L
+    ChangeFeed.fromEvents(spark, dir)
+      .withColumn("b", expr(s"ts_us div ${stepUs}L"))
+      .select(col("event_type"),
+        explode(array(col("b") * stepUs, (col("b") - 1) * stepUs))
+          .as("window_start_us"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start_us", "event_type")
+  }
+
+  val t13Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql})
+       |SELECT window_start_us, event_type, COUNT(*) AS n
+       |FROM (
+       |  SELECT event_type,
+       |    unnest(list_value((ts_us // 1800000000) * 1800000000,
+       |      ((ts_us // 1800000000) - 1) * 1800000000)) AS window_start_us
+       |  FROM feed)
+       |GROUP BY window_start_us, event_type
+       |ORDER BY window_start_us, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_tumbling_window" -> (t10TumblingWindow _),
-    "t11_session_window" -> (t11SessionWindow _))
+    "t11_session_window" -> (t11SessionWindow _),
+    "t13_sliding_window" -> (t13SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
     "t10_tumbling_window" -> t10Sql,
-    "t11_session_window" -> t11Sql)
+    "t11_session_window" -> t11Sql,
+    "t13_sliding_window" -> t13Sql)
 }
