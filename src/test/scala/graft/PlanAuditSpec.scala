@@ -44,6 +44,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 3, s"too many shuffles ($shuffles):\n$p")
   }
 
+  test("q9: part/supplier/nation broadcast; one fact-side shuffle join") {
+    val p = plan(graft.operators.RelationalMore.q9ProductProfit(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters"), "p_name filter reaches the part scan")
+  }
+
+  test("q13: orders aggregate broadcasts into customer (no fact-through-join)") {
+    val p = plan(graft.operators.RelationalMore
+      .q13CustomerDistribution(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), "order counts map-side combined")
+  }
+
   test("q18: the HAVING aggregate joins back via broadcast, fact scans once") {
     val p = plan(graft.operators.RelationalMore.q18LargeOrders(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
