@@ -169,6 +169,71 @@ object Similarity {
       |  CAST(SUM(n_vecs) AS BIGINT) AS n_vecs, MIN(keeper) AS min_keeper
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  // ── bit-identical SQL oracles for the cosine queries ────────────────
+  /** DuckDB SQL mirroring [[dot]] bit-for-bit: `list_reduce` folds in
+    * index order with double accumulation — the exact IEEE operation
+    * sequence of the codegen'd DotProduct loop — so cosine values are
+    * BIT-IDENTICAL across engines and the similarity queries can be
+    * hash-compared, not just rows-checked. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Dot against a literal plane (Scala Double.toString round-trips
+    * exactly through DuckDB's correctly-rounded literal parser). */
+  private def planeDotSql(v: String, plane: Array[Double]): String = {
+    val lits = plane.mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, len($v) + 1), " +
+      s"i -> CAST($v[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"
+  }
+
+  /** The [[withLshKey]] bit-sum as SQL over the same literal planes. */
+  private def lshKeySql(v: String, bits: Int): String =
+    hyperplanes(bits).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDotSql(v, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val simTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+       |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+       |SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val simLshSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", LshBits)} AS lsh_key FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, lsh_key
+       |  FROM keyed WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_vec, lsh_key FROM keyed),
+       |scored AS (
+       |  SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+       |  FROM c JOIN q USING (lsh_key) WHERE q_id <> c_id)
+       |SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val simNearDupSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM keyed a JOIN keyed b
+       |  ON a.lsh_key = b.lsh_key AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+       |ORDER BY v1, v2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopK _),
     "sim_lsh_ann" -> (simLsh _),
@@ -176,5 +241,8 @@ object Similarity {
     "sim_neardup_cosine" -> (simNearDup _))
 
   def oracles: Map[String, String] = Map(
-    "sim_quantized_dedup" -> simQuantizedSql)
+    "sim_quantized_dedup" -> simQuantizedSql,
+    "sim_topk_bruteforce" -> simTopKSql,
+    "sim_lsh_ann" -> simLshSql,
+    "sim_neardup_cosine" -> simNearDupSql)
 }
