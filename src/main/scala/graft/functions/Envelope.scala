@@ -93,6 +93,14 @@ object Envelope {
   def slicePayload(envColName: String): Column =
     expr(s"substring($envColName, 5, length($envColName) - 4)")
 
+  /** Consumer-side frame guard: an envelope is well-formed iff it is
+    * long enough to hold the 4-byte header and leads with the MAGIC
+    * byte. Truncated or foreign-format messages must be filtered (or
+    * dead-lettered) BEFORE slicing — substring on a short binary
+    * yields silent garbage, not an error. */
+  def wellFormed(env: Column): Column =
+    length(env) >= 5 && sliceMagic(env) === lit(Magic)
+
   // ── F4: schema-compat validation ────────────────────────────────────
   /** A mutation is serializable iff every row column has a matching
     * schema field (reference KafkaSpecificAvroSerializer.scala:44-53;
@@ -125,10 +133,13 @@ object Envelope {
         concat_ws("_", col("database"), col("tbl"), lit("generic")))
   }
 
-  /** Consumer-side decode of [[serialize]]'s output. */
+  /** Consumer-side decode of [[serialize]]'s output. Ill-formed frames
+    * (truncated, wrong magic) are dropped up front — the reference's
+    * consumer skips undecodable messages rather than dying on them. */
   def deserialize(envelopes: DataFrame, registry: SchemaRegistry): DataFrame = {
     // single generic schema in this engine build: v1 for all subjects
     envelopes
+      .filter(wellFormed(col("envelope")))
       .withColumn("magic", sliceMagic(col("envelope")))
       .withColumn("mtype_decoded", sliceMtype(col("envelope")))
       .withColumn("schema_id_decoded", sliceSchemaId(col("envelope")))

@@ -140,6 +140,27 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("p").toSeq === Seq[Byte](1, 2, 3, 4))
   }
 
+  test("frame guard: truncated and foreign frames are dropped, not mangled") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val reg = new SchemaRegistry
+    val good = Envelope.serialize(
+      ChangeFeed.fromEvents(spark, sf).limit(3), reg)
+      .select("envelope")
+    val junk = Seq(
+      Array[Byte](), // empty
+      Array[Byte](0), // header cut short
+      Array[Byte](0, 1, 0, 1), // exactly header, no payload
+      Array[Byte](9, 1, 0, 1, 42) // wrong magic
+    ).toDF("envelope")
+    val mixed = good.unionByName(junk)
+    assert(mixed.filter(Envelope.wellFormed(col("envelope"))).count() === 3)
+    // deserialize survives the junk and decodes exactly the good rows
+    val decoded = Envelope.deserialize(mixed, reg)
+    assert(decoded.count() === 3)
+    assert(decoded.filter(col("magic") === Envelope.Magic).count() === 3)
+  }
+
   test("end-to-end envelope roundtrip matches the source feed") {
     val feed = ChangeFeed.fromEvents(spark, sf)
     val rt = Envelope.p5EnvelopeRoundtrip(spark, sf)

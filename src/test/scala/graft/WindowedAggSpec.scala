@@ -39,6 +39,34 @@ class WindowedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: every event lands in exactly length/step windows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // streaming semantics cross-check: Spark's native sliding window
+    // assigns the same 2 window-starts as the batch analog's explode
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "view"))
+      .toDF("ts", "event_type")
+    val native = events
+      .select(col("event_type"),
+        window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val analog = events
+      .withColumn("b", expr("unix_micros(ts) div 1800000000L"))
+      .select(col("event_type"),
+        explode(array(col("b") * 1800000000L,
+          (col("b") - 1) * 1800000000L)).as("ws"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native === analog,
+      "batch analog reproduces native sliding-window assignment")
+    // and the declared query's totals double-count exactly
+    val t13 = WindowedAgg.t13SlidingWindow(spark, sf)
+    val total = t13.agg(sum("n")).collect().head.getLong(0)
+    assert(total === 2 * Tables.events(spark, sf).count())
+  }
+
   test("batch tumbling buckets cover every event exactly once") {
     val buckets = WindowedAgg.t10TumblingWindow(spark, sf)
     val total = buckets.agg(sum("n")).collect().head.getLong(0)
