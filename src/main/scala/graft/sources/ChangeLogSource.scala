@@ -25,9 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (T5/T6).
   *
   * Deliberate semantics, mirroring the binlog:
-  *  - the stream is **single-partition** per micro-batch — a binlog is a
-  *    totally ordered serial log; parallelism begins *downstream*
-  *    (partition by connection/table), not at the tail (SURVEY §7.5);
+  *  - each log **segment** is serial — a binlog is a totally ordered
+  *    log; within a segment parallelism begins *downstream* (partition
+  *    by connection/table), not at the tail (SURVEY §7.5). When `path`
+  *    is a directory its name-sorted files are rotated segments of one
+  *    logical log (binlog FLUSH/rotate), the offset carries
+  *    (line, segment, byte), and a multi-segment BACKLOG replays with
+  *    one input partition per segment — parallel catch-up, serial tail;
   *  - `maxLinesPerTrigger` bounds a micro-batch (backpressure the
   *    reference lacks — its queues were unbounded);
   *  - offsets are monotone line counts; `commit` is a no-op because the
@@ -91,20 +95,28 @@ object ChangeLogSource {
     s"$conn\t$seq\t${escape(kind)}\t${renderField(op)}\t${renderField(pk)}\t$tsUs\t${renderField(value)}"
 }
 
-/** Offset = (line, byte) — the byte position lets a reader seek
-  * straight to its slice instead of skip-scanning from the top, and the
-  * line count keeps offsets human-debuggable (the `(file, pos)` shape
-  * of a binlog position). */
-case class ChangeLogOffset(line: Long, byte: Long) extends Offset {
-  override def json(): String = s"""{"line":$line,"byte":$byte}"""
+/** Offset = (line, seg, byte) — the global line count across all log
+  * segments, plus the (segment index, in-segment byte) of that line so
+  * a reader seeks straight to its slice. This is the `(file, pos)`
+  * shape of a binlog position generalized over rotation: when the
+  * writer rolls to a new segment file (binlog FLUSH/rotate), `seg`
+  * advances and `byte` resets, while `line` keeps the total order. */
+case class ChangeLogOffset(line: Long, seg: Int, byte: Long)
+    extends Offset {
+  override def json(): String =
+    s"""{"line":$line,"seg":$seg,"byte":$byte}"""
 }
 
 object ChangeLogOffset {
-  private val Pattern = """\{"line":(\d+),"byte":(\d+)\}""".r
+  private val Pattern3 =
+    """\{"line":(\d+),"seg":(\d+),"byte":(\d+)\}""".r
+  private val Pattern2 = """\{"line":(\d+),"byte":(\d+)\}""".r
   def parse(json: String): ChangeLogOffset = json match {
-    case Pattern(l, b) => ChangeLogOffset(l.toLong, b.toLong)
+    case Pattern3(l, s, b) => ChangeLogOffset(l.toLong, s.toInt, b.toLong)
+    case Pattern2(l, b) => // pre-rotation checkpoint: single segment
+      ChangeLogOffset(l.toLong, 0, b.toLong)
     case other => // legacy plain line number
-      ChangeLogOffset(other.trim.toLong, -1L)
+      ChangeLogOffset(other.trim.toLong, 0, -1L)
   }
 }
 
@@ -138,35 +150,46 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // Incremental line index: lineStarts(i) = byte offset of line i's
-  // first byte; refresh() scans only bytes appended since the last
-  // trigger, so a long-lived stream over a growing log does O(new
-  // bytes) work per trigger, not O(file). Only complete
-  // newline-terminated lines are admitted (a partially-flushed tail
-  // entry is invisible until its terminator lands — binlog semantics).
-  // At 100 TB scale this dense index becomes a sparse one (every Nth
-  // line) with a short scan from the nearest anchor.
-  private val lineStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
-  private var scannedBytes = 0L
+  // Incremental per-segment line index: lineStarts(i) = in-segment
+  // byte offset of line i's first byte; refresh() scans only bytes
+  // appended since the last trigger, so a long-lived stream over a
+  // growing log does O(new bytes) work per trigger, not O(file). Only
+  // complete newline-terminated lines are admitted (a partially-
+  // flushed tail entry is invisible until its terminator lands —
+  // binlog semantics). At 100 TB scale this dense index becomes a
+  // sparse one (every Nth line) with a short scan from the nearest
+  // anchor.
+  //
+  // ROTATION: if `path` is a directory, its files (sorted by name)
+  // are the rotated segments of one logical log — the binlog's
+  // FLUSH/rotate model. New segments may only be appended after
+  // existing ones; a segment stops growing once a later one exists.
+  // Historical replay parallelizes across segments (one input
+  // partition per segment slice) while the tail stays serial.
+  private final class SegmentIndex(val segPath: Path) {
+    val lineStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var scannedBytes = 0L
+    def lines: Long = lineStarts.length - 1L
+  }
 
-  private def refresh(): Unit = synchronized {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return
-    val len = fs.getFileStatus(p).getLen
-    if (len <= scannedBytes) return
-    val in = fs.open(p)
+  private val segments = scala.collection.mutable.ArrayBuffer[SegmentIndex]()
+
+  private def scanNewBytes(fs: org.apache.hadoop.fs.FileSystem,
+      seg: SegmentIndex): Unit = {
+    val len = fs.getFileStatus(seg.segPath).getLen
+    if (len <= seg.scannedBytes) return
+    val in = fs.open(seg.segPath)
     try {
-      in.seek(scannedBytes)
+      in.seek(seg.scannedBytes)
       val buf = new Array[Byte](64 * 1024)
-      var pos = scannedBytes
+      var pos = seg.scannedBytes
       var read = in.read(buf)
       while (read > 0) {
         var i = 0
         while (i < read) {
           if (buf(i) == '\n') {
-            lineStarts += pos + i + 1
-            scannedBytes = pos + i + 1
+            seg.lineStarts += pos + i + 1
+            seg.scannedBytes = pos + i + 1
           }
           i += 1
         }
@@ -176,7 +199,49 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     } finally in.close()
   }
 
-  private def totalLines: Long = lineStarts.length - 1L
+  private def refresh(): Unit = synchronized {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) return
+    val status = fs.getFileStatus(root)
+    val paths: Seq[Path] =
+      if (status.isDirectory)
+        fs.listStatus(root).filter(_.isFile).map(_.getPath)
+          .sortBy(_.getName).toSeq
+      else Seq(root)
+    require(paths.size >= segments.size &&
+      segments.zip(paths).forall { case (s, p) => s.segPath == p },
+      s"changelog segments must only be appended; known " +
+        s"${segments.map(_.segPath.getName)}, found ${paths.map(_.getName)}")
+    paths.drop(segments.size).foreach(p => segments += new SegmentIndex(p))
+    segments.foreach(s => scanNewBytes(fs, s))
+  }
+
+  private def totalLines: Long = segments.iterator.map(_.lines).sum
+
+  /** Offset fields (seg, byte) for a global line position: the
+    * location the NEXT read starts from. */
+  private def positionOf(line: Long): (Int, Long) = {
+    if (segments.isEmpty) return (0, 0L)
+    var base = 0L
+    var i = 0
+    while (i < segments.length) {
+      val s = segments(i)
+      if (line < base + s.lines || i == segments.length - 1) {
+        val in = math.min(line - base, s.lines)
+        return (i, s.lineStarts(in.toInt))
+      }
+      base += s.lines
+      i += 1
+    }
+    (segments.length - 1, segments.last.lineStarts.last)
+  }
+
+  private def endOffset: ChangeLogOffset = {
+    val t = totalLines
+    val (seg, byte) = positionOf(t)
+    ChangeLogOffset(t, seg, byte)
+  }
 
   // Trigger.AvailableNow snapshots the end position up front and drains
   // to it in rate-limited batches
@@ -184,39 +249,35 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
 
   override def prepareForTriggerAvailableNow(): Unit = {
     refresh()
-    availableNowTarget =
-      Some(ChangeLogOffset(totalLines, lineStarts.last))
+    availableNowTarget = Some(endOffset)
   }
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxLinesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxLinesPerTrigger)
 
-  override def initialOffset(): Offset = ChangeLogOffset(0L, 0L)
+  override def initialOffset(): Offset = ChangeLogOffset(0L, 0, 0L)
 
   /** Admission-controlled advance: at most `limit` lines past `start`,
     * never past the (possibly snapshotted) end of the log. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     refresh()
-    val end = availableNowTarget.getOrElse(
-      ChangeLogOffset(totalLines, lineStarts.last))
-    val s = start.asInstanceOf[ChangeLogOffset].line
+    val end = availableNowTarget.getOrElse(endOffset)
+    val s = start.asInstanceOf[ChangeLogOffset]
     val cappedLine = limit match {
-      case mr: ReadMaxRows => math.min(end.line, s + mr.maxRows())
+      case mr: ReadMaxRows => math.min(end.line, s.line + mr.maxRows())
       case _ => end.line
     }
-    if (cappedLine <= s) ChangeLogOffset(s,
-      start.asInstanceOf[ChangeLogOffset].byte)
-    else ChangeLogOffset(cappedLine, lineStarts(cappedLine.toInt))
+    if (cappedLine <= s.line) s
+    else {
+      val (seg, byte) = positionOf(cappedLine)
+      ChangeLogOffset(cappedLine, seg, byte)
+    }
   }
 
-  override def latestOffset(): Offset = {
-    refresh(); ChangeLogOffset(totalLines, lineStarts.last)
-  }
+  override def latestOffset(): Offset = { refresh(); endOffset }
 
-  override def reportLatestOffset(): Offset = {
-    refresh(); ChangeLogOffset(totalLines, lineStarts.last)
-  }
+  override def reportLatestOffset(): Offset = { refresh(); endOffset }
 
   override def deserializeOffset(json: String): Offset =
     ChangeLogOffset.parse(json)
@@ -224,18 +285,27 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** One partition per segment slice — a multi-segment backlog replays
+    * in parallel (each reader seeks within its own file); within a
+    * single segment the slice stays one serial partition (total order
+    * at the tail, SURVEY §7.5). */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[ChangeLogOffset]
     val e = end.asInstanceOf[ChangeLogOffset]
-    if (e.line <= s.line) Array.empty
-    else {
-      // resolve a missing byte position (legacy offset) via the index
-      val sByte =
-        if (s.byte >= 0) s.byte
-        else { refresh(); lineStarts(s.line.toInt) }
-      Array(ChangeLogInputPartition(path, s.line, e.line, sByte))
+    if (e.line <= s.line) return Array.empty
+    refresh() // idempotent; rebuilds the index after a restart
+    val parts = Array.newBuilder[InputPartition]
+    var base = 0L
+    segments.foreach { seg =>
+      val segStart = math.max(s.line - base, 0L)
+      val segEnd = math.min(e.line - base, seg.lines)
+      if (segEnd > segStart)
+        parts += ChangeLogInputPartition(seg.segPath.toString,
+          segStart, segEnd, seg.lineStarts(segStart.toInt))
+      base += seg.lines
     }
+    parts.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
