@@ -88,6 +88,13 @@ object ChangeLogSource {
   private def renderField(s: String): String =
     if (s == null) NullField else escape(s)
 
+  /** Anchor spacing of the sparse line index: the driver keeps one
+    * byte offset per this many lines (8 B / 4096 lines ≈ 2 MB for a
+    * billion-line log — a dense per-line index would be 8 GB of driver
+    * memory, a real scale-killer); readers seek to the anchor at or
+    * before their slice and skip at most granularity-1 lines. */
+  val DefaultIndexGranularity: Int = 4096
+
   /** TSV render of one change event (inverse of the reader). Nullable
     * fields (op, pk, value) accept null and render the `\N` sentinel. */
   def renderLine(conn: Long, seq: Long, kind: String, op: String,
@@ -127,10 +134,13 @@ class ChangeLogSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ChangeLogTable(properties.get("path"),
       Option(properties.get("maxLinesPerTrigger")).map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      Option(properties.get("indexGranularity")).map(_.toInt)
+        .getOrElse(ChangeLogSource.DefaultIndexGranularity))
 }
 
-class ChangeLogTable(path: String, maxLinesPerTrigger: Long)
+class ChangeLogTable(path: String, maxLinesPerTrigger: Long,
+    indexGranularity: Int)
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"changelog($path)"
@@ -142,23 +152,28 @@ class ChangeLogTable(path: String, maxLinesPerTrigger: Long)
       override def readSchema(): StructType = ChangeLogSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new ChangeLogMicroBatchStream(path, maxLinesPerTrigger)
+        new ChangeLogMicroBatchStream(path, maxLinesPerTrigger,
+          indexGranularity)
     }
 }
 
-class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
+class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long,
+    indexGranularity: Int = ChangeLogSource.DefaultIndexGranularity)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // Incremental per-segment line index: lineStarts(i) = in-segment
-  // byte offset of line i's first byte; refresh() scans only bytes
-  // appended since the last trigger, so a long-lived stream over a
-  // growing log does O(new bytes) work per trigger, not O(file). Only
-  // complete newline-terminated lines are admitted (a partially-
+  require(indexGranularity > 0, "indexGranularity must be positive")
+
+  // Incremental per-segment SPARSE line index: one anchor byte offset
+  // per `indexGranularity` lines (anchors(i) = byte of line i·g), so
+  // driver memory is lines/granularity · 8 B — a billion-line segment
+  // indexes in ~2 MB instead of the 8 GB a dense per-line index would
+  // take. refresh() scans only bytes appended since the last trigger
+  // (O(new bytes) per trigger, not O(file)); readers seek to the
+  // anchor at or before their slice and skip < granularity lines.
+  // Only complete newline-terminated lines are admitted (a partially-
   // flushed tail entry is invisible until its terminator lands —
-  // binlog semantics). At 100 TB scale this dense index becomes a
-  // sparse one (every Nth line) with a short scan from the nearest
-  // anchor.
+  // binlog semantics).
   //
   // ROTATION: if `path` is a directory, its files (sorted by name)
   // are the rotated segments of one logical log — the binlog's
@@ -167,9 +182,14 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
   // Historical replay parallelizes across segments (one input
   // partition per segment slice) while the tail stays serial.
   private final class SegmentIndex(val segPath: Path) {
-    val lineStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
+    val anchors = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var lines: Long = 0L
     var scannedBytes = 0L
-    def lines: Long = lineStarts.length - 1L
+    /** (anchor byte, lines to skip from there) for an in-segment line. */
+    def seekFor(line: Long): (Long, Long) = {
+      val a = math.min(line / indexGranularity, anchors.length - 1L).toInt
+      (anchors(a), line - a.toLong * indexGranularity)
+    }
   }
 
   private val segments = scala.collection.mutable.ArrayBuffer[SegmentIndex]()
@@ -188,8 +208,10 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
         var i = 0
         while (i < read) {
           if (buf(i) == '\n') {
-            seg.lineStarts += pos + i + 1
+            seg.lines += 1
             seg.scannedBytes = pos + i + 1
+            if (seg.lines % indexGranularity == 0)
+              seg.anchors += seg.scannedBytes
           }
           i += 1
         }
@@ -219,8 +241,9 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
 
   private def totalLines: Long = segments.iterator.map(_.lines).sum
 
-  /** Offset fields (seg, byte) for a global line position: the
-    * location the NEXT read starts from. */
+  /** Offset fields (seg, byte) for a global line position: the anchor
+    * at or before the line in its segment (readers skip the remainder;
+    * the byte is informational for humans and direct seeks). */
   private def positionOf(line: Long): (Int, Long) = {
     if (segments.isEmpty) return (0, 0L)
     var base = 0L
@@ -229,12 +252,12 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
       val s = segments(i)
       if (line < base + s.lines || i == segments.length - 1) {
         val in = math.min(line - base, s.lines)
-        return (i, s.lineStarts(in.toInt))
+        return (i, s.seekFor(in)._1)
       }
       base += s.lines
       i += 1
     }
-    (segments.length - 1, segments.last.lineStarts.last)
+    (segments.length - 1, segments.last.anchors.last)
   }
 
   private def endOffset: ChangeLogOffset = {
@@ -300,9 +323,11 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     segments.foreach { seg =>
       val segStart = math.max(s.line - base, 0L)
       val segEnd = math.min(e.line - base, seg.lines)
-      if (segEnd > segStart)
+      if (segEnd > segStart) {
+        val (anchorByte, skip) = seg.seekFor(segStart)
         parts += ChangeLogInputPartition(seg.segPath.toString,
-          segStart, segEnd, seg.lineStarts(segStart.toInt))
+          segStart, segEnd, anchorByte, skip)
+      }
       base += seg.lines
     }
     parts.result()
@@ -312,18 +337,20 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ChangeLogInputPartition]
       new ChangeLogPartitionReader(p.path, p.startLine, p.endLine,
-        p.startByte)
+        p.startByte, p.skipLines)
     }
 }
 
 case class ChangeLogInputPartition(path: String, startLine: Long,
-    endLine: Long, startByte: Long) extends InputPartition
+    endLine: Long, startByte: Long, skipLines: Long = 0L)
+    extends InputPartition
 
 /** Streams lines [startLine, endLine) of the log, parsing TSV into
   * InternalRows — the row-materialization step (S5) at the source.
-  * Seeks directly to the slice's byte offset (no skip-scan). */
+  * Seeks to the sparse-index anchor byte and skips at most
+  * granularity-1 lines to reach the slice. */
 class ChangeLogPartitionReader(path: String, startLine: Long,
-    endLine: Long, startByte: Long)
+    endLine: Long, startByte: Long, skipLines: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val in: BufferedReader = {
@@ -331,8 +358,11 @@ class ChangeLogPartitionReader(path: String, startLine: Long,
     val fs = p.getFileSystem(new Configuration())
     val stream = fs.open(p)
     stream.seek(startByte)
-    new BufferedReader(new InputStreamReader(stream,
+    val r = new BufferedReader(new InputStreamReader(stream,
       StandardCharsets.UTF_8))
+    var toSkip = skipLines
+    while (toSkip > 0 && r.readLine() != null) toSkip -= 1
+    r
   }
   private var pos = startLine
   private var current: InternalRow = _

@@ -40,6 +40,28 @@ class ChangeLogSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sparse index: mid-anchor slices seek + skip to the exact line") {
+    // granularity 4 with 7-line batches → every batch start lands
+    // between anchors, exercising the seek-then-skip path
+    val log = writeLog((1 to 25).map(i =>
+      ChangeLogSource.renderLine(1, i, "mutation", "insert", s"pk$i",
+        i * 1000L, s"v$i")))
+    val dir = Files.createTempDirectory("sparse").toString
+    val q = spark.readStream.format(fmt)
+      .option("path", log).option("maxLinesPerTrigger", "7")
+      .option("indexGranularity", "4")
+      .load()
+      .writeStream.format("memory").queryName("sparse_out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("sparse_out").orderBy("seq").collect()
+    assert(rows.length === 25)
+    assert(rows.map(_.getAs[Long]("seq")).toSeq === (1L to 25L))
+    assert(rows.map(_.getAs[String]("pk")).toSeq ===
+      (1 to 25).map(i => s"pk$i"))
+  }
+
   test("rotation: a directory of segments reads as one ordered log") {
     val dir = Files.createTempDirectory("segs")
     def seg(name: String, lines: Seq[String]): Unit =
