@@ -82,11 +82,69 @@ object TrainPrep {
       |  FROM documents)
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  /** End-to-end corpus curation — the training-data pipeline's pieces
+    * composed into one declarative plan: exact-dedup keeper selection
+    * → language gate (en) → quality gate → deterministic split
+    * assignment. Everything is narrow except the tiny keeper aggregate
+    * (8-byte hash shuffle) joined back as a semi-join; at 100 TB this
+    * is one corpus scan + one dedup shuffle. Oracle reproduces every
+    * stage in SQL, so the full composition is hash-verified. */
+  def tpCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(Stopwords))).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+      .cast("double")
+    val nChars = length(col("text")).cast("double")
+    val quality = (nStop / nTok) * lit(0.5d) +
+      (lit(1.0d) - nPunct / nChars) * lit(0.3d) +
+      least(nChars / nTok / lit(10.0d), lit(1.0d)) * lit(0.2d)
+    docs
+      .join(keepers, Seq("doc_id"), "left_semi") // dedup: keepers only
+      .withColumn("quality_score", quality)
+      .filter(col("lang") === "en" && col("quality_score") >= lit(0.44d))
+      .select(col("doc_id"), size(wsTokens(col("text"))).as("n_tokens"),
+        col("quality_score"), splitCol("doc_id").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val tpCurationSql: String =
+    """WITH keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |scored AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+      |    (CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |       x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) * 0.5
+      |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE)) * 0.3
+      |    + least(CAST(length(text) AS DOUBLE)
+      |        / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+      |        / 10.0, 1.0) * 0.2 AS quality_score
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers))
+      |SELECT doc_id, n_tokens, quality_score,
+      |  CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+      |             * 2654435761) % 100 < 80 THEN 'train'
+      |       WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+      |             * 2654435761) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM scored
+      |WHERE lang = 'en' AND quality_score >= 0.44
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
-    "ts_hash_split" -> (tsHashSplit _))
+    "ts_hash_split" -> (tsHashSplit _),
+    "tp_curation" -> (tpCuration _))
 
   val oracles: Map[String, String] = Map(
     "tc_chunking" -> tcChunkingSql(),
-    "ts_hash_split" -> tsHashSplitSql)
+    "ts_hash_split" -> tsHashSplitSql,
+    "tp_curation" -> tpCurationSql)
 }
