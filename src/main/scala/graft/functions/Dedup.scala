@@ -67,10 +67,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // join/shuffle on a 64-bit hash of the shingle, not the string —
     // same set cardinalities (collision-free at corpus scale), a
-    // fraction of the shuffle bytes
-    val shingles = bigramSets(docs)
+    // fraction of the shuffle bytes. The hashes come from the
+    // single-pass [[BigramShingleHashes]] expression (per-row distinct,
+    // no bigram strings materialized, no distinct() shuffle — the
+    // explode is the only wide child of the join).
+    val shingles = withShingleHashes(docs)
       .select(col("doc_id"), col("source"),
-        xxhash64(col("bigram")).as("bigram"))
+        explode(col("shingle_hashes")).as("bigram"))
     val sizes = shingles.groupBy("doc_id")
       .agg(count(lit(1)).as("set_size"))
     val a = shingles.alias("a")
