@@ -210,6 +210,40 @@ object RelationalMore {
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
 
+  // ── Q12 flavor: shipping delay by priority ──────────────────────────
+  /** Late-shipment accounting (the testdata has no l_shipmode /
+    * commitdate, so the Q12 pivot runs on o_orderpriority and
+    * "late" = shipped more than 90 days after the order date —
+    * interval arithmetic on exact timestamp micros, engine-portable).
+    * One fact shuffle on the order key; conditional counts are
+    * map-side combined. */
+  def q12ShippingDelay(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00"))
+      .select("l_orderkey", "l_shipdate")
+    li.join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("late_lines"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ── Q18 flavor: large-volume customers ──────────────────────────────
   /** Orders whose total quantity exceeds a threshold, with their
     * customers — the aggregate-then-semi-join shape: the HAVING
@@ -248,6 +282,7 @@ object RelationalMore {
       |LIMIT 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_shipping_delay" -> (q12ShippingDelay _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -256,6 +291,7 @@ object RelationalMore {
     "q14_promo_effect" -> (q14PromoEffect _))
 
   val oracles: Map[String, String] = Map(
+    "q12_shipping_delay" -> q12Sql,
     "q18_large_orders" -> q18Sql,
     "q7_volume_shipping" -> q7Sql,
     "q9_product_profit" -> q9Sql,
