@@ -82,6 +82,59 @@ object TrainPrep {
       |  FROM documents)
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  /** 64-bit hashes of all word n-grams of a text column (empty array
+    * when the doc is shorter than n). The n-gram STRINGS never leave
+    * the row — downstream joins carry 8-byte hashes. At 100 TB, fold
+    * this into a single-pass native expression like
+    * [[BigramShingleHashes]]; the HOF form keeps the semantics
+    * readable and the collision behavior identical. */
+  def ngramHashes(text: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column = {
+    val toks = split(text, "\\s+")
+    when(org.apache.spark.sql.functions.size(toks) >= n,
+      transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Benchmark decontamination — the n-gram collision check a training
+    * pipeline runs before shipping a corpus (the GPT-3 / Pile-style
+    * 13-gram overlap rule): flag every training document sharing at
+    * least one word n-gram with the held-out eval set. Both sides
+    * reduce to 64-bit n-gram hashes, the eval side is a distinct
+    * (small) hash set, and the check is a hash join — never a doc×doc
+    * scan. The declared query uses n=3 so the check is non-vacuous on
+    * the synthetic corpus (real deployments use n≈13; it's a
+    * parameter). Eval set here: doc_id % 97 = 0 stand-ins. */
+  def dcDecontamination(spark: SparkSession, dir: String, n: Int = 3)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  def dcDecontaminationSql(n: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |    i -> array_to_string(a[i:i+$n-1], ' '))) AS g
+       |  FROM toks WHERE len(a) >= $n),
+       |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_shared
+       |FROM grams gr JOIN eval_g USING (g)
+       |WHERE gr.doc_id % 97 <> 0
+       |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin
+
   /** End-to-end corpus curation — the training-data pipeline's pieces
     * composed into one declarative plan: exact-dedup keeper selection
     * → language gate (en) → quality gate → deterministic split
@@ -141,10 +194,13 @@ object TrainPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
     "ts_hash_split" -> (tsHashSplit _),
-    "tp_curation" -> (tpCuration _))
+    "tp_curation" -> (tpCuration _),
+    "dc_decontamination" ->
+      ((s: SparkSession, d: String) => dcDecontamination(s, d)))
 
   val oracles: Map[String, String] = Map(
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,
-    "tp_curation" -> tpCurationSql)
+    "tp_curation" -> tpCurationSql,
+    "dc_decontamination" -> dcDecontaminationSql())
 }

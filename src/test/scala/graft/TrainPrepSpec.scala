@@ -43,6 +43,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(got === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with eval") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // eval doc 0 (id % 97 == 0) + one train doc copying a 5-gram from
+    // it + clean train docs: only the contaminated doc is flagged
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "totally unrelated words here without overlap"),
+      (2L, "prefix beta gamma delta epsilon zeta suffix"), // contaminated
+      (3L, "more clean content that shares nothing at all"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      explode(TrainPrep.ngramHashes(col("text"), 5)).as("g"))
+    val evalG = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    val flagged = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalG, "g").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(2L))
+    // docs shorter than n produce an empty gram set, not a crash
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(TrainPrep.ngramHashes(col("text"), 5).as("g"))
+      .collect().head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("hash split: deterministic, complete, roughly 80/10/10") {
     val split1 = TrainPrep.tsHashSplit(spark, sf).collect()
     val split2 = TrainPrep.tsHashSplit(spark, sf).collect()
