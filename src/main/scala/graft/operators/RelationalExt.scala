@@ -63,6 +63,34 @@ object RelationalExt {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** Trailing 30-day revenue per customer — a RANGE frame over the
+    * integer epoch-day of the order date (value-based frames behave
+    * identically on exact integers in both engines, unlike timestamp
+    * frames with tz semantics). Same one-shuffle-per-key shape as w1. */
+  def w3RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_epoch_day")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("o_epoch_day", // NTZ parquet date → UTC-pinned micros
+        expr("unix_micros(to_utc_timestamp(o_orderdate, 'UTC')) " +
+          "div 86400000000L"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_epoch_day"),
+        sum(cents(col("o_totalprice"))).over(w).as("trailing30_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val w3Sql: String =
+    """SELECT o_custkey, o_orderkey, o_epoch_day,
+      |  SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_epoch_day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing30_cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS o_epoch_day,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ── grouping sets / rollup ──────────────────────────────────────────
   /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
     * with NULL group keys, exact integer measures. */
@@ -308,6 +336,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_running_total" -> (w1RunningTotal _),
     "w2_top_orders" -> (w2TopOrders _),
+    "w3_range_window" -> (w3RangeWindow _),
     "g1_rollup" -> (g1Rollup _),
     "g2_distinct_count" -> (g2DistinctCount _),
     "g3_cube" -> (g3Cube _),
@@ -323,6 +352,7 @@ object RelationalExt {
   val oracles: Map[String, String] = Map(
     "w1_running_total" -> w1Sql,
     "w2_top_orders" -> w2Sql,
+    "w3_range_window" -> w3Sql,
     "g1_rollup" -> g1Sql,
     "g2_distinct_count" -> g2Sql,
     "g3_cube" -> g3Sql,
