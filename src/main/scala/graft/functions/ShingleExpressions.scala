@@ -76,9 +76,68 @@ case class BigramShingleHashes(child: Expression, base: Long)
     copy(child = c)
 }
 
+/** Single-pass word n-gram hasher (the decontamination primitive):
+  * text → rolling hash of every n consecutive tokens joined by a
+  * single space, duplicates preserved in position order. One scan over
+  * the UTF-8 bytes, no token or n-gram strings materialized — replaces
+  * an interpreted split+slice+join+hash HOF chain that was the
+  * slowest stage of the dc_decontamination bench query. Tokens are
+  * `split("\\s+", -1)` segments like [[BigramShingleHashes]]. */
+case class NgramHashes(child: Expression, n: Int, base: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n-gram width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    val starts = new mutable.ArrayBuffer[Int](32)
+    val ends = new mutable.ArrayBuffer[Int](32)
+    var i = 0
+    var tokStart = 0
+    while (i <= len) {
+      if (i == len || isWs(bytes(i))) {
+        starts += tokStart; ends += i
+        i += 1
+        while (i < len && isWs(bytes(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    val k = starts.length
+    if (k < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](k - n + 1)
+    var t = 0
+    while (t <= k - n) {
+      var h = 0L
+      var w = 0
+      while (w < n) {
+        var j = starts(t + w)
+        while (j < ends(t + w)) { h = h * base + (bytes(j) & 0xff); j += 1 }
+        if (w < n - 1) h = h * base + 0x20 // the joining space
+        w += 1
+      }
+      out(t) = h
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ShingleFunctions {
   def bigram_shingle_hashes(c: Column,
       base: Long = HashFunctions.DefaultBase): Column =
     ColumnBridge.column(
       BigramShingleHashes(ColumnBridge.expression(c), base))
+
+  def ngram_hashes(c: Column, n: Int,
+      base: Long = HashFunctions.DefaultBase): Column =
+    ColumnBridge.column(
+      NgramHashes(ColumnBridge.expression(c), n, base))
 }

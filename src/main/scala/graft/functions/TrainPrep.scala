@@ -83,20 +83,12 @@ object TrainPrep {
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
   /** 64-bit hashes of all word n-grams of a text column (empty array
-    * when the doc is shorter than n). The n-gram STRINGS never leave
-    * the row — downstream joins carry 8-byte hashes. At 100 TB, fold
-    * this into a single-pass native expression like
-    * [[BigramShingleHashes]]; the HOF form keeps the semantics
-    * readable and the collision behavior identical. */
+    * when the doc is shorter than n) — the single-pass [[NgramHashes]]
+    * expression: one scan over the bytes, no token/n-gram strings
+    * materialized, downstream joins carry 8-byte hashes. */
   def ngramHashes(text: org.apache.spark.sql.Column, n: Int)
-      : org.apache.spark.sql.Column = {
-    val toks = split(text, "\\s+")
-    when(org.apache.spark.sql.functions.size(toks) >= n,
-      transform(
-        sequence(lit(0), org.apache.spark.sql.functions.size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+      : org.apache.spark.sql.Column =
+    ShingleFunctions.ngram_hashes(text, n)
 
   /** Benchmark decontamination — the n-gram collision check a training
     * pipeline runs before shipping a corpus (the GPT-3 / Pile-style

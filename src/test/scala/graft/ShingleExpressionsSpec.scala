@@ -47,4 +47,35 @@ class ShingleExpressionsSpec extends SparkSpec {
       .filter(not(col("expected") === col("got"))).count()
     assert(bad === 0)
   }
+
+  test("ngram_hashes: n=2 distinct equals the bigram shingle hasher") {
+    // NgramHashes preserves duplicates in position order; first-
+    // occurrence distinct of its n=2 output must equal the dedicated
+    // bigram expression exactly (same rolling hash, same space join)
+    val docs = Tables.documents(spark, sf).limit(200)
+    val bad = docs.select(
+        array_distinct(graft.functions.ShingleFunctions
+          .ngram_hashes(col("text"), 2)).as("a"),
+        graft.functions.ShingleFunctions
+          .bigram_shingle_hashes(col("text")).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(bad === 0)
+  }
+
+  test("ngram_hashes: positions and values match a driver-side reference") {
+    import graft.functions.HashFunctions.rollingHashRef
+    val sparkS = spark
+    import sparkS.implicits._
+    val samples = Seq("a b c d", "one", "", "x y", "  lead", "trail ")
+    val got = samples.toDF("s")
+      .select(graft.functions.ShingleFunctions.ngram_hashes(col("s"), 3)
+        .as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val expected = samples.map { s =>
+      val toks = s.split("\\s+", -1).toSeq
+      if (toks.length < 3) Seq.empty[Long]
+      else toks.sliding(3).map(w => rollingHashRef(w.mkString(" "))).toSeq
+    }
+    assert(got.toSeq === expected)
+  }
 }
