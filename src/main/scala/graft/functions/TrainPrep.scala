@@ -82,6 +82,40 @@ object TrainPrep {
       |  FROM documents)
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
+  /** Deterministic stratified sampling: keep a fixed per-stratum
+    * percentage by thresholding the same overflow-safe id hash the
+    * splits use — reproducible on any engine/run (no RNG state), and
+    * the SAMPLE decision for a row never changes as the corpus grows,
+    * which is what makes incremental dataset rebuilds stable. Rates
+    * are whole percents per stratum; unlisted strata are dropped. */
+  def tsStratifiedSample(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 50, "de" -> 20, "zh" -> 100))
+      : DataFrame = {
+    val rateCol = rates.foldLeft(lit(-1)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("__rate", rateCol)
+      .filter(expr(splitHash("doc_id")) < col("__rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  val tsStratifiedSampleSql: String =
+    """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+      |  MAX(doc_id) AS max_id
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761) % 100
+      |      AS h,
+      |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'zh' THEN 100
+      |      ELSE -1 END AS rate
+      |  FROM documents)
+      |WHERE h < rate
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** 64-bit hashes of all word n-grams of a text column (empty array
     * when the doc is shorter than n) — the single-pass [[NgramHashes]]
     * expression: one scan over the bytes, no token/n-gram strings
@@ -186,6 +220,8 @@ object TrainPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
     "ts_hash_split" -> (tsHashSplit _),
+    "ts_stratified_sample" ->
+      ((s: SparkSession, d: String) => tsStratifiedSample(s, d)),
     "tp_curation" -> (tpCuration _),
     "dc_decontamination" ->
       ((s: SparkSession, d: String) => dcDecontamination(s, d)))
@@ -193,6 +229,7 @@ object TrainPrep {
   val oracles: Map[String, String] = Map(
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,
+    "ts_stratified_sample" -> tsStratifiedSampleSql,
     "tp_curation" -> tpCurationSql,
     "dc_decontamination" -> dcDecontaminationSql())
 }
