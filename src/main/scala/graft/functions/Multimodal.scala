@@ -98,6 +98,43 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
+  /** Clip segmentation: split each video's frame range into
+    * fixed-length clips (the temporal analog of token-window chunking —
+    * the unit a video encoder or captioner consumes). Pure integer
+    * algebra + one explode; no shuffle. */
+  def clipSegments(media: DataFrame, clipLen: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("n_clips",
+        expr(s"CAST((n_frames + $clipLen - 1) div $clipLen AS INT)"))
+      .select(col("media_id"), col("n_frames"),
+        explode(expr(s"transform(sequence(0, n_clips - 1), " +
+          s"i -> struct(i * $clipLen AS first_frame, " +
+          s"least((i + 1) * $clipLen, n_frames) - 1 AS last_frame))"))
+          .as("clip"))
+      .select(col("media_id"), col("n_frames"),
+        col("clip.first_frame").as("first_frame"),
+        col("clip.last_frame").as("last_frame"))
+      .orderBy("media_id", "first_frame")
+
+  def mmClipSegments(spark: SparkSession, dir: String): DataFrame =
+    clipSegments(syntheticMedia(spark, dir), clipLen = 24)
+
+  val mmClipSegmentsSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    CAST((n_chars % 100) + 1 AS INT) AS n_frames
+      |  FROM documents),
+      |v AS (SELECT media_id, n_frames,
+      |        CAST((n_frames + 23) // 24 AS INT) AS n_clips
+      |      FROM media WHERE kind = 'video')
+      |SELECT media_id, n_frames,
+      |  CAST(unnest(list_transform(range(0, n_clips), i -> i * 24)) AS INT)
+      |    AS first_frame,
+      |  CAST(unnest(list_transform(range(0, n_clips),
+      |    i -> least((i + 1) * 24, n_frames) - 1)) AS INT) AS last_frame
+      |FROM v ORDER BY media_id, first_frame""".stripMargin
+
   // ── queries ─────────────────────────────────────────────────────────
   /** Metadata plumbing end-to-end (oracle-checked): synthesis, resize
     * planning, frame-sample counts — all exact integer arithmetic. */
@@ -145,8 +182,10 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta_extract" -> (mmMetaExtract _),
+    "mm_clip_segments" -> (mmClipSegments _),
     "mm_decode_features" -> (mmDecodeFeatures _))
 
   def oracles: Map[String, String] = Map(
-    "mm_meta_extract" -> mmMetaExtractSql)
+    "mm_meta_extract" -> mmMetaExtractSql,
+    "mm_clip_segments" -> mmClipSegmentsSql)
 }

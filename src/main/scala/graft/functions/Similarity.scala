@@ -169,6 +169,50 @@ object Similarity {
       |  CAST(SUM(n_vecs) AS BIGINT) AS n_vecs, MIN(keeper) AS min_keeper
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  // ── int8 quantization (embedding storage compression) ──────────────
+  /** Symmetric per-vector int8 quantization — the storage-compression
+    * step an embedding lake runs before writing (4x smaller than
+    * float32; scale = 127 / max|x| per vector). All arithmetic is the
+    * same IEEE sequence on both engines (array_max is order-
+    * insensitive; quantized values go through the floor(x+0.5) idiom),
+    * so the summary is hash-verified. Zero vectors quantize to zeros. */
+  def simInt8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val q = transform(col("embedding"), x =>
+      when(col("__maxabs") === 0d, lit(0L)).otherwise(
+        floor(x.cast("double") * lit(127.0d) / col("__maxabs") + lit(0.5d))
+          .cast("long")))
+    Tables.embeddings(spark, dir)
+      .withColumn("__maxabs", maxabs)
+      .withColumn("__q", q)
+      .select(col("vec_id"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(col("__q"), x => abs(x) === 127L)).as("n_sat"))
+      .orderBy("vec_id")
+  }
+
+  val simInt8QuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CASE WHEN m = 0 THEN 0
+      |           ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+      |                     AS BIGINT) END) AS qv
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      list_max(list_transform(embedding,
+      |        x -> abs(CAST(x AS DOUBLE)))) AS m
+      |    FROM embeddings))
+      |SELECT vec_id,
+      |  CAST(list_min(qv) AS BIGINT) AS q_min,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ── bit-identical SQL oracles for the cosine queries ────────────────
   /** DuckDB SQL mirroring [[dot]] bit-for-bit: `list_reduce` folds in
     * index order with double accumulation — the exact IEEE operation
@@ -238,10 +282,12 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopK _),
     "sim_lsh_ann" -> (simLsh _),
     "sim_quantized_dedup" -> (simQuantized _),
+    "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_neardup_cosine" -> (simNearDup _))
 
   def oracles: Map[String, String] = Map(
     "sim_quantized_dedup" -> simQuantizedSql,
+    "sim_int8_quantize" -> simInt8QuantizeSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "sim_lsh_ann" -> simLshSql,
     "sim_neardup_cosine" -> simNearDupSql)

@@ -279,6 +279,60 @@ object RelationalExt {
        |  AND b.ts_us <= a.ts_us + 600000000
        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  // ── funnel analysis ─────────────────────────────────────────────────
+  /** Sequential conversion funnel over the event stream: per user, the
+    * first view, the first click AT OR AFTER that view, the first
+    * purchase at or after that click — order-respecting stage
+    * attribution (a click before any view doesn't count), the classic
+    * product-analytics operator. Three aggregates over the feed with
+    * per-user equi-joins; exact integer micros throughout. */
+  def ev1Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.sources.ChangeFeed.fromEvents(spark, dir)
+      .select("user_id", "event_type", "ts_us")
+    val views = feed.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val clicks = feed.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts_us") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts_us") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1).as("stage"),
+        col("t_view"),
+        coalesce(col("t_click"), lit(-1L)).as("t_click"),
+        coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  val ev1Sql: String =
+    s"""WITH feed AS (${graft.sources.ChangeFeed.feedSql}),
+       |v AS (SELECT user_id, MIN(ts_us) AS t_view FROM feed
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT f.user_id, MIN(f.ts_us) AS t_click
+       |      FROM feed f JOIN v USING (user_id)
+       |      WHERE f.event_type = 'click' AND f.ts_us >= v.t_view
+       |      GROUP BY f.user_id),
+       |p AS (SELECT f.user_id, MIN(f.ts_us) AS t_purchase
+       |      FROM feed f JOIN c USING (user_id)
+       |      WHERE f.event_type = 'purchase' AND f.ts_us >= c.t_click
+       |      GROUP BY f.user_id)
+       |SELECT v.user_id,
+       |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+       |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS stage,
+       |  v.t_view,
+       |  COALESCE(c.t_click, -1) AS t_click,
+       |  COALESCE(p.t_purchase, -1) AS t_purchase
+       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
   // ── integer math / bitwise scalar library ───────────────────────────
   /** Math + bitwise scalar functions over exact integers (float
     * transcendentals — pow/exp/log — are deliberately excluded from the
@@ -345,6 +399,7 @@ object RelationalExt {
     "j1_semi_anti" -> (j1SemiAnti _),
     "f2_json_extract" -> (f2JsonExtract _),
     "d1_date_buckets" -> (d1DateBuckets _),
+    "ev1_funnel" -> (ev1Funnel _),
     "m1_int_math" -> (m1IntMath _),
     "r1_range_join" -> (r1RangeJoin _),
     "str1_functions" -> (str1Functions _))
@@ -361,6 +416,7 @@ object RelationalExt {
     "j1_semi_anti" -> j1Sql,
     "f2_json_extract" -> f2Sql,
     "d1_date_buckets" -> d1Sql,
+    "ev1_funnel" -> ev1Sql,
     "m1_int_math" -> m1Sql,
     "r1_range_join" -> r1Sql,
     "str1_functions" -> str1Sql)
