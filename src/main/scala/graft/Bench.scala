@@ -39,24 +39,44 @@ object Bench {
         val cold = once(); val warm = once()
         name -> (if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".format(v)
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // JSON lines found there (rounds 1-2: the full per-query line grew
+    // past 2000 chars, was truncated mid-line, and recorded parsed:null).
+    // Emit a stdout line guaranteed to fit — ms precision, slowest
+    // queries first, truncated to a hard budget — and mirror the
+    // full-precision map to BENCH_LAST.json.
+    val budget = 1600 // < 2000 minus sbt's trailing [success] line
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":{"""
+    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 60 // reserve room for closing + omitted note
+    var omitted = 0
+    bySlowest.foreach { case (k, v) =>
+      val p = s"\"" + k + "\":" + fmt(v)
+      if (len + p.length + 1 <= budget) { parts += p; len += p.length + 1 }
+      else omitted += 1
+    }
+    val note =
+      if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
+    val stdoutJson = head + parts.mkString(",") + "}" + note + "}"
     spark.stop()
-    // the JSON must land alone on one stdout line for the driver's
-    // parser (round 1 emitted it amid sbt/Spark noise → parsed:null);
-    // stop Spark first, flush stderr, then print with a leading newline
-    // and mirror to a file as a belt-and-braces artifact
     System.err.flush()
     println()
-    println(json)
+    println(stdoutJson)
     System.out.flush()
     try {
       val w = new java.io.PrintWriter("BENCH_LAST.json")
-      try w.println(json) finally w.close()
+      try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
   }
 }

@@ -248,6 +248,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a component with diameter > maxIters would return partially-
+    // propagated labels — one duplicate cluster silently split into
+    // several "keepers". Fail loudly so callers raise maxIters (near-
+    // dup clusters have tiny diameters; hitting this means the pair
+    // graph is pathological, which is worth knowing about).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "a component has diameter > maxIters — raise maxIters")
     labels
   }
 

@@ -132,7 +132,15 @@ object TrainPrep {
     * (small) hash set, and the check is a hash join — never a doc×doc
     * scan. The declared query uses n=3 so the check is non-vacuous on
     * the synthetic corpus (real deployments use n≈13; it's a
-    * parameter). Eval set here: doc_id % 97 = 0 stand-ins. */
+    * parameter). Eval set here: doc_id % 97 = 0 stand-ins.
+    *
+    * Collision caveat: `n_shared` counts distinct 64-bit n-gram HASHES
+    * while the oracle counts distinct n-gram STRINGS. A 64-bit
+    * collision between two grams of one doc would make the counts
+    * diverge — birthday bound needs ~2^32 grams in a single document,
+    * orders of magnitude past any real doc, so the hashed count is the
+    * deliberate scale choice (8-byte join keys, no gram strings ever
+    * shuffled). */
   def dcDecontamination(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
     val docs = Tables.documents(spark, dir)

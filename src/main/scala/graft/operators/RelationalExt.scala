@@ -35,9 +35,9 @@ object RelationalExt {
 
   val w1Sql: String =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-      |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |          ROWS UNBOUNDED PRECEDING) AS running_cents
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Top-3 orders per customer by price (rank window + filter —
@@ -49,7 +49,8 @@ object RelationalExt {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        cents(col("o_totalprice")).as("price_cents"), col("rk"))
+        cents(col("o_totalprice")).as("price_cents"),
+        col("rk").cast("long").as("rk")) // DuckDB ROW_NUMBER() is BIGINT
       .orderBy("o_custkey", "rk")
   }
 
@@ -82,8 +83,8 @@ object RelationalExt {
 
   val w3Sql: String =
     """SELECT o_custkey, o_orderkey, o_epoch_day,
-      |  SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_epoch_day
-      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing30_cents
+      |  CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_epoch_day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing30_cents
       |FROM (
       |  SELECT o_custkey, o_orderkey,
       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS o_epoch_day,

@@ -185,6 +185,11 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long,
     val anchors = scala.collection.mutable.ArrayBuffer[Long](0L)
     var lines: Long = 0L
     var scannedBytes = 0L
+    /** byte length captured when this segment stopped being the tail;
+      * a rotated segment growing afterwards would silently renumber
+      * every later global line, so it is a hard error (-1 = still
+      * the active tail, unfrozen). */
+    var frozenLen: Long = -1L
     /** (anchor byte, lines to skip from there) for an in-segment line. */
     def seekFor(line: Long): (Long, Long) = {
       val a = math.min(line / indexGranularity, anchors.length - 1L).toInt
@@ -221,6 +226,37 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long,
     } finally in.close()
   }
 
+  /** Natural name order: digit runs compare as numbers, so an unpadded
+    * rotation `log.9` → `log.10` still sorts after (plain lexicographic
+    * would order the new segment first and kill the stream on the
+    * append-only check). */
+  private def naturalLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i); val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        var i2 = i; while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        var j2 = j; while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        // strip leading zeros, then compare by length then digits
+        var i1 = i; while (i1 < i2 - 1 && a.charAt(i1) == '0') i1 += 1
+        var j1 = j; while (j1 < j2 - 1 && b.charAt(j1) == '0') j1 += 1
+        val la = i2 - i1; val lb = j2 - j1
+        if (la != lb) return la < lb
+        var k = 0
+        while (k < la) {
+          val d = a.charAt(i1 + k) - b.charAt(j1 + k)
+          if (d != 0) return d < 0
+          k += 1
+        }
+        i = i2; j = j2
+      } else {
+        if (ca != cb) return ca < cb
+        i += 1; j += 1
+      }
+    }
+    a.length - i < b.length - j
+  }
+
   private def refresh(): Unit = synchronized {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
@@ -229,14 +265,32 @@ class ChangeLogMicroBatchStream(path: String, maxLinesPerTrigger: Long,
     val paths: Seq[Path] =
       if (status.isDirectory)
         fs.listStatus(root).filter(_.isFile).map(_.getPath)
-          .sortBy(_.getName).toSeq
+          .sortWith((x, y) => naturalLess(x.getName, y.getName)).toSeq
       else Seq(root)
     require(paths.size >= segments.size &&
       segments.zip(paths).forall { case (s, p) => s.segPath == p },
       s"changelog segments must only be appended; known " +
         s"${segments.map(_.segPath.getName)}, found ${paths.map(_.getName)}")
     paths.drop(segments.size).foreach(p => segments += new SegmentIndex(p))
-    segments.foreach(s => scanNewBytes(fs, s))
+    segments.zipWithIndex.foreach { case (s, i) =>
+      val isTail = i == segments.length - 1
+      if (s.frozenLen >= 0) {
+        // rotated segments must not grow: appended bytes would shift
+        // every later segment's global line numbers and corrupt
+        // checkpointed offsets into replays/skips — fail loudly.
+        val len = fs.getFileStatus(s.segPath).getLen
+        require(len == s.frozenLen,
+          s"rotated changelog segment ${s.segPath.getName} grew after " +
+            s"rotation (${s.frozenLen} -> $len bytes); rotated segments " +
+            "are immutable")
+      } else {
+        scanNewBytes(fs, s)
+        // freeze at the real byte length, not scannedBytes: a rotated
+        // segment may end without a trailing newline and those bytes
+        // are (correctly) never admitted, but they aren't growth
+        if (!isTail) s.frozenLen = fs.getFileStatus(s.segPath).getLen
+      }
+    }
   }
 
   private def totalLines: Long = segments.iterator.map(_.lines).sum
