@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.RelationalSql.queries ++ operators.RelationalMore.queries ++
+      operators.RelationalThird.queries ++
       operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.SpecificEnvelope.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.RelationalSql.oracles ++ operators.RelationalMore.oracles ++
+      operators.RelationalThird.oracles ++
       operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.SpecificEnvelope.oracles ++

@@ -205,6 +205,70 @@ object TextAnalysis {
        |ORDER BY doc_freq DESC, token
        |LIMIT $k""".stripMargin
 
+  // ── repetition scoring (Gopher-style quality rule) ──────────────────
+  /** Within-document repetition: duplicate-token fraction and the share
+    * of the most frequent token/bigram — the Gopher/MassiveText "rep"
+    * filters that catch boilerplate and degenerate generations. Computed
+    * as explode → two-level aggregate (per-(doc,gram) counts partial-
+    * aggregate map-side, then one small per-doc rollup), so the corpus
+    * text never shuffles — only (doc_id, 8-byte-ish gram, count) rows.
+    * Ratios are single divisions of exact counts. */
+  def taRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val tokStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tok"), count(lit(1)).as("n_uniq"),
+        max("c").as("top_tok_cnt"))
+    val bigrams = docs.select(col("doc_id"),
+        wsTokens(col("text")).as("a"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(a, 1, size(a) - 1), (t, i) -> concat(t, ' ', a[i + 1]))"))
+        .as("g"))
+    val biStats = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigram"), max("c").as("top_bigram_cnt"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        (lit(1.0d) - col("n_uniq").cast("double") / col("n_tok").cast("double"))
+          .as("dup_tok_frac"),
+        (col("top_tok_cnt").cast("double") / col("n_tok").cast("double"))
+          .as("top_tok_frac"),
+        (coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          coalesce(col("n_bigram"), lit(1L)).cast("double"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val taRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents),
+      |tok_stats AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
+      |         CAST(MAX(c) AS BIGINT) AS top_tok_cnt
+      |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+      |    i -> a[i] || ' ' || a[i + 1])) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+      |        FROM documents)
+      |  WHERE len(a) >= 2),
+      |bi_stats AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigram,
+      |         CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tok, t.n_uniq,
+      |  1.0 - CAST(t.n_uniq AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS dup_tok_frac,
+      |  CAST(t.top_tok_cnt AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS top_tok_frac,
+      |  CAST(COALESCE(b.top_bigram_cnt, 0) AS DOUBLE)
+      |    / CAST(COALESCE(b.n_bigram, 1) AS DOUBLE) AS top_bigram_frac
+      |FROM tok_stats t LEFT JOIN bi_stats b ON t.doc_id = b.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // ── document fingerprinting ─────────────────────────────────────────
   /** Rolling-hash fingerprint of the full text plus a coarse 64-bucket
     * shard id — the custom codegen expression ([[RollingHash]]); no SQL
@@ -223,6 +287,7 @@ object TextAnalysis {
     "ta_lang_id" -> (taLangId _),
     "ta_redact" -> (taRedact _),
     "ta_vocab" -> ((s: SparkSession, d: String) => taVocab(s, d)),
+    "ta_repetition" -> (taRepetition _),
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -230,5 +295,6 @@ object TextAnalysis {
     "ta_quality_score" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,
     "ta_redact" -> taRedactSql,
-    "ta_vocab" -> taVocabSql())
+    "ta_vocab" -> taVocabSql(),
+    "ta_repetition" -> taRepetitionSql)
 }

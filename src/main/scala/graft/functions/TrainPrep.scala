@@ -225,7 +225,50 @@ object TrainPrep {
       |WHERE lang = 'en' AND quality_score >= 0.44
       |ORDER BY doc_id""".stripMargin
 
+  // ── sequence packing ─────────────────────────────────────────────────
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining batch
+    * layout): documents are concatenated in doc_id order and cut into
+    * fixed `seqLen`-token training sequences; each doc lands at a global
+    * token offset and spans sequences [first_seq, last_seq]. Packing is
+    * per-shard (`pmod(doc_id, nShards)`) — a running total over ONE
+    * global order would serialize the whole corpus through a single
+    * partition, while per-shard prefix sums shuffle once on the shard
+    * key and scale with the cluster (shard count is a parameter; a real
+    * run sets it to O(executors)). */
+  def tpPacking(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok div $seqLen").as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) div $seqLen").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
+  def tpPackingSql(seqLen: Int = 2048, nShards: Int = 16): String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS start_tok
+       |  FROM sized)
+       |SELECT doc_id, shard, n_tok, start_tok,
+       |  start_tok // $seqLen AS first_seq,
+       |  (start_tok + n_tok - 1) // $seqLen AS last_seq
+       |FROM packed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_packing" -> ((s: SparkSession, d: String) => tpPacking(s, d)),
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
     "ts_hash_split" -> (tsHashSplit _),
     "ts_stratified_sample" ->
@@ -235,6 +278,7 @@ object TrainPrep {
       ((s: SparkSession, d: String) => dcDecontamination(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "tp_packing" -> tpPackingSql(),
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,
     "ts_stratified_sample" -> tsStratifiedSampleSql,

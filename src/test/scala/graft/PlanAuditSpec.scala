@@ -109,4 +109,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), "codegen stage present:\n" + p)
     assert(!p.contains("Exchange"), "zero-shuffle simhash:\n" + p)
   }
+
+  test("q4: lateness EXISTS is a semi join, not a fan-out join") {
+    val p = plan(graft.operators.RelationalThird.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), "EXISTS planned as semi join:\n" + p)
+    assert(p.contains("PushedFilters"),
+      "order-date filter reaches the orders scan")
+  }
+
+  test("q8: every dimension broadcasts; lineitem never rides two shuffles") {
+    val p = plan(graft.operators.RelationalThird.q8MarketShare(spark, sf))
+    val broadcasts = ("BroadcastHashJoin".r.findAllIn(p).length +
+      "BroadcastExchange".r.findAllIn(p).length)
+    assert(broadcasts >= 4, s"expected broadcast dimensions, got:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"too many shuffles ($shuffles):\n$p")
+  }
+
+  test("q19: disjunctive predicate halves push below the broadcast join") {
+    val p = plan(graft.operators.RelationalThird
+      .q19DiscountedRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Catalyst's CNF extraction sends the l_quantity OR-envelope to the
+    // lineitem side; the scan must see SOME pushed filter
+    assert(p.contains("PushedFilters: ["), p)
+  }
+
+  test("q21: sole-late-supplier is ONE grouped pass — lineitem scans once") {
+    val p = plan(graft.operators.RelationalThird
+      .q21WaitingSuppliers(spark, sf))
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(liScans == 1,
+      s"textbook Q21 self-joins lineitem 3x; this plan must scan it once, got $liScans:\n$p")
+    assert(p.contains("partial_"), "per-order counts map-side combined")
+  }
+
+  test("q22: threshold is a broadcast scalar; lapsed check is an anti join") {
+    val p = plan(graft.operators.RelationalThird.q22GlobalSales(spark, sf))
+    assert(p.contains("LeftAnti"), "NOT EXISTS planned as anti join:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "1-row threshold must broadcast:\n" + p)
+  }
+
+  test("tp_packing: prefix sums shuffle once on the shard key") {
+    val p = plan(graft.functions.TrainPrep.tpPacking(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"per-shard packing needs exactly one shuffle, got $shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("TakeOrdered"),
+      "no single-partition global window:\n" + p)
+  }
+
+  test("ta_repetition: gram counts partial-aggregate before the shuffle") {
+    val p = plan(graft.functions.TextAnalysis.taRepetition(spark, sf))
+    assert(p.contains("partial_"), "map-side combine present:\n" + p)
+  }
 }
