@@ -141,6 +141,44 @@ object Similarity {
     nearDupPairs(Tables.embeddings(spark, dir), 0.3)
       .orderBy("v1", "v2")
 
+  /** Near-dup CLUSTERS: connected components over the verified cosine
+    * pairs, one keeper (min vec_id) per cluster with the sorted member
+    * list. Distributed min-label propagation ([[Dedup.connectedComponents]])
+    * on the Spark side; the oracle closes the same edge set with a
+    * recursive CTE and takes the min reachable id — so the whole graph
+    * operator is hash-verified, not just the pair list. */
+  def simNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      nearDupPairs(Tables.embeddings(spark, dir), 0.3)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("id"))), _.cast("string")))
+          .as("members"))
+      .orderBy("keeper")
+
+  val simNearDupGroupsSql: String =
+    s"""WITH RECURSIVE keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM keyed a JOIN keyed b
+       |    ON a.lsh_key = b.lsh_key AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3),
+       |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+       |          UNION SELECT v2, v1 FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+       |SELECT label AS keeper, COUNT(*) AS cluster_size,
+       |  array_to_string(list_transform(list_sort(list(id)),
+       |    x -> CAST(x AS VARCHAR)), ',') AS members
+       |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
+
   // ── quantized near-dup (SQL oracle) ─────────────────────────────────
   /** Embedding near-dup by quantized prefix: floor(x·10) over the first
     * 16 dims → exact integer key, groupable and oracle-checkable (float
@@ -283,12 +321,14 @@ object Similarity {
     "sim_lsh_ann" -> (simLsh _),
     "sim_quantized_dedup" -> (simQuantized _),
     "sim_int8_quantize" -> (simInt8Quantize _),
-    "sim_neardup_cosine" -> (simNearDup _))
+    "sim_neardup_cosine" -> (simNearDup _),
+    "sim_neardup_groups" -> (simNearDupGroups _))
 
   def oracles: Map[String, String] = Map(
     "sim_quantized_dedup" -> simQuantizedSql,
     "sim_int8_quantize" -> simInt8QuantizeSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "sim_lsh_ann" -> simLshSql,
-    "sim_neardup_cosine" -> simNearDupSql)
+    "sim_neardup_cosine" -> simNearDupSql,
+    "sim_neardup_groups" -> simNearDupGroupsSql)
 }

@@ -47,6 +47,31 @@ object TextAnalysis {
   /** Length / stopword / punctuation signals combined into one score.
     * All ratios are (exact int) / (exact int) double divisions; the
     * blend uses the same literal arithmetic on both engines. */
+  /** The composite quality score of a `text` column (weighted stopword
+    * ratio + inverse punctuation density + capped token span) — shared
+    * by [[taQualityScore]] and the percentile gate in TrainPrep so both
+    * rank documents identically. */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(Stopwords))).cast("double")
+    val nPunct = length(regexp_replace(text, "[a-z0-9\\s]", ""))
+      .cast("double")
+    val nChars = length(text).cast("double")
+    (nStop / nTok) * lit(0.5d) + (lit(1.0d) - nPunct / nChars) * lit(0.3d) +
+      least(nChars / nTok / lit(10.0d), lit(1.0d)) * lit(0.2d)
+  }
+
+  /** The DuckDB mirror of [[qualityScoreCol]], parameterized on the text
+    * expression. */
+  def qualitySqlExpr(text: String): String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"(CAST(len(list_filter(regexp_split_to_array($text, '\\s+'), x -> x IN ($stop))) AS DOUBLE) / CAST(len(regexp_split_to_array($text, '\\s+')) AS DOUBLE)) * 0.5 " +
+      s"+ (1.0 - CAST(length(regexp_replace($text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length($text) AS DOUBLE)) * 0.3 " +
+      s"+ least(CAST(length($text) AS DOUBLE) / CAST(len(regexp_split_to_array($text, '\\s+')) AS DOUBLE) / 10.0, 1.0) * 0.2"
+  }
+
   def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -61,9 +86,7 @@ object TextAnalysis {
       (nStop / nTok).as("stopword_ratio"),
       (nPunct / nChars).as("punct_ratio"),
       (nChars / nTok).as("avg_token_span"),
-      ((nStop / nTok) * lit(0.5d) + (lit(1.0d) - nPunct / nChars) * lit(0.3d)
-        + least(nChars / nTok / lit(10.0d), lit(1.0d)) * lit(0.2d))
-        .as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -205,6 +228,72 @@ object TextAnalysis {
        |ORDER BY doc_freq DESC, token
        |LIMIT $k""".stripMargin
 
+  // ── BM25-style relevance scoring ─────────────────────────────────────
+  /** BM25-shaped query relevance over the corpus (the retrieval score a
+    * curation pipeline uses to mine query-relevant training documents),
+    * with a RATIONAL idf — `(N - df + 0.5) / (df + 0.5)` instead of its
+    * log — so every arithmetic step is IEEE-exact and the DuckDB oracle
+    * hash-matches bit for bit (libm `ln` is only 1-ulp-accurate and may
+    * differ across engines; the rational form preserves the ranking
+    * monotonically). Fixed query terms → per-term tf as array counts
+    * (no explode, zero shuffle for the tf side); corpus stats (N,
+    * total tokens, per-term df) are ONE tiny aggregate row broadcast
+    * back, so the whole query is one corpus scan + one 1-row cross
+    * join at any scale. */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "join")
+  val Bm25K1 = 1.2d
+  val Bm25B = 0.75d
+
+  def taBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = wsTokens(col("text"))
+    val withTf = docs.select(
+      (col("doc_id") +: size(toks).cast("double").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter(toks, x => x === t)).cast("double").as(s"tf_$t"))): _*)
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0d, 1d).otherwise(0d)).as(s"df_$t"))
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"), statCols: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = Bm25Terms.map { t =>
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5d)) /
+        (col(s"df_$t") + lit(0.5d))
+      idf * (col(s"tf_$t") * lit(Bm25K1 + 1.0d)) /
+        (col(s"tf_$t") + lit(Bm25K1) *
+          (lit(1.0d - Bm25B) + lit(Bm25B) * (col("dl") / avgdl)))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select((col("doc_id") +:
+        Bm25Terms.map(t => col(s"tf_$t")) :+ score.as("bm25")): _*)
+      .orderBy("doc_id")
+  }
+
+  val taBm25Sql: String = {
+    val k1 = Bm25K1; val b = Bm25B
+    val tfDefs = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(",\n       |    ")
+    val dfDefs = Bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n       |    ")
+    val scoreTerms = Bm25Terms.map(t =>
+      s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * ${k1 + 1.0d}) / " +
+        s"(tf_$t + $k1 * (${1.0d - b} + $b * (dl / (sum_dl / n_docs))))")
+      .mkString("\n       |    + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS dl,
+       |    $tfDefs
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+       |    $dfDefs
+       |  FROM tf)
+       |SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |    $scoreTerms AS bm25
+       |FROM tf, stats ORDER BY doc_id""".stripMargin
+  }
+
   // ── repetition scoring (Gopher-style quality rule) ──────────────────
   /** Within-document repetition: duplicate-token fraction and the share
     * of the most frequent token/bigram — the Gopher/MassiveText "rep"
@@ -288,6 +377,7 @@ object TextAnalysis {
     "ta_redact" -> (taRedact _),
     "ta_vocab" -> ((s: SparkSession, d: String) => taVocab(s, d)),
     "ta_repetition" -> (taRepetition _),
+    "ta_bm25" -> (taBm25 _),
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +386,6 @@ object TextAnalysis {
     "ta_lang_id" -> taLangIdSql,
     "ta_redact" -> taRedactSql,
     "ta_vocab" -> taVocabSql(),
-    "ta_repetition" -> taRepetitionSql)
+    "ta_repetition" -> taRepetitionSql,
+    "ta_bm25" -> taBm25Sql)
 }

@@ -267,8 +267,46 @@ object TrainPrep {
        |  (start_tok + n_tok - 1) // $seqLen AS last_seq
        |FROM packed ORDER BY doc_id""".stripMargin
 
+  // ── per-source quality percentile gate ───────────────────────────────
+  /** Keep each source's top quality quartile — the relative (percentile)
+    * quality cut real curation uses when absolute thresholds would
+    * starve low-scoring-but-wanted sources. PERCENT_RANK over
+    * (source, quality asc, doc_id) is `(rank-1)/(n-1)`: exact integer
+    * arithmetic divided once, and the doc_id tie-break makes the rank —
+    * and therefore the cut — fully deterministic in both engines. One
+    * shuffle on source; the window streams each partition sorted. */
+  def tpQualityPercentile(spark: SparkSession, dir: String,
+      cut: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = TextAnalysis.qualityScoreCol(col("text"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        score.as("quality_score"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= cut)
+      .select("doc_id", "source", "quality_score", "pr")
+      .orderBy("doc_id")
+  }
+
+  def tpQualityPercentileSql(cut: Double = 0.75): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    ${TextAnalysis.qualitySqlExpr("text")} AS quality_score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, quality_score,
+       |    PERCENT_RANK() OVER (PARTITION BY source
+       |      ORDER BY quality_score, doc_id) AS pr
+       |  FROM scored)
+       |SELECT doc_id, source, quality_score, pr
+       |FROM ranked WHERE pr >= $cut ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tp_packing" -> ((s: SparkSession, d: String) => tpPacking(s, d)),
+    "tp_quality_percentile" ->
+      ((s: SparkSession, d: String) => tpQualityPercentile(s, d)),
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
     "ts_hash_split" -> (tsHashSplit _),
     "ts_stratified_sample" ->
@@ -279,6 +317,7 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "tp_packing" -> tpPackingSql(),
+    "tp_quality_percentile" -> tpQualityPercentileSql(),
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,
     "ts_stratified_sample" -> tsStratifiedSampleSql,

@@ -267,13 +267,53 @@ object RelationalThird {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ── ev3: per-user daily gap-fill ─────────────────────────────────────
+  /** Zero-filled per-user daily activity: each user's own [first, last]
+    * day span is expanded with `sequence()` + explode and left-joined
+    * against the observed daily counts. Both sides shuffle once on
+    * user_id; the expansion is bounded by the span (retention window),
+    * never by the event count — the gap-fill a time-series store does
+    * before resampling/forecasting. */
+  def ev3Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val daily = e.groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_events"))
+    val days = e.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    days.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "d")
+  }
+
+  val ev3Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |daily AS (
+      |  SELECT user_id, d, COUNT(*) AS n_events FROM e GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM e GROUP BY user_id),
+      |days AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM spans)
+      |SELECT days.user_id, days.d,
+      |  COALESCE(daily.n_events, 0) AS n_events
+      |FROM days LEFT JOIN daily
+      |  ON days.user_id = daily.user_id AND days.d = daily.d
+      |ORDER BY days.user_id, days.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share" -> (q8MarketShare _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q22_global_sales" -> (q22GlobalSales _),
-    "ev2_retention" -> (ev2Retention _))
+    "ev2_retention" -> (ev2Retention _),
+    "ev3_gapfill" -> (ev3Gapfill _))
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4Sql,
@@ -281,5 +321,6 @@ object RelationalThird {
     "q19_discounted_revenue" -> q19Sql,
     "q21_waiting_suppliers" -> q21Sql,
     "q22_global_sales" -> q22Sql,
-    "ev2_retention" -> ev2Sql)
+    "ev2_retention" -> ev2Sql,
+    "ev3_gapfill" -> ev3Sql)
 }

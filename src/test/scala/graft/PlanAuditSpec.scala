@@ -166,4 +166,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.functions.TextAnalysis.taRepetition(spark, sf))
     assert(p.contains("partial_"), "map-side combine present:\n" + p)
   }
+
+  test("ta_bm25: corpus stats are one broadcast row; tf side never shuffles") {
+    val p = plan(graft.functions.TextAnalysis.taBm25(spark, sf))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "1-row stats must broadcast back:\n" + p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"tf computation is per-row; expected no hash shuffle, got $shuffles:\n$p")
+  }
 }
