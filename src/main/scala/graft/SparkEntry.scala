@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.RelationalSql.queries ++ operators.RelationalMore.queries ++
       operators.RelationalThird.queries ++
+      operators.RelationalFourth.queries ++
       operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.SpecificEnvelope.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.RelationalSql.oracles ++ operators.RelationalMore.oracles ++
       operators.RelationalThird.oracles ++
+      operators.RelationalFourth.oracles ++
       operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.SpecificEnvelope.oracles ++

@@ -356,14 +356,75 @@ object Dedup {
     simhashPairsBanded(Tables.documents(spark, dir), 3)
       .orderBy("d1", "d2")
 
+  // ── exact span (substring) dedup ────────────────────────────────────
+  /** Corpus-wide duplicate-SPAN accounting — the fixed-length-window
+    * approximation of suffix-array exact-substring dedup (the
+    * "dedup repeated 50-token spans" rule): every token `n`-gram
+    * position in every doc is classified as duplicated iff that exact
+    * n-gram occurs in more than one document, and each doc reports its
+    * boilerplate fraction. Spans travel as 64-bit rolling hashes from
+    * the single-pass [[NgramHashes]] scan — no gram strings are ever
+    * materialized or shuffled; the plan is one grouped pass over span
+    * hashes plus one join back (both shuffles carry 8-byte keys). Same
+    * collision caveat as [[TrainPrep.dcDecontamination]]: hashed-span
+    * counts equal string-span counts unless two distinct grams collide
+    * in 64 bits (birthday bound ~2^32 grams — not reachable per doc).
+    * `dup_frac` divides two exact integers once in double. */
+  def spanDuplication(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(TrainPrep.ngramHashes(col("text"), n)).as("g"))
+    val nd = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val perDoc = grams.join(nd, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") > 1, 1)).as("n_dup_spans"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(col("n_dup_spans").cast("double") /
+            col("n_spans").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def ddSpanDedup(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    spanDuplication(Tables.documents(spark, dir), n)
+
+  def ddSpanDedupSql(n: Int = 8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |    i -> array_to_string(a[i:i+${n - 1}], ' '))) AS g
+       |  FROM toks WHERE len(a) >= $n),
+       |nd AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs
+       |       FROM grams GROUP BY g),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS n_dup_spans
+       |  FROM grams JOIN nd USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       |  CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+       |       ELSE CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+       |  END AS dup_frac
+       |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_groups" -> (ddMinhashGroups _),
-    "dd_simhash" -> (ddSimhash _))
+    "dd_simhash" -> (ddSimhash _),
+    "dd_span_dedup" -> ((s: SparkSession, d: String) => ddSpanDedup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
-    "dd_ngram_jaccard" -> ddNgramJaccardSql)
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_span_dedup" -> ddSpanDedupSql())
 }

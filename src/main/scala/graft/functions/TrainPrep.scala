@@ -116,6 +116,75 @@ object TrainPrep {
       |WHERE h < rate
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic source-mixture downsampling — the weighting step
+    * that rebalances a multi-source corpus to target proportions
+    * (the Pile / Dolma-style mixture table). Keep-rate is a whole
+    * percent per source (here a linear schedule over the source index,
+    * a stand-in for a real mixture table); the keep decision hashes the
+    * doc id with a salt DIFFERENT from the split hash, so mixture and
+    * split stay independent coin flips. No shuffle at all until the
+    * per-source summary — the gate itself is a narrow filter. */
+  def tsMixture(spark: SparkSession, dir: String): DataFrame = {
+    val h = s"pmod(pmod(doc_id + 37, $SplitPrime) * 2654435761, 100)"
+    Tables.documents(spark, dir)
+      .withColumn("__n_tok",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .withColumn("__rate",
+        lit(100) - lit(4) *
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+      .withColumn("__keep", expr(h) < col("__rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+        sum(when(col("__keep"), col("__n_tok")).otherwise(0L))
+          .as("kept_tok"))
+      .orderBy("source")
+  }
+
+  val tsMixtureSql: String =
+    """WITH rated AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+      |    100 - 4 * CAST(regexp_extract(source, 'src(\d+)', 1) AS INT)
+      |      AS rate,
+      |    ((((doc_id + 37) % 1000003) + 1000003) % 1000003
+      |      * 2654435761) % 100 AS h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN h < rate THEN 1 END) AS n_kept,
+      |  CAST(SUM(CASE WHEN h < rate THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS kept_tok
+      |FROM rated GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic corpus shuffle for training order: every doc gets a
+    * hash-derived (shard, ordkey) — readers consume shard files in
+    * ordkey order and see a reproducible global permutation. This is
+    * the scale-correct shuffle: NO global sort, NO row_number over one
+    * partition — shard assignment is a narrow hash, within-shard order
+    * is a per-shard sort at write time, and shard count is a parameter
+    * set to O(cluster) in a real run. Salted differently from both the
+    * split and mixture hashes. */
+  def tsShuffleShards(spark: SparkSession, dir: String, nShards: Int = 32)
+      : DataFrame = {
+    val ord =
+      s"pmod(pmod(doc_id + 53, $SplitPrime) * 2654435761, $SplitPrime)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(ord).as("ordkey"))
+      .select(col("doc_id"), pmod(col("ordkey"), lit(nShards.toLong))
+        .as("shard"), col("ordkey"))
+      .orderBy("shard", "ordkey", "doc_id")
+  }
+
+  def tsShuffleSql(nShards: Int = 32): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    (((doc_id + 53) % 1000003 + 1000003) % 1000003
+       |      * 2654435761) % 1000003 AS ordkey
+       |  FROM documents)
+       |SELECT doc_id, CAST(ordkey % $nShards AS BIGINT) AS shard,
+       |  CAST(ordkey AS BIGINT) AS ordkey
+       |FROM h ORDER BY shard, ordkey, doc_id""".stripMargin
+
   /** 64-bit hashes of all word n-grams of a text column (empty array
     * when the doc is shorter than n) — the single-pass [[NgramHashes]]
     * expression: one scan over the bytes, no token/n-gram strings
@@ -311,6 +380,9 @@ object TrainPrep {
     "ts_hash_split" -> (tsHashSplit _),
     "ts_stratified_sample" ->
       ((s: SparkSession, d: String) => tsStratifiedSample(s, d)),
+    "ts_mixture" -> (tsMixture _),
+    "ts_shuffle_shards" ->
+      ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
     "tp_curation" -> (tpCuration _),
     "dc_decontamination" ->
       ((s: SparkSession, d: String) => dcDecontamination(s, d)))
@@ -321,6 +393,8 @@ object TrainPrep {
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,
     "ts_stratified_sample" -> tsStratifiedSampleSql,
+    "ts_mixture" -> tsMixtureSql,
+    "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_curation" -> tpCurationSql,
     "dc_decontamination" -> dcDecontaminationSql())
 }

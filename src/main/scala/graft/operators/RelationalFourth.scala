@@ -1,0 +1,297 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Fourth relational tranche: the four TPC-H shapes (Q2/Q11/Q16/Q20)
+  * that the textbook forms express over `partsupp` — a table the
+  * testdata lacks — re-expressed over the supply relation the data DOES
+  * carry: the distinct `(l_partkey, l_suppkey)` pairs of `lineitem`,
+  * with unit price / shipped quantity standing in for supply cost /
+  * availability (reference has no relational surface at all; per
+  * SURVEY.md §2.5 this layer is Catalyst-provided and oracle-checked).
+  * With these, every one of the 22 classic TPC-H query shapes has an
+  * analog in the engine. Also adds window-function breadth (w4:
+  * lag/lead/ntile/first_value in one pass) and mixed GROUPING SETS
+  * (g4) — the two gaps left in the window/grouping surface.
+  *
+  * Scale notes: every dimension side is broadcast; lineitem is
+  * filtered by broadcast joins BEFORE any aggregation, so each query
+  * shuffles only the surviving fact rows, once. The per-part "minimum
+  * cost" / "dominant share" cuts run as windows over the already-tiny
+  * grouped supply relation, not over the fact table.
+  */
+object RelationalFourth {
+
+  // ── Q2 flavor: minimum-cost supplier ────────────────────────────────
+  /** For each small STANDARD part, the European supplier(s) offering
+    * the minimum observed unit price. Supply cost of a (part, supplier)
+    * pair = MIN over their lineitems of cents(extendedprice/quantity) —
+    * exact integer cents, so the per-part minimum and the equality cut
+    * are bit-deterministic. Part and supplier dimensions broadcast;
+    * lineitem is cut to qualifying parts × European suppliers before
+    * the one grouped shuffle; the min-cost cut is a window over the
+    * grouped supply relation (tiny). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name")
+    val supply = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+      .agg(min(cents(col("l_extendedprice") / col("l_quantity")))
+        .as("cost_cents"))
+    supply
+      .withColumn("min_cost",
+        min("cost_cents").over(Window.partitionBy("p_partkey")))
+      .filter(col("cost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_cents").cast("double") / lit(100.0d)).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH eu_supp AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |supply AS (
+      |  SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+      |    MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))
+      |      AS cost_cents
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN eu_supp ON l_suppkey = s_suppkey
+      |  WHERE p_size <= 10 AND p_type = 'STANDARD'
+      |  GROUP BY p_partkey, p_name, s_name, n_name, s_acctbal),
+      |mc AS (SELECT p_partkey, MIN(cost_cents) AS min_cost
+      |       FROM supply GROUP BY p_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+      |FROM supply JOIN mc USING (p_partkey)
+      |WHERE cost_cents = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ── Q11 flavor: important stock identification ──────────────────────
+  /** Parts whose revenue through ASIA-region suppliers exceeds 0.1% of
+    * the total such revenue. The threshold compares exact integer cents
+    * by cross-multiplication (`val_cents * 1000 > total_cents`) — no
+    * float fraction can round differently across engines. One semi-join
+    * cut + one grouped shuffle of the fact; the total is a one-row
+    * broadcast. Order by the exact cents (descending) so the presented
+    * order is deterministic. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_regionkey") === 2)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("val_cents"))
+    val tot = v.agg(sum(col("val_cents")).as("total_cents"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("val_cents").cast("double") / lit(100.0d)).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS val_cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = 2
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(val_cents) AS BIGINT) AS total_cents FROM v)
+      |SELECT l_partkey AS p_partkey,
+      |  CAST(val_cents AS DOUBLE) / 100.0 AS part_value
+      |FROM v, tot WHERE val_cents * 1000 > total_cents
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // ── Q16 flavor: parts/supplier relationship ─────────────────────────
+  /** Distinct supplier count per (brand, type, size) over the observed
+    * supply pairs, excluding one brand, one type family, non-square
+    * sizes, and suppliers in deficit (the "customer complaints"
+    * exclusion of textbook Q16, keyed on s_acctbal < 0 since the schema
+    * has no comment column). Part filter and the (tiny) bad-supplier
+    * list broadcast; the fact shuffles once for the distinct count. */
+  def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val okPart = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(okPart), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ── Q20 flavor: potential part promotion ────────────────────────────
+  /** Suppliers that dominated a 'small…' part's 1997 volume: their
+    * shipped quantity for some qualifying part exceeds 30% of ALL
+    * suppliers' 1997 quantity for that part (textbook Q20's
+    * availqty-vs-half-of-shipped cut, re-keyed on observed volumes).
+    * Quantities sum as exact BIGINT; the share cut cross-multiplies
+    * (`q_ps * 10 > q_p * 3`). One grouped pass over the part-filtered
+    * fact; the per-part total is a window over the grouped (tiny)
+    * supply relation. */
+  def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val sq = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(intSum(col("l_quantity")).as("q_ps"))
+    sq.withColumn("q_p",
+        sum("q_ps").over(Window.partitionBy("l_partkey")))
+      .filter(col("q_ps") * 10 > col("q_p") * 3)
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  val q20Sql: String =
+    """WITH sq AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_ps
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey),
+      |pt AS (SELECT l_partkey, CAST(SUM(q_ps) AS BIGINT) AS q_p
+      |       FROM sq GROUP BY l_partkey)
+      |SELECT DISTINCT s_suppkey, s_name, s_acctbal
+      |FROM sq JOIN pt USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE q_ps * 10 > q_p * 3
+      |ORDER BY s_name""".stripMargin
+
+  // ── w4: navigation + distribution window functions ──────────────────
+  /** Per-customer order timeline in one window pass: previous/next
+    * order value (lag/lead), spend quartile within the customer
+    * (ntile), and first-order value (first_value). All money as exact
+    * cents; the window order (o_orderdate, o_orderkey) is a total
+    * order, so ntile's bucket boundaries are deterministic. One
+    * shuffle on o_custkey. */
+  def w4OrderNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("price_cents", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("price_cents"),
+        lag("price_cents", 1).over(w).as("prev_cents"),
+        lead("price_cents", 1).over(w).as("next_cents"),
+        ntile(4).over(w).as("quartile"),
+        first("price_cents").over(w).as("first_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val w4Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |  LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 1) OVER w
+      |    AS prev_cents,
+      |  LEAD(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 1) OVER w
+      |    AS next_cents,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  FIRST_VALUE(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+      |    AS first_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ── g4: mixed GROUPING SETS ─────────────────────────────────────────
+  /** Mixed grouping sets — (flag, status), (flag), and grand total in
+    * one pass (rollup/cube can't express an arbitrary mix; g1/g3 cover
+    * those). Grouping-null keys are COALESCEd to 'ALL' so the result is
+    * portable without grouping_id, whose bit layout is engine-specific.
+    * Spark expands grouping sets BEFORE the shuffle (Expand + one
+    * aggregate), so this stays a single-pass plan. */
+  def g4GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val g4Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q16_parts_suppliers" -> (q16PartsSuppliers _),
+    "q20_potential_promotion" -> (q20PotentialPromotion _),
+    "w4_order_navigation" -> (w4OrderNavigation _),
+    "g4_grouping_sets" -> (g4GroupingSets _))
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q11_important_stock" -> q11Sql,
+    "q16_parts_suppliers" -> q16Sql,
+    "q20_potential_promotion" -> q20Sql,
+    "w4_order_navigation" -> w4Sql,
+    "g4_grouping_sets" -> g4Sql)
+}

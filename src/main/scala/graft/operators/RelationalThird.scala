@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import QueryUtil._
 
 /** Third tranche of TPC-H-flavor relational coverage: the remaining
-  * shapes expressible on the testdata schema (no partsupp table, so
-  * Q2/Q11/Q16/Q20 are out of reach; no commit/receipt dates, so Q4's
+  * shapes expressible on the testdata schema (the partsupp-based
+  * Q2/Q11/Q16/Q20 live in [[RelationalFourth]] over the observed
+  * supply relation; no commit/receipt dates, so Q4's
   * and Q21's lateness predicate is ship-date-vs-order-date). What this
   * tranche adds over [[Relational]]/[[RelationalMore]]:
   *

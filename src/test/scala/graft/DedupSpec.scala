@@ -131,4 +131,34 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("d1") >= col("d2")).count() === 0)
     assert(p.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
   }
+
+  test("span dedup: planted shared span is flagged in both docs, only there") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val shared = "one two three four five" // 5-token span
+    val docs = Seq(
+      (10L, s"aaa bbb $shared ccc ddd"),
+      (20L, s"xxx $shared yyy zzz www"),
+      (30L, "completely different words with no overlap at all here"),
+      (40L, "tiny")) // shorter than n → zero spans, zero dup_frac
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDuplication(docs, 5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 20L, 30L, 40L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 10: tokens=9 → 5 spans; exactly one (the planted span,
+    // starting at 'one') also occurs in doc 20
+    assert(byId(10L).getAs[Long]("n_spans") === 5L)
+    assert(byId(10L).getAs[Long]("n_dup_spans") === 1L)
+    assert(byId(10L).getAs[Double]("dup_frac") === 0.2d)
+    assert(byId(20L).getAs[Long]("n_dup_spans") === 1L)
+    assert(byId(30L).getAs[Long]("n_dup_spans") === 0L)
+    assert(byId(40L).getAs[Long]("n_spans") === 0L)
+    assert(byId(40L).getAs[Double]("dup_frac") === 0.0d)
+    // span-hash shuffles carry the 8-byte gram key, never gram strings,
+    // and the plan contains no unblocked join shapes
+    val p = Dedup.spanDuplication(docs, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

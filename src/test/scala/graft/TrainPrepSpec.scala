@@ -81,4 +81,44 @@ class TrainPrepSpec extends SparkSpec {
     assert(bySplit("train").toDouble / total > 0.6, s"$bySplit")
     assert(bySplit.keySet === Set("train", "val", "test"))
   }
+
+  test("mixture: per-source keeps respect the rate schedule and re-run identically") {
+    val m1 = TrainPrep.tsMixture(spark, sf).collect()
+    val m2 = TrainPrep.tsMixture(spark, sf).collect()
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    assert(m1.nonEmpty)
+    m1.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= total)
+      assert(r.getAs[Long]("kept_tok") >= kept) // every doc has ≥1 token
+    }
+    // src0 has rate 100: nothing dropped
+    val src0 = m1.find(_.getAs[String]("source") == "src0").get
+    assert(src0.getAs[Long]("n_kept") === src0.getAs[Long]("n_total"))
+  }
+
+  test("shuffle shards: a complete deterministic permutation, sharded by hash") {
+    val s1 = TrainPrep.tsShuffleShards(spark, sf).collect()
+    val s2 = TrainPrep.tsShuffleShards(spark, sf).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(s1.length.toLong === nDocs)
+    assert(s1.map(_.getAs[Long]("doc_id")).distinct.length.toLong === nDocs,
+      "every doc appears exactly once")
+    s1.foreach { r =>
+      assert(r.getAs[Long]("shard") ===
+        ((r.getAs[Long]("ordkey") % 32) + 32) % 32)
+    }
+    // presentation order is (shard, ordkey, doc_id)
+    val keys = s1.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("ordkey"),
+      r.getAs[Long]("doc_id"))).toSeq
+    assert(keys === keys.sorted)
+    // the permutation actually shuffles: doc_id order within a shard is
+    // not the identity order
+    val shard0 = s1.filter(_.getAs[Long]("shard") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(shard0.length > 2)
+    assert(shard0 !== shard0.sorted)
+  }
 }
