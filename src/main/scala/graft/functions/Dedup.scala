@@ -203,14 +203,15 @@ object Dedup {
     minhashDuplicatePairs(Tables.documents(spark, dir), 0.2)
       .orderBy("d1", "d2")
 
-  /** Connected components over an undirected pair graph by iterative
-    * min-label propagation: each round every node takes the minimum of
-    * its own label and its neighbors' labels; converged when no label
-    * moves. Rounds = O(component diameter) — tiny for near-dup
-    * clusters — and every round is two hash-shuffles over the PAIR
+  /** Connected components over an undirected pair graph by min-label
+    * propagation with pointer jumping: each round every node takes the
+    * minimum of its own label and its neighbors' labels, then follows
+    * the fresh label one more hop (label-of-label), so the remaining
+    * distance to the component minimum roughly halves per round —
+    * O(log diameter) rounds, each a few hash-shuffles over the PAIR
     * list (orders of magnitude smaller than the corpus at 100 TB).
-    * No driver-side union-find: the driver only reads the one-scalar
-    * convergence count per round. */
+    * No driver-side union-find: the driver only probes an isEmpty
+    * convergence check per round. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
       : DataFrame = {
     // localCheckpoint (eager) after every round: an iterative DataFrame
@@ -225,39 +226,47 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    // convergence via the monotone label sum: labels only ever
-    // decrease, so an unchanged sum means a fixed point — one cheap
-    // aggregate per round instead of a next⋈old diff join. Decimal
-    // accumulation so arbitrary 64-bit ids can't overflow the sum.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
     while (!converged && iter < maxIters) {
+      // one hop: take the min of the own label and all neighbor labels
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
         .groupBy("a").agg(min("bl").as("nbl"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"),
           "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbl"), col("label")))
+            .as("lmin"))
+      // pointer jump: follow the fresh label one more hop (the label of
+      // the node it points to). Composing the two mappings roughly
+      // halves the remaining distance to the component minimum each
+      // round — O(log diameter) rounds instead of O(diameter). The
+      // jump only ever lowers labels within the component, so the
+      // fixed-point argument is unchanged: a full no-op round means
+      // label(a) ≤ label(b) across every (doubled) edge, i.e. labels
+      // are constant per component.
+      val jumped = stepped.alias("s")
+        .join(stepped.select(col("id").as("jid"), col("lmin").as("jl"))
+            .alias("j"),
+          col("s.lmin") === col("j.jid"), "left")
+        .select(col("s.id").as("id"), col("s.old").as("old"),
+          least(col("s.lmin"), coalesce(col("j.jl"), col("s.lmin")))
             .as("label"))
-        .localCheckpoint() // eager: plan resets to a leaf (see above)
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+        .localCheckpoint()
+      // convergence = no label moved this round; isEmpty short-circuits
+      // on the first changed row, so non-final rounds pay almost
+      // nothing and only the final round scans the (tiny) label table
+      converged = jumped.filter(col("label") =!= col("old")).isEmpty
+      labels = jumped.select("id", "label")
       iter += 1
     }
-    // a component with diameter > maxIters would return partially-
-    // propagated labels — one duplicate cluster silently split into
-    // several "keepers". Fail loudly so callers raise maxIters (near-
-    // dup clusters have tiny diameters; hitting this means the pair
-    // graph is pathological, which is worth knowing about).
+    // a component needing more than maxIters rounds (diameter beyond
+    // ~2^maxIters with jumping) would return partially-propagated
+    // labels — one duplicate cluster silently split into several
+    // "keepers". Fail loudly so callers raise maxIters; hitting this
+    // means the pair graph is pathological, which is worth knowing.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds; " +
