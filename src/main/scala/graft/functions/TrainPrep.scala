@@ -185,6 +185,33 @@ object TrainPrep {
        |  CAST(ordkey AS BIGINT) AS ordkey
        |FROM h ORDER BY shard, ordkey, doc_id""".stripMargin
 
+  /** Corpus reporting — the per-(source, language) statistics block of
+    * a dataset card: document and token counts, vocabulary size, and
+    * the document-length extremes. One explode + one grouped pass;
+    * the distinct-token count shuffles tokens once (countDistinct
+    * partial-aggregates map-side, so the shuffle carries distinct
+    * (group, token) pairs, not raw occurrences). */
+  def tpCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy("source", "lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("vocab"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("source", "lang")
+
+  val tpCorpusStatsSql: String =
+    """SELECT source, lang, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS vocab,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM (
+      |  SELECT source, lang, doc_id, n_chars,
+      |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** 64-bit hashes of all word n-grams of a text column (empty array
     * when the doc is shorter than n) — the single-pass [[NgramHashes]]
     * expression: one scan over the bytes, no token/n-gram strings
@@ -383,6 +410,7 @@ object TrainPrep {
     "ts_mixture" -> (tsMixture _),
     "ts_shuffle_shards" ->
       ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
+    "tp_corpus_stats" -> (tpCorpusStats _),
     "tp_curation" -> (tpCuration _),
     "dc_decontamination" ->
       ((s: SparkSession, d: String) => dcDecontamination(s, d)))
@@ -395,6 +423,7 @@ object TrainPrep {
     "ts_stratified_sample" -> tsStratifiedSampleSql,
     "ts_mixture" -> tsMixtureSql,
     "ts_shuffle_shards" -> tsShuffleSql(),
+    "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,
     "dc_decontamination" -> dcDecontaminationSql())
 }

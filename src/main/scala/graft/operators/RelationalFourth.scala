@@ -279,13 +279,44 @@ object RelationalFourth {
       |                        (l_returnflag), ())
       |ORDER BY rf, ls""".stripMargin
 
+  // ── ev4: event-sequence transition matrix ───────────────────────────
+  /** Per-user consecutive event-type transitions aggregated into the
+    * corpus transition matrix (the sequence-mining companion to ev1's
+    * funnel: which step follows which, and for how many distinct
+    * users). One shuffle on user_id for the lead() window, then one
+    * small aggregate over the 5×5 type space. */
+  def ev4Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "next_type")
+  }
+
+  val ev4Sql: String =
+    """SELECT event_type, next_type, COUNT(*) AS n_transitions,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_suppliers" -> (q16PartsSuppliers _),
     "q20_potential_promotion" -> (q20PotentialPromotion _),
     "w4_order_navigation" -> (w4OrderNavigation _),
-    "g4_grouping_sets" -> (g4GroupingSets _))
+    "g4_grouping_sets" -> (g4GroupingSets _),
+    "ev4_transitions" -> (ev4Transitions _))
 
   val oracles: Map[String, String] = Map(
     "q2_min_cost_supplier" -> q2Sql,
@@ -293,5 +324,6 @@ object RelationalFourth {
     "q16_parts_suppliers" -> q16Sql,
     "q20_potential_promotion" -> q20Sql,
     "w4_order_navigation" -> w4Sql,
-    "g4_grouping_sets" -> g4Sql)
+    "g4_grouping_sets" -> g4Sql,
+    "ev4_transitions" -> ev4Sql)
 }

@@ -38,7 +38,33 @@ object Sketches {
         approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("p99"))
 
+  /** Heavy hitters via Count-Min Sketch: the frequency sketch is a
+    * built-in partial aggregate (map-side combinable, O(w·d) state —
+    * the 100 TB path to approximate frequencies without shuffling the
+    * key universe); the driver then reads ONLY the few-KB sketch plus
+    * the small distinct key list and evaluates point estimates. CMS
+    * guarantees estimate ≥ true count and, with probability `conf`,
+    * estimate ≤ true count + eps·N — asserted in SketchesSpec. */
+  def skHeavyHitters(spark: SparkSession, dir: String,
+      eps: Double = 0.001, conf: Double = 0.99): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val events = Tables.events(spark, dir)
+    val skBytes = events
+      .agg(expr(s"count_min_sketch(event_type, CAST($eps AS DOUBLE), " +
+        s"CAST($conf AS DOUBLE), 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val keys = events.select("event_type").distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    import spark.implicits._
+    keys.toSeq.map(k => (k, cms.estimateCount(k)))
+      .toDF("event_type", "est_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct" -> (skApproxDistinct _),
-    "sk_approx_percentiles" -> (skApproxPercentiles _))
+    "sk_approx_percentiles" -> (skApproxPercentiles _),
+    "sk_heavy_hitters" ->
+      ((s: SparkSession, d: String) => skHeavyHitters(s, d)))
 }

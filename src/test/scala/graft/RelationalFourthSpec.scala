@@ -97,6 +97,19 @@ class RelationalFourthSpec extends SparkSpec {
       }
   }
 
+  test("ev4: transition totals reconcile with per-user event counts") {
+    val rows = RelationalFourth.ev4Transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTransitions = rows.map(_.getAs[Long]("n_transitions")).sum
+    val events = Tables.events(spark, sf)
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(totalTransitions === nEvents - nUsers)
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <=
+      r.getAs[Long]("n_transitions")))
+  }
+
   test("q2/q16 plans: dimensions broadcast, fact shuffles at most once pre-agg") {
     for (df <- Seq(RelationalFourth.q2MinCostSupplier(spark, sf),
         RelationalFourth.q16PartsSuppliers(spark, sf))) {

@@ -30,4 +30,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(p50 - exact) / exact < 0.05,
       s"p50 $p50 vs exact-ish $exact")
   }
+
+  test("CMS heavy-hitter estimates respect the one-sided error bound") {
+    val est = Sketches.skHeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      // CMS never underestimates; overestimate bounded by eps·N
+      assert(est(k) >= n, s"$k: ${est(k)} < $n")
+      assert(est(k) <= n + (0.001 * total).toLong + 1,
+        s"$k: ${est(k)} vs $n (N=$total)")
+    }
+  }
 }

@@ -121,4 +121,15 @@ class TrainPrepSpec extends SparkSpec {
     assert(shard0.length > 2)
     assert(shard0 !== shard0.sorted)
   }
+
+  test("corpus stats reconcile with whole-corpus totals") {
+    val stats = TrainPrep.tpCorpusStats(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tok"))
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+      assert(r.getAs[Long]("n_tok") >= r.getAs[Long]("n_docs"))
+    }
+  }
 }
