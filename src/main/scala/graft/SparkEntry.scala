@@ -27,7 +27,7 @@ object SparkEntry {
       functions.Similarity.queries ++ functions.Multimodal.queries ++
       streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
       operators.Sketches.queries ++ operators.AsOfJoin.queries ++
-      functions.TrainPrep.queries
+      functions.TrainPrep.queries ++ operators.CdcAnalytics.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -40,5 +40,5 @@ object SparkEntry {
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
       functions.Similarity.oracles ++ functions.Multimodal.oracles ++
       streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
-      functions.TrainPrep.oracles
+      functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ChangeFeed
+
+/** Warehouse views a CDC consumer derives from the replicated change
+  * stream — the layer every user of the reference builds by hand
+  * downstream of its Kafka topics (reference emits the raw mutation
+  * feed, `mypipe-kafka/.../KafkaMutationAvroProducer.scala`; turning
+  * it into queryable history is the consumer's job, made first-class
+  * here).
+  *
+  *  - [[scd2History]]: Slowly-Changing-Dimension type 2 — every row
+  *    image with its validity interval `[valid_from, valid_to)`.
+  *  - [[ivmDeltaAgg]]: incremental view maintenance — a grouped
+  *    aggregate maintained from signed mutation deltas (+new − old)
+  *    without rescanning the base table.
+  *
+  * Scale notes: both are one shuffle on the entity key (the window
+  * partition), and IVM's signed deltas then partial-aggregate
+  * map-side into the (much smaller) group key — at 100 TB the delta
+  * stream is the only input, never the accumulated base.
+  */
+object CdcAnalytics {
+
+  /** Per-entity history order: the binlog total order restricted to
+    * one primary key (commit ts, then file position). */
+  private val hist =
+    Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+  // ── SCD Type-2 history ──────────────────────────────────────────────
+  /** Each non-delete image is valid from its own commit until the next
+    * mutation of the same PK; the last image (if not deleted) is
+    * current with an open interval. One `lead` window — one shuffle on
+    * the PK, no self-join. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    ChangeFeed.fromEvents(spark, dir)
+      .withColumn("valid_to_us", lead("ts_us", 1).over(hist))
+      .filter(col("op") =!= "delete")
+      .select(col("user_id"), col("event_id"), col("op"),
+        coalesce(QueryUtil.cents(col("value")), lit(0L)).as("value_cents"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+
+  val scd2Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql})
+       |SELECT user_id, event_id, op,
+       |  COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0) AS value_cents,
+       |  ts_us AS valid_from_us, valid_to_us,
+       |  valid_to_us IS NULL AS is_current
+       |FROM (
+       |  SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id) AS valid_to_us
+       |  FROM feed)
+       |WHERE op <> 'delete'
+       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  // ── Incremental view maintenance ────────────────────────────────────
+  /** Maintain `(n_live, sum_value_cents)` per cohort (user_id bucket)
+    * from mutation deltas alone: each mutation contributes
+    * `new − previous` where a delete's new contribution is zero. The
+    * maintained view equals a full aggregate over the latest images
+    * ([[TxOps.t9LatestImage]]) but is computable from the delta stream
+    * incrementally — sum of signed deltas is associative, so Spark
+    * partial-aggregates map-side and a micro-batch's deltas fold into
+    * a stored view with `+`. */
+  def ivmDeltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val contrib = when(col("op") === "delete", lit(0L))
+      .otherwise(coalesce(QueryUtil.cents(col("value")), lit(0L)))
+    // liveness is a STATE, so its delta is state − previous state (a
+    // first-seen update opens the entity; a delete after a delete is
+    // net zero; a post-delete update resurrects) — op-based ±1 would
+    // miscount all three
+    val isLive = when(col("op") === "delete", lit(0L)).otherwise(lit(1L))
+    ChangeFeed.fromEvents(spark, dir)
+      .withColumn("contrib", contrib)
+      .withColumn("is_live", isLive)
+      .withColumn("delta_cents",
+        col("contrib") - coalesce(lag("contrib", 1).over(hist), lit(0L)))
+      .withColumn("delta_live",
+        col("is_live") - coalesce(lag("is_live", 1).over(hist), lit(0L)))
+      .groupBy(pmod(col("user_id"), lit(100L)).as("cohort"))
+      .agg(sum("delta_live").as("n_live"),
+        sum("delta_cents").as("sum_value_cents"))
+      // groups whose live count fell to zero are GC'd from the view
+      // (n_live = 0 forces sum = 0 too): the maintained view is then
+      // pointwise equal to an aggregate over the surviving base rows
+      .filter(col("n_live") > 0)
+      .orderBy("cohort")
+  }
+
+  val ivmSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |contribs AS (
+       |  SELECT user_id,
+       |    CASE WHEN op = 'delete' THEN 0
+       |         ELSE COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0)
+       |    END AS contrib,
+       |    CASE WHEN op = 'delete' THEN 0 ELSE 1 END AS is_live,
+       |    ts_us, event_id
+       |  FROM feed),
+       |deltas AS (
+       |  SELECT user_id,
+       |    is_live - COALESCE(LAG(is_live) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id), 0) AS delta_live,
+       |    contrib - COALESCE(LAG(contrib) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id), 0) AS delta_cents
+       |  FROM contribs)
+       |SELECT user_id % 100 AS cohort,
+       |  CAST(SUM(delta_live) AS BIGINT) AS n_live,
+       |  CAST(SUM(delta_cents) AS BIGINT) AS sum_value_cents
+       |FROM deltas GROUP BY cohort
+       |HAVING SUM(delta_live) > 0 ORDER BY cohort""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cd_scd2_history" -> (scd2History _),
+    "cd_ivm_delta_agg" -> (ivmDeltaAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "cd_scd2_history" -> scd2Sql,
+    "cd_ivm_delta_agg" -> ivmSql)
+}

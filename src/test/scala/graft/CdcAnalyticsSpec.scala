@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{CdcAnalytics, TxOps}
+import graft.sources.ChangeFeed
+import org.apache.spark.sql.functions._
+
+class CdcAnalyticsSpec extends SparkSpec {
+
+  test("scd2: intervals tile each entity's history with no overlap") {
+    val hist = CdcAnalytics.scd2History(spark, sf).cache()
+    // exactly one current row per surviving entity
+    val multiCurrent = hist.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(multiCurrent === 0)
+    // closed intervals are non-empty and chain: valid_to of row n equals
+    // valid_from of the next mutation (delete gaps allowed — strictly,
+    // valid_to never precedes the next image's valid_from)
+    assert(hist.filter(col("valid_to_us") <= col("valid_from_us"))
+      .count() === 0, "empty or inverted validity interval")
+    val overlaps = hist.alias("a").join(hist.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.event_id") < col("b.event_id") &&
+        col("a.valid_from_us") < coalesce(col("b.valid_to_us"), lit(Long.MaxValue)) &&
+        col("b.valid_from_us") < coalesce(col("a.valid_to_us"), lit(Long.MaxValue)))
+      .count()
+    assert(overlaps === 0, "validity intervals overlap within an entity")
+  }
+
+  test("scd2: current images equal the latest-image reconstruction") {
+    val current = CdcAnalytics.scd2History(spark, sf)
+      .filter(col("is_current"))
+      .select("user_id", "event_id")
+    // t9 keeps entities whose LAST mutation isn't a delete; scd2's
+    // current row is that same last image
+    val t9 = TxOps.t9LatestImage(spark, sf).select("user_id", "event_id")
+    assert(current.exceptAll(t9).count() === 0)
+    assert(t9.exceptAll(current).count() === 0)
+  }
+
+  test("ivm: maintained view equals a full aggregate over latest images") {
+    val ivm = CdcAnalytics.ivmDeltaAgg(spark, sf)
+    val full = TxOps.t9LatestImage(spark, sf)
+      .groupBy(pmod(col("user_id"), lit(100L)).as("cohort"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(coalesce(graft.operators.QueryUtil.cents(col("value")), lit(0L)))
+          .as("sum_value_cents"))
+    val joined = ivm.join(full, Seq("cohort"), "full")
+    assert(joined.filter(
+      ivm("n_live") =!= full("n_live") ||
+        ivm("sum_value_cents") =!= full("sum_value_cents") ||
+        ivm("n_live").isNull || full("n_live").isNull).count() === 0,
+      "incremental delta view diverged from the base-table aggregate")
+    assert(ivm.count() > 0)
+  }
+
+  test("ivm: deltas partial-aggregate (no window in the grouped plan tail)") {
+    // the grouped sum is over pre-computed signed deltas: the physical
+    // plan must show a partial HashAggregate before the exchange
+    val plan = CdcAnalytics.ivmDeltaAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
+
+  test("scd2 closed intervals chain to the successor mutation") {
+    // for every closed interval, some mutation of the same user starts
+    // exactly at valid_to (the next image or the closing delete)
+    val hist = CdcAnalytics.scd2History(spark, sf)
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "valid_to_us")
+    val feed = ChangeFeed.fromEvents(spark, sf)
+      .select(col("user_id"), col("ts_us").as("valid_to_us"))
+    assert(hist.exceptAll(hist.join(feed.distinct(),
+      Seq("user_id", "valid_to_us"), "left_semi")).count() === 0)
+  }
+}
