@@ -27,7 +27,8 @@ object SparkEntry {
       functions.Similarity.queries ++ functions.Multimodal.queries ++
       streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
       operators.Sketches.queries ++ operators.AsOfJoin.queries ++
-      functions.TrainPrep.queries ++ operators.CdcAnalytics.queries
+      functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
+      operators.Layout.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       functions.TextAnalysis.oracles ++ functions.Dedup.oracles ++
       functions.Similarity.oracles ++ functions.Multimodal.oracles ++
       streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
-      functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles
+      functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
+      operators.Layout.oracles
 }
