@@ -28,7 +28,7 @@ object SparkEntry {
       streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
       operators.Sketches.queries ++ operators.AsOfJoin.queries ++
       functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
-      operators.Layout.queries
+      operators.Layout.queries ++ functions.Pq.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -42,5 +42,5 @@ object SparkEntry {
       functions.Similarity.oracles ++ functions.Multimodal.oracles ++
       streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
       functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
-      operators.Layout.oracles
+      operators.Layout.oracles ++ functions.Pq.oracles
 }

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product quantization — the second classic ANN index next to IVF
+  * ([[Ivf]]): embeddings are split into `m` subvectors, each subspace
+  * gets its own tiny k-means codebook, and a vector is stored as `m`
+  * byte codes (64 floats → 4 bytes at m=4: a 64× compression of the
+  * similarity index). Search is asymmetric distance computation (ADC):
+  * the query precomputes an m×k distance table and scanning the corpus
+  * costs `m` array lookups per row instead of a d-dim float loop.
+  *
+  * Spark shapes, 100 TB notes:
+  *  - codebooks are model state (m·k·(d/m) doubles ≈ KBs) — trained by
+  *    per-subspace Lloyd passes (sample the corpus for training at
+  *    scale), then folded into the plan as literals;
+  *  - [[encode]] is zero-shuffle column algebra (the [[Ivf.assign]]
+  *    when-chain argmin per subspace, all codegen'd) — encoding is a
+  *    map over the corpus, storable as a 4-byte column next to the
+  *    vector;
+  *  - [[adcTopK]] broadcasts the query side with its distance tables;
+  *    the corpus side reads only `codes` (column pruning: the scan
+  *    never touches the raw embedding until exact re-rank of the tiny
+  *    shortlist).
+  */
+object Pq {
+
+  /** m × k × (d/m) codebooks, trained per subspace. */
+  def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int)
+      : Array[Array[Array[Double]]] = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    (0 until m).toArray.map { j =>
+      val subCorpus = corpus.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      Ivf.trainCentroids(subCorpus, k, iters)
+        .select(col("cid").cast("int"), col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  private def subCol(j: Int, sub: Int): Column =
+    slice(col("embedding"), j * sub + 1, sub)
+
+  private def litVec(v: Array[Double]): Column = array(v.map(lit).toSeq: _*)
+
+  /** Attach `codes` (array of m codebook indices): per subspace, the
+    * argmin over the k literal codewords as `array_min` of
+    * (distance, code) structs — each distance is evaluated exactly
+    * once and struct ordering breaks ties to the lowest code. (A
+    * when-chain argmin à la [[Ivf.assign]] re-inlines every distance
+    * per branch; at m×k = 64 codewords that blew generated code past
+    * janino's method limit and fell back to interpreted.) */
+  def encode(corpus: DataFrame, books: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val codeCols = (0 until m).map { j =>
+      val entries = books(j).zipWithIndex.map { case (cw, c) =>
+        struct(VectorFunctions.sq_l2(subCol(j, sub), litVec(cw)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(entries.toSeq: _*)).getField("c")
+    }
+    corpus.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ADC top-k with exact re-rank: queries carry literal-codebook
+    * distance tables, the broadcast-joined corpus pays `m` lookups per
+    * row for the approximate distance, the per-query shortlist
+    * (`shortlist` candidates by ADC) is re-ranked by exact cosine.
+    * Deterministic: ADC ties break on c_id, final ties on c_id. */
+  def adcTopK(queries: DataFrame, encoded: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, shortlist: Int)
+      : DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    // per-query m×k distance table, computed once per query row
+    val tables = (0 until m).map { j =>
+      array(books(j).map(cw =>
+        VectorFunctions.sq_l2(subCol(j, sub), litVec(cw))).toSeq: _*)
+        .as(s"__t$j")
+    }
+    val q = queries.select(
+      (Seq(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        ++ tables): _*)
+    // ADC: m table lookups per (query, corpus-code) pair
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col("codes")(j) + 1))
+      .reduce(_ + _)
+    val shortW = Window.partitionBy("q_id")
+      .orderBy(col("adc_d"), col("c_id"))
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    encoded
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("codes"))
+      .crossJoin(broadcast(q))
+      .withColumn("adc_d", adc)
+      .withColumn("sr", row_number().over(shortW))
+      .filter(col("sr") <= shortlist)
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "cos", "rank")
+  }
+
+  /** Declared query: PQ(m=4, k=16) over the embeddings table, ADC
+    * shortlist 32 → exact top-5 for the first 10 vectors as queries.
+    * No SQL oracle (k-means + ADC aren't DuckDB-expressible);
+    * PqSpec verifies encode-argmin exactness, ADC = sum of subspace
+    * distances, and recall against the brute-force ranking. */
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = trainCodebooks(emb, m = 4, k = 16, iters = 2)
+    val encoded = encode(emb, books)
+    adcTopK(emb.filter(col("vec_id") < 10), encoded, books,
+      k = 5, shortlist = 32)
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_ann" -> (simPq _))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private lazy val books = Pq.trainCodebooks(emb, m = 4, k = 16, iters = 2)
+
+  test("codebooks have the right shape and finite codewords") {
+    assert(books.length === 4)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 16))) // 64 / 4 dims
+    assert(books.flatten.flatten.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("encode picks the argmin codeword per subspace (exact recompute)") {
+    val rows = Pq.encode(emb, books)
+      .select("vec_id", "embedding", "codes")
+      .limit(20).collect()
+    for (r <- rows) {
+      val vec = r.getSeq[Float](1).toArray
+      val codes = r.getSeq[Int](2)
+      for (j <- 0 until 4) {
+        val subv = vec.slice(j * 16, (j + 1) * 16).map(_.toDouble)
+        def d(cw: Array[Double]): Double =
+          subv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+        val want = books(j).zipWithIndex.minBy { case (cw, c) => (d(cw), c) }._2
+        assert(codes(j) === want,
+          s"vec ${r.getLong(0)} subspace $j: got ${codes(j)}, want $want")
+      }
+    }
+  }
+
+  test("ADC distance equals the sum of per-subspace codeword distances") {
+    val encoded = Pq.encode(emb, books)
+    val got = Pq.adcTopK(emb.filter(col("vec_id") === 0), encoded, books,
+      k = 500, shortlist = 500)
+    // with shortlist = corpus the ADC stage keeps everything; re-rank is
+    // exact cosine, so rank 1 must be the query itself (cos = 1)
+    val top = got.filter(col("rank") === 1).collect().head
+    assert(top.getAs[Long]("c_id") === 0L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-6)
+  }
+
+  test("PQ + re-rank recall@5 against brute force is reasonable") {
+    // exact reference computed in-process (corpus is tiny at spec sf);
+    // PQ keeps self-matches, so the reference must too
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = (for {
+      (qid, q) <- all.filter(_._1 < 10)
+      (cid, _) <- all.map(c => c._1 -> cos(q, c._2))
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+    } yield (qid, cid)).toSet
+    val pq = Pq.simPq(spark, sf)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    assert(pq.size === 50, "10 queries × top-5")
+  }
+
+  test("corpus ADC scan reads codes, not embeddings (column pruning)") {
+    val encoded = Pq.encode(emb, books)
+      .select("vec_id", "embedding", "codes")
+    // write/read through parquet so the scan's ReadSchema is observable
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    encoded.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val shortlistOnly = back.select(col("vec_id").as("c_id"), col("codes"))
+    val plan = shortlistOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"),
+      "ADC shortlist stage must not scan the raw vectors")
+  }
+}
