@@ -20,6 +20,7 @@ object SparkEntry {
       operators.RelationalSql.queries ++ operators.RelationalMore.queries ++
       operators.RelationalThird.queries ++
       operators.RelationalFourth.queries ++
+      operators.RelationalFifth.queries ++
       operators.CdcOps.queries ++
       operators.TxOps.queries ++ functions.Envelope.queries ++
       functions.SpecificEnvelope.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.RelationalSql.oracles ++ operators.RelationalMore.oracles ++
       operators.RelationalThird.oracles ++
       operators.RelationalFourth.oracles ++
+      operators.RelationalFifth.oracles ++
       operators.CdcOps.oracles ++
       operators.TxOps.oracles ++ functions.Envelope.oracles ++
       functions.SpecificEnvelope.oracles ++

@@ -116,11 +116,92 @@ object CdcAnalytics {
        |FROM deltas GROUP BY cohort
        |HAVING SUM(delta_live) > 0 ORDER BY cohort""".stripMargin
 
+  // ── Batch MERGE (upsert-apply) ──────────────────────────────────────
+  /** The consumer-side MERGE: apply the post-cutoff slice of the change
+    * feed onto the materialized state at the cutoff, reporting per-key
+    * provenance (kept / updated / inserted / deleted) — the
+    * `MERGE INTO` a warehouse runs per micro-batch of the reference's
+    * Kafka feed.
+    *
+    * Join-free: both the state-at-cutoff and the latest delta reduce in
+    * ONE grouped pass as conditional `max(struct(ts, seq, …))`
+    * aggregates (struct ordering = the history order, nulls ignored),
+    * so the whole merge costs a single shuffle on the PK with map-side
+    * partial aggregation — at 100 TB there is no base×delta join, no
+    * second shuffle, no window. No-ops (deletes of absent keys, keys
+    * whose whole history is pre-cutoff deletes) emit nothing. */
+  private val CutUs = 1705363200000000L // 2024-01-16T00:00:00Z
+
+  def mergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val img = struct(col("ts_us"), col("event_id"), col("op"), col("value"))
+    val agg = ChangeFeed.fromEvents(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("ts_us") <= CutUs, img)).as("base"),
+        max(when(col("ts_us") > CutUs, img)).as("delta"))
+    val liveBefore =
+      col("base").isNotNull && col("base.op") =!= "delete"
+    val beforeCents =
+      when(liveBefore, QueryUtil.cents(coalesce(col("base.value"), lit(0.0d))))
+    val action = when(col("delta").isNull, lit("kept"))
+      .when(col("delta.op") === "delete", lit("deleted"))
+      .when(liveBefore, lit("updated"))
+      .otherwise(lit("inserted"))
+    val afterCents = when(col("delta").isNull, beforeCents)
+      .when(col("delta.op") === "delete", lit(null).cast("long"))
+      .otherwise(QueryUtil.cents(coalesce(col("delta.value"), lit(0.0d))))
+    agg
+      // emit only keys the merge touches or keeps live
+      .filter(liveBefore ||
+        (col("delta").isNotNull && col("delta.op") =!= "delete"))
+      .select(col("user_id"), action.as("action"),
+        beforeCents.as("before_cents"), afterCents.as("after_cents"),
+        coalesce(col("delta.ts_us"), col("base.ts_us")).as("ts_us"))
+      .orderBy("user_id")
+  }
+
+  val mergeSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |base AS (
+       |  SELECT user_id, op, value, ts_us FROM (
+       |    SELECT user_id, op, value, ts_us, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+       |    FROM feed WHERE ts_us <= $CutUs) WHERE rn = 1),
+       |delta AS (
+       |  SELECT user_id, op, value, ts_us FROM (
+       |    SELECT user_id, op, value, ts_us, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+       |    FROM feed WHERE ts_us > $CutUs) WHERE rn = 1),
+       |m AS (
+       |  SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+       |    b.op IS NOT NULL AND b.op <> 'delete' AS live_before,
+       |    CASE WHEN b.op IS NOT NULL AND b.op <> 'delete'
+       |      THEN CAST(FLOOR(COALESCE(b.value, 0) * 100 + 0.5) AS BIGINT)
+       |    END AS before_cents,
+       |    d.op AS dop, d.value AS dvalue,
+       |    COALESCE(d.ts_us, b.ts_us) AS ts_us
+       |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+       |SELECT user_id,
+       |  CASE WHEN dop IS NULL THEN 'kept'
+       |       WHEN dop = 'delete' THEN 'deleted'
+       |       WHEN live_before THEN 'updated'
+       |       ELSE 'inserted' END AS action,
+       |  before_cents,
+       |  CASE WHEN dop IS NULL THEN before_cents
+       |       WHEN dop = 'delete' THEN NULL
+       |       ELSE CAST(FLOOR(COALESCE(dvalue, 0) * 100 + 0.5) AS BIGINT)
+       |  END AS after_cents,
+       |  ts_us
+       |FROM m
+       |WHERE live_before OR (dop IS NOT NULL AND dop <> 'delete')
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cd_scd2_history" -> (scd2History _),
-    "cd_ivm_delta_agg" -> (ivmDeltaAgg _))
+    "cd_ivm_delta_agg" -> (ivmDeltaAgg _),
+    "cd_merge_apply" -> (mergeApply _))
 
   val oracles: Map[String, String] = Map(
     "cd_scd2_history" -> scd2Sql,
-    "cd_ivm_delta_agg" -> ivmSql)
+    "cd_ivm_delta_agg" -> ivmSql,
+    "cd_merge_apply" -> mergeSql)
 }

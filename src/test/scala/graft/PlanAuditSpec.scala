@@ -167,6 +167,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side combine present:\n" + p)
   }
 
+  test("a1_array_hof: one grouped collect is the only hash shuffle") {
+    val p = plan(graft.operators.RelationalFifth.a1ArrayHof(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"array algebra is post-aggregation projection; got $shuffles:\n$p")
+  }
+
+  test("m2_date_functions: pure narrow projection (no hash shuffle)") {
+    // the only exchange allowed is the final presentation sort
+    val p = plan(graft.operators.RelationalFifth.m2DateFunctions(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "date scalar library must not shuffle:\n" + p)
+  }
+
+  test("j2_full_outer: both sides aggregate before the join") {
+    val p = plan(graft.operators.RelationalFifth.j2FullOuter(spark, sf))
+    assert(p.contains("FullOuter"), "full outer join planned:\n" + p)
+    assert(p.contains("partial_"),
+      "side aggregates are map-side combined:\n" + p)
+  }
+
+  test("cd_merge_apply: single shuffle, no join anywhere in the plan") {
+    val p = plan(graft.operators.CdcAnalytics.mergeApply(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"join-free merge needs exactly one PK shuffle, got $shuffles:\n$p")
+    assert(!p.contains("Join"), "merge must not plan a join:\n" + p)
+  }
+
   test("ta_bm25: corpus stats are one broadcast row; tf side never shuffles") {
     val p = plan(graft.functions.TextAnalysis.taBm25(spark, sf))
     assert(p.contains("BroadcastExchange") ||
