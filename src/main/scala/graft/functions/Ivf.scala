@@ -24,11 +24,15 @@ object Ivf {
   private def sqDist(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) = VectorFunctions.sq_l2(a, b)
 
-  /** Deterministic seeds: the k lowest vec_ids. */
+  /** Deterministic seeds: the k lowest vec_ids. The single-partition
+    * window is bounded by construction — it ranks the `limit(k)` seed
+    * set (k rows, a parameter), never the corpus; the explicit constant
+    * partition key documents that and keeps the "no partition defined"
+    * planner warning out of driver logs. */
   def seedCentroids(corpus: DataFrame, k: Int): DataFrame =
     corpus.orderBy("vec_id").limit(k)
       .withColumn("cid", row_number().over(
-        Window.orderBy("vec_id")) - 1)
+        Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
       .select(col("cid"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 

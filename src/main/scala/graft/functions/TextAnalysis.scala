@@ -370,6 +370,63 @@ object TextAnalysis {
       pmod(HashFunctions.rolling_hash(col("text")), lit(64)).as("shard"))
       .orderBy("doc_id")
 
+  // ── rare-bigram novelty ─────────────────────────────────────────────
+  /** Corpus-relative novelty: the fraction of a document's word-bigram
+    * positions whose bigram occurs exactly once in the whole corpus —
+    * a language-model-free proxy for "unusual text" (high = novel or
+    * noisy, low = boilerplate), the cheap stand-in for a perplexity
+    * gate. Join-free at the gram level: a corpus-frequency-1 bigram
+    * has exactly one position, so `min(doc_id)` of its group IS its
+    * document — per-doc rare counts come from re-grouping the
+    * singleton grams, never joining the gram table against itself.
+    * Grams travel as 64-bit [[NgramHashes]] (same collision caveat as
+    * [[TrainPrep.dcDecontamination]]: a cross-doc hash collision would
+    * mask a rare gram; birthday-bound safe at any real corpus). */
+  def taRareBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rare = docs
+      .select(col("doc_id"),
+        explode(ShingleFunctions.ngram_hashes(col("text"), 2)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"), min("doc_id").as("d"))
+      .filter(col("c") === 1)
+      .groupBy(col("d").as("doc_id"))
+      .agg(count(lit(1)).as("n_rare"))
+    docs
+      .select(col("doc_id"),
+        size(ShingleFunctions.ngram_hashes(col("text"), 2)).as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .join(rare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  val taRareBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+      |    i -> a[i] || ' ' || a[i + 1])) AS g
+      |  FROM toks WHERE len(a) >= 2),
+      |rare AS (
+      |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_pos
+      |  FROM grams GROUP BY g HAVING COUNT(*) = 1),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_rare FROM rare GROUP BY doc_id),
+      |sized AS (
+      |  SELECT doc_id, CAST(len(a) - 1 AS INT) AS n_grams
+      |  FROM toks WHERE len(a) >= 2)
+      |SELECT s.doc_id, s.n_grams,
+      |  COALESCE(p.n_rare, 0) AS n_rare,
+      |  CAST(COALESCE(p.n_rare, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+      |    AS rare_frac
+      |FROM sized s LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_count" -> (taTokenCount _),
     "ta_quality_score" -> (taQualityScore _),
@@ -378,6 +435,7 @@ object TextAnalysis {
     "ta_vocab" -> ((s: SparkSession, d: String) => taVocab(s, d)),
     "ta_repetition" -> (taRepetition _),
     "ta_bm25" -> (taBm25 _),
+    "ta_rare_bigrams" -> (taRareBigrams _),
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -387,5 +445,6 @@ object TextAnalysis {
     "ta_redact" -> taRedactSql,
     "ta_vocab" -> taVocabSql(),
     "ta_repetition" -> taRepetitionSql,
-    "ta_bm25" -> taBm25Sql)
+    "ta_bm25" -> taBm25Sql,
+    "ta_rare_bigrams" -> taRareBigramsSql)
 }

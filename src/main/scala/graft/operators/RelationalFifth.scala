@@ -140,13 +140,85 @@ object RelationalFifth {
       |FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // ── fuzzy (edit-distance) join ──────────────────────────────────────
+  /** Blocked fuzzy string join — entity resolution's core operator:
+    * probe names (here: part names with the last character dropped, a
+    * deterministic "typo") match any part whose name is within
+    * levenshtein ≤ 2. The block key (first name token) carries a hash
+    * equi-join; the edit distance runs only inside a block — the
+    * standard blocking shape that keeps fuzzy matching off the n×m
+    * cliff at corpus scale. Both engines ship the same levenshtein. */
+  def fj1FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
+      .withColumn("blk", split_part(col("q"), lit(" "), lit(1)))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"), col("p_name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    probes.join(targets, "blk")
+      .withColumn("dist", levenshtein(col("q"), col("p_name")))
+      .filter(col("dist") <= 2)
+      .select("probe_id", "match_key", "dist")
+      .orderBy("probe_id", "match_key")
+  }
+
+  val fj1Sql: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_id,
+      |    substr(p_name, 1, length(p_name) - 1) AS q,
+      |    split_part(substr(p_name, 1, length(p_name) - 1), ' ', 1) AS blk
+      |  FROM part WHERE p_partkey % 400 = 0),
+      |targets AS (
+      |  SELECT p_partkey AS match_key, p_name,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part)
+      |SELECT probe_id, match_key,
+      |  CAST(levenshtein(q, p_name) AS INT) AS dist
+      |FROM probes JOIN targets USING (blk)
+      |WHERE levenshtein(q, p_name) <= 2
+      |ORDER BY probe_id, match_key""".stripMargin
+
+  // ── exact percentiles ───────────────────────────────────────────────
+  /** Exact interpolated percentiles of customer balances per market
+    * segment. Inputs are integer cents and the percentile fractions are
+    * dyadic (1/4, 1/2, 3/4), so the linear interpolation
+    * `lower + f·(higher − lower)` is IEEE-exact in both engines — the
+    * aggregate is hash-verifiable despite returning doubles. (The
+    * approximate path for 100 TB is [[Sketches]]; this is the exact
+    * small-group complement.) */
+  def g5ExactMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), cents(col("c_acctbal")).as("bal"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("bal"), lit(0.25)).as("p25_cents"),
+        percentile(col("bal"), lit(0.5)).as("median_cents"),
+        percentile(col("bal"), lit(0.75)).as("p75_cents"))
+      .orderBy("c_mktsegment")
+
+  val g5Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  quantile_cont(bal, 0.25) AS p25_cents,
+      |  quantile_cont(bal, 0.5) AS median_cents,
+      |  quantile_cont(bal, 0.75) AS p75_cents
+      |FROM (SELECT c_mktsegment,
+      |        CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      |      FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_array_hof" -> (a1ArrayHof _),
     "m2_date_functions" -> (m2DateFunctions _),
-    "j2_full_outer" -> (j2FullOuter _))
+    "j2_full_outer" -> (j2FullOuter _),
+    "fj1_fuzzy_join" -> (fj1FuzzyJoin _),
+    "g5_exact_median" -> (g5ExactMedian _))
 
   val oracles: Map[String, String] = Map(
     "a1_array_hof" -> a1Sql,
     "m2_date_functions" -> m2Sql,
-    "j2_full_outer" -> j2Sql)
+    "j2_full_outer" -> j2Sql,
+    "fj1_fuzzy_join" -> fj1Sql,
+    "g5_exact_median" -> g5Sql)
 }

@@ -69,6 +69,43 @@ class RelationalFifthSpec extends SparkSpec {
     }
   }
 
+  test("fj1: every probe rediscovers its own part at distance 1") {
+    val rows = RelationalFifth.fj1FuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    val probeIds = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 400 === 0)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    // each probe (truncated name) matches its own part with distance 1
+    probeIds.foreach { id =>
+      val self = byProbe.getOrElse(id, Array.empty)
+        .find(_.getAs[Long]("match_key") == id)
+      assert(self.isDefined, s"probe $id lost its own part")
+      assert(self.get.getAs[Int]("dist") === 1)
+    }
+    rows.foreach(r => assert(r.getAs[Int]("dist") <= 2))
+  }
+
+  test("g5: percentiles bracket each other and sit inside the range") {
+    val rows = RelationalFifth.g5ExactMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25_cents"),
+        r.getAs[Double]("median_cents"), r.getAs[Double]("p75_cents"))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    // median of a known multiset: recompute one segment by hand
+    val seg = rows.head.getAs[String]("c_mktsegment")
+    val bals = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === seg)
+      .select(operators.QueryUtil.cents(col("c_acctbal")).as("b"))
+      .collect().map(_.getLong(0)).sorted
+    val pos = 0.5 * (bals.length - 1)
+    val (lo, hi) = (bals(pos.toInt), bals(math.ceil(pos).toInt))
+    val expected = lo + (pos - pos.toInt) * (hi - lo)
+    assert(rows.head.getAs[Double]("median_cents") === expected)
+  }
+
   test("cd_merge_apply: merged state equals the latest-image view") {
     val merged = CdcAnalytics.mergeApply(spark, sf)
     // survivors of the merge (not deleted) must be exactly the keys of

@@ -108,4 +108,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select("shard").distinct().count()
     assert(shards > 10, s"expected spread across 64 buckets, got $shards")
   }
+
+  test("rare bigrams: matches a naive string-bigram recomputation") {
+    val got = TextAnalysis.taRareBigrams(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Long]("n_rare")))
+      .toMap
+    // naive reference: string bigrams, corpus frequency, rare = freq 1
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val grams = texts.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }.toSeq
+    }
+    val freq = grams.flatMap(_._2).groupBy(identity).map {
+      case (g, occ) => g -> occ.length
+    }
+    grams.filter(_._2.nonEmpty).foreach { case (id, gs) =>
+      val (nGrams, nRare) = got(id)
+      assert(nGrams === gs.length, s"doc $id gram count")
+      assert(nRare === gs.count(freq(_) == 1).toLong, s"doc $id rare count")
+    }
+    assert(got.values.forall { case (n, r) => r <= n })
+  }
 }
