@@ -29,21 +29,59 @@ import graft.Tables
   */
 object Pq {
 
-  /** m × k × (d/m) codebooks, trained per subspace. */
+  /** m × k × (d/m) codebooks, trained per subspace — JOINTLY: every
+    * Lloyd iteration is ONE corpus pass that assigns all m subspace
+    * codes (literal-codeword argmin, codegen'd) and folds the
+    * per-(subspace, code, dim) means in a single grouped aggregate
+    * (m·k·(d/m) = d·k cells, a few KB back to the driver). Training m
+    * subspaces separately would scan the corpus m× per iteration; at
+    * 100 TB the corpus pass IS the cost, so passes scale with `iters`
+    * only. Seeds: the k lowest vec_ids' subvectors (deterministic).
+    * Subspace assignments are independent, so joint training computes
+    * exactly what per-subspace training would. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int)
       : Array[Array[Array[Double]]] = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
-    (0 until m).toArray.map { j =>
-      val subCorpus = corpus.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-      Ivf.trainCentroids(subCorpus, k, iters)
-        .select(col("cid").cast("int"), col("centroid"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2)
-    }
+    val cached = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .persist()
+    try {
+      val seeds = cached.orderBy("vec_id").limit(k)
+        .select("embedding").collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seeds.length == k, s"corpus smaller than k=$k")
+      var books: Array[Array[Array[Double]]] = (0 until m).toArray
+        .map(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
+      for (_ <- 0 until iters) {
+        val contribs = (0 until m).map { j =>
+          val entries = books(j).zipWithIndex.map { case (cw, c) =>
+            struct(
+              VectorFunctions.sq_l2(subCol(j, sub), litVec(cw)).as("d"),
+              lit(c).as("c"))
+          }
+          struct(lit(j).as("j"),
+            array_min(array(entries.toSeq: _*)).getField("c").as("code"),
+            subCol(j, sub).as("v"))
+        }
+        val means = cached
+          .select(explode(array(contribs: _*)).as("s"))
+          .select(col("s.j").as("j"), col("s.code").as("code"),
+            posexplode(col("s.v")).as(Seq("dim", "x")))
+          .groupBy("j", "code", "dim").agg(avg("x").as("mean"))
+          .collect()
+        // empty cells keep their previous codeword (standard Lloyd)
+        val next = books.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getAs[Int]("j"))(r.getAs[Int]("code"))(
+            r.getAs[Int]("dim")) = r.getAs[Double]("mean")
+        }
+        books = next
+      }
+      books
+    } finally { cached.unpersist(); () }
   }
 
   private def subCol(j: Int, sub: Int): Column =
@@ -120,7 +158,11 @@ object Pq {
   def simPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val books = trainCodebooks(emb, m = 4, k = 16, iters = 2)
-    val encoded = encode(emb, books)
+    // materialize the codes once (localCheckpoint = the stored codes
+    // column of a real deployment): the ADC scan + both top-k windows
+    // must read 4-byte codes, not re-run the 64-distance encode argmin
+    // per window pass
+    val encoded = encode(emb, books).localCheckpoint()
     adcTopK(emb.filter(col("vec_id") < 10), encoded, books,
       k = 5, shortlist = 32)
       .orderBy("q_id", "rank")

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operators beyond the reference's surface that a CDC
   * consumer needs in practice:
@@ -13,9 +14,68 @@ import org.apache.spark.sql.functions._
   *  - [[enrich]]: stream⋈static dimension join — the static side is
   *    broadcast, the stream never shuffles;
   *  - [[intervalJoin]]: stream⋈stream inner join with event-time
-  *    bounds — both sides watermarked so join state is evicted.
+  *    bounds — both sides watermarked so join state is evicted;
+  *  - [[latestImageStream]]: a continuously-maintained latest-image
+  *    view (the streaming twin of the batch
+  *    [[graft.operators.CdcAnalytics.mergeApply]] /
+  *    [[graft.operators.TxOps.t9LatestImage]]): per-PK state holds the
+  *    freshest image and an update is emitted only when the image
+  *    actually advances.
   */
 object StreamOps {
+
+  /** One change of a keyed entity: `(tsUs, seq)` is the total history
+    * order (commit time, then log position). */
+  case class ImageChange(pk: Long, tsUs: Long, seq: Long, op: String,
+      value: Double)
+
+  /** Emitted whenever a key's current image advances. */
+  case class ImageUpdate(pk: Long, op: String, value: Double, tsUs: Long,
+      seq: Long, isDeleted: Boolean)
+
+  /** Stored per-PK state: the freshest image (fixed size). Public so
+    * the encoder's generated code can construct it. */
+  case class ImageState(tsUs: Long, seq: Long, op: String,
+      value: Double)
+
+  implicit private val updEnc: Encoder[ImageUpdate] =
+    Encoders.product[ImageUpdate]
+  implicit private val stEnc: Encoder[ImageState] =
+    Encoders.product[ImageState]
+  implicit private val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Streaming materialized view of the latest image per PK.
+    *
+    * State is one fixed-size record per live key — the minimum any
+    * upsert view needs; there is no per-event buffering, so state size
+    * is O(live keys), not O(stream). Out-of-order and re-delivered
+    * changes (at-least-once sources) fold away: an event older than
+    * the stored `(tsUs, seq)` changes nothing and emits nothing, so
+    * the output stream is also exactly-once per image advance.
+    * Deletes stay in state as tombstones (emitted with
+    * `isDeleted = true`) so a late pre-delete update cannot resurrect
+    * the row; downstream compaction may age them out. */
+  def latestImageStream(changes: Dataset[ImageChange]): Dataset[ImageUpdate] =
+    changes
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[ImageState, ImageUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pk: Long, it: Iterator[ImageChange], gs: GroupState[ImageState]) =>
+          val prev = gs.getOption
+          var cur = prev
+          it.foreach { c =>
+            val newer = cur.forall(s =>
+              c.tsUs > s.tsUs || (c.tsUs == s.tsUs && c.seq > s.seq))
+            if (newer) cur = Some(ImageState(c.tsUs, c.seq, c.op, c.value))
+          }
+          cur match {
+            case Some(s) if !prev.contains(s) =>
+              gs.update(s)
+              Iterator.single(ImageUpdate(pk, s.op, s.value, s.tsUs,
+                s.seq, s.op == "delete"))
+            case _ => Iterator.empty // no advance → no emission
+          }
+      }
 
   /** Exactly-once healing: drop re-delivered changes by their unique
     * position, keeping state only `watermark` past the event time. */

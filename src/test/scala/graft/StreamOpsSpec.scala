@@ -77,4 +77,87 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.head.getLong(0) === 7L)
     } finally q.stop()
   }
+
+  test("latest-image stream: upserts, tombstones, out-of-order, redelivery") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{ImageChange, ImageUpdate}
+    val input = MemoryStream[ImageChange](spark)
+    val q = StreamOps.latestImageStream(input.toDS())
+      .writeStream.format("memory").queryName("slatest")
+      .outputMode("append").start()
+    try {
+      // batch 1: two inserts, one update
+      input.addData(
+        ImageChange(1L, 100L, 1L, "insert", 10.0),
+        ImageChange(2L, 100L, 2L, "insert", 20.0),
+        ImageChange(1L, 200L, 3L, "update", 11.0))
+      q.processAllAvailable()
+      // batch 2: delete pk 2; OUT-OF-ORDER stale update for pk 1 (must
+      // not regress the image); redelivery of (1, 200, 3) (must not
+      // re-emit); new pk 3
+      input.addData(
+        ImageChange(2L, 300L, 4L, "delete", 0.0),
+        ImageChange(1L, 150L, 9L, "update", 99.0), // stale: ts < 200
+        ImageChange(1L, 200L, 3L, "update", 11.0), // redelivered
+        ImageChange(3L, 300L, 5L, "insert", 30.0))
+      q.processAllAvailable()
+      // batch 3: post-delete update resurrects pk 2 (newer than tombstone)
+      input.addData(ImageChange(2L, 400L, 6L, "update", 21.0))
+      q.processAllAvailable()
+      val updates = spark.table("slatest").as[ImageUpdate].collect()
+      // one update per key per batch, only on advance: batch 1
+      // coalesces pk 1's insert+update into a single update@200 and
+      // emits pk 2's insert; batch 2 emits pk 2's tombstone and pk 3's
+      // insert (the stale + redelivered events emit NOTHING); batch 3
+      // emits pk 2's resurrection
+      assert(updates.length === 5, updates.mkString(", "))
+      val finalByPk = updates.groupBy(_.pk).map { case (pk, us) =>
+        pk -> us.maxBy(u => (u.tsUs, u.seq))
+      }
+      assert(finalByPk(1L).value === 11.0 && !finalByPk(1L).isDeleted)
+      assert(finalByPk(2L).value === 21.0 && !finalByPk(2L).isDeleted)
+      assert(finalByPk(3L).value === 30.0 && !finalByPk(3L).isDeleted)
+      // independent batch fold over everything delivered
+      val all = Seq(
+        (1L, 100L, 1L, "insert", 10.0), (2L, 100L, 2L, "insert", 20.0),
+        (1L, 200L, 3L, "update", 11.0), (2L, 300L, 4L, "delete", 0.0),
+        (1L, 150L, 9L, "update", 99.0), (3L, 300L, 5L, "insert", 30.0),
+        (2L, 400L, 6L, "update", 21.0))
+      val expect = all.groupBy(_._1).map { case (pk, es) =>
+        pk -> es.maxBy(e => (e._2, e._3))
+      }
+      expect.foreach { case (pk, e) =>
+        assert(finalByPk(pk).value === e._5, s"pk $pk final image")
+      }
+    } finally q.stop()
+  }
+
+  test("latest-image stream: state survives a checkpointed restart") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.ImageChange
+    val dir = java.nio.file.Files.createTempDirectory("slimg").toString
+    val input = MemoryStream[ImageChange](spark)
+    def start() = StreamOps.latestImageStream(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    input.addData(ImageChange(1L, 100L, 1L, "insert", 10.0))
+    val q1 = start(); q1.awaitTermination(60000); q1.stop()
+    // after restart the stored state must still know image (100, 1):
+    // the stale update below must emit nothing, the newer one must
+    input.addData(
+      ImageChange(1L, 50L, 2L, "update", 5.0), // stale vs checkpointed
+      ImageChange(1L, 200L, 3L, "update", 11.0))
+    val q2 = start(); q2.awaitTermination(60000); q2.stop()
+    val rows = spark.read.parquet(s"$dir/data").collect()
+      .map(r => (r.getAs[Long]("tsUs"), r.getAs[Double]("value")))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((100L, 10.0), (200L, 11.0)),
+      "one emission per true advance across the restart; stale dropped")
+  }
 }
