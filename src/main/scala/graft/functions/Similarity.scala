@@ -316,19 +316,169 @@ object Similarity {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
        |ORDER BY v1, v2""".stripMargin
 
+  // ── reciprocal-rank fusion ──────────────────────────────────────────
+  /** RRF fusion of two retrieval rankings — the standard hybrid-search
+    * combiner (`score(c) = Σ_r 1/(60 + rank_r(c))` over the rankers
+    * that retrieved c in their top-K). Rankers here: exact float
+    * cosine, and int8-quantized cosine (integer dot + correctly-rounded
+    * sqrt/division — both bit-identical across engines, so the fused
+    * doubles hash-match the oracle). ONE broadcast pass computes both
+    * scores; the three windows share the q_id partitioning, so the
+    * whole query is a single shuffle at any corpus size. */
+  def rrfFusion(queries: DataFrame, corpus: DataFrame, topK: Int,
+      finalK: Int): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    // maxabs hoisted into its own column so quantization is O(d), not
+    // O(d²) (the lambda would otherwise re-evaluate the max per element)
+    val int8 = transform(col("embedding"), x =>
+      when(col("__m") === 0d, lit(0L)).otherwise(
+        floor(x.cast("double") * lit(127.0d) / col("__m") + lit(0.5d))
+          .cast("long")))
+    val idot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val q = broadcast(queries.withColumn("__m", maxabs)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"), int8.as("q_qv")))
+    val c = corpus.withColumn("__m", maxabs)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), int8.as("c_qv"))
+    val qn = sqrt(idot(col("q_qv"), col("q_qv")).cast("double"))
+    val cn = sqrt(idot(col("c_qv"), col("c_qv")).cast("double"))
+    val qcos = when(qn === 0d || cn === 0d, lit(-2.0d)).otherwise(
+      idot(col("q_qv"), col("c_qv")).cast("double") / (qn * cn))
+    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val wQ = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id"))
+    val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+    val contrib = (r: Column) =>
+      when(r <= topK, lit(1.0d) / (lit(60.0d) + r.cast("double")))
+        .otherwise(lit(0.0d))
+    c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("qcos", qcos)
+      .withColumn("rank_d", row_number().over(wD))
+      .withColumn("rank_q", row_number().over(wQ))
+      .withColumn("rrf", contrib(col("rank_d")) + contrib(col("rank_q")))
+      .filter(col("rrf") > 0d)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= finalK)
+      .select("q_id", "c_id", "rrf", "rank")
+  }
+
+  def simRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    rrfFusion(emb.filter(col("vec_id") < 10), emb, topK = 20, finalK = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private def int8Sql(v: String): String =
+    s"""list_transform($v, x ->
+       |  CASE WHEN list_max(list_transform($v,
+       |         y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 0
+       |       ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+       |         list_max(list_transform($v, y -> abs(CAST(y AS DOUBLE))))
+       |         + 0.5) AS BIGINT) END)""".stripMargin
+
+  private def idotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  val simRrfFusionSql: String =
+    s"""WITH q8 AS (
+       |  SELECT vec_id, embedding, ${int8Sql("embedding")} AS qv
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+       |    CASE WHEN ${idotSql("q.qv", "q.qv")} = 0
+       |           OR ${idotSql("c.qv", "c.qv")} = 0 THEN -2.0
+       |         ELSE CAST(${idotSql("q.qv", "c.qv")} AS DOUBLE) /
+       |           (sqrt(CAST(${idotSql("q.qv", "q.qv")} AS DOUBLE)) *
+       |            sqrt(CAST(${idotSql("c.qv", "c.qv")} AS DOUBLE)))
+       |    END AS qcos
+       |  FROM q8 q JOIN q8 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rank_d,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, c_id) AS rank_q
+       |  FROM pairs),
+       |fused AS (
+       |  SELECT q_id, c_id,
+       |    (CASE WHEN rank_d <= 20 THEN 1.0 / (60.0 + CAST(rank_d AS DOUBLE))
+       |          ELSE 0.0 END) +
+       |    (CASE WHEN rank_q <= 20 THEN 1.0 / (60.0 + CAST(rank_q AS DOUBLE))
+       |          ELSE 0.0 END) AS rrf
+       |  FROM ranked)
+       |SELECT q_id, c_id, rrf,
+       |  CAST(r AS INT) AS rank
+       |FROM (
+       |  SELECT q_id, c_id, rrf, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, c_id) AS r
+       |  FROM fused WHERE rrf > 0)
+       |WHERE r <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ── hard-negative mining ────────────────────────────────────────────
+  /** Contrastive-training data mining: for each anchor, the most
+    * similar vector of a DIFFERENT label — the "hard negative" that
+    * makes embedding training informative (easy random negatives teach
+    * nothing). Same broadcast + shared-window shape as the other
+    * retrieval ops; the label inequality rides the join condition so
+    * same-label candidates never reach the ranking. Bit-identical
+    * cosine → fully hash-verified against the oracle. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame): DataFrame = {
+    val a = broadcast(anchors.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"), col("label").as("a_label")))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(a, col("a_label") =!= col("c_label"))
+      .withColumn("cos", cosine(col("a_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id"), col("a_label"), col("c_id").as("neg_id"),
+        col("c_label").as("neg_label"), col("cos"))
+  }
+
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    hardNegatives(emb.filter(col("vec_id") < 25), emb)
+      .orderBy("a_id")
+  }
+
+  val simHardNegativesSql: String =
+    s"""WITH ranked AS (
+       |  SELECT a.vec_id AS a_id, a.label AS a_label,
+       |    c.vec_id AS neg_id, c.label AS neg_label,
+       |    ${cosSql("a.embedding", "c.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a.embedding", "c.embedding")} DESC,
+       |        c.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings c
+       |    ON a.vec_id < 25 AND a.label <> c.label)
+       |SELECT a_id, a_label, neg_id, neg_label, cos
+       |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_bruteforce" -> (simTopK _),
     "sim_lsh_ann" -> (simLsh _),
     "sim_quantized_dedup" -> (simQuantized _),
     "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_neardup_cosine" -> (simNearDup _),
-    "sim_neardup_groups" -> (simNearDupGroups _))
+    "sim_neardup_groups" -> (simNearDupGroups _),
+    "sim_rrf_fusion" -> (simRrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "sim_hard_negatives" -> simHardNegativesSql,
     "sim_quantized_dedup" -> simQuantizedSql,
     "sim_int8_quantize" -> simInt8QuantizeSql,
     "sim_topk_bruteforce" -> simTopKSql,
     "sim_lsh_ann" -> simLshSql,
     "sim_neardup_cosine" -> simNearDupSql,
-    "sim_neardup_groups" -> simNearDupGroupsSql)
+    "sim_neardup_groups" -> simNearDupGroupsSql,
+    "sim_rrf_fusion" -> simRrfFusionSql)
 }

@@ -399,7 +399,94 @@ object TrainPrep {
        |SELECT doc_id, source, quality_score, pr
        |FROM ranked WHERE pr >= $cut ORDER BY doc_id""".stripMargin
 
+  // ── fixed-size deterministic per-stratum sample ──────────────────────
+  /** Reservoir-equivalent fixed-k sampling: each stratum keeps the k
+    * docs with the smallest salted id-hash — a uniform without-
+    * replacement sample of exactly min(k, |stratum|) rows, fully
+    * deterministic (no RNG state, engine-independent). Smallest-k is
+    * mergeable (the top-k of a union is the top-k of the per-part
+    * top-ks), and the plan exploits that TWO-LEVEL: a pre-top-k within
+    * (stratum, id-shard) cuts each stratum to ≤ shards·k rows before
+    * the stratum-level rank — a handful of strata never funnel the
+    * whole corpus through a handful of window partitions. Salt 71
+    * keeps the sample independent of the split/mixture/shuffle
+    * hashes. */
+  def tsReservoirTopk(spark: SparkSession, dir: String, k: Int = 20,
+      preShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = s"pmod(pmod(doc_id + 71, $SplitPrime) * 2654435761, $SplitPrime)"
+    val pre = Window
+      .partitionBy(col("lang"), pmod(col("doc_id"), lit(preShards.toLong)))
+      .orderBy(col("h"), col("doc_id"))
+    val fin = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(h).as("h"))
+      .withColumn("pr", row_number().over(pre))
+      .filter(col("pr") <= k) // survivors: ≤ preShards·k per stratum
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id", "h")
+      .orderBy("lang", "rk")
+  }
+
+  def tsReservoirTopkSql(k: Int = 20): String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang,
+       |    (((doc_id + 71) % 1000003 + 1000003) % 1000003
+       |      * 2654435761) % 1000003 AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, h, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY h, doc_id) AS rk
+       |  FROM hashed)
+       |SELECT lang, CAST(rk AS INT) AS rk, doc_id, CAST(h AS BIGINT) AS h
+       |FROM ranked WHERE rk <= $k ORDER BY lang, rk""".stripMargin
+
+  // ── length-bucketed batching ─────────────────────────────────────────
+  /** Dynamic-batching prep: docs bucketed by token count into
+    * fixed-width bins so a batch pads to its bin cap instead of the
+    * global max — the report quantifies the padding saved. All integer
+    * arithmetic (bin = (n_tok−1) div W, cap = (bin+1)·W), the waste
+    * fraction is one exact double division; narrow scan → tiny grouped
+    * aggregate. */
+  def tcLengthBuckets(spark: SparkSession, dir: String, width: Int = 32)
+      : DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr(s"(n_tok - 1) div $width"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        sum(expr(s"(bucket + 1) * $width") - col("n_tok"))
+          .as("padded_tok"))
+      .withColumn("waste_frac",
+        col("padded_tok").cast("double") /
+          (col("padded_tok") + col("total_tok")).cast("double"))
+      .orderBy("bucket")
+
+  def tcLengthBucketsSql(width: Int = 32): String =
+    s"""WITH sized AS (
+       |  SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+       |    AS n_tok
+       |  FROM documents),
+       |bucketed AS (
+       |  SELECT n_tok, (n_tok - 1) // $width AS bucket
+       |  FROM sized WHERE n_tok > 0)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       |  CAST(SUM((bucket + 1) * $width - n_tok) AS BIGINT) AS padded_tok,
+       |  CAST(CAST(SUM((bucket + 1) * $width - n_tok) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM((bucket + 1) * $width - n_tok) AS BIGINT)
+       |           + CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS waste_frac
+       |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_length_buckets" ->
+      ((s: SparkSession, d: String) => tcLengthBuckets(s, d)),
+    "ts_reservoir_topk" ->
+      ((s: SparkSession, d: String) => tsReservoirTopk(s, d)),
     "tp_packing" -> ((s: SparkSession, d: String) => tpPacking(s, d)),
     "tp_quality_percentile" ->
       ((s: SparkSession, d: String) => tpQualityPercentile(s, d)),
@@ -416,6 +503,8 @@ object TrainPrep {
       ((s: SparkSession, d: String) => dcDecontamination(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "tc_length_buckets" -> tcLengthBucketsSql(),
+    "ts_reservoir_topk" -> tsReservoirTopkSql(),
     "tp_packing" -> tpPackingSql(),
     "tp_quality_percentile" -> tpQualityPercentileSql(),
     "tc_chunking" -> tcChunkingSql(),

@@ -196,6 +196,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "merge must not plan a join:\n" + p)
   }
 
+  test("sim_rrf_fusion: both rankings and the fusion share one q_id shuffle") {
+    val p = plan(graft.functions.Similarity.simRrfFusion(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"three windows on q_id must reuse one partitioning, got $shuffles:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast:\n" + p)
+  }
+
+  test("ts_reservoir_topk: pre-top-k shards the strata before the final rank") {
+    val p = plan(graft.functions.TrainPrep.tsReservoirTopk(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2,
+      s"two-level top-k = shard pass + stratum pass, got $shuffles:\n$p")
+  }
+
   test("ta_bm25: corpus stats are one broadcast row; tf side never shuffles") {
     val p = plan(graft.functions.TextAnalysis.taBm25(spark, sf))
     assert(p.contains("BroadcastExchange") ||

@@ -79,4 +79,51 @@ class SimilaritySpec extends SparkSpec {
     val total = q.agg(sum("n_vecs")).collect().head.getLong(0)
     assert(total === emb.count())
   }
+
+  test("rrf fusion: valid ranks, bounded scores, exact-rank agreement") {
+    val fused = Similarity.simRrfFusion(spark, sf).collect()
+    val byQ = fused.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val scores = sorted.map(_.getAs[Double]("rrf")).toSeq
+      assert(scores === scores.sorted(Ordering[Double].reverse))
+      // max possible score: rank 1 in both rankers
+      assert(scores.head <= 2.0 / 61.0 + 1e-12)
+      assert(scores.forall(_ > 0.0))
+      // a candidate ranked 1 by exact cosine must appear in the fusion
+      val top1 = Similarity.topKBruteForce(
+        emb.filter(col("vec_id") === qid), emb, 1)
+        .collect().head.getAs[Long]("c_id")
+      assert(rows.exists(_.getAs[Long]("c_id") == top1),
+        s"query $qid: exact top-1 $top1 missing from fused top-5")
+    }
+  }
+
+  test("hard negatives: cross-label, and truly the hardest (exact recheck)") {
+    val negs = Similarity.simHardNegatives(spark, sf).collect()
+    assert(negs.length === 25)
+    negs.foreach { r =>
+      assert(r.getAs[Int]("a_label") !== r.getAs[Int]("neg_label"))
+    }
+    // driver-side exact recheck for three anchors
+    val all = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    negs.take(3).foreach { r =>
+      val aId = r.getAs[Long]("a_id")
+      val (_, aVec, aLab) = all.find(_._1 == aId).get
+      val best = all.filter(v => v._3 != aLab)
+        .map(v => (v._1, cos(aVec, v._2)))
+        .maxBy { case (id, c) => (c, -id) }
+      assert(r.getAs[Long]("neg_id") === best._1,
+        s"anchor $aId hardest negative mismatch")
+    }
+  }
 }

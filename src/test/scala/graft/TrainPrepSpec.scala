@@ -132,4 +132,44 @@ class TrainPrepSpec extends SparkSpec {
       assert(r.getAs[Long]("n_tok") >= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("reservoir top-k: exactly min(k, stratum) rows, stable reruns") {
+    val k = 7
+    val got = TrainPrep.tsReservoirTopk(spark, sf, k).collect()
+    val strata = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val byLang = got.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet === strata.keySet.filter(strata(_) > 0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(k.toLong, strata(lang)).toInt)
+      // ranks are 1..n and hashes ascend with rank (smallest-k sample)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to rows.length))
+      val hs = sorted.map(_.getAs[Long]("h")).toSeq
+      assert(hs === hs.sorted)
+    }
+    // deterministic: a second run selects the identical sample
+    val again = TrainPrep.tsReservoirTopk(spark, sf, k).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again === got.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("length buckets: every doc accounted, caps respected, waste sane") {
+    val width = 32
+    val rows = TrainPrep.tcLengthBuckets(spark, sf, width).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val total = r.getAs[Long]("total_tok")
+      val padded = r.getAs[Long]("padded_tok")
+      val n = r.getAs[Long]("n_docs")
+      // every doc in bucket b has length in (b*W, (b+1)*W]
+      assert(total > b * width * n && total <= (b + 1) * width * n)
+      assert(padded === (b + 1) * width * n - total)
+      val waste = r.getAs[Double]("waste_frac")
+      assert(waste >= 0.0 && waste < 1.0)
+    }
+  }
 }
