@@ -195,13 +195,89 @@ object CdcAnalytics {
        |WHERE live_before OR (dop IS NOT NULL AND dop <> 'delete')
        |ORDER BY user_id""".stripMargin
 
+  // ── point-in-time (time-travel) read ────────────────────────────────
+  /** The state of every live entity AS OF a timestamp — the time-travel
+    * read the SCD2 history answers per-entity, answered corpus-wide:
+    * latest image ≤ T per PK, deletes excluded. One conditional
+    * struct-max grouped pass (same join-free shape as [[mergeApply]]);
+    * a real deployment runs this against the compacted lake + tail of
+    * the feed. */
+  def asofState(spark: SparkSession, dir: String,
+      cutUs: Long = CutUs): DataFrame = {
+    val img = struct(col("ts_us"), col("event_id"), col("op"), col("value"))
+    ChangeFeed.fromEvents(spark, dir)
+      .filter(col("ts_us") <= cutUs)
+      .groupBy("user_id")
+      .agg(max(img).as("s"))
+      .filter(col("s.op") =!= "delete")
+      .select(col("user_id"), col("s.event_id").as("event_id"),
+        QueryUtil.cents(coalesce(col("s.value"), lit(0.0d)))
+          .as("value_cents"),
+        col("s.ts_us").as("as_of_ts_us"))
+      .orderBy("user_id")
+  }
+
+  val asofSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |latest AS (
+       |  SELECT user_id, event_id, op, value, ts_us FROM (
+       |    SELECT user_id, event_id, op, value, ts_us, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+       |    FROM feed WHERE ts_us <= $CutUs) WHERE rn = 1)
+       |SELECT user_id, event_id,
+       |  CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT)
+       |    AS value_cents,
+       |  ts_us AS as_of_ts_us
+       |FROM latest WHERE op <> 'delete' ORDER BY user_id""".stripMargin
+
+  // ── mutation-volume accounting ──────────────────────────────────────
+  /** The replication-operations dashboard: per table per day, mutation
+    * counts by kind plus running cumulative totals — what an operator
+    * of the reference watches to spot write storms and delete surges.
+    * One grouped aggregate to day granularity, then windows over the
+    * (tiny) per-day rollup — the raw feed is never windowed. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val day = Window.partitionBy("tbl").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ChangeFeed.fromEvents(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("tbl", "day")
+      .agg(count(when(col("op") === "insert", 1)).as("n_ins"),
+        count(when(col("op") === "update", 1)).as("n_upd"),
+        count(when(col("op") === "delete", 1)).as("n_del"))
+      .withColumn("cum_mutations",
+        sum(col("n_ins") + col("n_upd") + col("n_del")).over(day))
+      .withColumn("cum_net", sum(col("n_ins") - col("n_del")).over(day))
+      .orderBy("tbl", "day")
+  }
+
+  val tableStatsSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |daily AS (
+       |  SELECT tbl, ts_us // 86400000000 AS day,
+       |    COUNT(CASE WHEN op = 'insert' THEN 1 END) AS n_ins,
+       |    COUNT(CASE WHEN op = 'update' THEN 1 END) AS n_upd,
+       |    COUNT(CASE WHEN op = 'delete' THEN 1 END) AS n_del
+       |  FROM feed GROUP BY tbl, day)
+       |SELECT tbl, day, n_ins, n_upd, n_del,
+       |  CAST(SUM(n_ins + n_upd + n_del) OVER (PARTITION BY tbl
+       |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum_mutations,
+       |  CAST(SUM(n_ins - n_del) OVER (PARTITION BY tbl
+       |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_net
+       |FROM daily ORDER BY tbl, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cd_scd2_history" -> (scd2History _),
     "cd_ivm_delta_agg" -> (ivmDeltaAgg _),
-    "cd_merge_apply" -> (mergeApply _))
+    "cd_merge_apply" -> (mergeApply _),
+    "cd_asof_state" -> ((s: SparkSession, d: String) => asofState(s, d)),
+    "cd_table_stats" -> (tableStats _))
 
   val oracles: Map[String, String] = Map(
     "cd_scd2_history" -> scd2Sql,
     "cd_ivm_delta_agg" -> ivmSql,
-    "cd_merge_apply" -> mergeSql)
+    "cd_merge_apply" -> mergeSql,
+    "cd_asof_state" -> asofSql,
+    "cd_table_stats" -> tableStatsSql)
 }

@@ -72,4 +72,34 @@ class CdcAnalyticsSpec extends SparkSpec {
     assert(hist.exceptAll(hist.join(feed.distinct(),
       Seq("user_id", "valid_to_us"), "left_semi")).count() === 0)
   }
+
+  test("as-of state equals the SCD2 intervals covering the cutoff") {
+    val cut = 1705363200000000L
+    val asof = CdcAnalytics.asofState(spark, sf, cut)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SCD2 rows whose validity interval covers the cutoff
+    val scd2 = CdcAnalytics.scd2History(spark, sf)
+      .filter(col("valid_from_us") <= cut &&
+        (col("valid_to_us").isNull || col("valid_to_us") > cut))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asof === scd2,
+      "time-travel read disagrees with the SCD2 interval cover")
+  }
+
+  test("table stats reconcile with raw feed counts; cumulatives ascend") {
+    val stats = CdcAnalytics.tableStats(spark, sf).collect()
+    val total = stats.map(r => r.getAs[Long]("n_ins") +
+      r.getAs[Long]("n_upd") + r.getAs[Long]("n_del")).sum
+    assert(total === ChangeFeed.fromEvents(spark, sf).count())
+    stats.groupBy(_.getAs[String]("tbl")).foreach { case (_, rows) =>
+      val byDay = rows.sortBy(_.getAs[Long]("day"))
+      val cums = byDay.map(_.getAs[Long]("cum_mutations")).toSeq
+      assert(cums === cums.sorted, "cumulative mutation count must ascend")
+      // the last cumulative equals the table's total
+      assert(cums.last === rows.map(r => r.getAs[Long]("n_ins") +
+        r.getAs[Long]("n_upd") + r.getAs[Long]("n_del")).sum)
+    }
+  }
 }
