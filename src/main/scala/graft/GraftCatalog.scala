@@ -28,5 +28,9 @@ object GraftCatalog {
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sq_l2",
       exprs => SqL2Distance(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NgramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        HashFunctions.DefaultBase), "scala_udf")
   }
 }

@@ -42,5 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sq_l2",
         "sq_l2(a, b) - squared L2 distance between vectors"),
       (exprs: Seq[Expression]) => SqL2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes",
+        "ngram_hashes(str, n) - 64-bit hashes of all word n-grams " +
+          "(single byte-scan, no token strings materialized)"),
+      (exprs: Seq[Expression]) =>
+        NgramHashes(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          HashFunctions.DefaultBase)))
   }
 }

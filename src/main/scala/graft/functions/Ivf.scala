@@ -26,13 +26,16 @@ object Ivf {
 
   /** Deterministic seeds: the k lowest vec_ids. The single-partition
     * window is bounded by construction — it ranks the `limit(k)` seed
-    * set (k rows, a parameter), never the corpus; the explicit constant
-    * partition key documents that and keeps the "no partition defined"
-    * planner warning out of driver logs. */
+    * set (k rows, a parameter), never the corpus. The constant-valued
+    * partition key must be NON-foldable (`vec_id % 1`, not `lit(0)`):
+    * the optimizer eliminates foldable partition expressions, which
+    * would resurrect the "no partition defined" planner warning this
+    * key exists to document away. */
   def seedCentroids(corpus: DataFrame, k: Int): DataFrame =
     corpus.orderBy("vec_id").limit(k)
       .withColumn("cid", row_number().over(
-        Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
+        Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+          .orderBy("vec_id")) - 1)
       .select(col("cid"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 

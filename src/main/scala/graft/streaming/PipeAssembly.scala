@@ -19,7 +19,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   source.maxLinesPerTrigger admission cap per micro-batch
   *   filter.condition          SQL predicate on the event columns (F1)
   *   tx.timeoutMs              abandoned-transaction discard timeout
-  *   sink.format               parquet | console | kafka
+  *   sink.format               parquet | console | kafka | materialize
+  *                             (materialize = latest-image upsert
+  *                             journal via StreamOps.latestImagesOf)
   *   sink.path                 parquet sink directory
   *   sink.checkpoint           checkpoint dir (position repo, T5)
   *   sink.triggerSeconds       processing-time trigger (flush interval,
@@ -108,6 +110,16 @@ object PipeAssembly {
           .outputMode("append").trigger(trg).start()
       case "kafka" =>
         kafkaWriter(spark, config, registry, availableNow).start()
+      case "materialize" =>
+        // continuously-maintained latest-image view (the reference's
+        // end goal — a queryable replica): one emission per true image
+        // advance, appended to the sink as an upsert journal whose
+        // last record per pk IS the current image
+        StreamOps.latestImagesOf(ms)
+          .writeStream.format("parquet")
+          .option("path", conf("sink.path"))
+          .option("checkpointLocation", conf("sink.checkpoint"))
+          .outputMode("append").trigger(trg).start()
       case other =>
         throw new IllegalArgumentException(s"unknown sink.format: $other")
     }

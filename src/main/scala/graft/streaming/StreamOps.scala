@@ -25,12 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** One change of a keyed entity: `(tsUs, seq)` is the total history
-    * order (commit time, then log position). */
-  case class ImageChange(pk: Long, tsUs: Long, seq: Long, op: String,
+    * order (commit time, then log position). The pk is the CDC
+    * primary-key string ([[graft.operators.CdcOps]] P9 pk-as-string),
+    * so the view keys exactly what the reference keys its topics by. */
+  case class ImageChange(pk: String, tsUs: Long, seq: Long, op: String,
       value: Double)
 
   /** Emitted whenever a key's current image advances. */
-  case class ImageUpdate(pk: Long, op: String, value: Double, tsUs: Long,
+  case class ImageUpdate(pk: String, op: String, value: Double, tsUs: Long,
       seq: Long, isDeleted: Boolean)
 
   /** Stored per-PK state: the freshest image (fixed size). Public so
@@ -42,7 +44,7 @@ object StreamOps {
     Encoders.product[ImageUpdate]
   implicit private val stEnc: Encoder[ImageState] =
     Encoders.product[ImageState]
-  implicit private val keyEnc: Encoder[Long] = Encoders.scalaLong
+  implicit private val keyEnc: Encoder[String] = Encoders.STRING
 
   /** Streaming materialized view of the latest image per PK.
     *
@@ -60,7 +62,7 @@ object StreamOps {
       .groupByKey(_.pk)
       .flatMapGroupsWithState[ImageState, ImageUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (pk: Long, it: Iterator[ImageChange], gs: GroupState[ImageState]) =>
+        (pk: String, it: Iterator[ImageChange], gs: GroupState[ImageState]) =>
           val prev = gs.getOption
           var cur = prev
           it.foreach { c =>
@@ -76,6 +78,17 @@ object StreamOps {
             case _ => Iterator.empty // no advance → no emission
           }
       }
+
+  /** Adapter: the tx-grouped mutation stream as image changes — pk is
+    * the CDC key string, history order is (commit ts, log seq), the
+    * numeric image is the payload's `value` (0 when absent, as in the
+    * generic envelope's null-omission). */
+  def latestImagesOf(ms: Dataset[TxPipeline.TxMutation])
+      : Dataset[ImageUpdate] = {
+    implicit val chEnc: Encoder[ImageChange] = Encoders.product[ImageChange]
+    latestImageStream(ms.map(m => ImageChange(m.pk, m.commitTsUs, m.seq,
+      m.op, m.payload.get("value").flatMap(_.toDoubleOption).getOrElse(0.0))))
+  }
 
   /** Exactly-once healing: drop re-delivered changes by their unique
     * position, keeping state only `watermark` past the event time. */

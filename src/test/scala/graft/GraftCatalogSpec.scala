@@ -27,6 +27,17 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT size(bigram_shingle_hashes(text)) AS n, simhash64(bigram_shingle_hashes(text)) AS s FROM documents LIMIT 5")
       .collect()
     assert(sh.forall(r => r.getInt(0) > 0))
+
+    // ngram_hashes in SQL agrees with the Column API
+    val ng = spark.sql(
+      "SELECT size(ngram_hashes(text, 3)) AS n FROM documents LIMIT 5")
+      .collect().map(_.getInt(0))
+    val viaApi = Tables.documents(spark, sf).limit(5)
+      .select(org.apache.spark.sql.functions
+        .size(graft.functions.ShingleFunctions.ngram_hashes(
+          org.apache.spark.sql.functions.col("text"), 3)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(ng.toSeq === viaApi.toSeq)
   }
 
   test("GraftExtensions injects the native functions at session build") {
@@ -53,5 +64,6 @@ class GraftCatalogSpec extends SparkSpec {
     // the injected functions are visible in the catalog
     assert(s2.catalog.functionExists("simhash64"))
     assert(s2.catalog.functionExists("sq_l2"))
+    assert(s2.catalog.functionExists("ngram_hashes"))
   }
 }

@@ -153,4 +153,33 @@ class PipeAssemblySpec extends SparkSpec {
     assert(rows.filter(col("pk") === "a").collect().head
       .getAs[Long]("commitTsUs") === 77L, "commit-ts rewrite applied")
   }
+
+  test("E2: materialize sink maintains the latest image per pk") {
+    val log = Files.createTempFile("pipemat", ".tsv")
+    Files.write(log, Seq(
+      ChangeLogSource.renderLine(1, 1, "mutation", "insert", "a", 10, "1.5"),
+      ChangeLogSource.renderLine(1, 2, "mutation", "update", "a", 20, "2.5"),
+      ChangeLogSource.renderLine(1, 3, "mutation", "insert", "b", 15, "7.0"),
+      ChangeLogSource.renderLine(1, 4, "mutation", "delete", "b", 30, ""))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("pipemat").toString
+    val q = PipeAssembly.start(spark, Map(
+      "source.path" -> log.toString,
+      "sink.format" -> "materialize",
+      "sink.path" -> s"$out/view",
+      "sink.checkpoint" -> s"$out/chk"), availableNow = true)
+    q.awaitTermination(60000); q.stop()
+    // the journal's last record per pk is the current image
+    val view = spark.read.parquet(s"$out/view").collect()
+      .groupBy(_.getAs[String]("pk"))
+      .map { case (pk, rs) =>
+        pk -> rs.maxBy(r => (r.getAs[Long]("tsUs"), r.getAs[Long]("seq")))
+      }
+    assert(view("a").getAs[Double]("value") === 2.5)
+    assert(!view("a").getAs[Boolean]("isDeleted"))
+    assert(view("b").getAs[Boolean]("isDeleted"),
+      "delete surfaces as a tombstone")
+    // in-batch coalescing: one emission per pk for this single batch
+    assert(spark.read.parquet(s"$out/view").count() === 2)
+  }
 }

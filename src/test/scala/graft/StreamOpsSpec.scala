@@ -89,21 +89,21 @@ class StreamOpsSpec extends SparkSpec {
     try {
       // batch 1: two inserts, one update
       input.addData(
-        ImageChange(1L, 100L, 1L, "insert", 10.0),
-        ImageChange(2L, 100L, 2L, "insert", 20.0),
-        ImageChange(1L, 200L, 3L, "update", 11.0))
+        ImageChange("1", 100L, 1L, "insert", 10.0),
+        ImageChange("2", 100L, 2L, "insert", 20.0),
+        ImageChange("1", 200L, 3L, "update", 11.0))
       q.processAllAvailable()
       // batch 2: delete pk 2; OUT-OF-ORDER stale update for pk 1 (must
       // not regress the image); redelivery of (1, 200, 3) (must not
       // re-emit); new pk 3
       input.addData(
-        ImageChange(2L, 300L, 4L, "delete", 0.0),
-        ImageChange(1L, 150L, 9L, "update", 99.0), // stale: ts < 200
-        ImageChange(1L, 200L, 3L, "update", 11.0), // redelivered
-        ImageChange(3L, 300L, 5L, "insert", 30.0))
+        ImageChange("2", 300L, 4L, "delete", 0.0),
+        ImageChange("1", 150L, 9L, "update", 99.0), // stale: ts < 200
+        ImageChange("1", 200L, 3L, "update", 11.0), // redelivered
+        ImageChange("3", 300L, 5L, "insert", 30.0))
       q.processAllAvailable()
       // batch 3: post-delete update resurrects pk 2 (newer than tombstone)
-      input.addData(ImageChange(2L, 400L, 6L, "update", 21.0))
+      input.addData(ImageChange("2", 400L, 6L, "update", 21.0))
       q.processAllAvailable()
       val updates = spark.table("slatest").as[ImageUpdate].collect()
       // one update per key per batch, only on advance: batch 1
@@ -115,15 +115,15 @@ class StreamOpsSpec extends SparkSpec {
       val finalByPk = updates.groupBy(_.pk).map { case (pk, us) =>
         pk -> us.maxBy(u => (u.tsUs, u.seq))
       }
-      assert(finalByPk(1L).value === 11.0 && !finalByPk(1L).isDeleted)
-      assert(finalByPk(2L).value === 21.0 && !finalByPk(2L).isDeleted)
-      assert(finalByPk(3L).value === 30.0 && !finalByPk(3L).isDeleted)
+      assert(finalByPk("1").value === 11.0 && !finalByPk("1").isDeleted)
+      assert(finalByPk("2").value === 21.0 && !finalByPk("2").isDeleted)
+      assert(finalByPk("3").value === 30.0 && !finalByPk("3").isDeleted)
       // independent batch fold over everything delivered
       val all = Seq(
-        (1L, 100L, 1L, "insert", 10.0), (2L, 100L, 2L, "insert", 20.0),
-        (1L, 200L, 3L, "update", 11.0), (2L, 300L, 4L, "delete", 0.0),
-        (1L, 150L, 9L, "update", 99.0), (3L, 300L, 5L, "insert", 30.0),
-        (2L, 400L, 6L, "update", 21.0))
+        ("1", 100L, 1L, "insert", 10.0), ("2", 100L, 2L, "insert", 20.0),
+        ("1", 200L, 3L, "update", 11.0), ("2", 300L, 4L, "delete", 0.0),
+        ("1", 150L, 9L, "update", 99.0), ("3", 300L, 5L, "insert", 30.0),
+        ("2", 400L, 6L, "update", 21.0))
       val expect = all.groupBy(_._1).map { case (pk, es) =>
         pk -> es.maxBy(e => (e._2, e._3))
       }
@@ -146,13 +146,13 @@ class StreamOpsSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    input.addData(ImageChange(1L, 100L, 1L, "insert", 10.0))
+    input.addData(ImageChange("1", 100L, 1L, "insert", 10.0))
     val q1 = start(); q1.awaitTermination(60000); q1.stop()
     // after restart the stored state must still know image (100, 1):
     // the stale update below must emit nothing, the newer one must
     input.addData(
-      ImageChange(1L, 50L, 2L, "update", 5.0), // stale vs checkpointed
-      ImageChange(1L, 200L, 3L, "update", 11.0))
+      ImageChange("1", 50L, 2L, "update", 5.0), // stale vs checkpointed
+      ImageChange("1", 200L, 3L, "update", 11.0))
     val q2 = start(); q2.awaitTermination(60000); q2.stop()
     val rows = spark.read.parquet(s"$dir/data").collect()
       .map(r => (r.getAs[Long]("tsUs"), r.getAs[Double]("value")))
