@@ -309,6 +309,75 @@ object RelationalFourth {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // ── event-volume anomaly scoring ────────────────────────────────────
+  /** Expanding-window z-score of daily event volume per type — the
+    * monitoring query behind "did clicks spike today?". Each day is
+    * scored against the mean/variance of all PRECEDING days, so the
+    * score never peeks at its own value.
+    *
+    * Reproducibility: the statistics are NOT Spark's `stddev` (whose
+    * partition-order-dependent accumulation isn't comparable across
+    * engines); they are assembled from exact integer window sums
+    * (Σn, Σn², count) with one explicit double formula — every
+    * division/sqrt is a single correctly-rounded IEEE op in the same
+    * order in both engines, so even the z-scores hash-match. Volume is
+    * aggregated to (type, day) BEFORE any window runs: the windows see
+    * ~150 rows, never the raw stream. */
+  def ev5Anomaly(spark: SparkSession, dir: String,
+      threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = col("c_prev").cast("double")
+    val s = col("s_prev").cast("double")
+    val ss = col("ss_prev").cast("double")
+    val mean = s / c
+    val variance = (ss - s * s / c) / (c - lit(1.0d))
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("c_prev", count(lit(1)).over(w))
+      .withColumn("s_prev", sum("n").over(w))
+      .withColumn("ss_prev", sum(col("n") * col("n")).over(w))
+      .withColumn("z",
+        when(col("c_prev") >= 2 && col("ss_prev") * col("c_prev") >
+          col("s_prev") * col("s_prev"), z))
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > threshold)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  def ev5Sql(threshold: Double = 2.0): String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY event_type, day),
+       |stats AS (
+       |  SELECT event_type, day, n,
+       |    COUNT(*) OVER prev AS c_prev,
+       |    SUM(n) OVER prev AS s_prev,
+       |    SUM(n * n) OVER prev AS ss_prev
+       |  FROM daily
+       |  WINDOW prev AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, day, n,
+       |    CASE WHEN c_prev >= 2 AND ss_prev * c_prev > s_prev * s_prev
+       |      THEN (CAST(n AS DOUBLE) - CAST(s_prev AS DOUBLE)
+       |              / CAST(c_prev AS DOUBLE))
+       |        / sqrt((CAST(ss_prev AS DOUBLE)
+       |                - CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)
+       |                  / CAST(c_prev AS DOUBLE))
+       |               / (CAST(c_prev AS DOUBLE) - 1.0))
+       |    END AS z
+       |  FROM stats)
+       |SELECT event_type, day, n, z,
+       |  z IS NOT NULL AND abs(z) > $threshold AS is_anomaly
+       |FROM scored ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
@@ -316,7 +385,8 @@ object RelationalFourth {
     "q20_potential_promotion" -> (q20PotentialPromotion _),
     "w4_order_navigation" -> (w4OrderNavigation _),
     "g4_grouping_sets" -> (g4GroupingSets _),
-    "ev4_transitions" -> (ev4Transitions _))
+    "ev4_transitions" -> (ev4Transitions _),
+    "ev5_anomaly" -> ((s: SparkSession, d: String) => ev5Anomaly(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q2_min_cost_supplier" -> q2Sql,
@@ -325,5 +395,6 @@ object RelationalFourth {
     "q20_potential_promotion" -> q20Sql,
     "w4_order_navigation" -> w4Sql,
     "g4_grouping_sets" -> g4Sql,
-    "ev4_transitions" -> ev4Sql)
+    "ev4_transitions" -> ev4Sql,
+    "ev5_anomaly" -> ev5Sql())
 }

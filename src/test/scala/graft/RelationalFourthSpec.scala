@@ -45,6 +45,35 @@ class RelationalFourthSpec extends SparkSpec {
     assert(cnts === cnts.sorted(Ordering[Long].reverse))
   }
 
+  test("ev5: z-scores match a driver-side expanding-window recomputation") {
+    val rows = RelationalFourth.ev5Anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getAs[Long]("day"))
+      val ns = byDay.map(_.getAs[Long]("n"))
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val prev = ns.take(i)
+        val expected: Option[Double] =
+          if (prev.length < 2) None
+          else {
+            val c = prev.length.toDouble
+            val s = prev.sum.toDouble
+            val ss = prev.map(x => x * x).sum.toDouble
+            val variance = (ss - s * s / c) / (c - 1.0)
+            if (variance > 0) Some((ns(i).toDouble - s / c) /
+              math.sqrt(variance))
+            else None
+          }
+        val got = if (r.isNullAt(r.fieldIndex("z"))) None
+          else Some(r.getAs[Double]("z"))
+        assert(got === expected,
+          s"type ${r.getAs[String]("event_type")} day ${r.getAs[Long]("day")}")
+        assert(r.getAs[Boolean]("is_anomaly") ===
+          expected.exists(z => math.abs(z) > 2.0))
+      }
+    }
+  }
+
   test("q20: dominant suppliers are distinct and name-sorted") {
     val rows = RelationalFourth.q20PotentialPromotion(spark, sf).collect()
     assert(rows.nonEmpty)
