@@ -206,4 +206,54 @@ class PropertySpec extends SparkSpec {
       assert(grouped(s).toSeq === sig.toSeq, s"group $s")
     }
   }
+
+  test("latest-image stream = batch fold for random histories and batchings") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{ImageChange, ImageUpdate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val genEvent = for {
+      pk <- Gen.chooseNum(1, 5)
+      ts <- Gen.chooseNum(1L, 40L)
+      seq <- Gen.chooseNum(1L, 1000L)
+      op <- Gen.oneOf("insert", "update", "delete")
+      v <- Gen.chooseNum(0, 99)
+    } yield ImageChange(pk.toString, ts, seq, op, v.toDouble)
+    // few iterations — each spins up a streaming query
+    samples(Gen.zip(Gen.listOfN(30, genEvent), Gen.chooseNum(1, 5)), 4)
+      .zipWithIndex.foreach { case ((events, nBatches), i) =>
+        val input = MemoryStream[ImageChange](spark)
+        val q = StreamOps.latestImageStream(input.toDS())
+          .writeStream.format("memory").queryName(s"plimg$i")
+          .outputMode("append").start()
+        try {
+          events.grouped(math.max(1, events.length / nBatches))
+            .foreach { b => input.addData(b); q.processAllAvailable() }
+          val updates = spark.table(s"plimg$i").as[ImageUpdate].collect()
+          val streamed = updates.groupBy(_.pk).map { case (pk, us) =>
+            pk -> { val u = us.maxBy(u => (u.tsUs, u.seq))
+              (u.tsUs, u.seq, u.op, u.value) }
+          }
+          // batch fold: max (ts, seq) per pk wins — ties on (ts, seq)
+          // are duplicate positions, i.e. redelivery of the same record
+          val expected = events.groupBy(_.pk).map { case (pk, es) =>
+            pk -> { val e = es.maxBy(e => (e.tsUs, e.seq))
+              (e.tsUs, e.seq, e.op, e.value) }
+          }
+          expected.foreach { case (pk, (ts, seq, op, _)) =>
+            val s = streamed.get(pk)
+            assert(s.isDefined, s"pk $pk never surfaced")
+            assert(s.get._1 === ts && s.get._2 === seq && s.get._3 === op,
+              s"pk $pk final image diverged: $s vs ($ts,$seq,$op)")
+          }
+          // emission monotonicity: per pk, updates advance strictly
+          updates.groupBy(_.pk).foreach { case (_, us) =>
+            val ordered = us.sortBy(u => (u.tsUs, u.seq)).toSeq
+            assert(ordered.map(u => (u.tsUs, u.seq)).distinct.length ===
+              ordered.length, "no duplicate emission per position")
+          }
+        } finally q.stop()
+      }
+  }
 }
