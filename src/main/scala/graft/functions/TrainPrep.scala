@@ -482,7 +482,81 @@ object TrainPrep {
        |           + CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS waste_frac
        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ── BPE merge induction ──────────────────────────────────────────────
+  /** Byte-pair-encoding tokenizer training, the iterative corpus op:
+    * each round counts adjacent symbol pairs corpus-wide, learns the
+    * most frequent pair (ties to the lexicographically first — fully
+    * deterministic), and rewrites every occurrence left-greedily.
+    *
+    * Spark shape: the corpus stays distributed the whole time — pair
+    * counting is explode → 8-way-partial-aggregated count, the learned
+    * pair is ONE collected row per round (model state, like IVF
+    * centroids), and the rewrite is a codegen'd `aggregate` fold over
+    * each symbol array (no UDF). Rounds scale with `merges`, each a
+    * single corpus pass — the exact shape tokenizer training has at
+    * 100 TB (sample the corpus for learning if even that is too much).
+    * Like the sketch ops this is spec-verified, not SQL-oracled:
+    * the iterated rewrite isn't expressible in one DuckDB query. */
+  def bpeLearn(docs: DataFrame, merges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.Column
+    // symbol sequences: one row per whitespace token, chars as symbols
+    var seqs = docs
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(split(col("tok"), "").as("syms"))
+    val learned = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until merges) {
+      val pairs = seqs
+        .select(explode(expr(
+          """transform(slice(syms, 1, size(syms) - 1),
+            |  (s, i) -> struct(s AS a, syms[i + 1] AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairs.nonEmpty) {
+        val (a, b, cnt) = (pairs.head.getAs[String]("a"),
+          pairs.head.getAs[String]("b"), pairs.head.getAs[Long]("cnt"))
+        learned += ((a, b, cnt))
+        // left-greedy rewrite: fold symbols, merging (a, b) adjacencies
+        // (Column-built, so symbol text never rides a SQL string)
+        val merged: Column = aggregate(
+          col("syms"), array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        seqs = seqs.select(merged.as("syms")).localCheckpoint()
+      }
+    }
+    (learned.result(), seqs)
+  }
+
+  /** Declared query: the merge table itself (rank, pair, count at
+    * learn time) plus the corpus compression it bought. */
+  def tcBpeMerges(spark: SparkSession, dir: String, merges: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val before = docs
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(sum(length(col("tok")))).head().getLong(0)
+    val (table, seqs) = bpeLearn(docs, merges)
+    val after = seqs.agg(sum(size(col("syms")))).head().getLong(0)
+    table.zipWithIndex.map { case ((a, b, cnt), i) =>
+      (i + 1, a, b, cnt, before, after)
+    }.toDF("rank", "left", "right", "pair_count",
+      "symbols_before", "symbols_after")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_bpe_merges" ->
+      ((s: SparkSession, d: String) => tcBpeMerges(s, d)),
     "tc_length_buckets" ->
       ((s: SparkSession, d: String) => tcLengthBuckets(s, d)),
     "ts_reservoir_topk" ->

@@ -155,6 +155,40 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === got.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("bpe: learned merges match a hand-computed example") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // corpus "aaab aab": chars [a,a,a,b] [a,a,b]
+    // round 1: (a,a) count 3 (left-greedy overlap counts 2+1) → merge
+    //   → [aa,a,b] [aa,b]
+    // round 2: (aa,a) 1, (a,b) 1, (aa,b) 1 — tie, lexicographic first
+    //   is (a,b) → [aa,ab] [aa,b]
+    // round 3: (aa,ab) 1, (aa,b) 1 — "ab" < "b" → (aa,ab) → [aaab] [aa,b]
+    val docs = Seq("aaab aab").toDF("text")
+    val (learned, seqs) = TrainPrep.bpeLearn(docs, 3)
+    assert(learned === Seq(("a", "a", 3L), ("a", "b", 1L),
+      ("aa", "ab", 1L)))
+    val finalSeqs = seqs.collect().map(_.getSeq[String](0).toList).toSet
+    assert(finalSeqs === Set(List("aaab"), List("aa", "b")))
+  }
+
+  test("bpe merge table on the corpus: sane counts and real compression") {
+    val rows = TrainPrep.tcBpeMerges(spark, sf, merges = 3).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    val before = rows.head.getAs[Long]("symbols_before")
+    val after = rows.head.getAs[Long]("symbols_after")
+    assert(after < before, "merges must compress the corpus")
+    // each applied merge removes exactly one symbol; applications are
+    // bounded by the learn-time pair count (overlaps apply fewer)
+    assert(before - after <= rows.map(_.getAs[Long]("pair_count")).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_count") > 0)
+      assert(r.getAs[String]("left").nonEmpty)
+      assert(r.getAs[String]("right").nonEmpty)
+    }
+  }
+
   test("length buckets: every doc accounted, caps respected, waste sane") {
     val width = 32
     val rows = TrainPrep.tcLengthBuckets(spark, sf, width).collect()
