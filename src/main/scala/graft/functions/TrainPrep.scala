@@ -488,32 +488,36 @@ object TrainPrep {
     * most frequent pair (ties to the lexicographically first — fully
     * deterministic), and rewrites every occurrence left-greedily.
     *
-    * Spark shape: the corpus stays distributed the whole time — pair
-    * counting is explode → 8-way-partial-aggregated count, the learned
-    * pair is ONE collected row per round (model state, like IVF
-    * centroids), and the rewrite is a codegen'd `aggregate` fold over
-    * each symbol array (no UDF). Rounds scale with `merges`, each a
-    * single corpus pass — the exact shape tokenizer training has at
-    * 100 TB (sample the corpus for learning if even that is too much).
-    * Like the sketch ops this is spec-verified, not SQL-oracled:
-    * the iterated rewrite isn't expressible in one DuckDB query. */
+    * Spark shape — the textbook (word-frequency) formulation: ONE
+    * corpus pass folds occurrences into the distinct-token frequency
+    * table, and every subsequent round runs on that vocabulary-sized
+    * relation — pair counts are occurrence-weighted by token
+    * frequency, the learned pair is ONE collected row per round
+    * (model state, like IVF centroids), and the rewrite is a
+    * codegen'd `aggregate` fold over each symbol array (no UDF).
+    * Training cost is corpus-scan + merges × vocab-sized rounds, the
+    * exact shape tokenizer training has at 100 TB. Like the sketch
+    * ops this is spec-verified, not SQL-oracled: the iterated rewrite
+    * isn't expressible in one DuckDB query. */
   def bpeLearn(docs: DataFrame, merges: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.Column
-    // symbol sequences: one row per whitespace token, chars as symbols
+    // distinct-token frequency table: chars as symbols, corpus count
     var seqs = docs
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(split(col("tok"), "").as("syms"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(split(col("tok"), "").as("syms"), col("freq"))
+      .localCheckpoint()
     val learned = Seq.newBuilder[(String, String, Long)]
     for (_ <- 0 until merges) {
       val pairs = seqs
-        .select(explode(expr(
+        .select(col("freq"), explode(expr(
           """transform(slice(syms, 1, size(syms) - 1),
             |  (s, i) -> struct(s AS a, syms[i + 1] AS b))""".stripMargin))
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
       if (pairs.nonEmpty) {
@@ -529,7 +533,8 @@ object TrainPrep {
               element_at(acc, -1) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
-        seqs = seqs.select(merged.as("syms")).localCheckpoint()
+        seqs = seqs.select(merged.as("syms"), col("freq"))
+          .localCheckpoint()
       }
     }
     (learned.result(), seqs)
@@ -541,12 +546,12 @@ object TrainPrep {
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val before = docs
-      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .agg(sum(length(col("tok")))).head().getLong(0)
     val (table, seqs) = bpeLearn(docs, merges)
-    val after = seqs.agg(sum(size(col("syms")))).head().getLong(0)
+    // occurrence-weighted symbol totals from the frequency table
+    val Array(before, after) = seqs
+      .agg(sum(length(concat_ws("", col("syms"))) * col("freq")),
+        sum(size(col("syms")).cast("long") * col("freq")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
     table.zipWithIndex.map { case ((a, b, cnt), i) =>
       (i + 1, a, b, cnt, before, after)
     }.toDF("rank", "left", "right", "pair_count",
