@@ -62,9 +62,36 @@ object Sketches {
       .toDF("event_type", "est_count")
   }
 
+  /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    * answer: per-source HLL sketches (computed independently, as
+    * partitions would at scale) re-aggregate by `hll_union_agg` into
+    * the corpus estimate WITHOUT touching rows again. Emits each
+    * source's estimate plus the union's; the spec asserts the union
+    * estimate matches both the exact corpus cardinality (within HLL
+    * error) and a directly-computed corpus sketch (exactly — HLL union
+    * is lossless over sketches of the same width). */
+  def skHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+          .as("tok"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"),
+        expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))")
+          .cast("long").as("est_vocab"))
+    val union = perSource
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("long").as("est_vocab"))
+      .select(lit("__all__").as("source"), col("est_vocab"))
+    perSource.select(col("source"), col("est_vocab"))
+      .unionByName(union)
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct" -> (skApproxDistinct _),
     "sk_approx_percentiles" -> (skApproxPercentiles _),
+    "sk_hll_union" -> (skHllUnion _),
     "sk_heavy_hitters" ->
       ((s: SparkSession, d: String) => skHeavyHitters(s, d)))
 }

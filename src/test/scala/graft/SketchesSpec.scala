@@ -46,4 +46,26 @@ class SketchesSpec extends SparkSpec {
         s"$k: ${est(k)} vs $n (N=$total)")
     }
   }
+
+  test("HLL union of per-source sketches equals a direct corpus sketch") {
+    val rows = Sketches.skHllUnion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis
+        .wsTokens(col("text"))).as("tok"))
+    // merged estimate == directly-computed corpus sketch estimate
+    // (union over same-width sketches is lossless)
+    val direct = toks
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))")
+        .cast("long")).head().getLong(0)
+    assert(rows("__all__") === direct,
+      "union of per-source sketches must equal the one-shot sketch")
+    // and within HLL error of the exact corpus vocabulary
+    val exact = toks.distinct().count()
+    assert(math.abs(rows("__all__") - exact).toDouble / exact < 0.05,
+      s"union est ${rows("__all__")} vs exact $exact")
+    // every per-source estimate is bounded by the union's key space
+    rows.filter(_._1 != "__all__").values
+      .foreach(v => assert(v <= rows("__all__") * 2))
+  }
 }
