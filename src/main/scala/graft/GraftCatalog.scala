@@ -30,7 +30,7 @@ object GraftCatalog {
       exprs => SqL2Distance(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_hashes",
       exprs => NgramHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
+        HashFunctions.constInt(exprs(1), "ngram_hashes", "n"),
         HashFunctions.DefaultBase), "scala_udf")
   }
 }

@@ -48,7 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(single byte-scan, no token strings materialized)"),
       (exprs: Seq[Expression]) =>
         NgramHashes(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue,
+          HashFunctions.constInt(exprs(1), "ngram_hashes", "n"),
           HashFunctions.DefaultBase)))
   }
 }

@@ -182,6 +182,17 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long],
 object HashFunctions {
   val DefaultBase: Long = 1000003L
 
+  /** Evaluate a SQL-registration argument that must be a constant
+    * integer (e.g. `ngram_hashes(text, 3)`). A non-foldable argument
+    * (a column, a non-literal expression) would otherwise surface as
+    * an opaque eval-time exception from the unbound expression. */
+  def constInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, arg: String): Int = {
+    require(e.foldable,
+      s"$fn: $arg must be a constant integer, got non-foldable ${e.sql}")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   /** Column-level rolling hash. */
   def rolling_hash(c: Column, base: Long = DefaultBase): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c), base))

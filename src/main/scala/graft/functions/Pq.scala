@@ -37,8 +37,13 @@ object Pq {
     * subspaces separately would scan the corpus m× per iteration; at
     * 100 TB the corpus pass IS the cost, so passes scale with `iters`
     * only. Seeds: the k lowest vec_ids' subvectors (deterministic).
-    * Subspace assignments are independent, so joint training computes
-    * exactly what per-subspace training would. */
+    * Subspace assignments are independent, so joint training visits
+    * the same (subspace, code) cells per-subspace training would;
+    * empty cells retain their previous codeword, and the `avg` fold
+    * accumulates doubles in partition order, so codebooks are
+    * structurally deterministic but not bit-stable across cluster
+    * layouts — acceptable for an approximate index whose shortlist is
+    * exactly re-ranked downstream. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int)
       : Array[Array[Array[Double]]] = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)

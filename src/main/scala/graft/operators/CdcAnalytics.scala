@@ -133,6 +133,9 @@ object CdcAnalytics {
   private val CutUs = 1705363200000000L // 2024-01-16T00:00:00Z
 
   def mergeApply(spark: SparkSession, dir: String): DataFrame = {
+    // event_id is unique per the ChangeFeed.fromEvents contract, so the
+    // struct ordering never reaches (op, value); the oracle's
+    // (ts_us DESC, event_id DESC) ROW_NUMBER picks the identical row
     val img = struct(col("ts_us"), col("event_id"), col("op"), col("value"))
     val agg = ChangeFeed.fromEvents(spark, dir)
       .groupBy("user_id")
@@ -240,7 +243,7 @@ object CdcAnalytics {
     val day = Window.partitionBy("tbl").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ChangeFeed.fromEvents(spark, dir)
-      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("day", QueryUtil.floorDiv(col("ts_us"), 86400000000L))
       .groupBy("tbl", "day")
       .agg(count(when(col("op") === "insert", 1)).as("n_ins"),
         count(when(col("op") === "update", 1)).as("n_upd"),

@@ -38,4 +38,13 @@ object QueryUtil {
   /** Sum of an integral-valued double column as exact BIGINT.
     * DuckDB mirror: `CAST(SUM(CAST(x AS BIGINT)) AS BIGINT)`. */
   def intSum(c: Column): Column = sum(c.cast("long"))
+
+  /** Floor division on a BIGINT column — matches DuckDB's `//` for
+    * negative operands where Spark's `div` truncates toward zero.
+    * `c - pmod(c, d)` is an exact multiple of `d` (pmod is nonnegative),
+    * so the double division is correctly-rounded to the EXACT integer
+    * quotient as long as |c| < 2^53 — true for any microsecond epoch
+    * timestamp until the year 2255. */
+  def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d.toDouble)).cast("long")
 }

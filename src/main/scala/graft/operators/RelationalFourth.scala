@@ -334,15 +334,19 @@ object RelationalFourth {
     val variance = (ss - s * s / c) / (c - lit(1.0d))
     val z = (col("n").cast("double") - mean) / sqrt(variance)
     Tables.events(spark, dir)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("day",
+        QueryUtil.floorDiv(expr("unix_micros(ts)"), 86400000000L))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n"))
       .withColumn("c_prev", count(lit(1)).over(w))
       .withColumn("s_prev", sum("n").over(w))
       .withColumn("ss_prev", sum(col("n") * col("n")).over(w))
+      // the positive-variance guard multiplies in DOUBLE: sum(n)^2 and
+      // sum(n^2)*count wrap silently in non-ANSI int64 at large daily
+      // volumes while DuckDB raises; the double products are the same
+      // single IEEE op in both engines, so the guard stays hash-stable
       .withColumn("z",
-        when(col("c_prev") >= 2 && col("ss_prev") * col("c_prev") >
-          col("s_prev") * col("s_prev"), z))
+        when(col("c_prev") >= 2 && ss * c > s * s, z))
       .select(col("event_type"), col("day"), col("n"), col("z"),
         (col("z").isNotNull && abs(col("z")) > threshold)
           .as("is_anomaly"))
@@ -365,7 +369,9 @@ object RelationalFourth {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
        |scored AS (
        |  SELECT event_type, day, n,
-       |    CASE WHEN c_prev >= 2 AND ss_prev * c_prev > s_prev * s_prev
+       |    CASE WHEN c_prev >= 2
+       |        AND CAST(ss_prev AS DOUBLE) * CAST(c_prev AS DOUBLE)
+       |          > CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)
        |      THEN (CAST(n AS DOUBLE) - CAST(s_prev AS DOUBLE)
        |              / CAST(c_prev AS DOUBLE))
        |        / sqrt((CAST(ss_prev AS DOUBLE)

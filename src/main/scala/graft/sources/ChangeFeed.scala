@@ -51,7 +51,13 @@ object ChangeFeed {
     concat_ws(".", col("user_id").cast("string"), col("event_id").cast("string"))
 
   /** events → mutation envelope. Columns: event_id, user_id, value,
-    * event_type, op, mtype, database, tbl, table_id, pk, ts, ts_us. */
+    * event_type, op, mtype, database, tbl, table_id, pk, ts, ts_us.
+    *
+    * Feed contract: `event_id` is the events PK, so it is unique across
+    * the feed and `(ts_us, event_id)` totally orders each key's history.
+    * Consumers that reduce images via `max(struct(ts_us, event_id, …))`
+    * therefore never reach the fields after `event_id`; oracles ranking
+    * by `ORDER BY ts_us DESC, event_id DESC` pick the identical row. */
   def fromEvents(spark: SparkSession, dir: String): DataFrame =
     decorate(Tables.events(spark, dir))
 
