@@ -29,7 +29,8 @@ object SparkEntry {
       streaming.WindowedAgg.queries ++ functions.Ivf.queries ++
       operators.Sketches.queries ++ operators.AsOfJoin.queries ++
       functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
-      operators.Layout.queries ++ functions.Pq.queries
+      operators.Layout.queries ++ functions.Pq.queries ++
+      operators.Stats.queries ++ functions.LangModel.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -44,5 +45,6 @@ object SparkEntry {
       functions.Similarity.oracles ++ functions.Multimodal.oracles ++
       streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
       functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
-      operators.Layout.oracles ++ functions.Pq.oracles
+      operators.Layout.oracles ++ functions.Pq.oracles ++
+      operators.Stats.oracles ++ functions.LangModel.oracles
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model scoring over the documents table — the
+  * KenLM-shaped quality gate of a pretraining pipeline: train n-gram
+  * statistics on the corpus, then score every document by how probable
+  * its token transitions are under the trained model (CCNet-style
+  * filtering keeps the low-perplexity tail).
+  *
+  * Scoring uses the MEAN SMOOTHED TRANSITION PROBABILITY rather than
+  * mean log-probability: each per-bigram probability
+  * `(c(w1,w2) + 1) / (c(w1) + V)` (add-one smoothing) is a single
+  * correctly-rounded IEEE division of exact integers, and the per-doc
+  * sum folds in token-position order on both engines — so the score is
+  * bit-identical to the oracle. `log()` would not be: libm and JVM
+  * `Math.log` disagree in the last ulp, so a log-based perplexity can
+  * never be hash-compared across engines. The probability mean induces
+  * the same quality ORDERING use cases (gate by percentile) while
+  * staying exactly verifiable.
+  *
+  * 100 TB shape: the trained model is the (w1, w2) count table — a
+  * corpus-wide aggregate orders of magnitude smaller than the corpus —
+  * and scoring is two hash joins (bigram → bigram count, bigram →
+  * prefix count) plus one per-doc fold whose state is bounded by
+  * document length. No driver-side model, no UDFs: the fold is a
+  * codegen'd `aggregate` over a position-sorted array.
+  */
+object LangModel {
+
+  /** Corpus bigram counts: one row per distinct (w1, w2) with count. */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+  /** (doc_id, pos, w1, w2) for every adjacent token pair. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)," +
+            " (x, y) -> struct(x AS w1, y AS w2))")))
+      .select(col("doc_id"), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"))
+
+  /** Train on the corpus, score every document: mean add-one-smoothed
+    * transition probability over the doc's bigrams in position order. */
+  def tcBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val big = bigrams(docs)
+    val c12 = bigramCounts(docs)
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    big
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0d), (acc, x) => acc + x.getField("p")).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_p") / col("n_bigrams").cast("double")).as("mean_p"))
+      .orderBy("doc_id")
+  }
+
+  val tcBigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, i AS pos, a[i] AS w1, a[i + 1] AS w2
+      |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+      |  WHERE len(a) >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v
+      |      FROM (SELECT UNNEST(a) AS t FROM toks)),
+      |scored AS (
+      |  SELECT b.doc_id, b.pos,
+      |    CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+      |  FROM big b
+      |  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |  JOIN c1 ON b.w1 = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(p ORDER BY pos)), (x, y) -> x + y)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_p
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_bigram_lm" -> (tcBigramLm _))
+
+  val oracles: Map[String, String] = Map(
+    "tc_bigram_lm" -> tcBigramLmSql)
+}

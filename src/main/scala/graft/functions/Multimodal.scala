@@ -180,12 +180,44 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Exact binary-asset dedup by content digest — the first pass of any
+    * media pipeline (an asset stored under N ids decodes N times unless
+    * deduped at the byte level). md5 runs where the bytes live; the
+    * groupBy shuffles 16-byte digests, never content. Every asset comes
+    * back with its canonical copy (min media_id) and the copy count. */
+  def contentDedup(media: DataFrame): DataFrame = {
+    val d = media.select(col("media_id"), md5(col("content")).as("digest"))
+    val groups = d.groupBy("digest")
+      .agg(min("media_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    d.join(groups, "digest")
+      .select(col("media_id"), col("digest"), col("canonical_id"),
+        col("n_copies"),
+        (col("media_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("media_id")
+  }
+
+  def mmContentDedup(spark: SparkSession, dir: String): DataFrame =
+    contentDedup(syntheticMedia(spark, dir))
+
+  val mmContentDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id, md5(text) AS digest FROM documents),
+      |g AS (
+      |  SELECT digest, MIN(media_id) AS canonical_id,
+      |    COUNT(*) AS n_copies
+      |  FROM d GROUP BY digest)
+      |SELECT media_id, d.digest, canonical_id, n_copies,
+      |  media_id = canonical_id AS is_canonical
+      |FROM d JOIN g ON d.digest = g.digest ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_clip_segments" -> (mmClipSegments _),
+    "mm_content_dedup" -> (mmContentDedup _),
     "mm_decode_features" -> (mmDecodeFeatures _))
 
   def oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
-    "mm_clip_segments" -> mmClipSegmentsSql)
+    "mm_clip_segments" -> mmClipSegmentsSql,
+    "mm_content_dedup" -> mmContentDedupSql)
 }

@@ -141,6 +141,50 @@ object Similarity {
     nearDupPairs(Tables.embeddings(spark, dir), 0.3)
       .orderBy("v1", "v2")
 
+  // ── k-NN graph construction ─────────────────────────────────────────
+  /** k-nearest-neighbor graph within LSH buckets — the structure behind
+    * graph-based dedup audits, label propagation, and diversity-aware
+    * sampling. Candidate edges come from the same bucket hash join as
+    * [[nearDupPairs]] (never an all-pairs scan); the per-source top-k
+    * is a row_number window that Spark plans with a WindowGroupLimit
+    * partial pass, so each partition forwards at most k candidates per
+    * source before the shuffle. Cosines are the bit-exact codegen'd
+    * fold, so the ranking (ties broken by neighbor id) is engine-exact
+    * and the whole graph hash-matches the oracle. */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits)
+      : DataFrame = {
+    val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
+      "embedding", bits)
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    v.alias("a").join(v.alias("b"),
+        col("a.lsh_key") === col("b.lsh_key") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir), 3)
+      .orderBy("src_id", "rnk")
+
+  val simKnnGraphSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM keyed a JOIN keyed b
+       |    ON a.lsh_key = b.lsh_key AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT src_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM pairs)
+       |SELECT src_id, nbr_id, cos, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY src_id, rnk""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the verified cosine
     * pairs, one keeper (min vec_id) per cluster with the sorted member
     * list. Distributed min-label propagation ([[Dedup.connectedComponents]])
@@ -463,6 +507,7 @@ object Similarity {
        |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (simKnnGraph _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_bruteforce" -> (simTopK _),
     "sim_lsh_ann" -> (simLsh _),
@@ -473,6 +518,7 @@ object Similarity {
     "sim_rrf_fusion" -> (simRrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_quantized_dedup" -> simQuantizedSql,
     "sim_int8_quantize" -> simInt8QuantizeSql,

@@ -156,6 +156,47 @@ object TrainPrep {
       |    AS kept_tok
       |FROM rated GROUP BY source ORDER BY source""".stripMargin
 
+  /** Temperature-reweighted source mixture — the multilingual/
+    * multi-source rebalancing rule (sample source s proportionally to
+    * n_s^α): α = 0.5 here so the weight is `sqrt`, which IEEE-754
+    * guarantees correctly rounded — unlike `pow`, whose last-ulp
+    * behavior differs across libm implementations, sqrt can be
+    * hash-compared across engines. The normalizer folds the (few)
+    * per-source weights in source order, so even the double sum is
+    * engine-exact. One aggregate + a broadcast of one row. */
+  def tsTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", sqrt(col("n_docs").cast("double")))
+    val z = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("weight")))),
+        lit(0.0d), (a, x) => a + x.getField("weight")).as("z"),
+      sum("n_docs").as("n_total"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("share", col("weight") / col("z"))
+      .withColumn("target_docs",
+        floor(col("share") * col("n_total").cast("double") + lit(0.5d))
+          .cast("long"))
+      .select("source", "n_docs", "weight", "share", "target_docs")
+      .orderBy("source")
+  }
+
+  val tsTemperatureSql: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS weight
+      |  FROM documents GROUP BY source),
+      |z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(weight ORDER BY source)), (x, y) -> x + y) AS z,
+      |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+      |  FROM c)
+      |SELECT source, n_docs, weight, weight / z.z AS share,
+      |  CAST(FLOOR(weight / z.z * CAST(n_total AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS target_docs
+      |FROM c, z ORDER BY source""".stripMargin
+
   /** Deterministic corpus shuffle for training order: every doc gets a
     * hash-derived (shard, ordkey) — readers consume shard files in
     * ordkey order and see a reproducible global permutation. This is
@@ -574,6 +615,7 @@ object TrainPrep {
     "ts_stratified_sample" ->
       ((s: SparkSession, d: String) => tsStratifiedSample(s, d)),
     "ts_mixture" -> (tsMixture _),
+    "ts_temperature" -> (tsTemperature _),
     "ts_shuffle_shards" ->
       ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
     "tp_corpus_stats" -> (tpCorpusStats _),
@@ -590,6 +632,7 @@ object TrainPrep {
     "ts_hash_split" -> tsHashSplitSql,
     "ts_stratified_sample" -> tsStratifiedSampleSql,
     "ts_mixture" -> tsMixtureSql,
+    "ts_temperature" -> tsTemperatureSql,
     "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,

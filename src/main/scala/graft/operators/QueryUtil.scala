@@ -47,4 +47,9 @@ object QueryUtil {
     * timestamp until the year 2255. */
   def floorDiv(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))) / lit(d.toDouble)).cast("long")
+
+  /** Column-divisor variant (same exactness bound on the dividend;
+    * the divisor must be positive). */
+  def floorDiv(c: Column, d: Column): Column =
+    ((c - pmod(c, d)) / d.cast("double")).cast("long")
 }

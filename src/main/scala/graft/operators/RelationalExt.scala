@@ -124,16 +124,24 @@ object RelationalExt {
 
   // ── set operations ──────────────────────────────────────────────────
   /** INTERSECT / EXCEPT between the customer key space and the keys
-    * that actually ordered. */
+    * that actually ordered — planned as ONE flag-fold pass: `intersect`
+    * + `except` cost two distinct-aggregates plus a semi and an anti
+    * join (four shuffles, both inputs scanned twice); tagging each row
+    * with its side and reducing `max(flag)` per key is a single key
+    * shuffle with map-side partials and identical set semantics (the
+    * groupBy supplies the DISTINCT both set ops imply). */
   def set1Ops(spark: SparkSession, dir: String): DataFrame = {
-    val custKeys = Tables.customer(spark, dir).select(col("c_custkey"))
+    val custKeys = Tables.customer(spark, dir)
+      .select(col("c_custkey"), lit(1).as("is_cust"), lit(0).as("is_buyer"))
     val buyers = Tables.orders(spark, dir)
-      .select(col("o_custkey").as("c_custkey"))
-    val both = custKeys.intersect(buyers)
-      .withColumn("tag", lit("with_orders"))
-    val none = custKeys.except(buyers)
-      .withColumn("tag", lit("no_orders"))
-    both.unionByName(none)
+      .select(col("o_custkey").as("c_custkey"),
+        lit(0).as("is_cust"), lit(1).as("is_buyer"))
+    custKeys.unionByName(buyers)
+      .groupBy("c_custkey")
+      .agg(max("is_cust").as("is_cust"), max("is_buyer").as("is_buyer"))
+      .filter(col("is_cust") === 1)
+      .withColumn("tag", when(col("is_buyer") === 1, lit("with_orders"))
+        .otherwise(lit("no_orders")))
       .groupBy("tag").agg(count(lit(1)).as("n"),
         min("c_custkey").as("min_key"))
       .orderBy("tag")

@@ -160,10 +160,21 @@ object RelationalThird {
       .withColumn("late_supp",
         when(col("l_shipdate") > col("o_orderdate") + expr(Late),
           col("l_suppkey")))
-    val perOrder = li.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(col("late_supp")).as("n_late"),
-      min(col("late_supp")).as("sole_late_supp"))
+    // two-level aggregation instead of two COUNT(DISTINCT)s in one
+    // groupBy: multiple distinct aggregates plan an Expand that triples
+    // every lineitem row before the shuffle. Folding to (order, supp)
+    // grain first (map-side partials, no Expand) and counting the
+    // already-distinct rows computes the same three aggregates with a
+    // strictly smaller shuffle — the difference that matters when
+    // lineitem is the 100 TB fact.
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("late_supp").isNotNull, 1).otherwise(0))
+        .as("is_late"))
+    val perOrder = perSupp.groupBy("l_orderkey").agg(
+      count(lit(1)).as("n_supp"),
+      sum(col("is_late")).as("n_late"),
+      min(when(col("is_late") === 1, col("l_suppkey")))
+        .as("sole_late_supp"))
     perOrder
       .filter(col("n_supp") > 1 && col("n_late") === 1)
       .join(broadcast(Tables.supplier(spark, dir)),

@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Statistical and graph-analytic operators over the relational tables.
+  *
+  * Everything here follows the repo's oracle-determinism contract
+  * (QueryUtil): aggregate in exact integers, then apply ONE explicit
+  * double formula whose every op is a single correctly-rounded IEEE
+  * operation written identically in the Spark code and the DuckDB
+  * oracle — so even regression slopes and correlations hash-match.
+  */
+object Stats {
+
+  // ── exact OLS / correlation per group ───────────────────────────────
+  /** Per-returnflag linear regression of discount (basis points) on
+    * quantity, with Pearson correlation — "do bigger orders get bigger
+    * discounts?". NOT Spark's `regr_slope`/`corr` (their double
+    * accumulation is partition-order dependent): the five moment sums
+    * (Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs — partial aggregation
+    * and shuffle order cannot change them — and the slope/intercept/r
+    * formulas run on those integers in one fixed IEEE order. The
+    * BIGINT→DOUBLE conversions are correctly rounded identically in
+    * both engines even past 2^53. Sums fit int64 at any scale: x ≤ 50,
+    * y ≤ 1000, so Σxy ≤ 5·10^4 per row — 10^12 rows stay < 2^63. */
+  def st1Linreg(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = floor(col("l_discount") * lit(10000.0d) + lit(0.5d)).cast("long")
+    val d = (c: Column) => c.cast("double")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov_n", d(col("n")) * d(col("sxy")) -
+        d(col("sx")) * d(col("sy")))
+      .withColumn("varx_n", d(col("n")) * d(col("sxx")) -
+        d(col("sx")) * d(col("sx")))
+      .withColumn("vary_n", d(col("n")) * d(col("syy")) -
+        d(col("sy")) * d(col("sy")))
+      .select(col("l_returnflag"), col("n"),
+        (col("cov_n") / col("varx_n")).as("slope_bp_per_unit"),
+        ((d(col("sy")) - (col("cov_n") / col("varx_n")) * d(col("sx"))) /
+          d(col("n"))).as("intercept_bp"),
+        (col("cov_n") / (sqrt(col("varx_n")) * sqrt(col("vary_n"))))
+          .as("pearson_r"))
+      .orderBy("l_returnflag")
+  }
+
+  val st1Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM (
+      |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |      CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS y
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |f AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+      |    sx, sy
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  cov_n / varx_n AS slope_bp_per_unit,
+      |  (CAST(sy AS DOUBLE) - (cov_n / varx_n) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept_bp,
+      |  cov_n / (sqrt(varx_n) * sqrt(vary_n)) AS pearson_r
+      |FROM f ORDER BY l_returnflag""".stripMargin
+
+  // ── exact per-group mode ────────────────────────────────────────────
+  /** Most frequent quantity per returnflag (smallest value on ties) —
+    * the exact MODE aggregate. Two-level: fold to (group, value) counts
+    * with map-side partials, then rank the (tiny) count table; the fact
+    * table is never windowed. */
+  def g6Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("qty"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"),
+        col("cnt").as("n_mode"))
+      .orderBy("l_returnflag")
+  }
+
+  val g6Sql: String =
+    """SELECT l_returnflag, qty AS mode_qty, cnt AS n_mode FROM (
+      |  SELECT l_returnflag, qty, cnt, ROW_NUMBER() OVER (
+      |    PARTITION BY l_returnflag ORDER BY cnt DESC, qty) AS rn
+      |  FROM (
+      |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |      COUNT(*) AS cnt
+      |    FROM lineitem GROUP BY l_returnflag, qty))
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  // ── distribution-rank window functions ──────────────────────────────
+  /** Rank statistics of order value within priority cohorts:
+    * rank / dense_rank / percent_rank / cume_dist over a TOTAL order
+    * (price cents desc, key asc — no ties, so the rank family is
+    * deterministic). percent_rank = (rank-1)/(n-1) and
+    * cume_dist = rows≤current / n are single exact-integer divisions —
+    * bit-identical across engines. */
+  def w5RankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).cast("long").as("price_cents"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val w5Sql: String =
+    """SELECT o_orderkey, o_orderpriority, price_cents,
+      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |  PERCENT_RANK() OVER w AS pct_rank, CUME_DIST() OVER w AS cume
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY price_cents DESC, o_orderkey)
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  // ── fixed-iteration weighted PageRank ───────────────────────────────
+  /** Weighted PageRank over the event-type transition graph (the same
+    * edge relation as ev4_transitions) — the graph-centrality scorer a
+    * pretraining pipeline runs over a link graph to rank sources (the
+    * CommonCrawl-style URL-quality signal), demonstrated on the
+    * feed's type-transition graph. Three power iterations, damping
+    * 0.85, ALL-INTEGER arithmetic in parts-per-million rank units with
+    * floor division at every step, so the fixed point of each round is
+    * engine-exact — no double accumulation anywhere. Each iteration is
+    * one hash join of the (tiny) rank vector to the edge list plus one
+    * grouped sum: at web scale the edge list is the 100 TB fact and
+    * this is exactly the join+agg shape that distributes; the rank
+    * vector stays O(nodes).
+    *
+    * Overflow bound: contributions compute as
+    * `((85·r // 100) · w) // out` with r ≤ 10^6 ppm, so the inner
+    * product stays < 10^6·w — int64-safe for edge weights to ~10^12. */
+  def grPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000L // total rank mass, ppm
+    val events = Tables.events(spark, dir)
+    val nxt = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val edges = events
+      .withColumn("next_type", lead("event_type", 1).over(nxt))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // tiny; reread per iteration without rescan
+    val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
+    val wedges = broadcast(edges.join(outW, "src")
+      .select("src", "dst", "w", "out_w"))
+    val nodes = events.select(col("event_type").as("node")).distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    val base = (15L * Scale) / (100L * nNodes) // teleport share, exact
+    var rank = nodes.withColumn("r", lit(Scale / nNodes))
+    for (_ <- 1 to 3) {
+      val contrib = wedges
+        .join(broadcast(rank.select(col("node").as("src"), col("r"))), "src")
+        .select(col("dst"),
+          floorDiv(floorDiv(lit(85L) * col("r"), lit(100L)) * col("w"),
+            col("out_w")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_r"))
+      rank = nodes
+        .join(contrib.select(col("dst").as("node"), col("in_r")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_r"), lit(0L))).as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node"))
+  }
+
+  val grSql: String =
+    """WITH edges AS (
+      |  SELECT event_type AS src, next_type AS dst, COUNT(*) AS w
+      |  FROM (
+      |    SELECT user_id, event_type,
+      |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      |    FROM events)
+      |  WHERE next_type IS NOT NULL
+      |  GROUP BY src, dst),
+      |wedges AS (
+      |  SELECT e.src, e.dst, e.w, o.out_w
+      |  FROM edges e JOIN (
+      |    SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+      |    FROM edges GROUP BY src) o ON e.src = o.src),
+      |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+      |n AS (SELECT COUNT(*) AS c FROM nodes),
+      |r0 AS (SELECT node, 1000000 // (SELECT c FROM n) AS r FROM nodes),
+      |r1 AS (
+      |  SELECT nd.node,
+      |    (15 * 1000000) // (100 * (SELECT c FROM n))
+      |      + COALESCE(CAST(SUM(((85 * p.r // 100) * e.w) // e.out_w)
+      |          AS BIGINT), 0) AS r
+      |  FROM nodes nd
+      |  LEFT JOIN wedges e ON e.dst = nd.node
+      |  LEFT JOIN r0 p ON p.node = e.src
+      |  GROUP BY nd.node),
+      |r2 AS (
+      |  SELECT nd.node,
+      |    (15 * 1000000) // (100 * (SELECT c FROM n))
+      |      + COALESCE(CAST(SUM(((85 * p.r // 100) * e.w) // e.out_w)
+      |          AS BIGINT), 0) AS r
+      |  FROM nodes nd
+      |  LEFT JOIN wedges e ON e.dst = nd.node
+      |  LEFT JOIN r1 p ON p.node = e.src
+      |  GROUP BY nd.node),
+      |r3 AS (
+      |  SELECT nd.node,
+      |    (15 * 1000000) // (100 * (SELECT c FROM n))
+      |      + COALESCE(CAST(SUM(((85 * p.r // 100) * e.w) // e.out_w)
+      |          AS BIGINT), 0) AS r
+      |  FROM nodes nd
+      |  LEFT JOIN wedges e ON e.dst = nd.node
+      |  LEFT JOIN r2 p ON p.node = e.src
+      |  GROUP BY nd.node)
+      |SELECT node, r AS rank_ppm FROM r3
+      |ORDER BY rank_ppm DESC, node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_linreg" -> (st1Linreg _),
+    "g6_mode" -> (g6Mode _),
+    "w5_rank_stats" -> (w5RankStats _),
+    "gr_pagerank" -> (grPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "st1_linreg" -> st1Sql,
+    "g6_mode" -> g6Sql,
+    "w5_rank_stats" -> w5Sql,
+    "gr_pagerank" -> grSql)
+}

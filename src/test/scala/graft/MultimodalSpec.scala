@@ -62,4 +62,22 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(f.filter(col("media_id").isInCollection(nonVideo)).count() === 0)
   }
+
+  test("content dedup: digest groups identical payloads, canonical is min id") {
+    val d = Multimodal.contentDedup(media).collect()
+    assert(d.length === media.count())
+    // digest equality == byte equality on this corpus
+    val byDigest = d.groupBy(_.getAs[String]("digest"))
+    val texts = media.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    byDigest.foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("media_id"))
+      assert(ids.map(texts).distinct.length === 1,
+        "same digest implies same payload")
+      assert(rs.forall(_.getAs[Long]("canonical_id") === ids.min))
+      assert(rs.forall(_.getAs[Long]("n_copies") === ids.length.toLong))
+      assert(rs.count(_.getAs[Boolean]("is_canonical")) === 1)
+    }
+  }
 }

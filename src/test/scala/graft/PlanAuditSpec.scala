@@ -222,4 +222,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0,
       s"tf computation is per-row; expected no hash shuffle, got $shuffles:\n$p")
   }
+
+  test("set1: the set ops fold in one pass — no join, one key shuffle") {
+    val p = plan(graft.operators.RelationalExt.set1Ops(spark, sf))
+    assert(!p.contains("Join"),
+      "flag-fold replaces the semi/anti joins:\n" + p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, // key fold + tiny tag fold
+      s"expected <=2 hash shuffles, got $shuffles:\n$p")
+  }
+
+  test("q21: no Expand — the dual distinct counts fold at (order,supp) grain") {
+    val p = plan(graft.operators.RelationalThird
+      .q21WaitingSuppliers(spark, sf))
+    assert(!p.contains("Expand"),
+      "two-level aggregation must not plan an Expand:\n" + p)
+    assert(p.contains("partial_"), "map-side partials present")
+  }
+
+  test("sim_knn_graph: per-source top-k prunes partially before the shuffle") {
+    val p = plan(graft.functions.Similarity.simKnnGraph(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=k must plan a WindowGroupLimit:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "candidates come from the bucket hash join:\n" + p)
+  }
+
+  test("gr_pagerank: rank vector broadcasts; edges never shuffle in rounds") {
+    val p = plan(graft.operators.Stats.grPagerank(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.LangModel
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("st1: regression moments agree with a driver-side exact fold") {
+    val rows = Stats.st1Linreg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per flag from raw rows with exact BigInt moments
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        floor(col("l_discount") * lit(10000.0d) + lit(0.5d)).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val xs = raw(flag)
+      val n = BigInt(xs.length)
+      val sx = xs.map(t => BigInt(t._2)).sum
+      val sy = xs.map(t => BigInt(t._3)).sum
+      val sxx = xs.map(t => BigInt(t._2) * t._2).sum
+      val syy = xs.map(t => BigInt(t._3) * t._3).sum
+      val sxy = xs.map(t => BigInt(t._2) * t._3).sum
+      val covN = (n * sxy - sx * sy).toDouble
+      val varxN = (n * sxx - sx * sx).toDouble
+      val varyN = (n * syy - sy * sy).toDouble
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      // BigInt path is exact; the engine's double formula must land
+      // within relative 1e-12 of it (the formulas differ only in
+      // rounding of the conversions)
+      val slope = r.getAs[Double]("slope_bp_per_unit")
+      assert(math.abs(slope - covN / varxN) <=
+        1e-12 * math.abs(slope).max(1e-300))
+      val pr = r.getAs[Double]("pearson_r")
+      assert(math.abs(pr) <= 1.0 + 1e-12)
+      assert(math.abs(pr - covN / (math.sqrt(varxN) * math.sqrt(varyN)))
+        <= 1e-9)
+    }
+  }
+
+  test("g6: mode is the argmax of the value histogram") {
+    val rows = Stats.g6Mode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hist = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (f, vs) =>
+        f -> vs.groupBy(_._2).map { case (q, g) => (q, g.length.toLong) }
+      }
+    rows.foreach { r =>
+      val h = hist(r.getAs[String]("l_returnflag"))
+      val best = h.toSeq.sortBy { case (q, c) => (-c, q) }.head
+      assert(r.getAs[Long]("mode_qty") === best._1)
+      assert(r.getAs[Long]("n_mode") === best._2)
+    }
+  }
+
+  test("w5: rank stats match their definitions on a total order") {
+    val rows = Stats.w5RankStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byPrio.foreach { case (_, rs) =>
+      val n = rs.length
+      val sorted = rs.sortBy(r =>
+        (-r.getAs[Long]("price_cents"), r.getAs[Long]("o_orderkey")))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("rnk") === i + 1) // no ties: rank == row pos
+        assert(r.getAs[Int]("drnk") === i + 1)
+        val expPr = if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble
+        assert(r.getAs[Double]("pct_rank") === expPr)
+        assert(r.getAs[Double]("cume") === (i + 1).toDouble / n.toDouble)
+      }
+    }
+  }
+
+  test("gr: pagerank conserves mass (up to floor slack) and ranks hubs") {
+    val rows = Stats.grPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("rank_ppm")).sum
+    // every floor division only discards mass; three iterations over
+    // |nodes| + |edges| terms can't lose more than a few hundred ppm
+    assert(total <= 1000000L)
+    assert(total >= 1000000L - 1000L * rows.length)
+    assert(rows.forall(_.getAs[Long]("rank_ppm") > 0))
+    // output is ordered by rank desc
+    val ranks = rows.map(_.getAs[Long]("rank_ppm")).toSeq
+    assert(ranks === ranks.sorted.reverse)
+  }
+
+  test("knn: graph edges are the per-source top-k within buckets") {
+    val g = functions.Similarity
+      .knnGraph(Tables.embeddings(spark, sf), 3).collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getAs[Long]("src_id")).foreach { case (_, es) =>
+      assert(es.length <= 3)
+      val ranks = es.map(_.getAs[Int]("rnk")).sorted
+      assert(ranks === (1 to es.length).toArray)
+      // descending cosine along ranks
+      val byRank = es.sortBy(_.getAs[Int]("rnk"))
+        .map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lm: bigram scores are smoothed probabilities in (0, 1]") {
+    val rows = LangModel.tcBigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("mean_p")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    // a doc made of the corpus' most common transitions should outscore
+    // the average doc: check the max is well above the mean
+    val ps = rows.map(_.getAs[Double]("mean_p"))
+    assert(ps.max > ps.sum / ps.length)
+  }
+}

@@ -206,4 +206,28 @@ class TrainPrepSpec extends SparkSpec {
       assert(waste >= 0.0 && waste < 1.0)
     }
   }
+
+  test("temperature mixture: sqrt weights flatten the source skew") {
+    val rows = TrainPrep.tsTemperature(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Double]("weight") === math.sqrt(n.toDouble))
+      assert(r.getAs[Long]("target_docs") >= 0L)
+    }
+    // α=0.5 compresses ratios: for any two sources, the share ratio is
+    // the sqrt of the count ratio — big sources downweighted
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    val (lo, hi) = (byN.head, byN.last)
+    if (lo.getAs[Long]("n_docs") < hi.getAs[Long]("n_docs")) {
+      val countRatio =
+        hi.getAs[Long]("n_docs").toDouble / lo.getAs[Long]("n_docs")
+      val shareRatio =
+        hi.getAs[Double]("share") / lo.getAs[Double]("share")
+      assert(shareRatio < countRatio)
+      assert(math.abs(shareRatio - math.sqrt(countRatio)) < 1e-9)
+    }
+  }
 }
