@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Sketches.queries ++ operators.AsOfJoin.queries ++
       functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
       operators.Layout.queries ++ functions.Pq.queries ++
-      operators.Stats.queries ++ functions.LangModel.queries
+      operators.Stats.queries ++ functions.LangModel.queries ++
+      operators.RuntimeFilter.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -46,5 +47,6 @@ object SparkEntry {
       streaming.WindowedAgg.oracles ++ operators.AsOfJoin.oracles ++
       functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
       operators.Layout.oracles ++ functions.Pq.oracles ++
-      operators.Stats.oracles ++ functions.LangModel.oracles
+      operators.Stats.oracles ++ functions.LangModel.oracles ++
+      operators.RuntimeFilter.oracles
 }

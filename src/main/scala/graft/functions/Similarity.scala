@@ -506,7 +506,142 @@ object Similarity {
        |SELECT a_id, a_label, neg_id, neg_label, cos
        |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin
 
+  // ── diversified top-k (maximal marginal relevance) ──────────────────
+  /** MMR re-ranking: greedily select k results per query maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)` — the diversified
+    * retrieval used to keep near-duplicate hits from crowding a result
+    * list (and to pick diverse few-shot exemplars). Inherently
+    * ITERATIVE (each pick changes the next round's penalty), like BPE
+    * and IVF training: no single SQL expresses it, so it is
+    * spec-verified against an independent driver-side greedy reference
+    * instead of a DuckDB oracle.
+    *
+    * Scale shape: the per-query shortlist here is brute-force cosine
+    * (queries broadcast, one corpus scan — fine for small Q); at 100 TB
+    * the shortlist comes from the ANN paths ([[Ivf]]/[[simLsh]]) and
+    * the MMR rounds are unchanged: each round joins the O(|Q|·short)
+    * candidate pool to the O(|Q|·k) selected set — both bounded model
+    * state, localCheckpointed so the iterative plan never deepens —
+    * and reduces with one max-aggregate; the corpus is never rescanned
+    * after the shortlist. */
+  def simMmr(spark: SparkSession, dir: String, k: Int = 5,
+      shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cand = emb
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val pool0 = broadcast(q).join(cand, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("c_vec"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .drop("rnk")
+      .localCheckpoint()
+    var selected = pool0.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("c_id"), col("c_vec"), col("cos"),
+        lit(1).as("round"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pool = pool0.join(selected.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+      val sel = selected.select(col("q_id"), col("c_vec").as("s_vec"))
+      val scored = pool.join(sel, "q_id")
+        .select(col("q_id"), col("c_id"), col("cos"),
+          cosine(col("c_vec"), col("s_vec")).as("sim_s"))
+        .groupBy("q_id", "c_id", "cos")
+        .agg(max(col("sim_s")).as("max_sim"))
+        .withColumn("score",
+          lit(lambda) * col("cos") - lit(1.0d - lambda) * col("max_sim"))
+      val wS = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      val pick = scored.withColumn("rnk", row_number().over(wS))
+        .filter(col("rnk") === 1)
+        .select(col("q_id"), col("c_id"), lit(r).as("round"))
+      selected = selected.unionByName(
+          pick.join(pool0, Seq("q_id", "c_id"))
+            .select(col("q_id"), col("c_id"), col("c_vec"), col("cos"),
+              col("round")))
+        .localCheckpoint()
+    }
+    selected.select(col("q_id"), col("c_id"), col("round"), col("cos"))
+      .orderBy("q_id", "round")
+  }
+
+  // ── triangle counting over the kNN graph ────────────────────────────
+  /** Per-node triangle counts over the undirected [[knnGraph]] — the
+    * local-clustering signal that separates genuinely clustered
+    * near-duplicate groups from chance kNN links. Uses the textbook
+    * scale-safe enumeration: orient every edge from the lower
+    * (degree, id) endpoint to the higher, enumerate wedges at each
+    * out-neighborhood, and close them with one hash join against the
+    * edge set. The degree orientation bounds every out-degree by
+    * O(√|E|), so the wedge fan-out survives power-law skew that would
+    * explode an id-oriented or all-pairs enumeration; each triangle is
+    * generated exactly once (its minimum-rank node is the only one with
+    * out-edges to both others). The oracle enumerates the same triangle
+    * set id-ordered — orientation changes the join shape, not the set.
+    * Edge list is localCheckpointed: built once (the kNN ranking is the
+    * expensive part), reused by degrees, wedges, and closure. */
+  def grTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(Tables.embeddings(spark, dir), 3)
+      .select(least(col("src_id"), col("nbr_id")).as("u"),
+        greatest(col("src_id"), col("nbr_id")).as("v"))
+      .distinct().localCheckpoint()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dirE = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = dirE.as("e1").join(dirE.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("apex"), col("e1.t").as("b"),
+        col("e2.t").as("c"))
+    wedges.join(edges, col("b") === col("u") && col("c") === col("v"))
+      .select(explode(array(col("apex"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  val grTrianglesSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM keyed a JOIN keyed b
+       |    ON a.lsh_key = b.lsh_key AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT src_id, nbr_id, ROW_NUMBER() OVER (
+       |    PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM scored),
+       |edges AS (
+       |  SELECT DISTINCT LEAST(src_id, nbr_id) AS u,
+       |    GREATEST(src_id, nbr_id) AS v
+       |  FROM ranked WHERE rnk <= 3),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e3.v AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+       |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |nodes AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT node, COUNT(*) AS n_triangles FROM nodes
+       |GROUP BY node ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
+    "gr_triangles" -> (grTriangles _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_bruteforce" -> (simTopK _),
@@ -518,6 +653,7 @@ object Similarity {
     "sim_rrf_fusion" -> (simRrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "gr_triangles" -> grTrianglesSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_quantized_dedup" -> simQuantizedSql,

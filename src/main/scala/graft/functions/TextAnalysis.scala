@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline (builder
@@ -427,7 +428,66 @@ object TextAnalysis {
       |FROM sized s LEFT JOIN per_doc p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ── TF-IDF keyword extraction ───────────────────────────────────────
+  /** Top-k characteristic terms per document by tf-idf — the keyword
+    * extractor behind corpus browsing and topic labeling. The idf is
+    * RATIONAL — `(N+1)/(df+1)` instead of its log (same per-document
+    * ranking for a fixed tf ordering concern; libm `log` is only
+    * 1-ulp-accurate and not cross-engine bit-stable, the same reasoning
+    * as [[taBm25]]) — so the score `tf·(N+1) / (df+1)` is one exact
+    * int64 product and ONE correctly-rounded IEEE division: hash-exact
+    * across engines. Overflow: tf ≤ doc tokens (~10^5) and N+1 ≤ 10^10
+    * docs would overflow; in practice tf·(N+1) < 2^63 up to ~10^13
+    * token-docs — documented bound, ANSI would raise beyond it.
+    *
+    * Shape: tf reduces (doc, term) with map-side partials; df re-reduces
+    * the tf table (the corpus text is scanned once); the top-k window
+    * runs on the scored (doc, term) table partitioned by doc — never a
+    * global sort. */
+  def taTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + lit(1L))).cast("double") /
+          (col("df") + lit(1L)).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def taTfidfSql(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term <> '' GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    CAST(t.tf * ((SELECT n_docs FROM n) + 1) AS DOUBLE)
+       |      / CAST(d.df + 1 AS DOUBLE) AS score
+       |  FROM tf t JOIN df d USING (term)),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf" -> ((s: SparkSession, d: String) => taTfidf(s, d)),
     "ta_token_count" -> (taTokenCount _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_lang_id" -> (taLangId _),
@@ -439,6 +499,7 @@ object TextAnalysis {
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "ta_tfidf" -> taTfidfSql(),
     "ta_token_count" -> taTokenCountSql,
     "ta_quality_score" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,

@@ -224,6 +224,47 @@ object RelationalExt {
       |  COUNT(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin
 
+  // ── UNPIVOT (melt to long format) ───────────────────────────────────
+  /** Unpivot the four lineitem measures into (metric, value) rows, then
+    * profile each metric — the wide→long reshape feeding any
+    * metric-generic downstream (monitoring, histogramming). Uses the
+    * native `Dataset.unpivot` operator (planned as one Expand — a
+    * narrow 4× row fan-out, no shuffle) feeding a partially-aggregated
+    * profile, so at 100 TB the reshape never materializes: the combine
+    * happens map-side inside the same stage as the scan. Measures are
+    * quantized to exact integers first (cents / basis points) so the
+    * profile sums are associative and engine-exact. */
+  def p15Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).cast("long").as("price_cents"),
+        floor(col("l_discount") * lit(10000.0d) + lit(0.5d)).cast("long")
+          .as("disc_bp"),
+        floor(col("l_tax") * lit(10000.0d) + lit(0.5d)).cast("long")
+          .as("tax_bp"))
+      .unpivot(Array.empty, Array(col("qty"), col("price_cents"),
+        col("disc_bp"), col("tax_bp")), "metric", "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("metric")
+
+  val p15Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+      |    CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+      |  FROM lineitem),
+      |long AS (
+      |  SELECT 'qty' AS metric, qty AS v FROM base
+      |  UNION ALL SELECT 'price_cents', price_cents FROM base
+      |  UNION ALL SELECT 'disc_bp', disc_bp FROM base
+      |  UNION ALL SELECT 'tax_bp', tax_bp FROM base)
+      |SELECT metric, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM long GROUP BY metric ORDER BY metric""".stripMargin
+
   // ── JSON extraction ─────────────────────────────────────────────────
   /** JSON path extraction from the props column (the oracle mirrors the
     * value via a regex so it does not depend on DuckDB's json
@@ -404,6 +445,7 @@ object RelationalExt {
     "g2_distinct_count" -> (g2DistinctCount _),
     "g3_cube" -> (g3Cube _),
     "p14_pivot" -> (p14Pivot _),
+    "p15_unpivot" -> (p15Unpivot _),
     "set1_intersect_except" -> (set1Ops _),
     "j1_semi_anti" -> (j1SemiAnti _),
     "f2_json_extract" -> (f2JsonExtract _),
@@ -421,6 +463,7 @@ object RelationalExt {
     "g2_distinct_count" -> g2Sql,
     "g3_cube" -> g3Sql,
     "p14_pivot" -> p14Sql,
+    "p15_unpivot" -> p15Sql,
     "set1_intersect_except" -> set1Sql,
     "j1_semi_anti" -> j1Sql,
     "f2_json_extract" -> f2Sql,

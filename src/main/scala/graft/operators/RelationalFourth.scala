@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,7 +384,65 @@ object RelationalFourth {
        |  z IS NOT NULL AND abs(z) > $threshold AS is_anomaly
        |FROM scored ORDER BY event_type, day""".stripMargin
 
+  // ── exponentially weighted moving average ───────────────────────────
+  /** EWMA of daily event volume per type (α = 0.25) — the smoothed
+    * trend line next to [[ev5Anomaly]]'s z-scores. The smoothing
+    * recurrence `s ← s·0.75 + n·0.25` is inherently ORDERED, which is
+    * exactly what makes naive double aggregation engine-divergent; here
+    * both engines run the identical fold in the identical order: Spark
+    * folds a day-sorted collected array with `aggregate` (two products
+    * and one sum per step, each a single correctly-rounded IEEE op;
+    * 0.75/0.25 are binary-exact), DuckDB walks the same recurrence via
+    * a recursive CTE — so every intermediate EWMA hash-matches.
+    *
+    * Scale: volume reduces to (type, day) with map-side partials BEFORE
+    * any collect; the fold state is O(days-per-type) — bounded model
+    * state, like IVF centroids — never the raw stream. */
+  def ev6Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val step = (acc: Column, s: Column) => concat(acc, array(
+      when(size(acc) === 0, s.getField("n").cast("double"))
+        .otherwise(element_at(acc, -1) * lit(0.75d) +
+          s.getField("n").cast("double") * lit(0.25d))))
+    Tables.events(spark, dir)
+      .withColumn("day",
+        QueryUtil.floorDiv(expr("unix_micros(ts)"), 86400000000L))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n"))))
+        .as("ds"))
+      .withColumn("ewmas",
+        aggregate(col("ds"), lit(Array.empty[Double]), step))
+      .select(col("event_type"),
+        explode(arrays_zip(col("ds"), col("ewmas"))).as("z"))
+      .select(col("event_type"), col("z.ds.day").as("day"),
+        col("z.ds.n").as("n"), col("z.ewmas").as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val ev6Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY event_type, day),
+      |idx AS (
+      |  SELECT event_type, day, n, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |walk AS (
+      |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.day, x.n, x.i,
+      |    w.ewma * 0.75 + CAST(x.n AS DOUBLE) * 0.25
+      |  FROM walk w JOIN idx x
+      |    ON x.event_type = w.event_type AND x.i = w.i + 1)
+      |SELECT event_type, day, n, ewma FROM walk
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev6_ewma" -> (ev6Ewma _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_suppliers" -> (q16PartsSuppliers _),
@@ -395,6 +453,7 @@ object RelationalFourth {
     "ev5_anomaly" -> ((s: SparkSession, d: String) => ev5Anomaly(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "ev6_ewma" -> ev6Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q11_important_stock" -> q11Sql,
     "q16_parts_suppliers" -> q16Sql,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Explicit Bloom-filter runtime pruning — the semi-join pushdown that
+  * keeps a 100 TB probe-side scan from shuffling rows that cannot
+  * match.
+  *
+  * Spark's own `InjectRuntimeFilter` rule applies this rewrite
+  * automatically, but only inside narrow size/selectivity thresholds
+  * and never across query boundaries; building the filter explicitly
+  * makes the technique available wherever the build side is known
+  * small-ish — and lets the oracle verify that Bloom pruning is
+  * RESULT-TRANSPARENT (no false negatives; false positives are removed
+  * by the exact join that follows).
+  *
+  * Mechanics (mirrors how engines implement runtime filters, e.g.
+  * Spark's BloomFilterAggregate):
+  *  - build: each build-side key sets k=2 bit positions
+  *    (`xxhash64(key, seed)` mod 2^17); positions fold to one `bit_or`
+  *    word per 64 bits with map-side partials, so the build costs one
+  *    tiny aggregate — 2048 longs (16 KB) back to the driver. Like IVF
+  *    centroids, the bitset is MODEL STATE, not data on the driver.
+  *  - probe: the bitset rides into the scan as an array literal; the
+  *    membership test is pure codegen'd integer algebra evaluated
+  *    BEFORE the join, so non-candidate rows die in the scan stage and
+  *    never reach the exchange. At this testdata scale the dimension
+  *    side broadcasts anyway; at the scale where the build side
+  *    exceeds the broadcast threshold and the join must shuffle BOTH
+  *    sides, the Bloom pre-filter is what shrinks the probe exchange
+  *    by the filter's selectivity.
+  */
+object RuntimeFilter {
+
+  /** log2 of the Bloom bitset size. 2^17 bits = 16 KB; at ~3k urgent
+    * build keys (sf0.01) the false-positive rate is ≈0.2%. Size the
+    * bitset ~40 bits/key for sub-1% fp at larger builds. */
+  val BitsLog2 = 17
+  val NBits: Long = 1L << BitsLog2
+  private val Seeds = Seq(1, 2)
+
+  private def pos(key: Column, seed: Int): Column =
+    pmod(xxhash64(key, lit(seed)), lit(NBits))
+
+  /** Fold the build-side keys into the 2048-word bitset. */
+  def buildBloom(keys: DataFrame, keyCol: String): Array[Long] = {
+    val nWords = (NBits / 64).toInt
+    val words = keys
+      .select(explode(array(Seeds.map(s => pos(col(keyCol), s)): _*))
+        .as("p"))
+      .select(expr("int(p div 64)").as("w"),
+        expr("shiftleft(1L, int(p % 64))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bits = new Array[Long](nWords)
+    words.foreach(r => bits(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
+    bits
+  }
+
+  /** Membership test against the literal bitset — all codegen'd
+    * integer ops, no UDF, evaluated in the scan stage. */
+  def mightContain(bits: Array[Long], key: Column): Column =
+    Seeds.map { s =>
+      val p = pos(key, s)
+      val word = element_at(lit(bits), floorDiv(p, 64L).cast("int") + lit(1))
+      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Revenue by return flag for lineitems of urgent orders — the probe
+    * side is Bloom-pruned before the exact semi join. The oracle is the
+    * PLAIN semi join: identical results prove the pruning transparent. */
+  def j3BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bits = buildBloom(urgent, "o_orderkey")
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(bits, col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val j3Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j3_bloom_semi" -> (j3BloomSemi _))
+
+  val oracles: Map[String, String] = Map(
+    "j3_bloom_semi" -> j3Sql)
+}

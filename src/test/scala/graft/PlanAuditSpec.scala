@@ -253,4 +253,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.operators.Stats.grPagerank(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("p15_unpivot: one Expand, combine happens map-side in the scan stage") {
+    val p = plan(graft.operators.RelationalExt.p15Unpivot(spark, sf))
+    assert("Expand".r.findAllIn(p).length === 1,
+      "unpivot plans exactly one Expand:\n" + p)
+    assert(p.contains("partial_"),
+      "profile aggregates partially before the (4-row) shuffle:\n" + p)
+  }
+
+  test("j3_bloom_semi: bloom test evaluates in the scan stage, pre-join") {
+    val p = plan(graft.operators.RuntimeFilter.j3BloomSemi(spark, sf))
+    // the literal-bitset membership test plans as a data Filter below
+    // the join, not as a join condition
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("Filter")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "bloom Filter sits under the join in the plan tree:\n" + p)
+    assert(p.contains("shiftleft"), "bitset test is integer algebra:\n" + p)
+  }
 }

@@ -139,6 +139,23 @@ class RelationalFourthSpec extends SparkSpec {
       r.getAs[Long]("n_transitions")))
   }
 
+  test("ev6: EWMA matches a driver-side fold of the daily volumes") {
+    val rows = RelationalFourth.ev6Ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      var s = Double.NaN
+      rs.sortBy(_.getAs[Long]("day")).foreach { r =>
+        val n = r.getAs[Long]("n").toDouble
+        s = if (s.isNaN) n else s * 0.75 + n * 0.25
+        assert(r.getAs[Double]("ewma") === s,
+          s"type $t day ${r.getAs[Long]("day")}")
+      }
+    }
+    // the daily volumes reconcile with the raw feed
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.events(spark, sf).count())
+  }
+
   test("q2/q16 plans: dimensions broadcast, fact shuffles at most once pre-agg") {
     for (df <- Seq(RelationalFourth.q2MinCostSupplier(spark, sf),
         RelationalFourth.q16PartsSuppliers(spark, sf))) {

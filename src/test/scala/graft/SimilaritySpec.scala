@@ -126,4 +126,59 @@ class SimilaritySpec extends SparkSpec {
         s"anchor $aId hardest negative mismatch")
     }
   }
+
+  test("triangles: per-node counts match a naive all-triples enumeration") {
+    val edges = Similarity.knnGraph(emb, 3)
+      .select(least(col("src_id"), col("nbr_id")).as("u"),
+        greatest(col("src_id"), col("nbr_id")).as("v"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    val nodes = edges.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def has(a: Long, b: Long): Boolean =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (tri <- nodes.combinations(3)
+         if has(tri(0), tri(1)) && has(tri(0), tri(2)) && has(tri(1), tri(2));
+         n <- tri)
+      expected(n) += 1
+    val got = Similarity.grTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty, "triangle query must not be vacuous")
+  }
+
+  test("MMR: selection equals an independent greedy reference") {
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.simMmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("round")) ->
+        r.getAs[Long]("c_id")).toMap
+    val (k, short, lambda) = (5, 20, 0.7)
+    for ((qId, qVec) <- all.filter(_._1 < 5)) {
+      val pool = all.filter(_._1 != qId)
+        .map { case (id, v) => (id, v, cos(qVec, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(short)
+      var selected = List(pool.head)
+      for (r <- 2 to k) {
+        val remaining = pool.filterNot(p => selected.exists(_._1 == p._1))
+        val next = remaining.map { case (id, v, c) =>
+          val maxSim = selected.map(s => cos(v, s._2)).max
+          (id, v, c, lambda * c - (1 - lambda) * maxSim)
+        }.minBy { case (id, _, _, score) => (-score, id) }
+        selected = selected :+ ((next._1, next._2, next._3))
+      }
+      selected.zipWithIndex.foreach { case ((id, _, _), i) =>
+        assert(got((qId, i + 1)) === id,
+          s"query $qId round ${i + 1} pick mismatch")
+      }
+    }
+  }
 }

@@ -132,4 +132,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(got.values.forall { case (n, r) => r <= n })
   }
+
+  test("tf-idf: scores recompute exactly; top term per doc is the arg-max") {
+    val got = TextAnalysis.taTfidf(spark, sf).collect()
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val n = texts.length
+    val tf: Map[(Long, String), Long] = texts.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+        .map { case (tok, occ) => (id, tok) -> occ.length.toLong }
+    }.toMap
+    val df: Map[String, Long] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (t, ks) => t -> ks.size.toLong }
+    def score(id: Long, term: String): Double =
+      (tf((id, term)) * (n + 1)).toDouble / (df(term) + 1).toDouble
+    got.foreach { r =>
+      val (id, term) = (r.getAs[Long]("doc_id"), r.getAs[String]("term"))
+      assert(r.getAs[Long]("tf") === tf((id, term)))
+      assert(r.getAs[Long]("df") === df(term))
+      assert(r.getAs[Double]("score") === score(id, term))
+    }
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ===
+        (1 to rs.length).toSeq)
+      val maxScore = tf.keys.filter(_._1 == id)
+        .map { case (_, t) => score(id, t) }.max
+      assert(rs.minBy(_.getAs[Int]("rnk")).getAs[Double]("score")
+        === maxScore, s"doc $id top term is not the arg-max")
+    }
+  }
 }
