@@ -75,7 +75,16 @@ object Plans {
         functions.TrainPrep.tsReservoirTopk(spark, dir)),
       ("ev5_anomaly",
         "volume aggregates to (type, day) BEFORE the expanding window — the stats window sees ~150 rows, never the raw stream",
-        operators.RelationalFourth.ev5Anomaly(spark, dir)))
+        operators.RelationalFourth.ev5Anomaly(spark, dir)),
+      ("j3_bloom_semi",
+        "explicit Bloom runtime filter: the 16 KB literal bitset test runs in the scan stage, so non-candidates die before the join",
+        operators.RuntimeFilter.j3BloomSemi(spark, dir)),
+      ("gr_triangles",
+        "degree-ordered wedge enumeration + one closure hash join — out-degree bounded by O(sqrt(E)), each triangle generated once",
+        functions.Similarity.grTriangles(spark, dir)),
+      ("p15_unpivot",
+        "native unpivot plans ONE Expand; the metric profile partial-aggregates map-side in the same stage",
+        operators.RelationalExt.p15Unpivot(spark, dir)))
     val md = new StringBuilder
     md.append("# Physical plans of headline queries\n\n")
     md.append("Generated by `graft.Plans` at sf0.01. The `*(n)` prefix ")
