@@ -109,6 +109,27 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ── ANN recall evaluation ───────────────────────────────────────────
+  /** Recall@k of the LSH index against the exact ranking — the quality
+    * gate every ANN deployment runs before trusting an index (and after
+    * every re-index). Per query: |LSH top-k ∩ exact top-k| / k, the
+    * ratio as one exact-integer division. Both rankings reuse the
+    * already-oracled [[simTopK]]/[[simLsh]] definitions, so the recall
+    * numbers are hash-exact too; the join that intersects them keys on
+    * (q_id, c_id) — at 100 TB both sides are O(|Q|·k), model-sized. */
+  def simLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopK(spark, dir).select(col("q_id"), col("c_id"))
+    val approx = simLsh(spark, dir)
+      .select(col("q_id"), col("c_id"), col("c_id").as("hit_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit_id")).as("n_hit"), count(lit(1)).as("k"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   // ── embedding-cosine near-dup pairs ─────────────────────────────────
   /** How many hyperplane bits the near-dup blocking key uses: 8 bits →
     * 256 buckets; a cos ≥ 0.3 pair agrees per-bit with p = 1 − θ/π ≈
@@ -349,6 +370,31 @@ object Similarity {
        |    ORDER BY cos DESC, c_id) AS rank
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val simLshRecallSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", LshBits)} AS lsh_key FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, lsh_key
+       |  FROM keyed WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_vec, lsh_key FROM keyed),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosSql("q_vec", "c_vec")} DESC, c_id) AS rank
+       |    FROM c CROSS JOIN q WHERE q_id <> c_id)
+       |  WHERE rank <= 5),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosSql("q_vec", "c_vec")} DESC, c_id) AS rank
+       |    FROM c JOIN q USING (lsh_key) WHERE q_id <> c_id)
+       |  WHERE rank <= 5)
+       |SELECT e.q_id, COUNT(a.c_id) AS n_hit,
+       |  CAST(COUNT(a.c_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS recall_at_k
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.q_id = e.q_id AND a.c_id = e.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   val simNearDupSql: String =
     s"""WITH keyed AS (SELECT vec_id, embedding,
@@ -641,6 +687,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
+    "sim_lsh_recall" -> (simLshRecall _),
     "gr_triangles" -> (grTriangles _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -653,6 +700,7 @@ object Similarity {
     "sim_rrf_fusion" -> (simRrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "sim_lsh_recall" -> simLshRecallSql,
     "gr_triangles" -> grTrianglesSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_hard_negatives" -> simHardNegativesSql,

@@ -428,6 +428,47 @@ object TextAnalysis {
       |FROM sized s LEFT JOIN per_doc p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ── character-diversity quality signal ──────────────────────────────
+  /** Per-document character-distribution diversity as GINI IMPURITY
+    * `1 − Σ p_c²` — the "is this doc one character repeated 4000
+    * times?" quality gate. Deliberately NOT Shannon entropy: entropy
+    * needs libm `log`, which is only 1-ulp-accurate and not
+    * cross-engine bit-stable, while Gini is pure rational arithmetic —
+    * `(n² − Σc²) / n²` from exact integer counts, ONE correctly-rounded
+    * division — so it hash-matches and ranks low-diversity docs the
+    * same way. Characters come from an explicit position explode
+    * (`substring(text, i, 1)`), the one 1-char-extraction both engines
+    * define identically; the (doc, char) counts reduce with map-side
+    * partials in the same stage, so the char-level rows never shuffle —
+    * the exchange carries at most |alphabet| rows per doc. */
+  def taCharGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        ((col("n") * col("n") - col("ss")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini"))
+      .orderBy("doc_id")
+
+  val taCharGiniSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+      |counts AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+      |agged AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+      |    CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM counts GROUP BY doc_id)
+      |SELECT doc_id, n, n_distinct,
+      |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+      |FROM agged ORDER BY doc_id""".stripMargin
+
   // ── TF-IDF keyword extraction ───────────────────────────────────────
   /** Top-k characteristic terms per document by tf-idf — the keyword
     * extractor behind corpus browsing and topic labeling. The idf is
@@ -488,6 +529,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> ((s: SparkSession, d: String) => taTfidf(s, d)),
+    "ta_char_gini" -> (taCharGini _),
     "ta_token_count" -> (taTokenCount _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_lang_id" -> (taLangId _),
@@ -500,6 +542,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ta_tfidf" -> taTfidfSql(),
+    "ta_char_gini" -> taCharGiniSql,
     "ta_token_count" -> taTokenCountSql,
     "ta_quality_score" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,

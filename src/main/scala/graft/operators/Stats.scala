@@ -144,6 +144,50 @@ object Stats {
       |  ORDER BY price_cents DESC, o_orderkey)
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
+  // ── rolling exact median ────────────────────────────────────────────
+  /** 7-row rolling EXACT median of daily event volume per type — the
+    * robust trend line that a spike (which wrecks a rolling mean)
+    * cannot move. No engine median aggregate is used (interpolation
+    * conventions differ): the window collects the ≤7 daily counts,
+    * sorts them, and takes the midpoint — for even windows, the mean of
+    * the two middles as ONE exact-integer sum and ONE division, so
+    * every value hash-matches. The window runs over the (type, day)
+    * rollup — ~150 rows after the map-side-combined daily aggregate —
+    * never the raw stream, and the collected state is bounded at 7
+    * longs per row. */
+  def w6RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .withColumn("day",
+        floorDiv(expr("unix_micros(ts)"), 86400000000L))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("win", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("m", size(col("win")))
+      .select(col("event_type"), col("day"), col("n"),
+        ((element_at(col("win"), expr("int((m + 1) div 2)")) +
+          element_at(col("win"), expr("int(m div 2 + 1)"))).cast("double") /
+          lit(2.0d)).as("med7"))
+      .orderBy("event_type", "day")
+  }
+
+  val w6Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY event_type, day),
+      |winned AS (
+      |  SELECT event_type, day, n,
+      |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM daily)
+      |SELECT event_type, day, n,
+      |  CAST(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS DOUBLE)
+      |    / 2.0 AS med7
+      |FROM winned ORDER BY event_type, day""".stripMargin
+
   // ── fixed-iteration weighted PageRank ───────────────────────────────
   /** Weighted PageRank over the event-type transition graph (the same
     * edge relation as ev4_transitions) — the graph-centrality scorer a
@@ -249,11 +293,13 @@ object Stats {
     "st1_linreg" -> (st1Linreg _),
     "g6_mode" -> (g6Mode _),
     "w5_rank_stats" -> (w5RankStats _),
+    "w6_rolling_median" -> (w6RollingMedian _),
     "gr_pagerank" -> (grPagerank _))
 
   val oracles: Map[String, String] = Map(
     "st1_linreg" -> st1Sql,
     "g6_mode" -> g6Sql,
     "w5_rank_stats" -> w5Sql,
+    "w6_rolling_median" -> w6Sql,
     "gr_pagerank" -> grSql)
 }

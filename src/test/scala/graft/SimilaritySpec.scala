@@ -127,6 +127,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH recall: equals the exact/approx top-k intersection size") {
+    val exact = Similarity.simTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val approx = Similarity.simLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val got = Similarity.simLshRecall(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("q_id")).toSet ===
+      exact.map(_._1))
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = exact.filter(_._1 == q).count(approx.contains)
+      assert(r.getAs[Long]("n_hit") === hits.toLong)
+      assert(r.getAs[Double]("recall_at_k") === hits.toDouble / 5.0)
+    }
+  }
+
   test("triangles: per-node counts match a naive all-triples enumeration") {
     val edges = Similarity.knnGraph(emb, 3)
       .select(least(col("src_id"), col("nbr_id")).as("u"),

@@ -121,4 +121,20 @@ class StatsSpec extends SparkSpec {
     val ps = rows.map(_.getAs[Double]("mean_p"))
     assert(ps.max > ps.sum / ps.length)
   }
+
+  test("w6: rolling median matches a driver-side sorted-window recompute") {
+    val rows = Stats.w6RollingMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val byDay = rs.sortBy(_.getAs[Long]("day"))
+      val ns = byDay.map(_.getAs[Long]("n"))
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val win = ns.slice(math.max(0, i - 6), i + 1).sorted
+        val m = win.length
+        val med = (win((m + 1) / 2 - 1) + win(m / 2)).toDouble / 2.0
+        assert(r.getAs[Double]("med7") === med,
+          s"type $t day ${r.getAs[Long]("day")}")
+      }
+    }
+  }
 }

@@ -133,6 +133,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall { case (n, r) => r <= n })
   }
 
+  test("char gini: matches a naive per-character recomputation") {
+    val got = TextAnalysis.taCharGini(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("gini"))).toMap
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    texts.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      // count by code point string as substring(…, i, 1) does
+      val counts = t.map(_.toString).groupBy(identity).map(_._2.length)
+      val n = counts.sum.toLong
+      val ss = counts.map(c => c.toLong * c).sum
+      val (gn, gd, gg) = got(id)
+      assert(gn === n, s"doc $id char count")
+      assert(gd === counts.size.toLong, s"doc $id distinct chars")
+      assert(gg === (n * n - ss).toDouble / (n * n).toDouble,
+        s"doc $id gini")
+      assert(gg >= 0.0 && gg < 1.0)
+    }
+  }
+
   test("tf-idf: scores recompute exactly; top term per doc is the arg-max") {
     val got = TextAnalysis.taTfidf(spark, sf).collect()
     assert(got.nonEmpty)
