@@ -67,4 +67,20 @@ class LayoutSpec extends SparkSpec {
     assert(total === Tables.orders(spark, sf).count())
     assert(cells.filter(col("min_ck") > col("max_ck")).count() === 0)
   }
+
+  test("file skip: z-order prunes the 2-D band; both layouts cover all rows") {
+    val rows = Layout.layFileSkip(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet === Set("zorder", "insertion"))
+    val n = Tables.orders(spark, sf).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n, "every cell layout covers all rows")
+      assert(r.getAs[Long]("n_rows_skipped") <= n)
+      assert(r.getAs[Long]("n_cells_skipped") <= r.getAs[Long]("n_cells"))
+    }
+    // the point of the operator: clustering both dimensions must prune
+    // strictly more than insertion order for a 2-D predicate
+    assert(rows("zorder").getAs[Long]("n_rows_skipped") >
+      rows("insertion").getAs[Long]("n_rows_skipped"))
+  }
 }
