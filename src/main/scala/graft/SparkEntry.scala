@@ -31,7 +31,7 @@ object SparkEntry {
       functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
       operators.Layout.queries ++ functions.Pq.queries ++
       operators.Stats.queries ++ functions.LangModel.queries ++
-      operators.RuntimeFilter.queries
+      operators.RuntimeFilter.queries ++ operators.ScaleOps.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -48,5 +48,5 @@ object SparkEntry {
       functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
       operators.Layout.oracles ++ functions.Pq.oracles ++
       operators.Stats.oracles ++ functions.LangModel.oracles ++
-      operators.RuntimeFilter.oracles
+      operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles
 }

@@ -1,7 +1,10 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import QueryUtil._
 
 /** Scale techniques as reusable operators (builder brief: "salting for
   * skew", "bucketing for co-located joins"). These don't change query
@@ -49,4 +52,40 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Revenue by supplier nation through the SALTED join — the skew
+    * pattern exercised at the query surface with a hash-verified
+    * result: the oracle is the plain join, so the salt provably
+    * changes only the shuffle shape, never the answer. The supplier
+    * side replicates 8× (1k rows → 8k: dimension replication is the
+    * cheap side of the trade); a pathological l_suppkey now spreads
+    * over 8 reducers instead of melting one. Nation stays a plain
+    * broadcast — salting composes with the usual dimension joins. */
+  def j4SaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val joined = saltedJoin(Tables.lineitem(spark, dir), supp,
+      "l_suppkey", saltFactor = 8)
+    joined.join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+      .orderBy("n_name")
+  }
+
+  val j4Sql: String =
+    """SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_salted_skew" -> (j4SaltedSkew _))
+
+  val oracles: Map[String, String] = Map(
+    "j4_salted_skew" -> j4Sql)
 }
