@@ -90,6 +90,57 @@ object StreamOps {
       m.op, m.payload.get("value").flatMap(_.toDoubleOption).getOrElse(0.0))))
   }
 
+  /** One day of volume for one series (the streaming input is the
+    * day-grain rollup, never raw events — same contract as the batch
+    * [[graft.operators.RelationalFourth.ev6Ewma]]). */
+  case class DailyVolume(key: String, day: Long, n: Long)
+
+  /** One smoothed point: the EWMA after folding `day`. */
+  case class EwmaPoint(key: String, day: Long, n: Long, ewma: Double)
+
+  /** Stored per-series state: last folded day and its EWMA. */
+  case class EwmaState(day: Long, ewma: Double)
+
+  implicit private val ewmaPtEnc: Encoder[EwmaPoint] =
+    Encoders.product[EwmaPoint]
+  implicit private val ewmaStEnc: Encoder[EwmaState] =
+    Encoders.product[EwmaState]
+
+  /** Streaming EWMA — the streaming twin of the batch
+    * [[graft.operators.RelationalFourth.ev6Ewma]], proving the batch
+    * and streaming paths share semantics: the recurrence
+    * `s ← s·(1−α) + n·α` folds in day order with the SAME IEEE
+    * operation sequence, so a replayed stream reproduces the batch
+    * output bit for bit (StreamOpsSpec asserts exact equality).
+    *
+    * State is one `(day, ewma)` pair per series — O(series), not
+    * O(stream). A micro-batch may carry several days (folded in day
+    * order); a day at or before the folded frontier is a re-delivery
+    * and folds away, making the output exactly-once per (key, day)
+    * under at-least-once sources. */
+  def ewmaStream(daily: Dataset[DailyVolume], alpha: Double)
+      : Dataset[EwmaPoint] =
+    daily
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyVolume], gs: GroupState[EwmaState]) =>
+          var st = gs.getOption
+          val out = Vector.newBuilder[EwmaPoint]
+          it.toVector.sortBy(_.day).foreach { d =>
+            if (st.forall(_.day < d.day)) {
+              val e = st match {
+                case None => d.n.toDouble
+                case Some(s) => s.ewma * (1.0 - alpha) + d.n.toDouble * alpha
+              }
+              st = Some(EwmaState(d.day, e))
+              out += EwmaPoint(key, d.day, d.n, e)
+            }
+          }
+          st.foreach(gs.update)
+          out.result().iterator
+      }
+
   /** Exactly-once healing: drop re-delivered changes by their unique
     * position, keeping state only `watermark` past the event time. */
   def dedupeByPosition(changes: DataFrame, tsCol: String,

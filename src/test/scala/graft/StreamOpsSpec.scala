@@ -160,4 +160,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((100L, 10.0), (200L, 11.0)),
       "one emission per true advance across the restart; stale dropped")
   }
+
+  test("streaming EWMA replays to the exact batch ev6 output") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the batch result doubles as input (key, day, n) and expectation
+    val batch = graft.operators.RelationalFourth.ev6Ewma(spark, sf)
+      .collect()
+      .map(r => (StreamOps.DailyVolume(r.getAs[String]("event_type"),
+        r.getAs[Long]("day"), r.getAs[Long]("n")),
+        r.getAs[Double]("ewma")))
+    val daily = batch.map(_._1)
+    val days = daily.map(_.day).distinct.sorted
+    val (cut1, cut2) = (days(days.length / 3), days(2 * days.length / 3))
+    val input = MemoryStream[StreamOps.DailyVolume](spark)
+    val q = StreamOps.ewmaStream(input.toDS(), 0.25)
+      .writeStream.format("memory").queryName("sewma")
+      .outputMode("append").start()
+    try {
+      input.addData(daily.filter(_.day <= cut1).toSeq)
+      q.processAllAvailable()
+      // second batch RE-DELIVERS the first slice (at-least-once source)
+      input.addData(daily.filter(_.day <= cut2).toSeq)
+      q.processAllAvailable()
+      input.addData(daily.filter(_.day > cut2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sewma").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("day")) ->
+          r.getAs[Double]("ewma"))
+      assert(got.length === batch.length,
+        "exactly one point per (key, day) despite redelivery")
+      val expected = batch
+        .map { case (d, e) => (d.key, d.day) -> e }.toMap
+      got.foreach { case (k, e) =>
+        assert(e === expected(k), s"streaming EWMA diverges at $k")
+      }
+    } finally q.stop()
+  }
 }
