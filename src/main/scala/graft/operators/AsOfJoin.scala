@@ -20,13 +20,13 @@ object AsOfJoin {
     * they surface with an `asof_` prefix (null where no right row
     * precedes the left row). Ties (equal times) match, like ASOF's
     * `>=`. */
-  def leftAsOf(left: DataFrame, right: DataFrame, key: String,
+  // the right row image is carried as ONE struct, not per-column:
+  // carrying columns independently with ignoreNulls would stitch
+  // together values from different right rows whenever the latest
+  // right row holds a null in one of them
+  private def taggedUnion(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String])
       : DataFrame = {
-    // the right row image is carried as ONE struct, not per-column:
-    // carrying columns independently with ignoreNulls would stitch
-    // together values from different right rows whenever the latest
-    // right row holds a null in one of them
     val lTagged = left
       .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
       .withColumn("__r", lit(null).cast(
@@ -36,20 +36,60 @@ object AsOfJoin {
     val rTagged = right.select(
       col(key), col(rightTime).as("__t"), lit(0).as("__tag"),
       struct(rightCols.map(col): _*).as("__r"))
-    val unioned = lTagged.select(
+    lTagged.select(
         (col(key) +: col("__t") +: col("__tag") +: col("__r") +:
           left.columns.filterNot(_ == key).map(col)): _*)
       .unionByName(rTagged, allowMissingColumns = true)
-    // right rows (__tag 0) sort before left rows at equal times → a
-    // same-timestamp right row is visible to the left row (>= match)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+  }
+
+  private def unpack(carried: DataFrame, rightCols: Seq[String])
+      : DataFrame =
     rightCols.foldLeft(carried.filter(col("__tag") === 1)) { (df, c) =>
         df.withColumn(s"asof_$c", col("__r")(c))
       }
       .drop("__t", "__tag", "__r")
+
+  def leftAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String])
+      : DataFrame = {
+    val unioned = taggedUnion(left, right, key, leftTime, rightTime,
+      rightCols)
+    // right rows (__tag 0) sort before left rows at equal times → a
+    // same-timestamp right row is visible to the left row (>= match)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unpack(unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w)),
+      rightCols)
+  }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key (pandas
+    * `merge_asof(direction='forward')`) — "what happened next": next
+    * purchase after a click, next error after a deploy. Same one-key-
+    * shuffle composition as [[leftAsOf]], with the window walked in
+    * DESCENDING time so the carry holds the nearest FOLLOWING right
+    * row. `toleranceUs` bounds the look-ahead (`merge_asof` tolerance):
+    * a carried row further than the bound nulls out — evaluated on the
+    * carried struct, so no extra join or shuffle. The time columns are
+    * epoch-micros longs. */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val unioned = taggedUnion(left, right, key, leftTime, rightTime,
+      rightCols)
+    // DESC time: right rows at the same instant still sort before the
+    // left row (__tag 0 < 1), so a same-timestamp right row matches
+    val w = Window.partitionBy(key).orderBy(col("__t").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val bounded = toleranceUs match {
+      case Some(tol) => carried.withColumn("__r",
+        when(col("__r")(rightTime) <= col("__t") + lit(tol), col("__r")))
+      case None => carried
+    }
+    unpack(bounded, rightCols)
   }
 
   /** For every purchase, the user's most recent prior (or same-instant)
@@ -91,9 +131,55 @@ object AsOfJoin {
        |  AND purch.ts_us >= clicks.click_ts_us
        |ORDER BY event_id""".stripMargin
 
+  /** Time-to-convert: for every click, the user's NEXT purchase within
+    * 24 h (forward as-of with tolerance) and the conversion delay. */
+  def aj2AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.fromEvents(spark, dir)
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"),
+        col("event_id").as("p_event_id"))
+    leftAsOfForward(clicks, purchases, "user_id", "ts_us", "p_ts_us",
+      Seq("p_ts_us", "p_event_id"), toleranceUs = Some(86400000000L))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_p_ts_us"), col("asof_p_event_id"),
+        (col("asof_p_ts_us") - col("ts_us")).as("convert_us"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle: an INDEPENDENT formulation — candidate join bounded by the
+    * tolerance, ranked per click, earliest kept. (DuckDB ASOF only
+    * binds the nearest row without a tolerance bound, so the windowed
+    * form is the reference here; purchase timestamps are unique per
+    * user, so "earliest" is well-defined.) */
+  val aj2Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |clicks AS (
+       |  SELECT user_id, event_id, ts_us FROM feed
+       |  WHERE event_type = 'click'),
+       |purch AS (
+       |  SELECT user_id, ts_us AS p_ts_us, event_id AS p_event_id
+       |  FROM feed WHERE event_type = 'purchase'),
+       |cand AS (
+       |  SELECT c.event_id, p.p_ts_us, p.p_event_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+       |      ORDER BY p.p_ts_us, p.p_event_id) AS rn
+       |  FROM clicks c JOIN purch p
+       |    ON p.user_id = c.user_id AND p.p_ts_us >= c.ts_us
+       |    AND p.p_ts_us <= c.ts_us + 86400000000)
+       |SELECT c.user_id, c.event_id, c.ts_us,
+       |  n.p_ts_us AS asof_p_ts_us, n.p_event_id AS asof_p_event_id,
+       |  n.p_ts_us - c.ts_us AS convert_us
+       |FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) n
+       |  ON n.event_id = c.event_id
+       |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "aj_asof_join" -> (ajAsofJoin _))
+    "aj_asof_join" -> (ajAsofJoin _),
+    "aj2_asof_forward" -> (aj2AsofForward _))
 
   val oracles: Map[String, String] = Map(
-    "aj_asof_join" -> ajSql)
+    "aj_asof_join" -> ajSql,
+    "aj2_asof_forward" -> aj2Sql)
 }

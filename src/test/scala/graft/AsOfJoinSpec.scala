@@ -46,4 +46,38 @@ class AsOfJoinSpec extends SparkSpec {
         .filter(col("event_type") === "purchase").count(),
       "left join keeps all purchases")
   }
+
+  test("leftAsOfForward: earliest following row; tolerance nulls far matches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 30L, "l2"), (2L, 10L, "l3"))
+      .toDF("k", "lt", "lname")
+    val right = Seq((1L, 10L, "r_at10"), (1L, 25L, "r_at25"),
+      (1L, 100L, "r_at100")).toDF("k", "rt", "rname")
+    val noTol = AsOfJoin.leftAsOfForward(left, right, "k", "lt", "rt",
+      Seq("rt", "rname")).collect()
+      .map(r => r.getAs[String]("lname") ->
+        Option(r.getAs[String]("asof_rname"))).toMap
+    assert(noTol("l1") === Some("r_at10"), "same-instant right row matches")
+    assert(noTol("l2") === Some("r_at100"), "earliest FOLLOWING row")
+    assert(noTol("l3") === None, "no right rows for the key")
+    val tol = AsOfJoin.leftAsOfForward(left, right, "k", "lt", "rt",
+      Seq("rt", "rname"), toleranceUs = Some(20L)).collect()
+      .map(r => r.getAs[String]("lname") ->
+        Option(r.getAs[String]("asof_rname"))).toMap
+    assert(tol("l1") === Some("r_at10"))
+    assert(tol("l2") === None, "match at +70 exceeds the 20-unit bound")
+  }
+
+  test("forward asof query: conversions are within the 24h bound") {
+    val res = AsOfJoin.aj2AsofForward(spark, sf)
+    val matched = res.filter(col("asof_p_ts_us").isNotNull)
+    assert(matched.count() > 0)
+    assert(matched.filter(col("convert_us") < 0).count() === 0)
+    assert(matched.filter(col("convert_us") > 86400000000L).count() === 0)
+    assert(res.count() ===
+      graft.sources.ChangeFeed.fromEvents(spark, sf)
+        .filter(col("event_type") === "click").count(),
+      "left join keeps all clicks")
+  }
 }
