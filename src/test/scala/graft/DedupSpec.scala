@@ -161,4 +161,27 @@ class DedupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("prefix jaccard EQUALS the brute-force all-pairs join (lossless)") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.prefixJaccardPairs(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Long]("n_common")).toMap
+    // brute force: every doc pair, full 4-gram set intersection, same
+    // threshold (string grams — the hashes are collision-free stand-ins)
+    val sets = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split("\\s+", -1)
+        r.getAs[Long]("doc_id") ->
+          toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (d1, s1) <- sets.toSeq; (d2, s2) <- sets.toSeq if d1 < d2
+      i = (s1 & s2).size
+      if i > 0 && i.toDouble / (s1.size + s2.size - i) >= 0.5
+    } yield (d1, d2) -> i.toLong).toMap
+    assert(got === expected,
+      "prefix filtering must not lose (or invent) any qualifying pair")
+    assert(got.nonEmpty, "threshold join must not be vacuous")
+  }
 }
