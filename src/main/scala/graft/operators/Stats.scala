@@ -188,6 +188,49 @@ object Stats {
       |    / 2.0 AS med7
       |FROM winned ORDER BY event_type, day""".stripMargin
 
+  // ── rolling distinct actives (DAU / WAU) ────────────────────────────
+  /** Daily and trailing-7-day distinct active users per event type —
+    * THE engagement dashboard query. Exact rolling distinct cannot be
+    * decomposed into running sums (users overlap across days), so each
+    * day carries its deduplicated user set and the window unions seven
+    * of them: state per window slot is one day's active set — bounded
+    * by daily actives, not by the stream — and the raw feed reduces to
+    * (type, day) with map-side partials before any window runs. At a
+    * scale where exact WAU sets blow past executor memory the drop-in
+    * replacement is the mergeable HLL sketch ([[Sketches]]
+    * `sk_hll_union` shows exactly that re-aggregation); this operator
+    * is the exact baseline the sketch is judged against. */
+  def w7RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .withColumn("day",
+        floorDiv(expr("unix_micros(ts)"), 86400000000L))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_set(col("user_id"))).as("users"))
+      .withColumn("dau", size(col("users")))
+      .withColumn("wau",
+        size(array_distinct(flatten(collect_list(col("users")).over(w)))))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("dau"), col("wau"))
+      .orderBy("event_type", "day")
+  }
+
+  val w7Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS n_events,
+      |    list_sort(list(DISTINCT user_id)) AS users
+      |  FROM events GROUP BY event_type, day)
+      |SELECT event_type, day, n_events,
+      |  CAST(len(users) AS INT) AS dau,
+      |  CAST(len(list_distinct(flatten(list(users) OVER (
+      |    PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
   // ── fixed-iteration weighted PageRank ───────────────────────────────
   /** Weighted PageRank over the event-type transition graph (the same
     * edge relation as ev4_transitions) — the graph-centrality scorer a
@@ -294,6 +337,7 @@ object Stats {
     "g6_mode" -> (g6Mode _),
     "w5_rank_stats" -> (w5RankStats _),
     "w6_rolling_median" -> (w6RollingMedian _),
+    "w7_rolling_actives" -> (w7RollingActives _),
     "gr_pagerank" -> (grPagerank _))
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +345,6 @@ object Stats {
     "g6_mode" -> g6Sql,
     "w5_rank_stats" -> w5Sql,
     "w6_rolling_median" -> w6Sql,
+    "w7_rolling_actives" -> w7Sql,
     "gr_pagerank" -> grSql)
 }

@@ -262,6 +262,20 @@ class PlanAuditSpec extends SparkSpec {
       "profile aggregates partially before the (4-row) shuffle:\n" + p)
   }
 
+  test("dd_prefix_jaccard: no unblocked join shapes anywhere") {
+    val p = plan(graft.functions.Dedup.ddPrefixJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "candidates come from the prefix-gram hash join:\n" + p)
+  }
+
+  test("aj2_asof_forward: one key shuffle, no range-join explosion") {
+    val p = plan(graft.operators.AsOfJoin.aj2AsofForward(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop") && !p.contains("SortMergeJoin"),
+      "forward as-of composes via union + window, never a range join:\n" + p)
+  }
+
   test("j3_bloom_semi: bloom test evaluates in the scan stage, pre-join") {
     val p = plan(graft.operators.RuntimeFilter.j3BloomSemi(spark, sf))
     // the literal-bitset membership test plans as a data Filter below

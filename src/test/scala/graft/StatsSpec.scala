@@ -122,6 +122,33 @@ class StatsSpec extends SparkSpec {
     assert(ps.max > ps.sum / ps.length)
   }
 
+  test("w7: DAU/WAU match a driver-side rolling set union") {
+    val rows = Stats.w7RollingActives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.operators.QueryUtil.floorDiv(
+          expr("unix_micros(ts)"), 86400000000L).as("day"),
+        col("user_id")).collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).toSet).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val days = rs.map(_.getAs[Long]("day")).sorted
+      rs.foreach { r =>
+        val d = r.getAs[Long]("day")
+        val winDays = days.filter(x => x <= d && x > d - 7)
+        // ROWS -6: the window holds the last up-to-7 OBSERVED days;
+        // observed days here are contiguous, so day arithmetic agrees
+        val winIdx = days.indexOf(d)
+        val win = days.slice(math.max(0, winIdx - 6), winIdx + 1)
+        assert(win.toSet === winDays.toSet, s"days are contiguous at $t")
+        val wau = win.flatMap(x => daily((t, x))).toSet.size
+        assert(r.getAs[Int]("dau") === daily((t, d)).size)
+        assert(r.getAs[Int]("wau") === wau, s"type $t day $d")
+      }
+    }
+  }
+
   test("w6: rolling median matches a driver-side sorted-window recompute") {
     val rows = Stats.w6RollingMedian(spark, sf).collect()
     assert(rows.nonEmpty)
