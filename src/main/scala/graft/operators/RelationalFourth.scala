@@ -441,8 +441,75 @@ object RelationalFourth {
       |SELECT event_type, day, n, ewma FROM walk
       |ORDER BY event_type, day""".stripMargin
 
+  // ── CUSUM changepoint detection ─────────────────────────────────────
+  /** One-sided CUSUM over daily event volume per type — the
+    * "did the level SHIFT (not just spike)?" monitor that completes
+    * the trio with [[ev5Anomaly]] (point anomalies) and [[ev6Ewma]]
+    * (trend): `g ← max(0, g + (n − μ₀ − κ))`, alarming when g exceeds
+    * 5κ. The baseline μ₀ is the mean of the first 7 observed days
+    * (exact integer sum, ONE division) and the slack κ = μ₀/10 —
+    * both single correctly-rounded ops, so the whole fold is
+    * engine-exact like the EWMA: Spark folds the day-sorted collected
+    * array, DuckDB walks the identical recurrence in a recursive CTE,
+    * and every intermediate statistic hash-matches. Volume reduces to
+    * (type, day) before anything else runs. */
+  def ev7Cusum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day",
+        QueryUtil.floorDiv(expr("unix_micros(ts)"), 86400000000L))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n"))))
+        .as("ds"))
+      .withColumn("mu",
+        expr("cast(aggregate(slice(ds, 1, 7), 0L, (a, x) -> a + x.n) " +
+          "as double)") /
+          least(size(col("ds")), lit(7)).cast("double"))
+      .withColumn("k", col("mu") / lit(10.0d))
+      .withColumn("gs", expr(
+        "aggregate(ds, cast(array() as array<double>), (acc, x) -> " +
+          "concat(acc, array(greatest(0.0D, " +
+          "if(size(acc) = 0, 0.0D, element_at(acc, -1)) " +
+          "+ (cast(x.n as double) - mu - k)))))"))
+      .select(col("event_type"), col("mu"), col("k"),
+        explode(arrays_zip(col("ds"), col("gs"))).as("z"))
+      .select(col("event_type"), col("z.ds.day").as("day"),
+        col("z.ds.n").as("n"), col("z.gs").as("cusum"),
+        (col("z.gs") > col("k") * lit(5.0d)).as("is_shift"))
+      .orderBy("event_type", "day")
+
+  val ev7Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY event_type, day),
+      |idx AS (
+      |  SELECT event_type, day, n, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |base AS (
+      |  SELECT event_type,
+      |    CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+      |  FROM idx WHERE i <= 7 GROUP BY event_type),
+      |walk AS (
+      |  SELECT x.event_type, x.day, x.n, x.i, b.mu, b.mu / 10.0 AS k,
+      |    GREATEST(0.0, 0.0 + (CAST(x.n AS DOUBLE) - b.mu - b.mu / 10.0))
+      |      AS g
+      |  FROM idx x JOIN base b ON b.event_type = x.event_type
+      |  WHERE x.i = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.day, x.n, x.i, w.mu, w.k,
+      |    GREATEST(0.0, w.g + (CAST(x.n AS DOUBLE) - w.mu - w.k))
+      |  FROM walk w JOIN idx x
+      |    ON x.event_type = w.event_type AND x.i = w.i + 1)
+      |SELECT event_type, day, n, g AS cusum, g > k * 5.0 AS is_shift
+      |FROM walk ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev6_ewma" -> (ev6Ewma _),
+    "ev7_cusum" -> (ev7Cusum _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_suppliers" -> (q16PartsSuppliers _),
@@ -454,6 +521,7 @@ object RelationalFourth {
 
   val oracles: Map[String, String] = Map(
     "ev6_ewma" -> ev6Sql,
+    "ev7_cusum" -> ev7Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q11_important_stock" -> q11Sql,
     "q16_parts_suppliers" -> q16Sql,

@@ -156,6 +156,24 @@ class RelationalFourthSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("ev7: CUSUM matches a driver-side fold; resets at zero floor") {
+    val rows = RelationalFourth.ev7Cusum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val byDay = rs.sortBy(_.getAs[Long]("day"))
+      val ns = byDay.map(_.getAs[Long]("n"))
+      val mu = ns.take(7).sum.toDouble / math.min(7, ns.length).toDouble
+      val k = mu / 10.0
+      var g = 0.0
+      byDay.foreach { r =>
+        g = math.max(0.0, g + (r.getAs[Long]("n").toDouble - mu - k))
+        assert(r.getAs[Double]("cusum") === g,
+          s"type $t day ${r.getAs[Long]("day")}")
+        assert(r.getAs[Boolean]("is_shift") === (g > k * 5.0))
+      }
+    }
+  }
+
   test("q2/q16 plans: dimensions broadcast, fact shuffles at most once pre-agg") {
     for (df <- Seq(RelationalFourth.q2MinCostSupplier(spark, sf),
         RelationalFourth.q16PartsSuppliers(spark, sf))) {
