@@ -84,7 +84,13 @@ object Plans {
         functions.Similarity.grTriangles(spark, dir)),
       ("p15_unpivot",
         "native unpivot plans ONE Expand; the metric profile partial-aggregates map-side in the same stage",
-        operators.RelationalExt.p15Unpivot(spark, dir)))
+        operators.RelationalExt.p15Unpivot(spark, dir)),
+      ("dd_prefix_jaccard",
+        "exact corpus-wide similarity join: candidates only from the prefix-gram hash join (256 candidates vs 12.5M pairs at sf0.1), verified by one array_intersect",
+        functions.Dedup.ddPrefixJaccard(spark, dir)),
+      ("aj2_asof_forward",
+        "forward as-of with tolerance: same tag-union + descending window, one key shuffle, bound applied on the carried struct",
+        operators.AsOfJoin.aj2AsofForward(spark, dir)))
     val md = new StringBuilder
     md.append("# Physical plans of headline queries\n\n")
     md.append("Generated by `graft.Plans` at sf0.01. The `*(n)` prefix ")
