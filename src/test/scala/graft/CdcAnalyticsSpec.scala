@@ -102,4 +102,22 @@ class CdcAnalyticsSpec extends SparkSpec {
         r.getAs[Long]("n_upd") + r.getAs[Long]("n_del")).sum)
     }
   }
+
+  test("ivm join: delta terms reproduce the full-join view; deltas broadcast") {
+    val got = CdcAnalytics.ivmJoin(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.operators.QueryUtil.cents(col("o_totalprice")))
+          .cast("long").as("revenue_cents"))
+      .orderBy("c_mktsegment")
+    assert(got.collect().toSeq === full.collect().toSeq,
+      "delta-join maintenance must equal the from-scratch view")
+    // every delta term joins with a broadcast small side
+    val p = got.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "the three delta terms plan as broadcast joins:\n" + p)
+  }
 }
