@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators: overlapping token-window
@@ -305,6 +306,90 @@ object TrainPrep {
        |FROM grams gr JOIN eval_g USING (g)
        |WHERE gr.doc_id % 97 <> 0
        |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin
+
+  /** FUZZY decontamination — [[dcDecontamination]] catches verbatim
+    * n-gram overlap; this catches near-duplicate paraphrases: every
+    * train document whose 4-gram Jaccard against ANY eval document
+    * reaches 0.5, with its best-matching eval doc. Exact (not
+    * MinHash-approximate), made affordable by the same AllPairs prefix
+    * filter as [[Dedup.prefixJaccardPairs]], here in its CROSS-SET
+    * form: gram document frequencies (the global rarest-first order)
+    * come from the union of both sides, candidates arise only where a
+    * train prefix gram meets an eval prefix gram, and the eval side of
+    * every join is small by nature (eval suites are thousands of
+    * docs, not billions) — so at 100 TB the corpus is scanned once
+    * and shuffles only prefix grams. Ties on jaccard break to the
+    * lowest eval id for a total order. */
+  def dc2FuzzyDecontamination(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(
+        ShingleFunctions.ngram_hashes(col("text"), 4))).as("hs"))
+      .withColumn("s", size(col("hs")))
+      .filter(col("s") > 0)
+      .withColumn("is_eval", col("doc_id") % 5 === 0)
+      .localCheckpoint()
+    val grams = sets.select(col("doc_id"), col("s"), col("is_eval"),
+      explode(col("hs")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefixes = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("s") - expr("int((s + 1) div 2)") + lit(1))
+      .select(col("doc_id"), col("is_eval"), col("g"))
+    val cands = prefixes.filter(!col("is_eval")).alias("t")
+      .join(prefixes.filter(col("is_eval")).alias("e"),
+        col("t.g") === col("e.g"))
+      .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .distinct()
+    val wBest = Window.partitionBy("train_id")
+      .orderBy(col("jaccard").desc, col("eval_id"))
+    cands
+      .join(sets.select(col("doc_id").as("train_id"), col("hs").as("h1"),
+        col("s").as("s1")), "train_id")
+      .join(sets.select(col("doc_id").as("eval_id"), col("hs").as("h2"),
+        col("s").as("s2")), "eval_id")
+      .withColumn("n_common", size(array_intersect(col("h1"), col("h2")))
+        .cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("s1") + col("s2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.5d)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("n_common"),
+        col("jaccard"))
+      .orderBy("train_id")
+  }
+
+  val dc2Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(arr) - 2),
+      |        i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+      |          || ' ' || arr[i + 3])) AS g
+      |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+      |          FROM documents))),
+      |sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |    COUNT(*) AS n_common
+      |  FROM sh t JOIN sh e
+      |    ON t.g = e.g AND t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
+      |  GROUP BY t.doc_id, e.doc_id),
+      |scored AS (
+      |  SELECT train_id, eval_id, n_common,
+      |    CAST(n_common AS DOUBLE)
+      |      / CAST(s1.s + s2.s - n_common AS DOUBLE) AS jaccard
+      |  FROM inter
+      |    JOIN sizes s1 ON inter.train_id = s1.doc_id
+      |    JOIN sizes s2 ON inter.eval_id = s2.doc_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+      |    ORDER BY jaccard DESC, eval_id) AS rn
+      |  FROM scored WHERE jaccard >= 0.5)
+      |SELECT train_id, eval_id, n_common, jaccard FROM ranked
+      |WHERE rn = 1 ORDER BY train_id""".stripMargin
 
   /** End-to-end corpus curation — the training-data pipeline's pieces
     * composed into one declarative plan: exact-dedup keeper selection
@@ -621,7 +706,8 @@ object TrainPrep {
     "tp_corpus_stats" -> (tpCorpusStats _),
     "tp_curation" -> (tpCuration _),
     "dc_decontamination" ->
-      ((s: SparkSession, d: String) => dcDecontamination(s, d)))
+      ((s: SparkSession, d: String) => dcDecontamination(s, d)),
+    "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _))
 
   val oracles: Map[String, String] = Map(
     "tc_length_buckets" -> tcLengthBucketsSql(),
@@ -636,5 +722,6 @@ object TrainPrep {
     "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,
-    "dc_decontamination" -> dcDecontaminationSql())
+    "dc_decontamination" -> dcDecontaminationSql(),
+    "dc2_fuzzy_decontamination" -> dc2Sql)
 }

@@ -230,4 +230,28 @@ class TrainPrepSpec extends SparkSpec {
       assert(math.abs(shareRatio - math.sqrt(countRatio)) < 1e-9)
     }
   }
+
+  test("dc2: best eval match per train doc equals a brute-force reference") {
+    val got = TrainPrep.dc2FuzzyDecontamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("eval_id"), r.getAs[Long]("n_common"))).toMap
+    val sets = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val toks = r.getAs[String]("text").split("\\s+", -1)
+        r.getAs[Long]("doc_id") ->
+          toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val (evalS, trainS) = sets.partition(_._1 % 5 == 0)
+    val expected = trainS.flatMap { case (t, st) =>
+      val best = evalS.toSeq.flatMap { case (e, se) =>
+        val i = (st & se).size
+        val j = i.toDouble / (st.size + se.size - i)
+        if (i > 0 && j >= 0.5) Some((e, i, j)) else None
+      }.sortBy { case (e, _, j) => (-j, e) }.headOption
+      best.map { case (e, i, _) => t -> (e, i.toLong) }
+    }
+    assert(got === expected,
+      "cross-set prefix filtering must find every contaminated doc")
+    assert(got.nonEmpty, "decontamination must not be vacuous")
+  }
 }
