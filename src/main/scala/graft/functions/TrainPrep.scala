@@ -685,9 +685,56 @@ object TrainPrep {
       .orderBy("rank")
   }
 
+  /** Tokenizer APPLICATION: encode the corpus with the learned merges
+    * and account the compression per document. The encode is
+    * vocab-sized, not corpus-sized: distinct tokens are encoded ONCE
+    * (each merge is the same codegen'd left-greedy fold used during
+    * learning) and the per-doc totals come from joining the token
+    * stream back to that encoded vocabulary — at 100 TB the corpus is
+    * scanned for token occurrences only; the iterative rewriting
+    * touches a vocab-cardinality table. Spec-verified like
+    * [[tcBpeMerges]] (iterated rewriting is not one SQL query). */
+  def tcBpeEncode(spark: SparkSession, dir: String, merges: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(spark, dir)
+    val (table, _) = bpeLearn(docs, merges)
+    var vocab = docs
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+      .select(col("tok"), split(col("tok"), "").as("syms"))
+      .localCheckpoint()
+    for ((a, b, _) <- table) {
+      val merged: Column = aggregate(
+        col("syms"), array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+      vocab = vocab.select(col("tok"), merged.as("syms"))
+        .localCheckpoint()
+    }
+    val enc = vocab.select(col("tok"), size(col("syms")).as("n_sym"),
+      length(col("tok")).as("n_chr"))
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(enc, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("n_chr").cast("long").as("n_chars"),
+        sum("n_sym").cast("long").as("n_bpe_tokens"))
+      .withColumn("compression", col("n_chars").cast("double") /
+        col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tc_bpe_merges" ->
       ((s: SparkSession, d: String) => tcBpeMerges(s, d)),
+    "tc_bpe_encode" ->
+      ((s: SparkSession, d: String) => tcBpeEncode(s, d)),
     "tc_length_buckets" ->
       ((s: SparkSession, d: String) => tcLengthBuckets(s, d)),
     "ts_reservoir_topk" ->

@@ -189,6 +189,40 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: per-doc totals match a driver-side re-encode") {
+    val rows = TrainPrep.tcBpeEncode(spark, sf, merges = 3).collect()
+    assert(rows.nonEmpty)
+    val (merges, _) = TrainPrep.bpeLearn(Tables.documents(spark, sf), 3)
+    def encode(tok: String): Int = {
+      var syms = tok.split("").toList
+      merges.foreach { case (a, b, _) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.length - 1) = a + b
+          else out += x
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(20).foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split("\\s+")
+        .filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_chars") === toks.map(_.length).sum.toLong)
+      assert(r.getAs[Long]("n_bpe_tokens") ===
+        toks.map(encode).sum.toLong, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("length buckets: every doc accounted, caps respected, waste sane") {
     val width = 32
     val rows = TrainPrep.tcLengthBuckets(spark, sf, width).collect()
