@@ -133,8 +133,28 @@ object Ivf {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@k of the IVF index vs the exact ranking — the same
+    * index-quality gate as [[Similarity.simLshRecall]], for the
+    * coarse-quantizer path: how much does nprobe=2 of 8 cells give
+    * up? No SQL oracle (the k-means cells aren't SQL-expressible);
+    * IvfSpec pins the recall to the exact/approx set intersection. */
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.simTopK(spark, dir)
+      .select(col("q_id"), col("c_id"))
+    val approx = simIvf(spark, dir)
+      .select(col("q_id"), col("c_id"), col("c_id").as("hit_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit_id")).as("n_hit"), count(lit(1)).as("k"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_ivf_ann" -> (simIvf _))
+    "sim_ivf_ann" -> (simIvf _),
+    "sim_ivf_recall" -> (simIvfRecall _))
 
   val oracles: Map[String, String] = Map.empty
 }
