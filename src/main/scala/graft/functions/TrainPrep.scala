@@ -525,6 +525,63 @@ object TrainPrep {
        |SELECT doc_id, source, quality_score, pr
        |FROM ranked WHERE pr >= $cut ORDER BY doc_id""".stripMargin
 
+  // ── quality-signal calibration ──────────────────────────────────────
+  /** Does the quality score actually separate junk? Per source and
+    * quality decile: doc counts, exact-duplicate fraction, and mean
+    * token length — the calibration cross-tab a data-centric pipeline
+    * checks before trusting a filter threshold (a good score shows
+    * dup_frac falling as the decile rises). Deciles are PER SOURCE
+    * (percent_rank over the source partition — the same scale-safe
+    * window as [[tpQualityPercentile]], never a global sort);
+    * `decile = least(floor(pr·10), 9)` is two single IEEE ops, and the
+    * duplicate flag joins the text-group counts back by content. */
+  def tpQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dupc = docs.groupBy("text").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+      .join(dupc, "text")
+      .withColumn("decile",
+        least(floor(percent_rank().over(w) * lit(10.0d)), lit(9.0d))
+          .cast("int"))
+      .withColumn("is_dup", when(col("c") > 1, 1L).otherwise(0L))
+      .withColumn("n_tok",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"),
+        (sum("is_dup").cast("double") / count(lit(1)).cast("double"))
+          .as("dup_frac"),
+        (sum("n_tok").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"))
+      .orderBy("source", "decile")
+  }
+
+  val tpQualityCalibrationSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text,
+       |    ${TextAnalysis.qualitySqlExpr("text")} AS q
+       |  FROM documents),
+       |dupc AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text),
+       |ranked AS (
+       |  SELECT s.source,
+       |    LEAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY s.source
+       |      ORDER BY s.q, s.doc_id) * 10.0), 9.0) AS decile,
+       |    CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS is_dup,
+       |    CAST(len(regexp_split_to_array(s.text, '\\s+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM scored s JOIN dupc d ON d.text = s.text)
+       |SELECT source, CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       |  CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS dup_frac,
+       |  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS mean_tokens
+       |FROM ranked GROUP BY source, decile
+       |ORDER BY source, decile""".stripMargin
+
   // ── fixed-size deterministic per-stratum sample ──────────────────────
   /** Reservoir-equivalent fixed-k sampling: each stratum keeps the k
     * docs with the smallest salted id-hash — a uniform without-
@@ -752,6 +809,7 @@ object TrainPrep {
       ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
     "tp_corpus_stats" -> (tpCorpusStats _),
     "tp_curation" -> (tpCuration _),
+    "tp_quality_calibration" -> (tpQualityCalibration _),
     "dc_decontamination" ->
       ((s: SparkSession, d: String) => dcDecontamination(s, d)),
     "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _))
@@ -769,6 +827,7 @@ object TrainPrep {
     "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,
+    "tp_quality_calibration" -> tpQualityCalibrationSql,
     "dc_decontamination" -> dcDecontaminationSql(),
     "dc2_fuzzy_decontamination" -> dc2Sql)
 }

@@ -223,6 +223,25 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("quality calibration: deciles cover every doc; dup counts reconcile") {
+    val rows = TrainPrep.tpQualityCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // total duplicate docs = docs whose text occurs more than once
+    val dupDocs = docs.groupBy("text").count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum === dupDocs)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("decile")
+      assert(d >= 0 && d <= 9)
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Double]("mean_tokens") > 0.0)
+    }
+  }
+
   test("length buckets: every doc accounted, caps respected, waste sane") {
     val width = 32
     val rows = TrainPrep.tcLengthBuckets(spark, sf, width).collect()
