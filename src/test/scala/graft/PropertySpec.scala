@@ -256,4 +256,34 @@ class PropertySpec extends SparkSpec {
         } finally q.stop()
       }
   }
+
+  test("prefix jaccard: lossless vs brute force on random corpora") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // tiny vocabulary → gram collisions across unrelated docs are
+    // common, stressing the frequency-ordered prefix math; appended
+    // exact duplicates guarantee qualifying pairs exist
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val genDoc = Gen.chooseNum(0, 25)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val genCorpus = Gen.chooseNum(3, 18).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 5).foreach { base =>
+      val texts = base ++ base.take(2) // planted exact duplicates
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardPairs(df).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+", -1)
+          .sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (d1, s1) <- sets; (d2, s2) <- sets if d1 < d2
+        i = (s1 & s2).size
+        if i > 0 && i.toDouble / (s1.size + s2.size - i) >= 0.5
+      } yield (d1, d2)).toSet
+      assert(got === expected,
+        s"prefix filter lost or invented pairs on: ${texts.take(3)}…")
+    }
+  }
 }
