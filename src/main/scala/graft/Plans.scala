@@ -90,7 +90,13 @@ object Plans {
         functions.Dedup.ddPrefixJaccard(spark, dir)),
       ("aj2_asof_forward",
         "forward as-of with tolerance: same tag-union + descending window, one key shuffle, bound applied on the carried struct",
-        operators.AsOfJoin.aj2AsofForward(spark, dir)))
+        operators.AsOfJoin.aj2AsofForward(spark, dir)),
+      ("cd_ivm_join",
+        "delta-join view maintenance: three broadcast delta terms folded into the stored view; base-join-base never re-runs",
+        operators.CdcAnalytics.ivmJoin(spark, dir)),
+      ("dc2_fuzzy_decontamination",
+        "cross-set prefix-filtered similarity join: candidates only where train and eval prefix grams meet",
+        functions.TrainPrep.dc2FuzzyDecontamination(spark, dir)))
     val md = new StringBuilder
     md.append("# Physical plans of headline queries\n\n")
     md.append("Generated by `graft.Plans` at sf0.01. The `*(n)` prefix ")
