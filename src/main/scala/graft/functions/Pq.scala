@@ -173,8 +173,28 @@ object Pq {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@k of the PQ/ADC path vs the exact ranking — closes the
+    * recall-eval trio ([[Similarity.simLshRecall]], [[Ivf.simIvfRecall]]):
+    * how much does 32×-compressed ADC scanning with a 32-deep exact
+    * re-rank give up? Rows-only like [[simPq]]; PqSpec pins the
+    * intersection arithmetic. */
+  def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.simTopK(spark, dir)
+      .select(col("q_id"), col("c_id"))
+    val approx = simPq(spark, dir)
+      .select(col("q_id"), col("c_id"), col("c_id").as("hit_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit_id")).as("n_hit"), count(lit(1)).as("k"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_pq_ann" -> (simPq _))
+    "sim_pq_ann" -> (simPq _),
+    "sim_pq_recall" -> (simPqRecall _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -78,4 +78,21 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("embedding"),
       "ADC shortlist stage must not scan the raw vectors")
   }
+
+  test("pq recall query: equals the exact/approx top-k intersection") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val exact = graft.functions.Similarity.simTopK(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.simPq(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val got = Pq.simPqRecall(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("q_id")).toSet === exact.map(_._1))
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = exact.filter(_._1 == q).count(approx.contains)
+      assert(r.getAs[Long]("n_hit") === hits.toLong)
+      assert(r.getAs[Double]("recall_at_k") === hits.toDouble / 5.0)
+    }
+  }
 }
