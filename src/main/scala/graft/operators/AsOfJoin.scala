@@ -175,11 +175,63 @@ object AsOfJoin {
        |  ON n.event_id = c.event_id
        |ORDER BY c.event_id""".stripMargin
 
+  /** Last-touch attribution: every purchase's value credits the user's
+    * most recent prior click (the marketing-analytics consumer of the
+    * as-of join); per user cohort, how much revenue is attributed vs
+    * organic. Money through exact cents, ratios as one division. */
+  def ev8Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.fromEvents(spark, dir)
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        QueryUtil.cents(coalesce(col("value"), lit(0.0d)))
+          .cast("long").as("cents"))
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts_us"))
+    leftAsOf(purchases, clicks, "user_id", "ts_us", "click_ts_us",
+      Seq("click_ts_us"))
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("asof_click_ts_us")).as("n_attributed"),
+        sum(when(col("asof_click_ts_us").isNotNull, col("cents"))
+          .otherwise(0L)).as("attributed_cents"),
+        sum(when(col("asof_click_ts_us").isNull, col("cents"))
+          .otherwise(0L)).as("organic_cents"))
+      .withColumn("attributed_frac",
+        col("n_attributed").cast("double") /
+          col("n_purchases").cast("double"))
+      .orderBy("cohort")
+  }
+
+  val ev8Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |purch AS (
+       |  SELECT user_id, ts_us,
+       |    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM feed WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, ts_us AS click_ts_us FROM feed
+       |  WHERE event_type = 'click'),
+       |attrib AS (
+       |  SELECT p.user_id, p.cents, c.click_ts_us
+       |  FROM purch p ASOF LEFT JOIN clicks c
+       |    ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us)
+       |SELECT user_id % 10 AS cohort, COUNT(*) AS n_purchases,
+       |  COUNT(click_ts_us) AS n_attributed,
+       |  CAST(SUM(CASE WHEN click_ts_us IS NOT NULL THEN cents ELSE 0 END)
+       |    AS BIGINT) AS attributed_cents,
+       |  CAST(SUM(CASE WHEN click_ts_us IS NULL THEN cents ELSE 0 END)
+       |    AS BIGINT) AS organic_cents,
+       |  CAST(COUNT(click_ts_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS attributed_frac
+       |FROM attrib GROUP BY cohort ORDER BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aj_asof_join" -> (ajAsofJoin _),
-    "aj2_asof_forward" -> (aj2AsofForward _))
+    "aj2_asof_forward" -> (aj2AsofForward _),
+    "ev8_attribution" -> (ev8Attribution _))
 
   val oracles: Map[String, String] = Map(
     "aj_asof_join" -> ajSql,
-    "aj2_asof_forward" -> aj2Sql)
+    "aj2_asof_forward" -> aj2Sql,
+    "ev8_attribution" -> ev8Sql)
 }

@@ -69,6 +69,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tol("l2") === None, "match at +70 exceeds the 20-unit bound")
   }
 
+  test("attribution: cohort totals reconcile with the raw purchase feed") {
+    val rows = AsOfJoin.ev8Attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val feed = graft.sources.ChangeFeed.fromEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === feed.count())
+    val totalCents = feed
+      .agg(sum(graft.operators.QueryUtil
+        .cents(coalesce(col("value"), lit(0.0d))).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(r => r.getAs[Long]("attributed_cents") +
+      r.getAs[Long]("organic_cents")).sum === totalCents,
+      "every purchase dollar lands in exactly one bucket")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_attributed") <= r.getAs[Long]("n_purchases"))
+      val f = r.getAs[Double]("attributed_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("forward asof query: conversions are within the 24h bound") {
     val res = AsOfJoin.aj2AsofForward(spark, sf)
     val matched = res.filter(col("asof_p_ts_us").isNotNull)
