@@ -231,6 +231,69 @@ object Stats {
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau
       |FROM daily ORDER BY event_type, day""".stripMargin
 
+  // ── revenue concentration (Pareto 80/20) ────────────────────────────
+  /** How concentrated is revenue? Per nation: how many top customers
+    * produce 80% of order revenue, and what fraction of the customer
+    * base that is. The window partitions by NATION (never a global
+    * sort): customers rank by exact cent revenue within their nation,
+    * and the 80% cut is the integer cross-multiplication
+    * `cum_prev·5 < total·4` — no 0.8·total double ever compared, so
+    * the count is engine-exact. Order revenue reduces to per-customer
+    * totals with map-side partials before the window sees anything. */
+  def w8Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev_cents"))
+    val perCust = rev
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("rev_cents"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("rev_cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCust
+      .withColumn("cum", sum("rev_cents").over(w))
+      .withColumn("total",
+        sum("rev_cents").over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev_cents").as("total_cents"),
+        count(when((col("cum") - col("rev_cents")) * 5 <
+          col("total") * 4, 1)).as("n_top80"))
+      .withColumn("top80_frac", col("n_top80").cast("double") /
+        col("n_customers").cast("double"))
+      .orderBy("n_name")
+  }
+
+  val w8Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY o_custkey),
+      |percust AS (
+      |  SELECT n_name, o_custkey, rev_cents
+      |  FROM rev
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey),
+      |cums AS (
+      |  SELECT n_name, o_custkey, rev_cents,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY n_name
+      |      ORDER BY rev_cents DESC, o_custkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY n_name) AS BIGINT)
+      |      AS total
+      |  FROM percust)
+      |SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+      |  COUNT(CASE WHEN (cum - rev_cents) * 5 < total * 4 THEN 1 END)
+      |    AS n_top80,
+      |  CAST(COUNT(CASE WHEN (cum - rev_cents) * 5 < total * 4 THEN 1 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS top80_frac
+      |FROM cums GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ── fixed-iteration weighted PageRank ───────────────────────────────
   /** Weighted PageRank over the event-type transition graph (the same
     * edge relation as ev4_transitions) — the graph-centrality scorer a
@@ -338,6 +401,7 @@ object Stats {
     "w5_rank_stats" -> (w5RankStats _),
     "w6_rolling_median" -> (w6RollingMedian _),
     "w7_rolling_actives" -> (w7RollingActives _),
+    "w8_pareto" -> (w8Pareto _),
     "gr_pagerank" -> (grPagerank _))
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +410,6 @@ object Stats {
     "w5_rank_stats" -> w5Sql,
     "w6_rolling_median" -> w6Sql,
     "w7_rolling_actives" -> w7Sql,
+    "w8_pareto" -> w8Sql,
     "gr_pagerank" -> grSql)
 }

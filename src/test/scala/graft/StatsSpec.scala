@@ -149,6 +149,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("w8: top-80% customer counts match a driver-side recompute") {
+    val rows = Stats.w8Pareto(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perCust = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(graft.operators.QueryUtil.cents(col("o_totalprice")))
+        .cast("long").as("rev"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "o_custkey", "rev").collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { r =>
+      val n = r.getAs[String]("n_name")
+      val revs = perCust(n)
+        .map(x => (x.getAs[Long]("rev"), x.getAs[Long]("o_custkey")))
+        .sortBy { case (rev, ck) => (-rev, ck) }.map(_._1)
+      assert(r.getAs[Long]("n_customers") === revs.length.toLong)
+      val total = revs.sum
+      assert(r.getAs[Long]("total_cents") === total)
+      var cumPrev = 0L
+      val nTop = revs.takeWhile { rev =>
+        val keep = cumPrev * 5 < total * 4; cumPrev += rev; keep
+      }.length
+      assert(r.getAs[Long]("n_top80") === nTop.toLong, s"nation $n")
+    }
+  }
+
   test("w6: rolling median matches a driver-side sorted-window recompute") {
     val rows = Stats.w6RollingMedian(spark, sf).collect()
     assert(rows.nonEmpty)
