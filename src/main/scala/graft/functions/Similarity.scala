@@ -130,6 +130,49 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  // ── LSH bucket health ───────────────────────────────────────────────
+  /** Bucket-size histogram of the LSH index — the operational health
+    * metric behind every bucketed join here: candidate counts grow
+    * with Σ size², so one hot bucket is a hot partition at 100 TB.
+    * Reports, per bucket size: how many buckets, how many vectors they
+    * hold, and the share of all candidate comparisons they cause
+    * (exact integer pair counts, ONE final division). */
+  def simLshBuckets(spark: SparkSession, dir: String,
+      bits: Int = LshBits): DataFrame = {
+    val buckets = withLshKey(
+        Tables.embeddings(spark, dir).select(col("vec_id"),
+          col("embedding")), "embedding", bits)
+      .groupBy("lsh_key").agg(count(lit(1)).as("sz"))
+    val pairsOf = expr("sz * (sz - 1) div 2")
+    val total = buckets.agg(sum(pairsOf).as("total_pairs"))
+    buckets.groupBy("sz")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("sz").as("n_vectors"),
+        sum(pairsOf).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .withColumn("pair_share", col("n_pairs").cast("double") /
+        col("total_pairs").cast("double"))
+      .select(col("sz"), col("n_buckets"), col("n_vectors"),
+        col("n_pairs"), col("pair_share"))
+      .orderBy("sz")
+  }
+
+  val simLshBucketsSql: String =
+    s"""WITH keyed AS (SELECT vec_id,
+       |    ${lshKeySql("embedding", LshBits)} AS lsh_key FROM embeddings),
+       |buckets AS (
+       |  SELECT lsh_key, COUNT(*) AS sz FROM keyed GROUP BY lsh_key),
+       |hist AS (
+       |  SELECT sz, COUNT(*) AS n_buckets,
+       |    CAST(SUM(sz) AS BIGINT) AS n_vectors,
+       |    CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+       |  FROM buckets GROUP BY sz),
+       |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM hist)
+       |SELECT sz, n_buckets, n_vectors, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)
+       |    AS pair_share
+       |FROM hist CROSS JOIN tot ORDER BY sz""".stripMargin
+
   // ── embedding-cosine near-dup pairs ─────────────────────────────────
   /** How many hyperplane bits the near-dup blocking key uses: 8 bits →
     * 256 buckets; a cos ≥ 0.3 pair agrees per-bit with p = 1 − θ/π ≈
@@ -688,6 +731,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
     "sim_lsh_recall" -> (simLshRecall _),
+    "sim_lsh_buckets" -> ((s: SparkSession, d: String) => simLshBuckets(s, d)),
     "gr_triangles" -> (grTriangles _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -701,6 +745,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "sim_lsh_recall" -> simLshRecallSql,
+    "sim_lsh_buckets" -> simLshBucketsSql,
     "gr_triangles" -> grTrianglesSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_hard_negatives" -> simHardNegativesSql,

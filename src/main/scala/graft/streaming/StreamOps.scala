@@ -141,6 +141,67 @@ object StreamOps {
           out.result().iterator
       }
 
+  /** One scored CUSUM point (emitted once the baseline is known). */
+  case class CusumPoint(key: String, day: Long, n: Long, cusum: Double,
+      isShift: Boolean)
+
+  /** Per-series CUSUM state: the ≤7-day warm-up buffer (days and
+    * volumes, dropped once the baseline finalizes), the frozen
+    * baseline, and the running statistic. */
+  case class CusumState(bufDays: Seq[Long], bufNs: Seq[Long],
+      lastDay: Long, mu: Double, k: Double, g: Double, ready: Boolean)
+
+  implicit private val cusumPtEnc: Encoder[CusumPoint] =
+    Encoders.product[CusumPoint]
+  implicit private val cusumStEnc: Encoder[CusumState] =
+    Encoders.product[CusumState]
+
+  /** Streaming CUSUM — the streaming twin of the batch
+    * [[graft.operators.RelationalFourth.ev7Cusum]]. The batch baseline
+    * (mean of the first 7 observed days) is inherently retrospective,
+    * so the stream BUFFERS the warm-up: the first 6 days emit nothing;
+    * when day 7 arrives the baseline freezes and all seven points
+    * flush in day order; every later day scores incrementally with the
+    * identical IEEE fold, so a replayed stream reproduces the batch
+    * output bit for bit (for series with ≥ 7 days — shorter series
+    * never finalize, the same way the batch op's baseline would still
+    * be provisional). State is O(1) per series after warm-up; days at
+    * or before the folded frontier are re-deliveries and fold away. */
+  def cusumStream(daily: Dataset[DailyVolume]): Dataset[CusumPoint] =
+    daily
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DailyVolume], gs: GroupState[CusumState]) =>
+          var st = gs.getOption.getOrElse(
+            CusumState(Nil, Nil, Long.MinValue, 0.0, 0.0, 0.0, false))
+          val out = Vector.newBuilder[CusumPoint]
+          def score(day: Long, n: Long): Unit = {
+            val g = math.max(0.0,
+              st.g + (n.toDouble - st.mu - st.k))
+            st = st.copy(lastDay = day, g = g)
+            out += CusumPoint(key, day, n, g, g > st.k * 5.0)
+          }
+          it.toVector.sortBy(_.day).foreach { d =>
+            if (d.day > st.lastDay) {
+              if (st.ready) score(d.day, d.n)
+              else {
+                st = st.copy(bufDays = st.bufDays :+ d.day,
+                  bufNs = st.bufNs :+ d.n, lastDay = d.day)
+                if (st.bufDays.length == 7) {
+                  val mu = st.bufNs.sum.toDouble / 7.0
+                  st = st.copy(mu = mu, k = mu / 10.0, ready = true)
+                  val (days, ns) = (st.bufDays, st.bufNs)
+                  st = st.copy(bufDays = Nil, bufNs = Nil)
+                  days.zip(ns).foreach { case (dy, n) => score(dy, n) }
+                }
+              }
+            }
+          }
+          gs.update(st)
+          out.result().iterator
+      }
+
   /** Exactly-once healing: drop re-delivered changes by their unique
     * position, keeping state only `watermark` past the event time. */
   def dedupeByPosition(changes: DataFrame, tsCol: String,

@@ -161,6 +161,42 @@ class StreamOpsSpec extends SparkSpec {
       "one emission per true advance across the restart; stale dropped")
   }
 
+  test("streaming CUSUM replays to the exact batch ev7 output") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val batch = graft.operators.RelationalFourth.ev7Cusum(spark, sf)
+      .collect()
+      .map(r => (StreamOps.DailyVolume(r.getAs[String]("event_type"),
+        r.getAs[Long]("day"), r.getAs[Long]("n")),
+        (r.getAs[Double]("cusum"), r.getAs[Boolean]("is_shift"))))
+    val daily = batch.map(_._1)
+    val days = daily.map(_.day).distinct.sorted
+    val (cut1, cut2) = (days(days.length / 3), days(2 * days.length / 3))
+    val input = MemoryStream[StreamOps.DailyVolume](spark)
+    val q = StreamOps.cusumStream(input.toDS())
+      .writeStream.format("memory").queryName("scusum")
+      .outputMode("append").start()
+    try {
+      input.addData(daily.filter(_.day <= cut1).toSeq)
+      q.processAllAvailable()
+      // redeliver slice one alongside slice two (at-least-once source)
+      input.addData(daily.filter(_.day <= cut2).toSeq)
+      q.processAllAvailable()
+      input.addData(daily.filter(_.day > cut2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("scusum").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("day")) ->
+          (r.getAs[Double]("cusum"), r.getAs[Boolean]("isShift")))
+      assert(got.length === batch.length,
+        "every batch point emitted exactly once, warm-up included")
+      val expected = batch
+        .map { case (d, v) => (d.key, d.day) -> v }.toMap
+      got.foreach { case (k, v) =>
+        assert(v === expected(k), s"streaming CUSUM diverges at $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming EWMA replays to the exact batch ev6 output") {
     val sparkS = spark
     import sparkS.implicits._
