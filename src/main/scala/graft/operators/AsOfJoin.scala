@@ -225,13 +225,93 @@ object AsOfJoin {
        |    AS attributed_frac
        |FROM attrib GROUP BY cohort ORDER BY cohort""".stripMargin
 
+  /** Time-BOUNDED funnel: view → click within 1 h → purchase within
+    * 24 h of the click, per user — the realistic funnel
+    * ([[graft.operators.RelationalExt.ev1Funnel]]'s order-only variant
+    * has no deadline). Built by CHAINING two forward as-of joins with
+    * tolerances: each stage is one key shuffle, so the whole funnel
+    * costs two — no event×event interval join ever forms. Per-cohort
+    * conversion fractions are single exact-integer divisions. */
+  def ev9BoundedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.fromEvents(spark, dir)
+    val views = feed.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts_us"))
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"))
+    val step1 = leftAsOfForward(views, clicks, "user_id", "ts_us",
+      "c_ts_us", Seq("c_ts_us"), toleranceUs = Some(3600000000L))
+    val clicked = step1.filter(col("asof_c_ts_us").isNotNull)
+    val step2 = leftAsOfForward(clicked, purchases, "user_id",
+      "asof_c_ts_us", "p_ts_us", Seq("p_ts_us"),
+      toleranceUs = Some(86400000000L))
+    val funnel = step1.select(col("user_id"), col("event_id"),
+        col("asof_c_ts_us"))
+      .join(step2.select(col("event_id"),
+        col("asof_p_ts_us")), Seq("event_id"), "left")
+    funnel.groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_views"),
+        count(col("asof_c_ts_us")).as("n_clicked"),
+        count(col("asof_p_ts_us")).as("n_purchased"))
+      .withColumn("click_rate", col("n_clicked").cast("double") /
+        col("n_views").cast("double"))
+      .withColumn("purchase_rate", col("n_purchased").cast("double") /
+        col("n_views").cast("double"))
+      .orderBy("cohort")
+  }
+
+  val ev9Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |views AS (
+       |  SELECT user_id, event_id, ts_us FROM feed
+       |  WHERE event_type = 'view'),
+       |clicks AS (
+       |  SELECT user_id, ts_us AS c_ts_us FROM feed
+       |  WHERE event_type = 'click'),
+       |purch AS (
+       |  SELECT user_id, ts_us AS p_ts_us FROM feed
+       |  WHERE event_type = 'purchase'),
+       |s1 AS (
+       |  SELECT v.user_id, v.event_id, v.ts_us, n.c_ts_us FROM views v
+       |  LEFT JOIN (
+       |    SELECT event_id, c_ts_us FROM (
+       |      SELECT v.event_id, c.c_ts_us, ROW_NUMBER() OVER (
+       |        PARTITION BY v.event_id ORDER BY c.c_ts_us) AS rn
+       |      FROM views v JOIN clicks c
+       |        ON c.user_id = v.user_id AND c.c_ts_us >= v.ts_us
+       |        AND c.c_ts_us <= v.ts_us + 3600000000)
+       |    WHERE rn = 1) n ON n.event_id = v.event_id),
+       |s2 AS (
+       |  SELECT s1.event_id, n.p_ts_us FROM s1
+       |  LEFT JOIN (
+       |    SELECT event_id, p_ts_us FROM (
+       |      SELECT s1.event_id, p.p_ts_us, ROW_NUMBER() OVER (
+       |        PARTITION BY s1.event_id ORDER BY p.p_ts_us) AS rn
+       |      FROM s1 JOIN purch p
+       |        ON p.user_id = s1.user_id AND p.p_ts_us >= s1.c_ts_us
+       |        AND p.p_ts_us <= s1.c_ts_us + 86400000000
+       |      WHERE s1.c_ts_us IS NOT NULL)
+       |    WHERE rn = 1) n ON n.event_id = s1.event_id)
+       |SELECT s1.user_id % 10 AS cohort, COUNT(*) AS n_views,
+       |  COUNT(s1.c_ts_us) AS n_clicked,
+       |  COUNT(s2.p_ts_us) AS n_purchased,
+       |  CAST(COUNT(s1.c_ts_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS click_rate,
+       |  CAST(COUNT(s2.p_ts_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS purchase_rate
+       |FROM s1 LEFT JOIN s2 ON s2.event_id = s1.event_id
+       |GROUP BY cohort ORDER BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aj_asof_join" -> (ajAsofJoin _),
     "aj2_asof_forward" -> (aj2AsofForward _),
-    "ev8_attribution" -> (ev8Attribution _))
+    "ev8_attribution" -> (ev8Attribution _),
+    "ev9_bounded_funnel" -> (ev9BoundedFunnel _))
 
   val oracles: Map[String, String] = Map(
     "aj_asof_join" -> ajSql,
     "aj2_asof_forward" -> aj2Sql,
-    "ev8_attribution" -> ev8Sql)
+    "ev8_attribution" -> ev8Sql,
+    "ev9_bounded_funnel" -> ev9Sql)
 }

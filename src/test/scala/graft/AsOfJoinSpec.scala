@@ -89,6 +89,22 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bounded funnel: stages nest and cover all views") {
+    val rows = AsOfJoin.ev9BoundedFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nViews = graft.sources.ChangeFeed.fromEvents(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(rows.map(_.getAs[Long]("n_views")).sum === nViews)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchased") <= r.getAs[Long]("n_clicked"))
+      assert(r.getAs[Long]("n_clicked") <= r.getAs[Long]("n_views"))
+      assert(r.getAs[Double]("click_rate") >=
+        r.getAs[Double]("purchase_rate"))
+    }
+    // the funnel must not be vacuous at either stage
+    assert(rows.map(_.getAs[Long]("n_purchased")).sum > 0)
+  }
+
   test("forward asof query: conversions are within the 24h bound") {
     val res = AsOfJoin.aj2AsofForward(spark, sf)
     val matched = res.filter(col("asof_p_ts_us").isNotNull)
