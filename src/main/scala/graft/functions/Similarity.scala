@@ -173,6 +173,48 @@ object Similarity {
        |    AS pair_share
        |FROM hist CROSS JOIN tot ORDER BY sz""".stripMargin
 
+  // ── similarity-threshold calibration sweep ──────────────────────────
+  /** Pair counts at a ladder of cosine thresholds — the tuning curve
+    * consulted before fixing a near-dup cutoff (too low merges
+    * unrelated docs, too high misses paraphrases). ONE pass over the
+    * LSH-bucketed candidate pairs: every threshold is a conditional
+    * count over the same cosine column, so the sweep costs exactly
+    * what a single threshold costs; thresholds compare against the
+    * bit-stable cosine, making even this diagnostic hash-exact. */
+  def simThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = withLshKey(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), "embedding", NearDupBits)
+    val pairs = v.alias("a").join(v.alias("b"),
+        col("a.lsh_key") === col("b.lsh_key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val thresholds = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+    pairs.agg(count(lit(1)).as("n_candidates"),
+        thresholds.map(t => count(when(col("cos") >= t, 1))
+          .as(s"ge_${math.round(t * 10).toInt}")): _*)
+      .select(lit(NearDupBits).as("lsh_bits"), col("n_candidates"),
+        col("ge_2"), col("ge_3"), col("ge_4"), col("ge_5"),
+        col("ge_6"), col("ge_7"), col("ge_8"))
+  }
+
+  // def, not val: NearDupBits initializes later in the object body
+  def simThresholdSweepSql: String =
+    s"""WITH keyed AS (SELECT vec_id, embedding,
+       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+       |pairs AS (
+       |  SELECT ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM keyed a JOIN keyed b
+       |    ON a.lsh_key = b.lsh_key AND a.vec_id < b.vec_id)
+       |SELECT $NearDupBits AS lsh_bits, COUNT(*) AS n_candidates,
+       |  COUNT(CASE WHEN cos >= 0.2 THEN 1 END) AS ge_2,
+       |  COUNT(CASE WHEN cos >= 0.3 THEN 1 END) AS ge_3,
+       |  COUNT(CASE WHEN cos >= 0.4 THEN 1 END) AS ge_4,
+       |  COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS ge_5,
+       |  COUNT(CASE WHEN cos >= 0.6 THEN 1 END) AS ge_6,
+       |  COUNT(CASE WHEN cos >= 0.7 THEN 1 END) AS ge_7,
+       |  COUNT(CASE WHEN cos >= 0.8 THEN 1 END) AS ge_8
+       |FROM pairs""".stripMargin
+
   // ── embedding-cosine near-dup pairs ─────────────────────────────────
   /** How many hyperplane bits the near-dup blocking key uses: 8 bits →
     * 256 buckets; a cos ≥ 0.3 pair agrees per-bit with p = 1 − θ/π ≈
@@ -732,6 +774,7 @@ object Similarity {
     "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
     "sim_lsh_recall" -> (simLshRecall _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) => simLshBuckets(s, d)),
+    "sim_threshold_sweep" -> (simThresholdSweep _),
     "gr_triangles" -> (grTriangles _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -746,6 +789,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "sim_lsh_recall" -> simLshRecallSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
+    "sim_threshold_sweep" -> simThresholdSweepSql,
     "gr_triangles" -> grTrianglesSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_hard_negatives" -> simHardNegativesSql,

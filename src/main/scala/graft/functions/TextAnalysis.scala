@@ -229,6 +229,48 @@ object TextAnalysis {
        |ORDER BY doc_freq DESC, token
        |LIMIT $k""".stripMargin
 
+  // ── vocabulary coverage / OOV rate ──────────────────────────────────
+  /** Out-of-vocabulary rate per source for a top-k frequency
+    * vocabulary — the coverage check run before fixing a tokenizer's
+    * vocab size (a source with high OOV will fragment into bytes).
+    * The vocab cut is `orderBy(freq desc, token).limit(k)` — planned
+    * as TakeOrdered (distributed partial top-k), never a global sort —
+    * and rides into the token stream as a broadcast; the rate is one
+    * exact-integer division. */
+  def tcOovRate(spark: SparkSession, dir: String, k: Int = 500)
+      : DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") /
+        col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  def tcOovRateSql(k: Int = 500): String =
+    s"""WITH tt AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS f FROM tt GROUP BY tok)
+       |  ORDER BY f DESC, tok LIMIT $k)
+       |SELECT t.source, COUNT(*) AS n_tokens,
+       |  COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+       |  CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM tt t LEFT JOIN vocab v ON v.tok = t.tok
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   // ── BM25-style relevance scoring ─────────────────────────────────────
   /** BM25-shaped query relevance over the corpus (the retrieval score a
     * curation pipeline uses to mine query-relevant training documents),
@@ -530,6 +572,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf" -> ((s: SparkSession, d: String) => taTfidf(s, d)),
     "ta_char_gini" -> (taCharGini _),
+    "tc_oov_rate" -> ((s: SparkSession, d: String) => tcOovRate(s, d)),
     "ta_token_count" -> (taTokenCount _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_lang_id" -> (taLangId _),
@@ -543,6 +586,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "ta_tfidf" -> taTfidfSql(),
     "ta_char_gini" -> taCharGiniSql,
+    "tc_oov_rate" -> tcOovRateSql(),
     "ta_token_count" -> taTokenCountSql,
     "ta_quality_score" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,

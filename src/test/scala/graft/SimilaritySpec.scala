@@ -143,6 +143,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep: counts are monotone and bounded by candidates") {
+    val r = Similarity.simThresholdSweep(spark, sf).collect().head
+    val ladder = Seq("ge_2", "ge_3", "ge_4", "ge_5", "ge_6", "ge_7",
+      "ge_8").map(r.getAs[Long])
+    assert(ladder.zip(ladder.tail).forall { case (a, b) => a >= b },
+      s"threshold counts must fall as the cutoff rises: $ladder")
+    assert(ladder.head <= r.getAs[Long]("n_candidates"))
+    assert(r.getAs[Long]("n_candidates") > 0)
+  }
+
   test("triangles: per-node counts match a naive all-triples enumeration") {
     val edges = Similarity.knnGraph(emb, 3)
       .select(least(col("src_id"), col("nbr_id")).as("u"),

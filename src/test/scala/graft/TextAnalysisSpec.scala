@@ -155,6 +155,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("oov rate: matches a driver-side top-k vocabulary recompute") {
+    val rows = TextAnalysis.tcOovRate(spark, sf, k = 50).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf).select("source", "text")
+      .collect().flatMap { r =>
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)
+          .map(r.getAs[String]("source") -> _)
+      }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(50).map(_._1).toSet
+    val bySource = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val ts = bySource(s).map(_._2)
+      assert(r.getAs[Long]("n_tokens") === ts.length.toLong)
+      assert(r.getAs[Long]("n_oov") ===
+        ts.count(t => !vocab.contains(t)).toLong, s"source $s")
+    }
+  }
+
   test("tf-idf: scores recompute exactly; top term per doc is the arg-max") {
     val got = TextAnalysis.taTfidf(spark, sf).collect()
     assert(got.nonEmpty)
