@@ -321,7 +321,58 @@ object CdcAnalytics {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ── feed order audit ────────────────────────────────────────────────
+  /** The monotonicity AUDIT a CDC operator runs before trusting
+    * event-time logic: per table, how many events regress behind the
+    * running commit-ts maximum in LOG order, and by how much at worst.
+    * On a healthy ordered feed every row reads zero — that IS the
+    * certificate (the reference's whole consistency model is log
+    * order, SURVEY §2.4); on a disordered feed the max regression is
+    * exactly the watermark slack `withWatermark` needs. The spec
+    * plants regressions and asserts the audit finds precisely them.
+    * One window per table in log order, fraction as one division. */
+  def orderAudit(feed: DataFrame): DataFrame = {
+    val w = Window.partitionBy("tbl").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    feed
+      .withColumn("prev_max", max("ts_us").over(w))
+      .withColumn("lag_us",
+        when(col("prev_max") > col("ts_us"),
+          col("prev_max") - col("ts_us")).otherwise(0L))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("lag_us") > 0, 1)).as("n_disordered"),
+        max("lag_us").as("max_disorder_us"))
+      .withColumn("disorder_frac", col("n_disordered").cast("double") /
+        col("n_events").cast("double"))
+      .orderBy("tbl")
+  }
+
+  def disorderStats(spark: SparkSession, dir: String): DataFrame =
+    orderAudit(ChangeFeed.fromEvents(spark, dir))
+
+  val disorderSql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |lagged AS (
+       |  SELECT tbl, ts_us,
+       |    MAX(ts_us) OVER (PARTITION BY tbl ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max
+       |  FROM feed),
+       |scored AS (
+       |  SELECT tbl,
+       |    CASE WHEN prev_max > ts_us THEN prev_max - ts_us ELSE 0 END
+       |      AS lag_us
+       |  FROM lagged)
+       |SELECT tbl, COUNT(*) AS n_events,
+       |  COUNT(CASE WHEN lag_us > 0 THEN 1 END) AS n_disordered,
+       |  CAST(MAX(lag_us) AS BIGINT) AS max_disorder_us,
+       |  CAST(COUNT(CASE WHEN lag_us > 0 THEN 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS disorder_frac
+       |FROM scored GROUP BY tbl ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cd_order_audit" -> (disorderStats _),
     "cd_ivm_join" -> (ivmJoin _),
     "cd_scd2_history" -> (scd2History _),
     "cd_ivm_delta_agg" -> (ivmDeltaAgg _),
@@ -330,6 +381,7 @@ object CdcAnalytics {
     "cd_table_stats" -> (tableStats _))
 
   val oracles: Map[String, String] = Map(
+    "cd_order_audit" -> disorderSql,
     "cd_ivm_join" -> ivmJoinSql,
     "cd_scd2_history" -> scd2Sql,
     "cd_ivm_delta_agg" -> ivmSql,

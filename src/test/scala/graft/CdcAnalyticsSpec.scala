@@ -103,6 +103,28 @@ class CdcAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("order audit: detects planted regressions exactly; real feed clean") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // planted: table a ordered; table b has two regressions (worst 50)
+    val feed = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L),
+      ("b", 1L, 100L), ("b", 2L, 60L), ("b", 3L, 120L), ("b", 4L, 70L))
+      .toDF("tbl", "event_id", "ts_us")
+    val audit = CdcAnalytics.orderAudit(feed).collect()
+      .map(r => r.getAs[String]("tbl") ->
+        (r.getAs[Long]("n_disordered"), r.getAs[Long]("max_disorder_us")))
+      .toMap
+    assert(audit("a") === ((0L, 0L)))
+    assert(audit("b") === ((2L, 50L)),
+      "regressions at 60 (lag 40) and 70 (lag 50) must both surface")
+    // the real feed certifies clean: log order IS commit-ts order
+    val real = CdcAnalytics.disorderStats(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getAs[Long]("n_disordered") === 0L),
+      "the reference feed's consistency model is log order")
+  }
+
   test("ivm join: delta terms reproduce the full-join view; deltas broadcast") {
     val got = CdcAnalytics.ivmJoin(spark, sf)
     val full = Tables.orders(spark, sf)
