@@ -371,7 +371,71 @@ object CdcAnalytics {
        |    / CAST(COUNT(*) AS DOUBLE) AS disorder_frac
        |FROM scored GROUP BY tbl ORDER BY tbl""".stripMargin
 
+  // ── training-feature generation ─────────────────────────────────────
+  /** Point-in-time-correct feature rows from the event stream — the
+    * feature-store export: per (user, event) in history order, lagged
+    * values, a trailing-3 mean, a one-hot of the event type, and the
+    * NEXT value as the label. Every feature reads strictly BEFORE the
+    * label (no leakage: lags and the trailing window end at the
+    * current row; the label is the lead), which is the property
+    * feature stores exist to enforce. One window per user — the
+    * standard per-key shuffle — money as exact cents, the trailing
+    * mean as one division of integer sums. */
+  def fe1LagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trail = w.rowsBetween(-2, 0)
+    val cents = QueryUtil.cents(coalesce(col("value"), lit(0.0d)))
+      .cast("long")
+    ChangeFeed.fromEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), cents.as("v_cents"))
+      .withColumn("lag1_cents", lag("v_cents", 1).over(w))
+      .withColumn("lag2_cents", lag("v_cents", 2).over(w))
+      .withColumn("trail3_mean_cents",
+        sum("v_cents").over(trail).cast("double") /
+          count(lit(1)).over(trail).cast("double"))
+      .withColumn("is_view", (col("event_type") === "view").cast("int"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+      .withColumn("is_purchase",
+        (col("event_type") === "purchase").cast("int"))
+      .withColumn("label_next_cents", lead("v_cents", 1).over(w))
+      .filter(col("label_next_cents").isNotNull)
+      .select(col("user_id"), col("event_id"), col("v_cents"),
+        col("lag1_cents"), col("lag2_cents"), col("trail3_mean_cents"),
+        col("is_view"), col("is_click"), col("is_purchase"),
+        col("label_next_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val fe1Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |base AS (
+       |  SELECT user_id, event_id, ts_us, event_type,
+       |    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT)
+       |      AS v_cents
+       |  FROM feed),
+       |feats AS (
+       |  SELECT user_id, event_id, v_cents,
+       |    LAG(v_cents, 1) OVER w AS lag1_cents,
+       |    LAG(v_cents, 2) OVER w AS lag2_cents,
+       |    CAST(SUM(v_cents) OVER t AS DOUBLE)
+       |      / CAST(COUNT(*) OVER t AS DOUBLE) AS trail3_mean_cents,
+       |    CAST(event_type = 'view' AS INT) AS is_view,
+       |    CAST(event_type = 'click' AS INT) AS is_click,
+       |    CAST(event_type = 'purchase' AS INT) AS is_purchase,
+       |    LEAD(v_cents, 1) OVER w AS label_next_cents
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+       |    t AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_id, v_cents, lag1_cents, lag2_cents,
+       |  trail3_mean_cents, is_view, is_click, is_purchase,
+       |  label_next_cents
+       |FROM feats WHERE label_next_cents IS NOT NULL
+       |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe1_lag_features" -> (fe1LagFeatures _),
     "cd_order_audit" -> (disorderStats _),
     "cd_ivm_join" -> (ivmJoin _),
     "cd_scd2_history" -> (scd2History _),
@@ -381,6 +445,7 @@ object CdcAnalytics {
     "cd_table_stats" -> (tableStats _))
 
   val oracles: Map[String, String] = Map(
+    "fe1_lag_features" -> fe1Sql,
     "cd_order_audit" -> disorderSql,
     "cd_ivm_join" -> ivmJoinSql,
     "cd_scd2_history" -> scd2Sql,

@@ -103,6 +103,34 @@ class CdcAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lag features: point-in-time correct vs a driver-side replay") {
+    val rows = CdcAnalytics.fe1LagFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hist = graft.sources.ChangeFeed.fromEvents(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        graft.operators.QueryUtil
+          .cents(coalesce(col("value"), lit(0.0d)))
+          .cast("long").as("v")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.sortBy(r =>
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("v")))
+      .toMap
+    rows.take(200).foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val seq = hist(u)
+      val i = seq.indexWhere(_._1 == r.getAs[Long]("event_id"))
+      assert(i >= 0 && i < seq.length - 1, "label requires a next event")
+      assert(r.getAs[Long]("label_next_cents") === seq(i + 1)._2)
+      assert(Option(r.getAs[Any]("lag1_cents")).map(_.asInstanceOf[Long])
+        === (if (i >= 1) Some(seq(i - 1)._2) else None))
+      val win = seq.slice(math.max(0, i - 2), i + 1).map(_._2)
+      assert(r.getAs[Double]("trail3_mean_cents") ===
+        win.sum.toDouble / win.length.toDouble,
+        s"user $u event ${r.getAs[Long]("event_id")}")
+    }
+  }
+
   test("order audit: detects planted regressions exactly; real feed clean") {
     val sparkS = spark
     import sparkS.implicits._
