@@ -434,8 +434,50 @@ object CdcAnalytics {
        |FROM feats WHERE label_next_cents IS NOT NULL
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Leave-one-out target encoding of the event type against the
+    * value label — the categorical encoder that actually ships
+    * (a naive per-category mean ENCODES THE ROW'S OWN LABEL and leaks;
+    * leave-one-out subtracts it: `(Σ − own) / (n − 1)`). Group sums
+    * are exact integer cents broadcast back onto the rows, the
+    * encoding is one division, and single-member categories emit NULL
+    * (no peer evidence) rather than a leaked self-mean. */
+  def fe2TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val cents = QueryUtil.cents(coalesce(col("value"), lit(0.0d)))
+      .cast("long")
+    val rows = ChangeFeed.fromEvents(spark, dir)
+      .select(col("event_id"), col("event_type"), cents.as("v_cents"))
+    val stats = rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_cents").as("s"))
+    rows.join(broadcast(stats), "event_type")
+      .withColumn("te_loo_cents",
+        when(col("n") > 1, (col("s") - col("v_cents")).cast("double") /
+          (col("n") - 1).cast("double")))
+      .select(col("event_id"), col("event_type"), col("v_cents"),
+        col("te_loo_cents"))
+      .orderBy("event_id")
+  }
+
+  val fe2Sql: String =
+    s"""WITH feed AS (${ChangeFeed.feedSql}),
+       |rows_ AS (
+       |  SELECT event_id, event_type,
+       |    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT)
+       |      AS v_cents
+       |  FROM feed),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(v_cents) AS BIGINT) AS s
+       |  FROM rows_ GROUP BY event_type)
+       |SELECT event_id, r.event_type, v_cents,
+       |  CASE WHEN n > 1
+       |    THEN CAST(s - v_cents AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       |  END AS te_loo_cents
+       |FROM rows_ r JOIN stats USING (event_type)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fe1_lag_features" -> (fe1LagFeatures _),
+    "fe2_target_encoding" -> (fe2TargetEncoding _),
     "cd_order_audit" -> (disorderStats _),
     "cd_ivm_join" -> (ivmJoin _),
     "cd_scd2_history" -> (scd2History _),
@@ -446,6 +488,7 @@ object CdcAnalytics {
 
   val oracles: Map[String, String] = Map(
     "fe1_lag_features" -> fe1Sql,
+    "fe2_target_encoding" -> fe2Sql,
     "cd_order_audit" -> disorderSql,
     "cd_ivm_join" -> ivmJoinSql,
     "cd_scd2_history" -> scd2Sql,

@@ -131,6 +131,30 @@ class CdcAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("target encoding: leave-one-out excludes the row's own label") {
+    val rows = CdcAnalytics.fe2TargetEncoding(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val total = rs.map(_.getAs[Long]("v_cents")).sum
+      val n = rs.length
+      rs.take(20).foreach { r =>
+        val expected =
+          if (n > 1)
+            (total - r.getAs[Long]("v_cents")).toDouble / (n - 1).toDouble
+          else Double.NaN
+        if (n > 1)
+          assert(r.getAs[Double]("te_loo_cents") === expected,
+            s"type $t leave-one-out mismatch")
+        else assert(r.isNullAt(r.fieldIndex("te_loo_cents")))
+      }
+      // the encoding must differ across rows with different labels —
+      // proof the own label was excluded, not averaged in
+      if (n > 1 && rs.map(_.getAs[Long]("v_cents")).distinct.length > 1)
+        assert(rs.map(_.getAs[Double]("te_loo_cents")).distinct.length > 1)
+    }
+  }
+
   test("order audit: detects planted regressions exactly; real feed clean") {
     val sparkS = spark
     import sparkS.implicits._
