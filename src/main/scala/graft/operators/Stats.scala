@@ -83,6 +83,72 @@ object Stats {
       |  cov_n / (sqrt(varx_n) * sqrt(vary_n)) AS pearson_r
       |FROM f ORDER BY l_returnflag""".stripMargin
 
+  // ── exact higher moments ────────────────────────────────────────────
+  /** Per-group skewness and excess kurtosis — NOT the engine's
+    * `skewness`/`kurtosis` (their double accumulation is
+    * partition-order dependent): the four power sums Σx…Σx⁴ are exact
+    * BIGINTs, and the moment formulas run in one fixed IEEE order
+    * written identically in both engines, so even third and fourth
+    * moments hash-match. Overflow bound: x = l_quantity ≤ 50, so
+    * Σx⁴ ≤ 6.25·10⁶ per row — int64-safe to ~1.4·10¹² rows
+    * (non-ANSI wraps silently past that; raise to DECIMAL if a table
+    * ever approaches it). */
+  def st2Moments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val d = (c: Column) => c.cast("double")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mu", d(col("s1")) / d(col("n")))
+      .withColumn("e2", d(col("s2")) / d(col("n")))
+      .withColumn("e3", d(col("s3")) / d(col("n")))
+      .withColumn("e4", d(col("s4")) / d(col("n")))
+      .withColumn("m2", col("e2") - col("mu") * col("mu"))
+      .withColumn("m3", col("e3") - lit(3.0d) * col("mu") * col("e2") +
+        lit(2.0d) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("e4") - lit(4.0d) * col("mu") * col("e3") +
+        lit(6.0d) * col("mu") * col("mu") * col("e2") -
+        lit(3.0d) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(col("l_returnflag"), col("n"), col("mu").as("mean_qty"),
+        (col("m3") / (sqrt(col("m2")) * col("m2"))).as("skewness"),
+        (col("m4") / (col("m2") * col("m2")) - lit(3.0d))
+          .as("excess_kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
+  val st2Sql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s1,
+      |    CAST(SUM(x * x) AS BIGINT) AS s2,
+      |    CAST(SUM(x * x * x) AS BIGINT) AS s3,
+      |    CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |ms AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      |  FROM sums),
+      |cm AS (
+      |  SELECT l_returnflag, n, mu,
+      |    e2 - mu * mu AS m2,
+      |    e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+      |    e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM ms)
+      |SELECT l_returnflag, n, mu AS mean_qty,
+      |  m3 / (sqrt(m2) * m2) AS skewness,
+      |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+      |FROM cm ORDER BY l_returnflag""".stripMargin
+
   // ── exact per-group mode ────────────────────────────────────────────
   /** Most frequent quantity per returnflag (smallest value on ties) —
     * the exact MODE aggregate. Two-level: fold to (group, value) counts
@@ -397,6 +463,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_linreg" -> (st1Linreg _),
+    "st2_moments" -> (st2Moments _),
     "g6_mode" -> (g6Mode _),
     "w5_rank_stats" -> (w5RankStats _),
     "w6_rolling_median" -> (w6RollingMedian _),
@@ -406,6 +473,7 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "st1_linreg" -> st1Sql,
+    "st2_moments" -> st2Sql,
     "g6_mode" -> g6Sql,
     "w5_rank_stats" -> w5Sql,
     "w6_rolling_median" -> w6Sql,

@@ -149,6 +149,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("st2: moments match a driver-side exact-sum recompute") {
+    val rows = Stats.st2Moments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    rows.foreach { r =>
+      val xs = qty(r.getAs[String]("l_returnflag"))
+      val n = xs.length.toDouble
+      val mu = xs.sum.toDouble / n
+      val e2 = xs.map(x => x * x).sum.toDouble / n
+      val e3 = xs.map(x => x * x * x).sum.toDouble / n
+      val e4 = xs.map(x => x * x * x * x).sum.toDouble / n
+      val m2 = e2 - mu * mu
+      val m3 = e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu
+      val m4 = e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 -
+        3.0 * mu * mu * mu * mu
+      assert(r.getAs[Double]("skewness") === m3 / (math.sqrt(m2) * m2))
+      assert(r.getAs[Double]("excess_kurtosis") === m4 / (m2 * m2) - 3.0)
+      // uniform-ish quantities: near-zero skew, platykurtic
+      assert(math.abs(r.getAs[Double]("skewness")) < 0.5)
+      assert(r.getAs[Double]("excess_kurtosis") < 0.0)
+    }
+  }
+
   test("w8: top-80% customer counts match a driver-side recompute") {
     val rows = Stats.w8Pareto(spark, sf).collect()
     assert(rows.nonEmpty)
