@@ -665,6 +665,46 @@ object TrainPrep {
        |           + CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS waste_frac
        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ── batching-width tuning sweep ─────────────────────────────────────
+  /** Padding waste across a LADDER of batching widths in one corpus
+    * pass — the tuning query that picks [[tcLengthBuckets]]'s width:
+    * small bins waste little padding but fragment batches, wide bins
+    * the reverse. Each doc fans out once per candidate width (a
+    * narrow 4× Expand, partial-aggregated in the same stage), all
+    * arithmetic exact integers, waste as one division. */
+  def tcPaddingSweep(spark: SparkSession, dir: String,
+      widths: Seq[Int] = Seq(16, 32, 64, 128)): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("n_tok"), explode(lit(widths.toArray)).as("w"))
+      .withColumn("pad", expr("((n_tok - 1) div w + 1) * w - n_tok"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
+        sum("pad").as("padded_tok"))
+      .withColumn("waste_frac", col("padded_tok").cast("double") /
+        (col("padded_tok") + col("total_tok")).cast("double"))
+      .orderBy("w")
+
+  def tcPaddingSweepSql(widths: Seq[Int] = Seq(16, 32, 64, 128)): String =
+    s"""WITH sized AS (
+       |  SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+       |    AS n_tok
+       |  FROM documents),
+       |fanned AS (
+       |  SELECT n_tok, w,
+       |    ((n_tok - 1) // w + 1) * w - n_tok AS pad
+       |  FROM sized, unnest([${widths.mkString(", ")}]) AS t(w)
+       |  WHERE n_tok > 0)
+       |SELECT w, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       |  CAST(SUM(pad) AS BIGINT) AS padded_tok,
+       |  CAST(CAST(SUM(pad) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(pad) AS BIGINT)
+       |           + CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS waste_frac
+       |FROM fanned GROUP BY w ORDER BY w""".stripMargin
+
   // ── BPE merge induction ──────────────────────────────────────────────
   /** Byte-pair-encoding tokenizer training, the iterative corpus op:
     * each round counts adjacent symbol pairs corpus-wide, learns the
@@ -794,6 +834,8 @@ object TrainPrep {
       ((s: SparkSession, d: String) => tcBpeEncode(s, d)),
     "tc_length_buckets" ->
       ((s: SparkSession, d: String) => tcLengthBuckets(s, d)),
+    "tc_padding_sweep" ->
+      ((s: SparkSession, d: String) => tcPaddingSweep(s, d)),
     "ts_reservoir_topk" ->
       ((s: SparkSession, d: String) => tsReservoirTopk(s, d)),
     "tp_packing" -> ((s: SparkSession, d: String) => tpPacking(s, d)),
@@ -816,6 +858,7 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "tc_length_buckets" -> tcLengthBucketsSql(),
+    "tc_padding_sweep" -> tcPaddingSweepSql(),
     "ts_reservoir_topk" -> tsReservoirTopkSql(),
     "tp_packing" -> tpPackingSql(),
     "tp_quality_percentile" -> tpQualityPercentileSql(),

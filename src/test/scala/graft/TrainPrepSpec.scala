@@ -242,6 +242,20 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("padding sweep: width-32 row reconciles with the bucket report") {
+    val sweep = TrainPrep.tcPaddingSweep(spark, sf).collect()
+      .map(r => r.getAs[Int]("w") ->
+        (r.getAs[Long]("total_tok"), r.getAs[Long]("padded_tok"))).toMap
+    val buckets = TrainPrep.tcLengthBuckets(spark, sf, 32).collect()
+    assert(sweep(32)._1 === buckets.map(_.getAs[Long]("total_tok")).sum)
+    assert(sweep(32)._2 === buckets.map(_.getAs[Long]("padded_tok")).sum)
+    // waste grows with bin width; token totals are width-independent
+    val byW = sweep.toSeq.sortBy(_._1)
+    assert(byW.map(_._2._1).distinct.length === 1)
+    assert(byW.map(_._2._2).zip(byW.tail.map(_._2._2))
+      .forall { case (a, b) => a <= b })
+  }
+
   test("length buckets: every doc accounted, caps respected, waste sane") {
     val width = 32
     val rows = TrainPrep.tcLengthBuckets(spark, sf, width).collect()
