@@ -182,7 +182,43 @@ object TxOps {
        |  FROM feed)
        |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
 
+  // ── T15: transaction-size distribution ──────────────────────────────
+  /** The tx-buffer observability the reference's operator lacks: how
+    * big do transactions get (the T1 buffer is O(tx size) — its
+    * p-max IS the memory bound) and how long do they stay open (the
+    * abandoned-tx timeout must exceed the honest max span). Two-level:
+    * per-tx size/span first, then the (tiny) histogram; mean span is
+    * one exact-integer division. */
+  def t15TxSizeStats(spark: SparkSession, dir: String): DataFrame =
+    withTx(ChangeFeed.fromEvents(spark, dir))
+      .groupBy("user_id", "tx_seq")
+      .agg(count(lit(1)).as("sz"),
+        (max("ts_us") - min("ts_us")).as("span_us"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_txs"), sum("span_us").as("sum_span"),
+        max("span_us").as("max_span_us"))
+      .select(col("sz"), col("n_txs"),
+        (col("sz") * col("n_txs")).as("n_mutations"),
+        col("max_span_us"),
+        (col("sum_span").cast("double") / col("n_txs").cast("double"))
+          .as("mean_span_us"))
+      .orderBy("sz")
+
+  val t15Sql: String =
+    s"""WITH $withTxSql,
+       |per_tx AS (
+       |  SELECT user_id, tx_seq, COUNT(*) AS sz,
+       |    MAX(ts_us) - MIN(ts_us) AS span_us
+       |  FROM sessioned GROUP BY user_id, tx_seq)
+       |SELECT sz, COUNT(*) AS n_txs,
+       |  sz * COUNT(*) AS n_mutations,
+       |  CAST(MAX(span_us) AS BIGINT) AS max_span_us,
+       |  CAST(CAST(SUM(span_us) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean_span_us
+       |FROM per_tx GROUP BY sz ORDER BY sz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_tx_size_stats" -> (t15TxSizeStats _),
     "t1_tx_grouping" -> (t1TxGrouping _),
     "t2_commit_ts" -> (t2CommitTs _),
     "t3_txid_assign" -> (t3TxidAssign _),
@@ -191,6 +227,7 @@ object TxOps {
     "t9_latest_image" -> (t9LatestImage _))
 
   val oracles: Map[String, String] = Map(
+    "t15_tx_size_stats" -> t15Sql,
     "t1_tx_grouping" -> t1Sql,
     "t2_commit_ts" -> t2Sql,
     "t3_txid_assign" -> t3Sql,

@@ -86,4 +86,21 @@ class CdcOpsSpec extends SparkSpec {
     // snapshot rows are ts-less inserts; live rows all carry timestamps
     assert(u.filter(col("ts_us").isNull && col("op") =!= "insert").count() === 0)
   }
+
+  test("T15: tx size histogram accounts every mutation; spans consistent") {
+    val rows = graft.operators.TxOps.t15TxSizeStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.ChangeFeed.fromEvents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_mutations")).sum === total,
+      "every feed mutation belongs to exactly one transaction")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mutations") ===
+        r.getAs[Long]("sz") * r.getAs[Long]("n_txs"))
+      assert(r.getAs[Double]("mean_span_us") <=
+        r.getAs[Long]("max_span_us").toDouble)
+      if (r.getAs[Long]("sz") === 1L)
+        assert(r.getAs[Long]("max_span_us") === 0L,
+          "single-mutation transactions span zero time")
+    }
+  }
 }
