@@ -25,7 +25,15 @@ object Bench {
     // executions; the warm run measures steady-state execution
     // a failed query is reported as -1, never as its (misleadingly
     // fast) elapsed time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated allow-list for single-query iteration
+    // (dev loop only — the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()

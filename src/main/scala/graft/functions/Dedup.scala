@@ -60,44 +60,153 @@ object Dedup {
           .as("bigram"))
       .distinct()
 
-  // ── n-gram Jaccard ──────────────────────────────────────────────────
-  /** Exact bigram-set Jaccard over pairs blocked by `source` (the
-    * blocking key bounds the self-join: candidates only form inside a
-    * bucket, never across the whole corpus). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // join/shuffle on a 64-bit hash of the shingle, not the string —
-    // same set cardinalities (collision-free at corpus scale), a
-    // fraction of the shuffle bytes. The hashes come from the
-    // single-pass [[BigramShingleHashes]] expression (per-row distinct,
-    // no bigram strings materialized, no distinct() shuffle — the
-    // explode is the only wide child of the join).
-    val shingles = withShingleHashes(docs)
-      .select(col("doc_id"), col("source"),
-        explode(col("shingle_hashes")).as("bigram"))
-    val sizes = shingles.groupBy("doc_id")
-      .agg(count(lit(1)).as("set_size"))
-    val a = shingles.alias("a")
-    val b = shingles.alias("b")
-    val inter = a.join(b,
-        col("a.bigram") === col("b.bigram") &&
-        col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("set_size", "s1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("set_size", "s2"), "d2")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("s1") + col("s2") - col("n_common")).cast("double"))
+  // ── AllPairs/PPJoin candidate generation (shared) ───────────────────
+  /** Lossless candidate pairs for a Jaccard-threshold self-join over
+    * pre-built DISTINCT gram-hash sets — the generalized AllPairs /
+    * PPJoin machinery behind both exact-similarity queries. Input
+    * `sets` carries (doc_id, hs: array of distinct gram hashes,
+    * s = size(hs)) plus any blocking columns; the threshold is the
+    * exact rational tNum/tDen so every bound below is integer
+    * arithmetic, never a float ⌈⌉. Three lossless prunes stack:
+    *
+    *  - PREFIX filter (AllPairs): under one global gram order
+    *    (document frequency ascending, then gram — within a block when
+    *    blocked, which is consistent for any candidate pair since both
+    *    ends share the block), a pair with J ≥ t must share its rarest
+    *    common gram inside both docs' prefixes of length
+    *    `s − ⌈t·s⌉ + 1`: were every common gram outside A's prefix,
+    *    the overlap would be ≤ ⌈t·|A|⌉ − 1 < t·|A|, contradicting
+    *    J ≥ t ⇒ overlap ≥ t·|A|. Frequent grams sort to the suffix and
+    *    fall out of the join entirely — what kills the O(n²) gram-join
+    *    blowup at corpus scale.
+    *  - LENGTH filter: J ≥ t forces t·max(s1,s2) ≤ min(s1,s2);
+    *    applied inside the join condition (num·greatest ≤ den·least)
+    *    so size-mismatched docs never leave the join.
+    *  - POSITIONAL filter (PPJoin): the rarest common gram, sitting at
+    *    positions (i, j) of the frequency-sorted sets, bounds the
+    *    achievable overlap by 1 + min(s1−i, s2−j) (all other common
+    *    grams sort after it in BOTH docs). A shared prefix gram whose
+    *    bound falls below the minimum qualifying overlap
+    *    ⌈t(s1+s2)/(1+t)⌉ cannot witness the pair; a pair all of whose
+    *    shared prefix grams fail — in particular its rarest — cannot
+    *    reach t.
+    *
+    * Every prune is exactness-preserving (PropertySpec fuzzes both the
+    * 4-gram t=1/2 and bigram t=1/5 instantiations against brute
+    * force); candidates are then verified by one `array_intersect`
+    * over the full sets in [[verifiedJaccardPairs]]. */
+  def prefixFilteredCandidates(sets: DataFrame, tNum: Int, tDen: Int,
+      blockCols: Seq[String] = Nil,
+      spreadEnumeration: Boolean = false,
+      dedupCandidates: Boolean = true): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val bc = blockCols.map(col)
+    val grams = sets.select(
+      (col("doc_id") +: col("s") +: bc) :+ explode(col("hs")).as("g"): _*)
+    val dfreq = grams.groupBy(col("g") +: bc: _*)
+      .agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // prefix length = s − ⌈t·s⌉ + 1, with ⌈s·num/den⌉ = (s·num+den−1) div den
+    // the prefix index (doc, rank, prefix gram) is the reusable
+    // artifact of AllPairs — at scale it is materialized once per
+    // (corpus, threshold) and amortized across runs, the same pattern
+    // as the persisted MinHash signature table below
+    val prefixes = grams.join(dfreq, "g" +: blockCols)
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("s") - expr(s"int((s * $tNum + ${tDen - 1}) div $tDen)") + lit(1))
+      .select(col("doc_id") +: col("s") +: col("rn") +: col("g") +: bc: _*)
+      .persist()
+    val blockEq = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val lengthOk = lit(tNum.toLong) *
+      greatest(col("a.s"), col("b.s")).cast("long") <=
+      lit(tDen.toLong) * least(col("a.s"), col("b.s")).cast("long")
+    // ubound ≥ ⌈num(s1+s2)/(num+den)⌉ ⟺ ubound·(num+den) ≥ num·(s1+s2)
+    val positionalOk =
+      (lit(1L) + least(col("a.s") - col("a.rn"), col("b.s") - col("b.rn"))
+        .cast("long")) * lit((tNum + tDen).toLong) >=
+      lit(tNum.toLong) * (col("a.s") + col("b.s")).cast("long")
+    // when the gram vocabulary saturates (dense buckets — the caller
+    // knows), the self-join's probe side enumerates every within-bucket
+    // pair, and AQE's partition coalescing sizes partitions by BYTES
+    // (prefix rows are ~40 B), under-parallelizing the enumeration CPU:
+    // spread it across the configured shuffle parallelism explicitly.
+    // Sparse-vocab callers skip the extra exchange — their enumeration
+    // is already candidate-sized.
+    val spread =
+      if (spreadEnumeration) prefixes.repartition(
+        prefixes.sparkSession.sessionState.conf.numShufflePartitions)
+      else prefixes
+    val raw = spread.alias("a").join(spread.alias("b"),
+        col("a.g") === col("b.g") && blockEq &&
+        col("a.doc_id") < col("b.doc_id") && lengthOk && positionalOk)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // a pair sharing k prefix grams surfaces k times. Deduping HERE
+    // costs one pair-shuffle but keeps the verify stage (which carries
+    // the full hash arrays through its joins) candidate-sized — the
+    // right default when sets are wide. Callers whose verify kernel is
+    // cheap relative to a shuffle (saturated-vocab bigrams: ~50-element
+    // merge scans) skip it and dedupe AFTER the threshold filter, when
+    // the surviving set is tiny.
+    if (dedupCandidates) raw.distinct() else raw
+  }
+
+  /** Verification stage shared by the exact-similarity joins: join the
+    * candidate pairs back to the full sets, compute the exact Jaccard
+    * from one sorted-merge intersection count ([[SortedIntersectCount]]
+    * — callers must build `hs` sorted-distinct), and keep qualifying
+    * pairs. The candidate generator is a PLAN device — any lossless
+    * superset yields the identical result here. */
+  private def verifiedJaccardPairs(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("s").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("s").as("s2")), "d2")
+      .withColumn("n_common",
+        HashFunctions.sorted_intersect_count(col("h1"), col("h2")))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("s1") + col("s2") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "n_common", "s1", "s2", "jaccard")
+      .select(col("d1"), col("d2"), col("n_common"),
+        col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"),
+        col("jaccard"))
+
+  // ── n-gram Jaccard ──────────────────────────────────────────────────
+  /** Exact bigram-set Jaccard over pairs blocked by `source`, with
+    * candidate generation through the AllPairs prefix filter at the
+    * same rational threshold (t = 1/5). An earlier formulation joined
+    * the RAW gram lists blocked only by `source`; this corpus' bigram
+    * vocabulary saturates (~1k distinct bigrams over 256k gram rows at
+    * sf0.1), so raw candidates approached all-pairs-within-block
+    * (7.9M measured) and the join degraded quadratically with scale.
+    * Prefix + length + positional pruning is lossless regardless of
+    * vocabulary (PropertySpec fuzzes the bigram instantiation), and
+    * its candidate set is a strict subset of the raw gram join's, so
+    * the verified result — and the oracle — are unchanged.
+    *
+    * Gram hashes come from the single-pass [[BigramShingleHashes]]
+    * expression (per-row distinct, no bigram strings materialized);
+    * every shuffle in the plan carries 8-byte keys, never text. */
+  def ngramJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val sets = withShingleHashes(docs)
+      .select(col("doc_id"), col("source"),
+        array_sort(col("shingle_hashes")).as("hs")) // sorted for the merge-count verify
+      .withColumn("s", size(col("hs")))
+      .filter(col("s") > 0)
+      .persist() // feeds grams, dfreq and both verify joins
+    val cands = prefixFilteredCandidates(sets, tNum, tDen, Seq("source"),
+      spreadEnumeration = true, dedupCandidates = false)
+    verifiedJaccardPairs(cands, sets, tNum.toDouble / tDen.toDouble)
+      .distinct() // candidates arrive multiplicity-k; survivors are few
   }
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir), 0.2)
+    ngramJaccardPairs(Tables.documents(spark, dir), 1, 5)
       .orderBy("d1", "d2")
 
   val ddNgramJaccardSql: String =
@@ -157,31 +266,8 @@ object Dedup {
       .withColumn("s", size(col("hs")))
       .filter(col("s") > 0)
       .localCheckpoint() // reused by grams, df, and both verify joins
-    val grams = sets.select(col("doc_id"), col("s"),
-      explode(col("hs")).as("g"))
-    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefixes = grams.join(dfreq, "g")
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("s") - expr("int((s + 1) div 2)") + lit(1))
-      .select(col("doc_id"), col("g"))
-    val cands = prefixes.alias("a").join(prefixes.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cands
-      .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
-        col("s").as("s1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("hs").as("h2"),
-        col("s").as("s2")), "d2")
-      .withColumn("n_common", size(array_intersect(col("h1"), col("h2")))
-        .cast("long"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("s1") + col("s2") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= 0.5d)
-      .select(col("d1"), col("d2"), col("n_common"),
-        col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"),
-        col("jaccard"))
+    val cands = prefixFilteredCandidates(sets, 1, 2)
+    verifiedJaccardPairs(cands, sets, 0.5d)
   }
 
   def ddPrefixJaccard(spark: SparkSession, dir: String): DataFrame =

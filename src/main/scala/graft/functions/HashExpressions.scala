@@ -179,6 +179,59 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long],
     copy(child = c)
 }
 
+/** Count of common elements between two SORTED-ASCENDING arrays of
+  * distinct longs — the verification kernel of the exact-similarity
+  * joins (|A ∩ B| for Jaccard). One linear merge scan per row: no
+  * per-row hash set, no intermediate result array — replaces
+  * `size(array_intersect(a, b))`, which builds an OpenHashSet AND a
+  * result array per candidate pair and measured 1.3 s of a 2.6 s
+  * query at sf0.1 on 358k candidates. Callers own the contract that
+  * both inputs are sorted and distinct (`array_sort(array_distinct …)`
+  * at set build); unsorted input silently undercounts, so the
+  * gram-set builders are the only call sites.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx < vy) i += 1
+      else if (vx > vy) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i); long $vy = $b.getLong($j);
+         |  if ($vx < $vy) $i++;
+         |  else if ($vx > $vy) $j++;
+         |  else { $n++; $i++; $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object HashFunctions {
   val DefaultBase: Long = 1000003L
 
@@ -200,6 +253,11 @@ object HashFunctions {
   /** Column-level SimHash over an array<long> of token hashes. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  /** |A ∩ B| over two sorted-distinct array<long> columns. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-level MinHash signature over an array<long> of shingle
     * hashes. */

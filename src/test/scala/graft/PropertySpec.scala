@@ -286,4 +286,41 @@ class PropertySpec extends SparkSpec {
         s"prefix filter lost or invented pairs on: ${texts.take(3)}…")
     }
   }
+
+  test("bigram jaccard via prefix filter: lossless vs brute force, " +
+      "blocked by source") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // bigram vocabulary saturates by construction (4 words → ≤16
+    // bigrams), the regime where the raw gram join went all-pairs —
+    // the prefix+length+positional prunes must stay lossless there
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val genDoc = Gen.chooseNum(0, 25)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val genRow = for {
+      t <- genDoc; s <- Gen.oneOf("web", "book")
+    } yield (t, s)
+    val genCorpus = Gen.chooseNum(3, 18).flatMap(n => Gen.listOfN(n, genRow))
+    samples(genCorpus, 5).foreach { base =>
+      val rows = base ++ base.take(2) // planted exact duplicates
+      val df = rows.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.ngramJaccardPairs(df, 1, 5).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+          r.getAs[Long]("n_common")).toMap
+      val sets = rows.zipWithIndex.map { case ((t, s), i) =>
+        (i.toLong, s, t.split("\\s+", -1)
+          .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet)
+      }.filter(_._3.nonEmpty)
+      val expected = (for {
+        (d1, src1, s1) <- sets; (d2, src2, s2) <- sets
+        if d1 < d2 && src1 == src2
+        i = (s1 & s2).size
+        if i > 0 && i.toDouble / (s1.size + s2.size - i) >= 0.2
+      } yield (d1, d2) -> i.toLong).toMap
+      assert(got === expected,
+        s"bigram prefix filter lost or invented pairs on: ${rows.take(3)}…")
+    }
+  }
 }
