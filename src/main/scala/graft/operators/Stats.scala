@@ -262,10 +262,13 @@ object Stats {
     * of them: state per window slot is one day's active set — bounded
     * by daily actives, not by the stream — and the raw feed reduces to
     * (type, day) with map-side partials before any window runs. At a
-    * scale where exact WAU sets blow past executor memory the drop-in
-    * replacement is the mergeable HLL sketch ([[Sketches]]
-    * `sk_hll_union` shows exactly that re-aggregation); this operator
-    * is the exact baseline the sketch is judged against. */
+    * scale where exact WAU sets blow past executor memory (a day of
+    * actives at 100 TB is 10^8 users — a multi-GB single row here) the
+    * drop-in replacement is [[w7bRollingActivesSketch]]: per-day HLL
+    * sketches union-merged over the same window, 4 KB of state per
+    * window slot at any corpus size. This operator is the exact
+    * baseline the sketch twin is judged against (StatsSpec asserts
+    * every w7b estimate lands within HLL error of these values). */
   def w7RollingActives(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, 0)
@@ -280,6 +283,34 @@ object Stats {
         size(array_distinct(flatten(collect_list(col("users")).over(w)))))
       .select(col("event_type"), col("day"), col("n_events"),
         col("dau"), col("wau"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Sketch-windowed DAU/WAU — [[w7RollingActives]]'s 100 TB shape.
+    * Each (event_type, day) aggregates one HLL++ sketch (lgK=14,
+    * ~16 KB, ~0.8% rel. std. error) with map-side partial merges, so
+    * the shuffle carries sketches, never user sets; the 7-day window
+    * then `hll_union_agg`s seven fixed-size sketches per output row —
+    * state is O(window · sketch), independent of how many users a day
+    * has. DAU is estimated from the same sketch (one build feeds both),
+    * so a day's column pair is internally consistent. Estimates are
+    * DataSketches-deterministic (same input set → same sketch), but
+    * not SQL-expressible — declared rows-only; StatsSpec pins every
+    * estimate within HLL error of the exact twin. */
+  def w7bRollingActivesSketch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .withColumn("day",
+        floorDiv(expr("unix_micros(ts)"), 86400000000L))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .withColumn("dau_est", expr("hll_sketch_estimate(sk)"))
+      .withColumn("wsk", expr("hll_union_agg(sk, false)").over(w))
+      .withColumn("wau_est", expr("hll_sketch_estimate(wsk)"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("dau_est"), col("wau_est"))
       .orderBy("event_type", "day")
   }
 
@@ -468,6 +499,7 @@ object Stats {
     "w5_rank_stats" -> (w5RankStats _),
     "w6_rolling_median" -> (w6RollingMedian _),
     "w7_rolling_actives" -> (w7RollingActives _),
+    "w7b_rolling_actives_sketch" -> (w7bRollingActivesSketch _),
     "w8_pareto" -> (w8Pareto _),
     "gr_pagerank" -> (grPagerank _))
 
