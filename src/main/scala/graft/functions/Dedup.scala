@@ -302,10 +302,62 @@ object Dedup {
       |    / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  // ── hot-bucket-capped within-bucket self-join ───────────────────────
+  /** Every LSH-family candidate generator is "self-join rows sharing a
+    * bucket key"; one degenerate bucket (boilerplate text, empty-doc
+    * signatures, a zero embedding) puts n rows in one reducer and its
+    * n²/2 pair enumeration on one task — the classic 100 TB melt. This
+    * wrapper bounds per-task work with the triangle-block scheme
+    * (Okcan & Riedewald's 1-bucket-theta decomposition), losing NO
+    * pairs:
+    *
+    *  - buckets with n ≤ cap join as one block — zero overhead;
+    *  - larger buckets hash rows into g = ⌈n/cap⌉ groups; each row
+    *    replicates to the g blocks {(min(grp,x), max(grp,x))}. A cross
+    *    pair (grp i ≠ j) shares EXACTLY one block, (min(i,j),max(i,j))
+    *    — a common block's coordinate set must equal {i,x} and {j,y},
+    *    forcing {i,j} — so no dedup is needed for cross pairs;
+    *    same-group pairs share all g of their blocks, so the join
+    *    condition restricts them to the diagonal (grp,grp). Each
+    *    unordered pair therefore joins exactly once, and a block holds
+    *    rows of at most two hash-groups — expected ≤ 2·cap rows, so
+    *    enumeration per task is O(cap²) no matter how hot the bucket.
+    *
+    * Returns the raw two-sided join aliased `a`/`b` (payload columns
+    * intact) with `id(a) < id(b)`; callers select/verify as usual.
+    * DedupSpec plants a hot bucket and proves the pair set equals the
+    * uncapped join's, and that no block exceeds the 2·cap-scale bound. */
+  def cappedBucketSelfJoin(rows: DataFrame, idCol: String,
+      keyCols: Seq[String], cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val tagged = rows
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__g", expr(s"int((__n + ${cap - 1}) div $cap)"))
+      .withColumn("__grp",
+        pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+      .withColumn("__x", explode(sequence(lit(0), col("__g") - 1)))
+      .withColumn("__bi", least(col("__grp"), col("__x")))
+      .withColumn("__bj", greatest(col("__grp"), col("__x")))
+      .drop("__x", "__n", "__g")
+    val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    tagged.alias("a").join(tagged.alias("b"),
+      keyEq &&
+      col("a.__bi") === col("b.__bi") && col("a.__bj") === col("b.__bj") &&
+      col(s"a.$idCol") < col(s"b.$idCol") &&
+      (col("a.__grp") =!= col("b.__grp") ||
+        (col("a.__bi") === col("a.__grp") &&
+         col("a.__bj") === col("a.__grp"))))
+  }
+
   // ── MinHash + LSH ───────────────────────────────────────────────────
   val MinHashK = 32 // signature width
   val LshBands = 8 // → 4 rows per band; P(candidate) ≈ 1-(1-j^4)^8
   val MinHashPrime = 2147483647L // 2^31-1
+  /** Per-bucket row cap for LSH candidate joins: a block tops out near
+    * 2·cap rows → ≤ ~2·cap² comparisons per task. */
+  val LshBucketCap = 4096
 
   /** Deterministic per-function coefficients (odd multipliers; < 2^23
     * so the prime-field product stays ANSI-safe). */
@@ -347,8 +399,11 @@ object Dedup {
   }
 
   /** Candidate pairs from shared LSH buckets, verified with exact
-    * Jaccard over the shingle-hash sets. */
-  def minhashDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * Jaccard over the shingle-hash sets. The bucket self-join runs
+    * through [[cappedBucketSelfJoin]], so one degenerate bucket cannot
+    * concentrate its quadratic enumeration on a single task. */
+  def minhashDuplicatePairs(docs: DataFrame, threshold: Double,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     // signatures feed both the bucket join and the verification join —
     // persist so the shingle/signature computation runs once (at real
     // scale this is a materialized signature table; within a session
@@ -358,11 +413,9 @@ object Dedup {
       .select("doc_id", "shingle_hashes", "signature")
       .persist()
     val buckets = lshBuckets(signed)
-    val cands = buckets.alias("x").join(buckets.alias("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val cands = cappedBucketSelfJoin(buckets, "doc_id",
+        Seq("band", "bucket"), bucketCap)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val sets = signed.select(col("doc_id"), col("shingle_hashes"))
     cands

@@ -231,12 +231,15 @@ object Similarity {
     * brute-force-within-bucket. No SQL oracle (double cosine
     * accumulation is engine-specific). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      bits: Int = NearDupBits): DataFrame = {
+      bits: Int = NearDupBits,
+      bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
     val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
       "embedding", bits)
-    v.alias("a").join(v.alias("b"),
-        col("a.lsh_key") === col("b.lsh_key") &&
-        col("a.vec_id") < col("b.vec_id"))
+    // hot-bucket safety: a degenerate key (zero/boilerplate embeddings
+    // all hashing alike) would put one bucket's n²/2 cosine evaluations
+    // on a single task; the capped join triangle-splits such buckets
+    // without losing a single pair (see [[Dedup.cappedBucketSelfJoin]])
+    Dedup.cappedBucketSelfJoin(v, "vec_id", Seq("lsh_key"), bucketCap)
       .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),

@@ -162,6 +162,46 @@ class DedupSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hot bucket: capped LSH join equals the uncapped pair set, blocks bounded") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 60 identical docs share every LSH bucket in every band — the
+    // degenerate boilerplate bucket; plus normal docs and a near-dup
+    // pair that must still surface
+    val boiler = (0 until 60).map(i =>
+      (1000L + i, "the same boilerplate footer text repeated verbatim"))
+    val normal = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely unrelated content about other things entirely"))
+    val docs = (boiler ++ normal).toDF("doc_id", "text")
+      .withColumn("source", lit("web"))
+    val capped = functions.Dedup.minhashDuplicatePairs(docs, 0.2, bucketCap = 8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val uncapped = functions.Dedup
+      .minhashDuplicatePairs(docs, 0.2, bucketCap = Int.MaxValue)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped, "triangle split must not lose or invent pairs")
+    assert(capped.size >= 60 * 59 / 2, "the boilerplate clique must survive")
+    // per-task bound: no (band, bucket, bi, bj) block may hold more than
+    // ~2·cap rows (two hash-groups of expected size ≤ cap, with slack
+    // for hash imbalance at this tiny n)
+    val signed = functions.Dedup.withSignature(
+      functions.Dedup.withShingleHashes(docs))
+      .select("doc_id", "shingle_hashes", "signature")
+    val buckets = functions.Dedup.lshBuckets(signed)
+    val cap = 8
+    val blockSizes = functions.Dedup
+      .cappedBucketSelfJoin(buckets, "doc_id", Seq("band", "bucket"), cap)
+      .select(col("a.band"), col("a.bucket"), col("a.__bi"), col("a.__bj"),
+        col("a.doc_id"))
+      .distinct() // distinct left-side rows per block
+      .groupBy("band", "bucket", "__bi", "__bj").count()
+      .agg(max("count")).as[Long].head()
+    assert(blockSizes <= 4L * cap,
+      s"a block holds $blockSizes rows — the cap is not bounding tasks")
+  }
+
   test("prefix jaccard EQUALS the brute-force all-pairs join (lossless)") {
     val docs = Tables.documents(spark, sf)
     val got = Dedup.prefixJaccardPairs(docs).collect()
