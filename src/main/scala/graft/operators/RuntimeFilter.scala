@@ -36,40 +36,69 @@ import QueryUtil._
   */
 object RuntimeFilter {
 
-  /** log2 of the Bloom bitset size. 2^17 bits = 16 KB; at ~3k urgent
-    * build keys (sf0.01) the false-positive rate is ≈0.2%. Size the
-    * bitset ~40 bits/key for sub-1% fp at larger builds. */
-  val BitsLog2 = 17
-  val NBits: Long = 1L << BitsLog2
+  /** Bits budgeted per build key. With k=2 probes the false-positive
+    * rate is (1 − e^(−k·n/m))^k; at m = 32·n that is
+    * (1 − e^(−1/16))² ≈ 0.37%, and rounding m UP to a power of two
+    * only lowers it. (An earlier revision fixed m = 2^17, which was
+    * correct at any scale — false positives die in the exact join —
+    * but silently degraded to a no-op filter once n ≫ 10⁴.) */
+  val BitsPerKey = 32
+  /** Above this bitset size (2^27 bits = 16 MB of filter literal per
+    * task) a Bloom stops paying for itself against the scan it prunes:
+    * fall back to no filter rather than ship a giant literal. */
+  val MaxBits: Long = 1L << 27
   private val Seeds = Seq(1, 2)
 
-  private def pos(key: Column, seed: Int): Column =
-    pmod(xxhash64(key, lit(seed)), lit(NBits))
+  /** A built runtime filter: the bitset plus its size (always a power
+    * of two so `pos` stays a cheap mask-equivalent pmod). */
+  final case class BloomBits(bits: Array[Long], nBits: Long)
 
-  /** Fold the build-side keys into the 2048-word bitset. */
-  def buildBloom(keys: DataFrame, keyCol: String): Array[Long] = {
-    val nWords = (NBits / 64).toInt
+  private def pos(key: Column, seed: Int, nBits: Long): Column =
+    pmod(xxhash64(key, lit(seed)), lit(nBits))
+
+  /** Fold the build-side keys into a bitset sized from the build-side
+    * cardinality: one `count()` (cheap — a single agg over the build
+    * side the join reads anyway), m = next power of two ≥ n·BitsPerKey,
+    * positions fold to one `bit_or` word per 64 bits with map-side
+    * partials. Like IVF centroids, the bitset is MODEL STATE on the
+    * driver, never data. Returns None when the sized bitset would
+    * exceed [[MaxBits]] — the caller then runs the plain join. */
+  def buildBloom(keys: DataFrame, keyCol: String,
+      bitsPerKey: Int = BitsPerKey,
+      maxBits: Long = MaxBits): Option[BloomBits] = {
+    val n = keys.count()
+    val target = math.max(64L, n * bitsPerKey.toLong)
+    if (target > maxBits) return None
+    val nBits = java.lang.Long.highestOneBit(math.max(64L, target - 1)) << 1
+    val nWords = (nBits / 64).toInt
     val words = keys
-      .select(explode(array(Seeds.map(s => pos(col(keyCol), s)): _*))
-        .as("p"))
+      .select(explode(array(Seeds.map(s =>
+        pos(col(keyCol), s, nBits)): _*)).as("p"))
       .select(expr("int(p div 64)").as("w"),
         expr("shiftleft(1L, int(p % 64))").as("b"))
       .groupBy("w").agg(expr("bit_or(b)").as("bits"))
       .collect()
     val bits = new Array[Long](nWords)
     words.foreach(r => bits(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
-    bits
+    Some(BloomBits(bits, nBits))
   }
 
   /** Membership test against the literal bitset — all codegen'd
     * integer ops, no UDF, evaluated in the scan stage. */
-  def mightContain(bits: Array[Long], key: Column): Column =
+  def mightContain(bloom: BloomBits, key: Column): Column =
     Seeds.map { s =>
-      val p = pos(key, s)
-      val word = element_at(lit(bits), floorDiv(p, 64L).cast("int") + lit(1))
+      val p = pos(key, s, bloom.nBits)
+      val word =
+        element_at(lit(bloom.bits), floorDiv(p, 64L).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
+
+  /** Apply the Bloom pre-filter when one was built; identity when the
+    * build side was too big to size a useful bitset. */
+  def bloomFiltered(probe: DataFrame, key: Column,
+      bloom: Option[BloomBits]): DataFrame =
+    bloom.fold(probe)(b => probe.filter(mightContain(b, key)))
 
   /** Revenue by return flag for lineitems of urgent orders — the probe
     * side is Bloom-pruned before the exact semi join. The oracle is the
@@ -78,9 +107,8 @@ object RuntimeFilter {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bits = buildBloom(urgent, "o_orderkey")
-    Tables.lineitem(spark, dir)
-      .filter(mightContain(bits, col("l_orderkey")))
+    val bloom = buildBloom(urgent, "o_orderkey")
+    bloomFiltered(Tables.lineitem(spark, dir), col("l_orderkey"), bloom)
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),

@@ -23,7 +23,7 @@ class RuntimeFilterSpec extends SparkSpec {
   }
 
   test("bloom membership: zero false negatives, real pruning") {
-    val bits = RuntimeFilter.buildBloom(urgent, "o_orderkey")
+    val bits = RuntimeFilter.buildBloom(urgent, "o_orderkey").get
     val li = Tables.lineitem(spark, sf)
     val matching = li.join(urgent,
       col("l_orderkey") === col("o_orderkey"), "left_semi")
@@ -36,5 +36,35 @@ class RuntimeFilterSpec extends SparkSpec {
       .filter(RuntimeFilter.mightContain(bits, col("l_orderkey"))).count()
     assert(passed >= matching.count())
     assert(passed < li.count())
+  }
+
+  test("bloom sizing: FPR stays under 1% at three build sizes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // m = 32·n rounded up to a power of two with k=2 probes gives
+    // (1 − e^(−1/16))² ≈ 0.37% theoretical FPR; assert < 1% with
+    // disjoint probe keys (probes can never be true members)
+    Seq(100L, 5000L, 100000L).foreach { n =>
+      val build = spark.range(0L, n).select(col("id").as("k"))
+      val bloom = RuntimeFilter.buildBloom(build, "k").get
+      assert(bloom.nBits >= 32L * n && bloom.nBits < 128L * n,
+        s"n=$n sized ${bloom.nBits} bits")
+      val probes = 200000L
+      val fp = spark.range(1000000L, 1000000L + probes)
+        .filter(RuntimeFilter.mightContain(bloom, col("id"))).count()
+      assert(fp.toDouble / probes < 0.01,
+        s"n=$n: $fp false positives over $probes probes")
+    }
+  }
+
+  test("bloom sizing: falls back to no-filter above the bit cap") {
+    val build = spark.range(0L, 10000L).select(col("id").as("k"))
+    // cap below n·bitsPerKey → refuse to build; caller runs plain join
+    assert(RuntimeFilter.buildBloom(build, "k",
+      maxBits = 10000L * RuntimeFilter.BitsPerKey - 1).isEmpty)
+    // the identity application leaves the probe untouched
+    val li = Tables.lineitem(spark, sf)
+    assert(RuntimeFilter.bloomFiltered(li, col("l_orderkey"), None)
+      .count() === li.count())
   }
 }
