@@ -7,11 +7,10 @@ import java.nio.file.{Files, Paths}
   * queries, with the scale-relevant features called out. Regenerate
   * with: sbt "runMain graft.Plans PLANS.md" */
 object Plans {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("PLANS.md")
-    val spark = GraftSession.get("8")
-    val dir = "/root/testdata/sf0.01"
-    val sections = Seq(
+  /** The headline plans — shared by the PLANS.md writer and
+    * PlanAuditSpec's whole-suite audits (BNLJ whitelist). */
+  def sections(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
       ("q1_pricing_summary",
         "single scan; partial (map-side) aggregation before one 6-key shuffle",
         operators.Relational.q1PricingSummary(spark, dir)),
@@ -97,12 +96,17 @@ object Plans {
       ("dc2_fuzzy_decontamination",
         "cross-set prefix-filtered similarity join: candidates only where train and eval prefix grams meet",
         functions.TrainPrep.dc2FuzzyDecontamination(spark, dir)))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("PLANS.md")
+    val spark = GraftSession.get("8")
+    val dir = "/root/testdata/sf0.01"
     val md = new StringBuilder
     md.append("# Physical plans of headline queries\n\n")
     md.append("Generated by `graft.Plans` at sf0.01. The `*(n)` prefix ")
     md.append("marks operators fused into WholeStageCodegen; these shapes ")
     md.append("are locked by `PlanAuditSpec`.\n")
-    sections.foreach { case (name, note, df) =>
+    sections(spark, dir).foreach { case (name, note, df) =>
       md.append(s"\n## $name\n\n_${note}_\n\n```\n")
       md.append(df.queryExecution.executedPlan.toString.take(4000))
       md.append("\n```\n")

@@ -537,7 +537,7 @@ object TextAnalysis {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(nDocs)
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * (col("n_docs") + lit(1L))).cast("double") /
           (col("df") + lit(1L)).cast("double"))

@@ -286,4 +286,36 @@ class PlanAuditSpec extends SparkSpec {
       "bloom Filter sits under the join in the plan tree:\n" + p)
     assert(p.contains("shiftleft"), "bitset test is integer algebra:\n" + p)
   }
+
+  test("suite-wide: BroadcastNestedLoopJoin only where the build is a 1-row scalar") {
+    // A BNLJ is O(left·right) per task — acceptable ONLY when one side
+    // is a 1-row aggregate (a global count, a threshold, corpus stats).
+    // Every headline plan is enumerated; any BNLJ outside this
+    // whitelist is a scale regression, not a style issue.
+    val scalarBuildWhitelist = Set(
+      "q22_global_sales", // global threshold row joined back to cohort
+      "ta_bm25", // corpus avg-length row
+      "ts_temperature", // mixture normalizer row
+      "sim_rrf_fusion", // query row with its int8 codes
+      "ta_tfidf", // corpus doc-count row
+      "lay_file_skip", // corpus z-bounds row
+      "tp_quality_calibration" // score quantile row
+    )
+    val offenders = graft.Plans.sections(spark, sf).flatMap {
+      case (name, _, df) =>
+        val p = plan(df)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+        if (bnlj > 0 && !scalarBuildWhitelist.exists(name.startsWith))
+          Some(s"$name ($bnlj BNLJ)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar BroadcastNestedLoopJoin in headline plans: $offenders")
+    // CartesianProduct is never acceptable in a headline plan
+    val cartesian = graft.Plans.sections(spark, sf).flatMap {
+      case (name, _, df) =>
+        if (plan(df).contains("CartesianProduct")) Some(name) else None
+    }
+    assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
+  }
 }
