@@ -39,11 +39,17 @@ object Pq {
     * only. Seeds: the k lowest vec_ids' subvectors (deterministic).
     * Subspace assignments are independent, so joint training visits
     * the same (subspace, code) cells per-subspace training would;
-    * empty cells retain their previous codeword, and the `avg` fold
-    * accumulates doubles in partition order, so codebooks are
-    * structurally deterministic but not bit-stable across cluster
-    * layouts — acceptable for an approximate index whose shortlist is
-    * exactly re-ranked downstream. */
+    * empty cells retain their previous codeword. The mean fold is
+    * BIT-STABLE across cluster layouts: per-cell contributions are
+    * summed as integers scaled by 2^32 (long addition commutes — an
+    * earlier `avg` accumulated doubles in partition order), and the
+    * mean is one fixed-order double formula from (Σscaled, n). The
+    * 2^-32 quantization of each contribution is ~10^-10 relative — far
+    * below k-means' own convergence tolerance — and the scaled sum
+    * stays in int64 up to ~10^8 training rows per cell (train on a
+    * bounded sample at 100 TB, as any PQ deployment does). PqSpec
+    * asserts identical codebooks and identical ANN output across
+    * different data layouts and shuffle parallelisms. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int)
       : Array[Array[Array[Double]]] = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
@@ -71,17 +77,22 @@ object Pq {
             array_min(array(entries.toSeq: _*)).getField("c").as("code"),
             subCol(j, sub).as("v"))
         }
+        val scale = 4294967296.0d // 2^32
         val means = cached
           .select(explode(array(contribs: _*)).as("s"))
           .select(col("s.j").as("j"), col("s.code").as("code"),
             posexplode(col("s.v")).as(Seq("dim", "x")))
-          .groupBy("j", "code", "dim").agg(avg("x").as("mean"))
+          .groupBy("j", "code", "dim")
+          .agg(sum(floor(col("x") * lit(scale) + lit(0.5d)).cast("long"))
+            .as("ssum"), count(lit(1)).as("n"))
           .collect()
         // empty cells keep their previous codeword (standard Lloyd)
         val next = books.map(_.map(_.clone()))
         means.foreach { r =>
+          val mean = r.getAs[Long]("ssum").toDouble /
+            r.getAs[Long]("n").toDouble / scale
           next(r.getAs[Int]("j"))(r.getAs[Int]("code"))(
-            r.getAs[Int]("dim")) = r.getAs[Double]("mean")
+            r.getAs[Int]("dim")) = mean
         }
         books = next
       }

@@ -79,6 +79,34 @@ class PqSpec extends SparkSpec {
       "ADC shortlist stage must not scan the raw vectors")
   }
 
+  test("codebooks and ANN output are bit-identical across layouts") {
+    val emb = Tables.embeddings(spark, sf)
+    // different partition layouts feed the training fold in different
+    // orders; the integer-scaled sums must erase that
+    val b1 = Pq.trainCodebooks(emb.repartition(3), m = 4, k = 16, iters = 2)
+    val b2 = Pq.trainCodebooks(emb.repartition(11), m = 4, k = 16, iters = 2)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ===
+      b2.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must be bit-stable across partitionings")
+    // and the declared query is row-identical across shuffle widths
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[(Long, Long, Double, Int)] = {
+      val sparkS = spark
+      import sparkS.implicits._
+      Pq.simPq(spark, sf)
+        .select("q_id", "c_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    }
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      val r5 = run()
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      assert(r5 === r16, "PQ ANN output must not depend on parallelism")
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("pq recall query: equals the exact/approx top-k intersection") {
     val sparkS = spark
     import sparkS.implicits._
