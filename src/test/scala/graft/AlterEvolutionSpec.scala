@@ -1,0 +1,126 @@
+package graft
+
+import graft.avro.{AvroSubjects, CachingSchemaRepoClient, HttpSchemaRepo,
+  SchemaRegistry, SchemaRepoHttp}
+import graft.functions.{AvroCodec, Envelope}
+import graft.streaming.{CdcStream, TxPipeline}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Mid-stream ALTER schema evolution driven through a RUNNING pipe —
+  * the reference's `KafkaAlterSpec` scenario (`mypipe-kafka/src/test/
+  * scala/mypipe/kafka/KafkaAlterSpec.scala:54-94`: add `email` while
+  * the pipeline runs, decode v2 records without a restart), with the
+  * schema repository reached over a real loopback HTTP wire so the
+  * consumer's flush-on-miss retry exercises the full transport. */
+class AlterEvolutionSpec extends SparkSpec {
+
+  private def specificSchema(fields: Seq[String]): String = {
+    val fs = fields.map(f =>
+      s"""{"name":"$f","type":["null","string"],"default":null}""")
+    s"""{"type":"record","name":"user_insert","namespace":"graft.testdb",""" +
+      s""""fields":[${fs.mkString(",")}]}"""
+  }
+
+  test("T7 end-to-end: ALTER mid-stream; generic absorbs, specific re-resolves; no restart") {
+    val backing = new SchemaRegistry
+    val server = SchemaRepoHttp.serve(backing)
+    try {
+      val url = SchemaRepoHttp.baseUrl(server)
+      val producerRepo = new HttpSchemaRepo(url)
+      val subj = AvroSubjects.specific("testdb", "user", "insert")
+
+      // producer startup: specific v1 on the wire (reference producers
+      // register per-table schemas before publishing)
+      val v1 = specificSchema(Seq("id", "name"))
+      val specificIdV1 = producerRepo.register(subj, v1)
+
+      // the running pipe: events → tx grouping → framed Avro values
+      // (the kafka VALUE projection) → memory sink, processing-time
+      // trigger — this is PipeAssembly's kafka route minus the broker
+      val sparkS = spark
+      import sparkS.implicits._
+      val input = MemoryStream[TxPipeline.ChangeEvent](spark)
+      val framed = CdcStream.kafkaFrame(
+        TxPipeline.groupByTransaction(input.toDS()),
+        producerRepo, "changelog_${conn}_generic")
+      val chk = java.nio.file.Files.createTempDirectory("alterchk").toString
+      val q = framed.writeStream.format("memory").queryName("alter_pipe")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.ProcessingTime("1 second")).start()
+      try {
+        // consumer side: caching client over the SAME wire, primed on v1
+        val consumer = new CachingSchemaRepoClient(new HttpSchemaRepo(url))
+        assert(consumer.schemaById(specificIdV1) === Some(v1))
+
+        // phase 1: schema-v1 mutations
+        input.addData(TxPipeline.ChangeEvent(1, 1, "mutation", "insert",
+          "u1", 100L, Map("id" -> "7", "name" -> "alice")))
+        q.processAllAvailable()
+        val genericVersionsBefore = backing.versionCount("generic_txmutation")
+        assert(genericVersionsBefore === 1)
+
+        // phase 2: ALTER TABLE testdb.user ADD COLUMN email lands while
+        // the query RUNS — the driver-side handler registers specific
+        // v2 out-of-band (T7); the pipe itself is not touched
+        val v2 = specificSchema(Seq("id", "name", "email"))
+        val specificIdV2 = producerRepo.register(subj, v2)
+        assert(specificIdV2 !== specificIdV1)
+        input.addData(TxPipeline.ChangeEvent(1, 2, "mutation", "insert",
+          "u2", 200L, Map("id" -> "8", "name" -> "bob",
+            "email" -> "bob@example.com")))
+        q.processAllAvailable()
+        assert(q.isActive && q.exception.isEmpty,
+          "the pipe must absorb the ALTER without restarting")
+
+        // generic path: the envelope schema is map-typed, so the new
+        // column is just another map entry — NO version bump, and both
+        // generations decode with the SAME writer schema id
+        assert(backing.versionCount("generic_txmutation") === 1,
+          "generic subject must not version on ALTER")
+        val st = StructType(Seq(
+          StructField("conn", LongType), StructField("seq", LongType),
+          StructField("txid", StringType), StructField("op", StringType),
+          StructField("pk", StringType), StructField("commitTsUs", LongType),
+          StructField("payload", MapType(StringType, StringType))))
+        val decoded = spark.table("alter_pipe")
+          .withColumn("sid", Envelope.sliceSchemaId(col("value")))
+          .withColumn("d", AvroCodec.decode(Envelope.slicePayload("value"),
+            CdcStream.txMutationSchemaJson, st))
+          .select(col("sid"), col("d.pk").as("pk"),
+            col("d.payload").as("payload"))
+          .collect().map(r => r.getAs[String]("pk") -> r).toMap
+        assert(decoded.keySet === Set("u1", "u2"))
+        assert(decoded("u1").getAs[Int]("sid") ===
+          decoded("u2").getAs[Int]("sid"), "one generic schema id for both")
+        val p1 = decoded("u1").getAs[Map[String, String]]("payload")
+        val p2 = decoded("u2").getAs[Map[String, String]]("payload")
+        assert(!p1.contains("email") && p2("email") === "bob@example.com",
+          "post-ALTER column arrives as a new map entry")
+
+        // specific path: the consumer's snapshot predates the ALTER, so
+        // v2's id misses → one flush + one HTTP re-fetch resolves it
+        // (reference KafkaAvroDecoder.scala:61-64 retry dance)
+        assert(consumer.cachedSchemaById(specificIdV2) === None,
+          "pre-ALTER snapshot must miss the v2 id")
+        val resolved = CachingSchemaRepoClient
+          .resolveWithRetry(consumer, specificIdV2)
+        assert(resolved === Some(v2))
+        assert(consumer.flushes === 1)
+
+        // and the re-resolved v2 schema decodes a v2 record, email included
+        val v2st = StructType(Seq(StructField("id", StringType),
+          StructField("name", StringType), StructField("email", StringType)))
+        val row = Seq(("8", "bob", "bob@example.com"))
+          .toDF("id", "name", "email")
+          .select(AvroCodec.encode(
+            struct(col("id"), col("name"), col("email")), v2).as("env"))
+          .select(AvroCodec.decode(col("env"), resolved.get, v2st).as("d"))
+          .select("d.id", "d.name", "d.email").collect().head
+        assert(row.getString(2) === "bob@example.com")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+}
