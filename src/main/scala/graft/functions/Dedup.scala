@@ -330,9 +330,15 @@ object Dedup {
   def cappedBucketSelfJoin(rows: DataFrame, idCol: String,
       keyCols: Seq[String], cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    // bucket sizes as an aggregate joined back (NOT a window): the agg
+    // shuffles only 8-byte keys with map-side combine and the join back
+    // broadcasts whenever the bucket table is small — a window count
+    // would shuffle every bucket row just to annotate it, and the
+    // self-join re-shuffles on the extended key anyway
+    val sizes = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
     val tagged = rows
-      .withColumn("__n", count(lit(1)).over(w))
+      .join(sizes, keyCols)
       .withColumn("__g", expr(s"int((__n + ${cap - 1}) div $cap)"))
       .withColumn("__grp",
         pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
@@ -580,11 +586,11 @@ object Dedup {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("source"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bits") === col("b.bits") &&
-        col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // identical fingerprints (exact-dup boilerplate) collide in EVERY
+    // band bucket — the capped join keeps that worst case off a single
+    // task without losing a pair
+    cappedBucketSelfJoin(banded, "doc_id",
+        Seq("band", "bits", "source"), LshBucketCap)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))

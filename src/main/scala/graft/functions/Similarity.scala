@@ -260,17 +260,28 @@ object Similarity {
     * source before the shuffle. Cosines are the bit-exact codegen'd
     * fold, so the ranking (ties broken by neighbor id) is engine-exact
     * and the whole graph hash-matches the oracle. */
-  def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits)
-      : DataFrame = {
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits,
+      bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
     val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
       "embedding", bits)
     val w = Window.partitionBy("src_id")
       .orderBy(col("cos").desc, col("nbr_id"))
-    v.alias("a").join(v.alias("b"),
-        col("a.lsh_key") === col("b.lsh_key") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    // hot-bucket-capped candidate join; each UNORDERED pair surfaces
+    // once, its cosine evaluates once (the float fold commutes
+    // bit-exactly, so cos(a,b) ≡ cos(b,a)), and both graph directions
+    // explode from the same row — half the cosine work of the earlier
+    // directed self-join, same result, bounded per-task enumeration
+    val paired = Dedup.cappedBucketSelfJoin(v, "vec_id",
+        Seq("lsh_key"), bucketCap)
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .select(explode(array(
+        struct(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"),
+          col("cos")),
+        struct(col("b.vec_id").as("src_id"), col("a.vec_id").as("nbr_id"),
+          col("cos")))).as("e"))
+      .select(col("e.src_id").as("src_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.cos").as("cos"))
+    paired
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
