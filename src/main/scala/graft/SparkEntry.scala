@@ -31,7 +31,8 @@ object SparkEntry {
       functions.TrainPrep.queries ++ operators.CdcAnalytics.queries ++
       operators.Layout.queries ++ functions.Pq.queries ++
       operators.Stats.queries ++ functions.LangModel.queries ++
-      operators.RuntimeFilter.queries ++ operators.ScaleOps.queries
+      operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
+      functions.Pca.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++

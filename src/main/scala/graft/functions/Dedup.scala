@@ -529,6 +529,90 @@ object Dedup {
   def ddMinhashGroups(spark: SparkSession, dir: String): DataFrame =
     minhashDuplicateGroups(Tables.documents(spark, dir), 0.2)
 
+  // ── incremental dedup: new batch vs existing corpus ─────────────────
+  /** Near-dup matches for a NEW batch against an EXISTING corpus plus
+    * within the batch itself — the daily-ingest shape at 100 TB: the
+    * corpus side contributes only its (persisted) signature/bucket
+    * table, the joins are batch×corpus and batch×batch, and corpus ×
+    * corpus — the quadratic term that dwarfs everything at scale — is
+    * NEVER formed (the corpus was already deduped when ingested).
+    * Output: one row per (batch doc, matched doc) with the exact
+    * verified Jaccard and which side the match came from; `keep` marks
+    * batch docs with no match anywhere. */
+  def incrementalMinhashMatches(corpus: DataFrame, batch: DataFrame,
+      threshold: Double, bucketCap: Int = LshBucketCap): DataFrame = {
+    def signed(docs: DataFrame) =
+      withSignature(withShingleHashes(docs))
+        .select("doc_id", "shingle_hashes", "signature")
+    val corpusSigned = signed(corpus).persist() // the stored index
+    val batchSigned = signed(batch).persist()
+    val corpusBuckets = lshBuckets(corpusSigned)
+    val batchBuckets = lshBuckets(batchSigned)
+    // batch × corpus: plain asymmetric hash join on the band key — the
+    // batch side is the small stream, the corpus side the big build;
+    // no id< (the sides are disjoint), no triangle split needed because
+    // per-bucket work is |batch ∩ bucket| · |corpus ∩ bucket| and the
+    // batch factor is bounded by the ingest slice
+    val crossCands = batchBuckets.alias("n").join(corpusBuckets.alias("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("d1"), col("o.doc_id").as("d2"))
+      .distinct()
+      .withColumn("matched_in", lit("corpus"))
+    // batch × batch: the capped self-join (a boilerplate-heavy crawl
+    // slice is exactly where hot buckets appear)
+    // within the batch the KEEPER is the smallest id, so the LARGER id
+    // of each pair carries the match row (it is the one an ingest
+    // drops); the smaller id stays clean unless the corpus matches it
+    val selfCands = cappedBucketSelfJoin(batchBuckets, "doc_id",
+        Seq("band", "bucket"), bucketCap)
+      .select(col("b.doc_id").as("d1"), col("a.doc_id").as("d2"))
+      .distinct()
+      .withColumn("matched_in", lit("batch"))
+    val sets = batchSigned.select(col("doc_id").as("d1"),
+      col("shingle_hashes").as("h1"))
+    val otherSets = corpusSigned.select(col("doc_id"), col("shingle_hashes"))
+      .union(batchSigned.select(col("doc_id"), col("shingle_hashes")))
+      .select(col("doc_id").as("d2"), col("shingle_hashes").as("h2"))
+    crossCands.union(selfCands)
+      .join(sets, "d1")
+      .join(otherSets, "d2")
+      .withColumn("n_common", size(array_intersect(col("h1"), col("h2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1").as("batch_id"), col("d2").as("match_id"),
+        col("matched_in"), col("jaccard"))
+  }
+
+  /** Declared query: docs with doc_id % 10 == 0 play the incoming
+    * slice, the rest the standing corpus. Per batch doc: match count,
+    * best match, and the keep/drop verdict an ingest pipeline acts on.
+    * Rows-only (LSH bucketing isn't SQL-expressible); DedupSpec plants
+    * cross-set and in-batch dups and asserts the verdicts. */
+  def ddIncrementalVerdicts(corpus: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val matches = incrementalMinhashMatches(corpus, batch, threshold)
+    batch.select(col("doc_id").as("batch_id"))
+      .join(matches, Seq("batch_id"), "left")
+      .groupBy("batch_id")
+      .agg(count(col("match_id")).as("n_matches"),
+        max(struct(col("jaccard"), col("match_id"), col("matched_in")))
+          .as("best"))
+      .select(col("batch_id"), col("n_matches"),
+        col("best.match_id").as("best_match"),
+        col("best.matched_in").as("best_side"),
+        col("best.jaccard").as("best_jaccard"),
+        (col("n_matches") === 0).as("keep"))
+      .orderBy("batch_id")
+  }
+
+  def ddIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ddIncrementalVerdicts(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), 0.2)
+  }
+
   // ── SimHash ─────────────────────────────────────────────────────────
   /** 64-bit SimHash per doc, zero-shuffle: token-hash array → per-bit
     * majority vote → packed long, one generated loop per row
@@ -667,6 +751,7 @@ object Dedup {
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_groups" -> (ddMinhashGroups _),
+    "dd_incremental_minhash" -> (ddIncrementalMinhash _),
     "dd_simhash" -> (ddSimhash _),
     "dd_span_dedup" -> ((s: SparkSession, d: String) => ddSpanDedup(s, d)))
 

@@ -202,6 +202,41 @@ class DedupSpec extends SparkSpec {
       s"a block holds $blockSizes rows — the cap is not bounding tasks")
   }
 
+  test("incremental minhash: corpus hits drop, in-batch keeps the min id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // corpus: ids 1-3; batch: 10 (dup of corpus 1), 20+21 (in-batch dup
+    // pair), 30 (novel)
+    val corpusDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val batchDup = "the quick brown fox jumps over the lazy dog again and again"
+    val inBatch = "completely fresh content about distributed query engines at scale"
+    val corpus = Seq(
+      (1L, corpusDoc),
+      (2L, "some unrelated corpus document with its own words"),
+      (3L, "another corpus document that matches nothing in the batch"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, batchDup),
+      (20L, inBatch),
+      (21L, inBatch),
+      (30L, "a genuinely novel document no other text resembles anywhere"))
+      .toDF("doc_id", "text")
+    val out = functions.Dedup.ddIncrementalVerdicts(corpus, batch, 0.2)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(out.keySet === Set(10L, 20L, 21L, 30L))
+    assert(!out(10L).getAs[Boolean]("keep"), "corpus dup drops")
+    assert(out(10L).getAs[String]("best_side") === "corpus")
+    assert(out(10L).getAs[Long]("best_match") === 1L)
+    assert(out(10L).getAs[Double]("best_jaccard") === 1.0)
+    assert(out(20L).getAs[Boolean]("keep"),
+      "the min id of an in-batch dup group is the keeper")
+    assert(!out(21L).getAs[Boolean]("keep"), "the larger in-batch id drops")
+    assert(out(21L).getAs[String]("best_side") === "batch")
+    assert(out(21L).getAs[Long]("best_match") === 20L)
+    assert(out(30L).getAs[Boolean]("keep"), "novel docs survive")
+    assert(out(30L).getAs[Long]("n_matches") === 0L)
+  }
+
   test("prefix jaccard EQUALS the brute-force all-pairs join (lossless)") {
     val docs = Tables.documents(spark, sf)
     val got = Dedup.prefixJaccardPairs(docs).collect()

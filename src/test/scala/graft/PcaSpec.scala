@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.Pca
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  private def collected: Array[Array[Double]] =
+    Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  test("distributed iteration is the driver-side iteration, step for step") {
+    // the corpus' top eigenvalues are near-degenerate (λ2/λ1 ≈ 1), so
+    // NO iteration count pins one eigenvector — the checkable claim is
+    // algorithmic equivalence: the distributed pass at t iterations
+    // must land where the driver-side pass at t iterations lands
+    // (any vector in the near-top eigenspace serves whitening equally)
+    val iters = 8
+    val (mean, v, lambda) =
+      Pca.topComponent(Tables.embeddings(spark, sf), iters)
+    val xs = collected
+    val d = xs.head.length
+    val n = xs.length.toDouble
+    assert(v.length === d)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    val mu = Array.tabulate(d)(k => xs.map(_(k)).sum / n)
+    mean.zip(mu).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, "distributed mean matches")
+    }
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lam = 0.0
+    for (_ <- 0 until iters) {
+      val cw = Array.fill(d)(0.0)
+      xs.foreach { x =>
+        var c = 0.0
+        var k = 0
+        while (k < d) { c += (x(k) - mu(k)) * w(k); k += 1 }
+        k = 0
+        while (k < d) { cw(k) += (x(k) - mu(k)) * c; k += 1 }
+      }
+      val g = cw.map(_ / n)
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      lam = w.zip(g).map { case (a, b) => a * b }.sum
+      w = g.map(_ / norm)
+      val lead = w.find(math.abs(_) > 1e-12)
+      if (lead.exists(_ < 0)) w = w.map(x => -x)
+    }
+    val cos = math.abs(v.zip(w).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.9999, s"distributed diverged from driver: |cos|=$cos")
+    assert(math.abs(lambda - lam) / lam < 1e-2,
+      s"eigenvalue off: $lambda vs $lam")
+    assert(lambda > 0)
+  }
+
+  test("component is bit-identical across partition layouts") {
+    val emb = Tables.embeddings(spark, sf)
+    val (m1, v1, l1) = Pca.topComponent(emb.repartition(3))
+    val (m2, v2, l2) = Pca.topComponent(emb.repartition(11))
+    assert(m1.toSeq === m2.toSeq)
+    assert(v1.toSeq === v2.toSeq, "integer folds must erase layout order")
+    assert(l1 === l2)
+  }
+
+  test("emb_pca_power: per-label projection stats are consistent") {
+    val rows = Pca.embPcaPower(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    // variance along the top component is the eigenvalue: the pooled
+    // second moment of centered projections must reproduce it closely
+    val pooled = rows.map(r =>
+      r.getAs[Double]("mean_sq_proj") * r.getAs[Long]("n")).sum / total
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    assert(math.abs(pooled - lambda) / lambda < 0.05,
+      s"pooled projection variance $pooled vs eigenvalue $lambda")
+    rows.foreach(r => assert(r.getAs[Double]("eigenvalue") === lambda))
+  }
+}
