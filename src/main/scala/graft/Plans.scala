@@ -95,7 +95,19 @@ object Plans {
         operators.CdcAnalytics.ivmJoin(spark, dir)),
       ("dc2_fuzzy_decontamination",
         "cross-set prefix-filtered similarity join: candidates only where train and eval prefix grams meet",
-        functions.TrainPrep.dc2FuzzyDecontamination(spark, dir)))
+        functions.TrainPrep.dc2FuzzyDecontamination(spark, dir)),
+      ("tp_boilerplate_prune",
+        "C4-style corpus rewrite: tile doc-frequency is a gram-space agg on 8-byte hashes; the verdict returns as one hash join; reassembly rides the per-doc groupBy",
+        functions.CorpusOps.tpBoilerplatePrune(spark, dir)),
+      ("ts_priority_sample",
+        "sequential Poisson weighted sampling: TakeOrderedAndProject — per-partition heaps, one k-row merge, no corpus shuffle",
+        functions.CorpusOps.tsPrioritySample(spark, dir)),
+      ("dd_corpus_overlap",
+        "pairwise corpus Jaccard in shingle space: distinct (source, gram-hash) self-join fans out per gram by #sources, never by doc frequency",
+        functions.CorpusOps.ddCorpusOverlap(spark, dir)),
+      ("tc_surprisal",
+        "integer perplexity-filter: word-count agg on token hashes, occurrences⋈vocab hash join, 1-row total broadcast; surprisal is bitlength algebra in codegen",
+        functions.CorpusOps.tcSurprisal(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -32,7 +32,7 @@ object SparkEntry {
       operators.Layout.queries ++ functions.Pq.queries ++
       operators.Stats.queries ++ functions.LangModel.queries ++
       operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
-      functions.Pca.queries
+      functions.Pca.queries ++ functions.CorpusOps.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -49,5 +49,6 @@ object SparkEntry {
       functions.TrainPrep.oracles ++ operators.CdcAnalytics.oracles ++
       operators.Layout.oracles ++ functions.Pq.oracles ++
       operators.Stats.oracles ++ functions.LangModel.oracles ++
-      operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles
+      operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
+      functions.CorpusOps.oracles
 }

@@ -299,7 +299,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_rrf_fusion", // query row with its int8 codes
       "ta_tfidf", // corpus doc-count row
       "lay_file_skip", // corpus z-bounds row
-      "tp_quality_calibration" // score quantile row
+      "tp_quality_calibration", // score quantile row
+      "tc_surprisal" // corpus token-total row
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
