@@ -107,7 +107,13 @@ object Plans {
         functions.CorpusOps.ddCorpusOverlap(spark, dir)),
       ("tc_surprisal",
         "integer perplexity-filter: word-count agg on token hashes, occurrences⋈vocab hash join, 1-row total broadcast; surprisal is bitlength algebra in codegen",
-        functions.CorpusOps.tcSurprisal(spark, dir)))
+        functions.CorpusOps.tcSurprisal(spark, dir)),
+      ("ix_postings",
+        "inverted phrase index: stats from one word-count agg; lists collected only for band terms behind a semi-join, so no buffer ever holds a stop-band posting",
+        functions.SearchIndex.ixPostings(spark, dir)),
+      ("ix_conj_search",
+        "conjunctive search: resolved query broadcasts onto occurrences, per-doc count implements the AND, top-k is TakeOrderedAndProject",
+        functions.SearchIndex.ixConjSearch(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

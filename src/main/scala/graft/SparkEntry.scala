@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Layout.queries ++ functions.Pq.queries ++
       operators.Stats.queries ++ functions.LangModel.queries ++
       operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
-      functions.Pca.queries ++ functions.CorpusOps.queries
+      functions.Pca.queries ++ functions.CorpusOps.queries ++
+      functions.SearchIndex.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -50,5 +51,5 @@ object SparkEntry {
       operators.Layout.oracles ++ functions.Pq.oracles ++
       operators.Stats.oracles ++ functions.LangModel.oracles ++
       operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
-      functions.CorpusOps.oracles
+      functions.CorpusOps.oracles ++ functions.SearchIndex.oracles
 }

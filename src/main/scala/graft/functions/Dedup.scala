@@ -46,6 +46,72 @@ object Dedup {
       |      FROM documents GROUP BY text)
       |GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** Near-dup survivorship audit by source — the "which corpus slice
+    * is padding the bill" report a curation run publishes next to the
+    * dedup itself. The drop rule is the GREEDY KILL every LSH/exact-
+    * similarity dedup applies on its pair stream: a doc is dropped iff
+    * it pairs (J ≥ 1/2 on 4-gram shingles, [[prefixJaccardPairs]])
+    * with ANY lower-id doc — deliberately NOT the transitive-closure
+    * grouping ([[ddMinhashGroups]] owns that); the kill rule is what
+    * a single-pass dedup actually executes, and it is SQL-expressible
+    * so the whole audit stays oracled. Chars are charged to the
+    * dropped doc's OWN source, which is the number a mixture rebuild
+    * needs.
+    *
+    * Scale shape: the pair stream is the prefix-filtered AllPairs join
+    * (candidate-sized, never doc×doc); the kill set is a distinct over
+    * pair right-ends (≤ pairs); the charge-back is one left join of
+    * the corpus against that small set, then a per-source agg. */
+  def survivorshipBySource(docs: DataFrame): DataFrame = {
+    val killed = prefixJaccardPairs(docs)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(killed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("__dropped").isNull, 1)).as("n_kept"),
+        count(col("__dropped")).as("n_dropped"),
+        sum("n_chars").as("chars_total"),
+        sum(when(col("__dropped"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy("source")
+  }
+
+  def ddSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    survivorshipBySource(Tables.documents(spark, dir))
+
+  /** Oracle: brute-force pair join at the same threshold (the prefix
+    * filter is a plan device), then the same kill rule. */
+  val ddSurvivorshipSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(arr) - 2),
+      |        i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+      |          || ' ' || arr[i + 3])) AS g
+      |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+      |          FROM documents))),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |killed AS (
+      |  SELECT DISTINCT d2 AS doc_id FROM inter
+      |    JOIN sizes s1 ON inter.d1 = s1.doc_id
+      |    JOIN sizes s2 ON inter.d2 = s2.doc_id
+      |  WHERE CAST(n_common AS DOUBLE)
+      |    / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.5)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN k.doc_id IS NULL THEN 1 END) AS n_kept,
+      |  COUNT(k.doc_id) AS n_dropped,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_dropped
+      |FROM documents d LEFT JOIN killed k USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ── word-bigram shingles (shared by jaccard/minhash) ────────────────
   /** Distinct word-bigram set per doc: the bigram array is built
     * per-row (zero shuffle — an earlier lead()-window formulation
@@ -323,6 +389,19 @@ object Dedup {
     *    rows of at most two hash-groups — expected ≤ 2·cap rows, so
     *    enumeration per task is O(cap²) no matter how hot the bucket.
     *
+    * The split is ADAPTIVE: one aggregate over 8-byte bucket keys
+    * (map-side combined) probes for hot buckets first. When none
+    * exists — the overwhelmingly common case — the plain self-join
+    * runs unchanged: its two identical sides share one reused
+    * exchange, so the probe is the only overhead. Only a real hot
+    * bucket engages the triangle machinery, and then the size
+    * annotation comes back as a BROADCAST left join of just the hot
+    * keys (≤ |rows|/cap rows by construction, < 0.03% at the default
+    * cap), never a re-shuffle of the row set. An earlier always-on
+    * variant that shuffle-joined the full size table back benched
+    * 2-3× slower across the whole LSH suite — the price of
+    * annotating every row with "not hot".
+    *
     * Returns the raw two-sided join aliased `a`/`b` (payload columns
     * intact) with `id(a) < id(b)`; callers select/verify as usual.
     * DedupSpec plants a hot bucket and proves the pair set equals the
@@ -330,31 +409,39 @@ object Dedup {
   def cappedBucketSelfJoin(rows: DataFrame, idCol: String,
       keyCols: Seq[String], cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    // bucket sizes as an aggregate joined back (NOT a window): the agg
-    // shuffles only 8-byte keys with map-side combine and the join back
-    // broadcasts whenever the bucket table is small — a window count
-    // would shuffle every bucket row just to annotate it, and the
-    // self-join re-shuffles on the extended key anyway
-    val sizes = rows.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val tagged = rows
-      .join(sizes, keyCols)
-      .withColumn("__g", expr(s"int((__n + ${cap - 1}) div $cap)"))
-      .withColumn("__grp",
-        pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
-      .withColumn("__x", explode(sequence(lit(0), col("__g") - 1)))
-      .withColumn("__bi", least(col("__grp"), col("__x")))
-      .withColumn("__bj", greatest(col("__grp"), col("__x")))
-      .drop("__x", "__n", "__g")
     val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
-    tagged.alias("a").join(tagged.alias("b"),
-      keyEq &&
-      col("a.__bi") === col("b.__bi") && col("a.__bj") === col("b.__bj") &&
-      col(s"a.$idCol") < col(s"b.$idCol") &&
-      (col("a.__grp") =!= col("b.__grp") ||
-        (col("a.__bi") === col("a.__grp") &&
-         col("a.__bj") === col("a.__grp"))))
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+    // eager probe (same contract as the isEmpty probes in the
+    // pointer-jumping loop): a driver-side boolean buys the zero-
+    // overhead plan in the no-hot-bucket case. Callers that feed an
+    // expensive `rows` subtree persist it, so the probe pass reads
+    // cache, not source.
+    if (hot.isEmpty) {
+      rows.alias("a").join(rows.alias("b"),
+        keyEq && col(s"a.$idCol") < col(s"b.$idCol"))
+    } else {
+      val tagged = rows
+        .join(broadcast(hot), keyCols, "left")
+        .withColumn("__g", coalesce(
+          expr(s"int((__n + ${cap - 1}) div $cap)"), lit(1)))
+        .withColumn("__grp",
+          pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+        .withColumn("__x", explode(sequence(lit(0), col("__g") - 1)))
+        .withColumn("__bi", least(col("__grp"), col("__x")))
+        .withColumn("__bj", greatest(col("__grp"), col("__x")))
+        .drop("__x", "__n", "__g")
+      tagged.alias("a").join(tagged.alias("b"),
+        keyEq &&
+        col("a.__bi") === col("b.__bi") &&
+        col("a.__bj") === col("b.__bj") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        (col("a.__grp") =!= col("b.__grp") ||
+          (col("a.__bi") === col("a.__grp") &&
+           col("a.__bj") === col("a.__grp"))))
+    }
   }
 
   // ── MinHash + LSH ───────────────────────────────────────────────────
@@ -656,8 +743,13 @@ object Dedup {
     require(bands >= 2 && bands <= 32,
       s"banded simhash supports radius 1..31, got $maxHamming")
     val width = 64 / bands
+    // fingerprints feed the size agg and both sides of the candidate
+    // join — persist so tokenize+hash runs once (~24 bytes/doc; at
+    // real scale this is the stored fingerprint table, same contract
+    // as the minhash signature persist below)
     val s = withSimhash(docs).select(
       col("doc_id"), col("source"), col("simhash"))
+      .persist()
     val bandCols = (0 until bands).map { b =>
       val shifted = shiftrightunsigned(col("simhash"), b * width)
       val bits = // last band keeps the leftover high bits
@@ -747,6 +839,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_survivorship" -> (ddSurvivorship _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -757,6 +850,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
+    "dd_survivorship" -> ddSurvivorshipSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
     "dd_span_dedup" -> ddSpanDedupSql())

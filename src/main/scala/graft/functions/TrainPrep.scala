@@ -198,6 +198,73 @@ object TrainPrep {
       |    AS BIGINT) AS target_docs
       |FROM c, z ORDER BY source""".stripMargin
 
+  /** Exact token-budget apportionment across sources by the largest-
+    * remainder (Hamilton) method — the step AFTER a mixture table is
+    * chosen: a training run has a hard token budget B and the
+    * per-source allocations must sum to EXACTLY B, which
+    * [[tsTemperature]]'s independent rounding cannot guarantee. Every
+    * step is 64-bit integer arithmetic (floor_i = ⌊B·w_i/W⌋; the
+    * R = B − Σfloor_i leftovers go to the R largest remainders
+    * (B·w_i) mod W, ties broken by source), so the allocation is
+    * bit-identical on any engine and Σalloc = B by construction.
+    *
+    * The budget self-scales (B = W div 3) so the query is non-vacuous
+    * at every scale factor. Scale shape: one corpus agg to per-source
+    * token counts, then ALL remaining work — the 1-row total, the
+    * remainder rank window, the leftover assignment — runs on the
+    * #sources-row table (tens of rows at any corpus size; the
+    * single-partition window is over that tiny table, never the
+    * corpus). Overflow-safe: B·w_i < W² ≤ 2^63 for corpora under ~3
+    * trillion tokens per agg scope; shard the apportionment by corpus
+    * slice beyond that. */
+  def budgetAllocation(docs: DataFrame, budgetDen: Int = 3): DataFrame = {
+    val w = docs
+      .withColumn("__n_tok",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(sum("__n_tok").as("w_tok"))
+    val tot = w.agg(sum("w_tok").as("W"))
+      .withColumn("B", expr(s"W div $budgetDen"))
+    val ranked = w.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", expr("(B * w_tok) div W"))
+      .withColumn("remainder", expr("(B * w_tok) % W"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("remainder").desc, col("source"))))
+    val leftovers = ranked
+      .agg((max("B") - sum("floor_alloc")).as("R"))
+    ranked.crossJoin(broadcast(leftovers))
+      .withColumn("extra", when(col("rk") <= col("R"), 1L).otherwise(0L))
+      .select(col("source"), col("w_tok"), col("floor_alloc"),
+        col("remainder"), col("extra"),
+        (col("floor_alloc") + col("extra")).as("alloc"))
+      .orderBy("source")
+  }
+
+  def tsBudgetAlloc(spark: SparkSession, dir: String): DataFrame =
+    budgetAllocation(Tables.documents(spark, dir))
+
+  def tsBudgetAllocSql(budgetDen: Int = 3): String =
+    s"""WITH w AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+       |      AS w_tok
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(w_tok) AS BIGINT) AS W,
+       |    CAST(SUM(w_tok) AS BIGINT) // $budgetDen AS B FROM w),
+       |ranked AS (
+       |  SELECT source, w_tok, (B * w_tok) // W AS floor_alloc,
+       |    (B * w_tok) % W AS remainder, B,
+       |    ROW_NUMBER() OVER (ORDER BY (B * w_tok) % W DESC, source)
+       |      AS rk
+       |  FROM w, tot),
+       |lo AS (SELECT MAX(B) - SUM(floor_alloc) AS R FROM ranked)
+       |SELECT source, w_tok, floor_alloc, remainder,
+       |  CAST(CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(floor_alloc + CASE WHEN rk <= R THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM ranked, lo ORDER BY source""".stripMargin
+
   /** Deterministic corpus shuffle for training order: every doc gets a
     * hash-derived (shard, ordkey) — readers consume shard files in
     * ordkey order and see a reproducible global permutation. This is
@@ -847,6 +914,7 @@ object TrainPrep {
       ((s: SparkSession, d: String) => tsStratifiedSample(s, d)),
     "ts_mixture" -> (tsMixture _),
     "ts_temperature" -> (tsTemperature _),
+    "ts_budget_alloc" -> (tsBudgetAlloc _),
     "ts_shuffle_shards" ->
       ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
     "tp_corpus_stats" -> (tpCorpusStats _),
@@ -867,6 +935,7 @@ object TrainPrep {
     "ts_stratified_sample" -> tsStratifiedSampleSql,
     "ts_mixture" -> tsMixtureSql,
     "ts_temperature" -> tsTemperatureSql,
+    "ts_budget_alloc" -> tsBudgetAllocSql(),
     "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,

@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.{Dedup, SearchIndex, TrainPrep}
+import org.apache.spark.sql.functions._
+
+class SearchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** Bigrams: "x y" in docs 1-3 (tf 2 in doc 1), "a b" in 2 and 4,
+    * "c d" in 3 and 4, everything else hapax. */
+  private lazy val tiny = Seq(
+    (1L, "x y x y", "en", "s0", 7L),
+    (2L, "x y a b", "en", "s0", 7L),
+    (3L, "x y c d", "en", "s0", 7L),
+    (4L, "a b c d", "en", "s0", 7L),
+    (5L, "e f", "en", "s0", 3L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ── posting-list build ────────────────────────────────────────────
+
+  test("postings: df/cf/list contents, hapax dropped, stop band stats-only") {
+    val out = SearchIndex.postings(tiny, dfMin = 2, dfMax = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // hapax bigrams fall below dfMin
+    assert(out.keySet === Set("x y", "a b", "c d"))
+    // "a b": df=2 cf=2, inside the band → full aligned lists
+    val ab = out("a b")
+    assert(ab.getLong(1) === 2L && ab.getLong(2) === 2L)
+    assert(ab.getString(3) === "2,4")
+    assert(ab.getString(4) === "1,1")
+    // "x y": df=3 > dfMax → stats survive (cf counts doc 1 twice),
+    // lists are quarantined
+    val xy = out("x y")
+    assert(xy.getLong(1) === 3L && xy.getLong(2) === 4L)
+    assert(xy.isNullAt(3) && xy.isNullAt(4))
+  }
+
+  test("postings: tf list aligns with doc list (repeated phrase)") {
+    val out = SearchIndex.postings(tiny, dfMin = 2, dfMax = 10)
+      .filter(col("t") === "x y").head()
+    assert(out.getString(3) === "1,2,3")
+    // doc 1 holds "x y" twice
+    assert(out.getString(4) === "2,1,1")
+  }
+
+  test("postings on the corpus: band bounds hold and lists are sorted") {
+    val out = SearchIndex.postings(docs).cache()
+    // both sides of the band are non-vacuous on the synthetic corpus
+    assert(out.filter(col("posting_docs").isNotNull).count() > 0)
+    assert(out.filter(col("posting_docs").isNull).count() > 0)
+    assert(out.filter(col("df") < 3).isEmpty)
+    assert(out.filter(col("df") <= 20 && col("posting_docs").isNull).isEmpty)
+    assert(out.filter(col("df") > 20 && col("posting_docs").isNotNull).isEmpty)
+    // listed band: df == list length, cf == Σtf, lists doc-sorted
+    val bad = out.filter(col("posting_docs").isNotNull)
+      .withColumn("__d", transform(split(col("posting_docs"), ","),
+        x => x.cast("long")))
+      .withColumn("__f", transform(split(col("posting_tfs"), ","),
+        x => x.cast("long")))
+      .filter(size(col("__d")) =!= col("df") ||
+        aggregate(col("__f"), lit(0L), (a, x) => a + x) =!= col("cf") ||
+        to_json(col("__d")) =!= to_json(array_sort(col("__d"))))
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  // ── conjunctive search ────────────────────────────────────────────
+
+  test("conjunctive search: AND semantics and tf ranking") {
+    val out = SearchIndex.conjunctiveSearch(tiny, nTerms = 2, k = 10)
+      .collect()
+    // top-2 terms by cf: "x y" (4), "a b" (2, tie vs "c d" broken by
+    // text); only doc 2 holds both
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(out.head.getLong(3) === 2L) // x y + a b
+  }
+
+  test("conjunctive search on the corpus is non-vacuous and bounded") {
+    val out = SearchIndex.conjunctiveSearch(docs).collect()
+    assert(out.nonEmpty, "top-2-phrase AND query must match some doc")
+    assert(out.length <= 20)
+    // ranking is non-increasing in sum_tf
+    val tfs = out.map(_.getLong(3))
+    assert(tfs.zip(tfs.tail).forall { case (x, y) => x >= y })
+  }
+
+  // ── near-dup kill-rule survivorship ───────────────────────────────
+
+  test("survivorship: killed copy charged to its own source") {
+    val dup = Seq(
+      (1L, "w1 w2 w3 w4 w5", "en", "sA", 14L),
+      (2L, "w1 w2 w3 w4 w5", "en", "sB", 14L),
+      (3L, "z1 z2", "en", "sB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.survivorshipBySource(dup)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // sA holds the keeper (doc 1): nothing dropped
+    assert(out("sA") === ((1L, 1L, 0L, 0L)))
+    // sB's copy loses to doc 1; the short doc (no 4-grams) survives
+    assert(out("sB") === ((2L, 1L, 1L, 14L)))
+  }
+
+  test("survivorship reconciles with the prefix-jaccard pair stream") {
+    val killed = Dedup.ddPrefixJaccard(spark, sf)
+      .select("d2").distinct().count()
+    val surv = Dedup.survivorshipBySource(docs)
+      .agg(sum("n_dropped"), sum("n_docs")).head()
+    assert(surv.getLong(0) === killed)
+    assert(surv.getLong(1) === docs.count())
+  }
+
+  // ── largest-remainder budget allocation ───────────────────────────
+
+  test("budget allocation sums exactly to B and honors remainders") {
+    val skew = Seq(
+      (1L, "a a a a a a a", "en", "s1", 13L), // 7 tokens
+      (2L, "b b b b b", "en", "s2", 9L), // 5
+      (3L, "c c c", "en", "s3", 5L), // 3
+      (4L, "d d", "en", "s4", 3L)) // 2  → W=17, B=5
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TrainPrep.budgetAllocation(skew)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // floors: 7·5/17=2, 5·5/17=1, 3·5/17=0, 2·5/17=0 → Σ=3, R=2
+    // remainders: 1, 8, 15, 10 → extras to s3 (15) and s4 (10)
+    assert(out("s1").getLong(5) === 2L)
+    assert(out("s2").getLong(5) === 1L)
+    assert(out("s3").getLong(5) === 1L)
+    assert(out("s4").getLong(5) === 1L)
+    assert(out.values.map(_.getLong(5)).sum === 5L)
+  }
+
+  test("budget allocation on the corpus: Σalloc == W div 3 exactly") {
+    val toks = docs.agg(
+      sum(size(split(col("text"), "\\s+")).cast("long"))).head().getLong(0)
+    val alloc = TrainPrep.budgetAllocation(docs)
+      .agg(sum("alloc")).head().getLong(0)
+    assert(alloc === toks / 3)
+  }
+}
