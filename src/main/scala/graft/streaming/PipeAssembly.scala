@@ -18,6 +18,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   source.path               change-log file (ChangeLogSource TSV)
   *   source.maxLinesPerTrigger admission cap per micro-batch
   *   filter.condition          SQL predicate on the event columns (F1)
+  *   filter.scalaCondition     Scala source for a `(conn: Long,
+  *                             kind: String, op: String, pk: String)
+  *                             => Boolean` — the reference's compiled
+  *                             `include-event-condition`
+  *                             (`Eval.scala:6-13`, wired at
+  *                             `ConfigBasedPipeFactory`); compiled
+  *                             once per JVM via [[graft.util.Eval]]
+  *                             and applied AFTER the SQL filter (SQL
+  *                             stays the pushdown-visible path; this
+  *                             hook covers conditions SQL can't say)
   *   tx.timeoutMs              abandoned-transaction discard timeout
   *   sink.format               parquet | console | kafka | materialize
   *                             (materialize = latest-image upsert
@@ -46,7 +56,7 @@ object PipeAssembly {
       : Dataset[ChangeEvent] = {
     val conf = Defaults ++ config
     import TxPipeline.eventEnc
-    spark.readStream
+    val base = spark.readStream
       .format(classOf[ChangeLogSourceProvider].getName)
       .option("path", conf("source.path"))
       .option("maxLinesPerTrigger", conf("source.maxLinesPerTrigger"))
@@ -59,6 +69,18 @@ object PipeAssembly {
         when(col("value").isNotNull, map(lit("value"), col("value")))
           .otherwise(map().cast("map<string,string>")).as("payload"))
       .as[ChangeEvent]
+    conf.get("filter.scalaCondition") match {
+      case None => base
+      case Some(src) =>
+        // the SOURCE STRING is the closure's serialized form: each
+        // JVM (driver and every executor) compiles it once through
+        // Eval.compiled's cache — a ToolBox closure itself would not
+        // survive serialization (class bytes live in the driver's
+        // in-memory loader)
+        base.filter(e =>
+          graft.util.Eval.compiled[(Long, String, String, String)
+            => Boolean](src)(e.conn, e.kind, e.op, e.pk))
+    }
   }
 
   /** The tx-grouped mutation stream for a config (shared by every sink
