@@ -285,15 +285,88 @@ object CorpusOps {
       |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── corpus version diff ─────────────────────────────────────────────
+
+  /** Snapshot-to-snapshot corpus diff — the dataset-versioning audit
+    * (the Delta-/lakeFS-shaped "what changed between corpus v1 and
+    * v2" report a training-data release publishes): per (source,
+    * status ∈ added/removed/changed/same), document counts and char
+    * totals on both sides. Content comparison rides the 8-byte
+    * xxhash64 of the body, never the body itself, so the full-outer
+    * join shuffles (id, source, hash, chars) regardless of document
+    * size — the only corpus-wide state is one join keyed by doc_id.
+    * Collision caveat as [[TrainPrep.dcDecontamination]]. */
+  def versionDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      xxhash64(col("text")).as("h1"), col("n_chars").as("c1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      xxhash64(col("text")).as("h2"), col("n_chars").as("c2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") === col("h2"), lit("same"))
+          .otherwise(lit("changed")))
+      .groupBy(coalesce(col("src1"), col("src2")).as("source"),
+        col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("c1"), lit(0L))).as("chars_v1"),
+        sum(coalesce(col("c2"), lit(0L))).as("chars_v2"))
+      .orderBy("source", "status")
+  }
+
+  /** Declared query: v1 and v2 are deterministic slices of the one
+    * corpus (the [[Dedup.ddIncrementalMinhash]] device) — v1 drops the
+    * id%10==9 docs (so they read as added), v2 drops id%10==0 (so
+    * those read as removed) and rewrites id%10==5 bodies (changed);
+    * everything else is byte-identical (same). Every status is
+    * non-vacuous at every scale factor by construction. */
+  def tpVersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 10 =!= 9)
+    val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 10 === 5, col("n_chars") + 7)
+          .otherwise(col("n_chars")))
+    versionDiff(v1, v2)
+  }
+
+  val tpVersionDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, text, n_chars FROM documents
+      |  WHERE doc_id % 10 <> 9),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 5 THEN text || ' edited' ELSE text END
+      |      AS text,
+      |    CASE WHEN doc_id % 10 = 5 THEN n_chars + 7 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT COALESCE(v1.source, v2.source) AS source,
+      |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v2.doc_id IS NULL THEN 'removed'
+      |       WHEN v1.text = v2.text THEN 'same'
+      |       ELSE 'changed' END AS status,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(COALESCE(v1.n_chars, 0)) AS BIGINT) AS chars_v1,
+      |  CAST(SUM(COALESCE(v2.n_chars, 0)) AS BIGINT) AS chars_v2
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tp_boilerplate_prune" -> (tpBoilerplatePrune _),
     "ts_priority_sample" -> (tsPrioritySample _),
     "dd_corpus_overlap" -> (ddCorpusOverlap _),
-    "tc_surprisal" -> (tcSurprisal _))
+    "tc_surprisal" -> (tcSurprisal _),
+    "tp_version_diff" -> (tpVersionDiff _))
 
   def oracles: Map[String, String] = Map(
     "tp_boilerplate_prune" -> tpBoilerplatePruneSql(),
     "ts_priority_sample" -> tsPrioritySampleSql(),
     "dd_corpus_overlap" -> ddCorpusOverlapSql,
-    "tc_surprisal" -> tcSurprisalSql)
+    "tc_surprisal" -> tcSurprisalSql,
+    "tp_version_diff" -> tpVersionDiffSql)
 }

@@ -147,4 +147,45 @@ class CorpusOpsSpec extends SparkSpec {
     val b = CorpusOps.surprisalScores(docs.repartition(17)).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  // ── corpus version diff ───────────────────────────────────────────
+
+  test("version diff classifies added/removed/changed/same exactly") {
+    val v1 = Seq(
+      (1L, "kept text", "sA", 9L),
+      (2L, "old body", "sA", 8L),
+      (3L, "gone", "sB", 4L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val v2 = Seq(
+      (1L, "kept text", "sA", 9L),
+      (2L, "new body", "sA", 8L),
+      (4L, "fresh", "sB", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusOps.versionDiff(v1, v2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("sA", "same")) === ((1L, 9L, 9L)))
+    assert(out(("sA", "changed")) === ((1L, 8L, 8L)))
+    assert(out(("sB", "removed")) === ((1L, 4L, 0L)))
+    assert(out(("sB", "added")) === ((1L, 0L, 5L)))
+    assert(out.size === 4)
+  }
+
+  test("tp_version_diff: every status non-vacuous, totals reconcile") {
+    val out = CorpusOps.tpVersionDiff(spark, sf).cache()
+    val statuses = out.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses === Set("added", "removed", "changed", "same"))
+    // v1 doc count = same + changed + removed; v2 = same + changed + added
+    val n = docs.count()
+    val byStatus = out.groupBy("status")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1n = docs.filter(col("doc_id") % 10 =!= 9).count()
+    val v2n = docs.filter(col("doc_id") % 10 =!= 0).count()
+    assert(byStatus("same") + byStatus("changed") + byStatus("removed") === v1n)
+    assert(byStatus("same") + byStatus("changed") + byStatus("added") === v2n)
+    assert(n >= v1n && n >= v2n)
+    out.unpersist()
+  }
 }
