@@ -31,9 +31,9 @@ object Pq {
 
   /** m × k × (d/m) codebooks, trained per subspace — JOINTLY: every
     * Lloyd iteration is ONE corpus pass that assigns all m subspace
-    * codes (literal-codeword argmin, codegen'd) and folds the
-    * per-(subspace, code, dim) means in a single grouped aggregate
-    * (m·k·(d/m) = d·k cells, a few KB back to the driver). Training m
+    * codes and folds the per-(subspace, code, dim) means up a
+    * treeAggregate (m·k·(d/m) = d·k cells, a few KB back to the
+    * driver). Training m
     * subspaces separately would scan the corpus m× per iteration; at
     * 100 TB the corpus pass IS the cost, so passes scale with `iters`
     * only. Seeds: the k lowest vec_ids' subvectors (deterministic).
@@ -55,49 +55,81 @@ object Pq {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
-    val cached = corpus
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("embedding"))
-      .persist()
+    // training folds ride treeAggregate, like [[Pca.foldRdd]] and for
+    // the same reason: a Lloyd pass is model-state-out imperative math
+    // (m·k literal codewords baked into a plan meant re-optimizing and
+    // re-compiling a 64-codeword expression tree EVERY iteration,
+    // ~seconds of planner against milliseconds of compute). The
+    // per-row kernel mirrors the codegen'd [[SqL2Distance]] loop
+    // exactly — ascending index, s += diff², strict-less argmin =
+    // lowest-code tie-break, floor(x·2^32 + 0.5) contributions — so
+    // the trained books are bit-identical to the expression form.
+    val data = corpus.select(col("vec_id"), col("embedding")).rdd.map {
+      r =>
+        val s = r.getSeq[Float](1)
+        val a = new Array[Double](d)
+        var i = 0
+        while (i < d) { a(i) = s(i).toDouble; i += 1 }
+        (r.getLong(0), a)
+    }.persist()
     try {
-      val seeds = cached.orderBy("vec_id").limit(k)
-        .select("embedding").collect()
-        .map(_.getSeq[Double](0).toArray)
+      val seeds = data.takeOrdered(k)(Ordering.by(_._1)).map(_._2)
       require(seeds.length == k, s"corpus smaller than k=$k")
       var books: Array[Array[Array[Double]]] = (0 until m).toArray
         .map(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
+      val scale = 4294967296.0d // 2^32
       for (_ <- 0 until iters) {
-        val contribs = (0 until m).map { j =>
-          val entries = books(j).zipWithIndex.map { case (cw, c) =>
-            struct(
-              VectorFunctions.sq_l2(subCol(j, sub), litVec(cw)).as("d"),
-              lit(c).as("c"))
-          }
-          struct(lit(j).as("j"),
-            array_min(array(entries.toSeq: _*)).getField("c").as("code"),
-            subCol(j, sub).as("v"))
-        }
-        val scale = 4294967296.0d // 2^32
-        val means = cached
-          .select(explode(array(contribs: _*)).as("s"))
-          .select(col("s.j").as("j"), col("s.code").as("code"),
-            posexplode(col("s.v")).as(Seq("dim", "x")))
-          .groupBy("j", "code", "dim")
-          .agg(sum(floor(col("x") * lit(scale) + lit(0.5d)).cast("long"))
-            .as("ssum"), count(lit(1)).as("n"))
-          .collect()
+        val bks = books // stable capture for the task closure
+        val (sums, counts) = data.treeAggregate(
+          (new Array[Long](m * k * sub), new Array[Long](m * k)))(
+          seqOp = { case ((ss, ns), (_, x)) =>
+            var j = 0
+            while (j < m) {
+              var best = 0
+              var bestD = Double.PositiveInfinity
+              var c = 0
+              while (c < k) {
+                val cw = bks(j)(c)
+                var s = 0.0
+                var i = 0
+                while (i < sub) {
+                  val diff = x(j * sub + i) - cw(i)
+                  s += diff * diff
+                  i += 1
+                }
+                if (s < bestD) { bestD = s; best = c }
+                c += 1
+              }
+              val cell = (j * k + best) * sub
+              var i = 0
+              while (i < sub) {
+                ss(cell + i) +=
+                  math.floor(x(j * sub + i) * scale + 0.5d).toLong
+                i += 1
+              }
+              ns(j * k + best) += 1
+              j += 1
+            }
+            (ss, ns)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            i = 0
+            while (i < n1.length) { n1(i) += n2(i); i += 1 }
+            (s1, n1)
+          })
         // empty cells keep their previous codeword (standard Lloyd)
         val next = books.map(_.map(_.clone()))
-        means.foreach { r =>
-          val mean = r.getAs[Long]("ssum").toDouble /
-            r.getAs[Long]("n").toDouble / scale
-          next(r.getAs[Int]("j"))(r.getAs[Int]("code"))(
-            r.getAs[Int]("dim")) = mean
+        for (j <- 0 until m; c <- 0 until k if counts(j * k + c) > 0;
+             dim <- 0 until sub) {
+          next(j)(c)(dim) = sums((j * k + c) * sub + dim).toDouble /
+            counts(j * k + c).toDouble / scale
         }
         books = next
       }
       books
-    } finally { cached.unpersist(); () }
+    } finally { data.unpersist(); () }
   }
 
   private def subCol(j: Int, sub: Int): Column =
