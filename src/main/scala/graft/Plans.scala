@@ -113,7 +113,10 @@ object Plans {
         functions.SearchIndex.ixPostings(spark, dir)),
       ("ix_conj_search",
         "conjunctive search: resolved query broadcasts onto occurrences, per-doc count implements the AND, top-k is TakeOrderedAndProject",
-        functions.SearchIndex.ixConjSearch(spark, dir)))
+        functions.SearchIndex.ixConjSearch(spark, dir)),
+      ("ix_rank_search",
+        "BM25 disjunction: log-free idf, per-term scores round to scaled longs so the per-doc sum commutes; query+stats broadcast, top-k heaps",
+        functions.SearchIndex.ixRankSearch(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

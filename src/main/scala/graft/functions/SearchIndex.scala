@@ -168,11 +168,103 @@ object SearchIndex {
        |FROM hits JOIN documents USING (doc_id)
        |ORDER BY sum_tf DESC, doc_id LIMIT $k""".stripMargin
 
+  // ── ranked disjunctive (OR) search, BM25-scored ─────────────────────
+
+  private val RankK1 = 1.2d
+  private val RankB = 0.75d
+
+  /** Top-k docs matching ANY query term, BM25-ranked — the ranked-
+    * retrieval complement of [[conjunctiveSearch]]'s boolean AND. The
+    * query is the `nTerms` RAREST indexable phrases (df ≥ dfMin,
+    * lowest df first, ties by term) — the high-idf shape ranked
+    * retrieval exists for.
+    *
+    * Cross-engine exactness, two devices: (1) the [[TextAnalysis]]
+    * BM25 idf is LOG-FREE — (N−df+0.5)/(df+0.5) — so every factor is
+    * +,−,×,÷ on integer-valued doubles (exact sums; correctly-rounded
+    * IEEE ops: identical on any engine, which `ln` is not); (2) each
+    * per-term score rounds once to a 2^20-scaled long and the per-doc
+    * disjunction SUMS LONGS — float addition across a doc's matched
+    * terms would be association-order-dependent, longs commute, so the
+    * ranking is bit-deterministic under any grouping order (the same
+    * integer-fold rule as [[CorpusOps.surprisalScores]]).
+    *
+    * Scale shape: the resolved query (nTerms rows + one stats row)
+    * broadcasts onto the occurrence table; doc lengths join the
+    * candidate hits (AQE broadcasts the small side); final top-k is a
+    * TakeOrderedAndProject. Posting lists never materialize. */
+  def rankedSearch(docs: DataFrame, nTerms: Int = 3, k: Int = 10,
+      dfMin: Int = 3): DataFrame = {
+    val occ = occurrences(docs)
+    val q = occ.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin)
+      .orderBy(col("df"), col("t"))
+      .limit(nTerms)
+    val lens = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) - 1).cast("double").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"), sum("dl").as("sum_dl"))
+    val idf = (col("n_docs") - col("df") + lit(0.5d)) /
+      (col("df") + lit(0.5d))
+    val tfd = col("tf").cast("double")
+    val scoreT = idf * (tfd * lit(RankK1 + 1.0d)) /
+      (tfd + lit(RankK1) * (lit(1.0d - RankB) +
+        lit(RankB) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val hits = occ.join(broadcast(q), Seq("t"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s20",
+        floor(scoreT * lit(1048576.0d) + lit(0.5d)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("s20").as("score20"))
+    hits.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_matched"),
+        (col("score20").cast("double") / lit(1048576.0d)).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+
+  def ixRankSearch(spark: SparkSession, dir: String): DataFrame =
+    rankedSearch(Tables.documents(spark, dir))
+
+  def ixRankSearchSql(nTerms: Int = 3, k: Int = 10, dfMin: Int = 3)
+      : String = {
+    val k1 = RankK1; val b = RankB
+    s"""WITH $occSql,
+       |q AS (
+       |  SELECT t, COUNT(*) AS df FROM occ GROUP BY t
+       |  HAVING COUNT(*) >= $dfMin ORDER BY df, t LIMIT $nTerms),
+       |lens AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) - 1 AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl
+       |  FROM lens),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_matched,
+       |    CAST(SUM(CAST(FLOOR(
+       |      ((n_docs - df + 0.5) / (df + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${k1 + 1.0d})
+       |        / (CAST(tf AS DOUBLE) + $k1 * (${1.0d - b}
+       |          + $b * (dl / (sum_dl / n_docs))))
+       |      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS score20
+       |  FROM occ JOIN q USING (t) JOIN lens USING (doc_id)
+       |    CROSS JOIN stats
+       |  GROUP BY doc_id)
+       |SELECT doc_id, lang, n_matched,
+       |  CAST(score20 AS DOUBLE) / 1048576.0 AS bm25
+       |FROM hits JOIN documents USING (doc_id)
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ix_postings" -> (ixPostings _),
-    "ix_conj_search" -> (ixConjSearch _))
+    "ix_conj_search" -> (ixConjSearch _),
+    "ix_rank_search" -> (ixRankSearch _))
 
   def oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql(),
-    "ix_conj_search" -> ixConjSearchSql())
+    "ix_conj_search" -> ixConjSearchSql(),
+    "ix_rank_search" -> ixRankSearchSql())
 }

@@ -300,7 +300,8 @@ class PlanAuditSpec extends SparkSpec {
       "ta_tfidf", // corpus doc-count row
       "lay_file_skip", // corpus z-bounds row
       "tp_quality_calibration", // score quantile row
-      "tc_surprisal" // corpus token-total row
+      "tc_surprisal", // corpus token-total row
+      "ix_rank_search" // corpus (n_docs, sum_dl) stats row
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>

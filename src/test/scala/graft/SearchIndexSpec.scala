@@ -86,6 +86,41 @@ class SearchIndexSpec extends SparkSpec {
     assert(tfs.zip(tfs.tail).forall { case (x, y) => x >= y })
   }
 
+  // ── ranked disjunctive search ─────────────────────────────────────
+
+  test("ranked search: scores equal a driver-side BM25 reference exactly") {
+    val out = SearchIndex.rankedSearch(tiny, nTerms = 3, k = 10,
+      dfMin = 2).collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // rarest indexable bigrams (df>=2): "a b"(2), "c d"(2), "x y"(3)
+    val df = Map("a b" -> 2.0, "c d" -> 2.0, "x y" -> 3.0)
+    val tf = Map( // (doc, term) -> tf
+      (1L, "x y") -> 2.0, (2L, "x y") -> 1.0, (3L, "x y") -> 1.0,
+      (2L, "a b") -> 1.0, (4L, "a b") -> 1.0,
+      (3L, "c d") -> 1.0, (4L, "c d") -> 1.0)
+    val dl = Map(1L -> 3.0, 2L -> 3.0, 3L -> 3.0, 4L -> 3.0, 5L -> 1.0)
+    val n = 5.0; val sumDl = 13.0
+    def s20(doc: Long, t: String): Long = {
+      val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+      val s = idf * (tf((doc, t)) * 2.2) /
+        (tf((doc, t)) + 1.2 * (0.25 + 0.75 * (dl(doc) / (sumDl / n))))
+      math.floor(s * 1048576.0 + 0.5).toLong
+    }
+    val expected = tf.keys.toSeq.groupBy(_._1).map { case (doc, ks) =>
+      doc -> (ks.size.toLong,
+        ks.map { case (d, t) => s20(d, t) }.sum.toDouble / 1048576.0)
+    }
+    assert(out === expected)
+  }
+
+  test("ranked search on the corpus is non-vacuous and rank-ordered") {
+    val out = SearchIndex.rankedSearch(docs).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(out.forall(_.getLong(2) >= 1L))
+  }
+
   // ── near-dup kill-rule survivorship ───────────────────────────────
 
   test("survivorship: killed copy charged to its own source") {
