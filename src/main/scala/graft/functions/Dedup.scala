@@ -476,19 +476,24 @@ object Dedup {
 
   /** LSH banding: band key = hash of the signature slice; docs sharing
     * any (band, key) bucket are candidates. Output one row per doc per
-    * band → the candidate join is a plain hash join on (band, key). */
-  def lshBuckets(signed: DataFrame): DataFrame = {
+    * band → the candidate join is a plain hash join on (band, key).
+    * `carry` columns ride along unchanged (the streaming gate carries
+    * the shingle set this way — a stream cannot join back to itself
+    * for the verify stage). */
+  def lshBuckets(signed: DataFrame, carry: Seq[String] = Nil)
+      : DataFrame = {
     val rows = MinHashK / LshBands
     val bands = (0 until LshBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
           slice(col("signature"), b * rows + 1, rows))).as("bucket"))
     }
+    val keep = col("doc_id") +: carry.map(col)
     // degenerate docs (<2 tokens → null signature) must not band: they
     // would all hash to the empty-string bucket and pair quadratically
     signed.filter(col("signature").isNotNull)
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .select(keep :+ explode(array(bands: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band") :+ col("bb.bucket"): _*)
   }
 
   /** Candidate pairs from shared LSH buckets, verified with exact

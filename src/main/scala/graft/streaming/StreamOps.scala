@@ -215,6 +215,56 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming ingest dedup gate — the streaming twin of
+    * [[graft.functions.Dedup.incrementalMinhashMatches]]' corpus side:
+    * each incoming doc is signed per-row (codegen MinHash — scalar
+    * expressions run unchanged on a stream), banded, and joined
+    * against the STANDING corpus' bucket and signature tables;
+    * candidates verify by exact Jaccard over the shingle-hash sets.
+    *
+    * Streaming contract, deliberately chosen for zero stream state:
+    *  - the corpus tables are static broadcast sides, the stream holds
+    *    NO state — append-mode-safe, no watermark, restarts free;
+    *  - emission is AT-LEAST-ONCE per (batch_id, match_id): a pair
+    *    colliding in several bands surfaces once per band, and a
+    *    redelivered doc re-emits its matches — exactly the contract
+    *    every consumer of an ingest gate must tolerate anyway
+    *    (StreamOpsSpec asserts set-equality with the batch path after
+    *    a distinct, and idempotence under redelivery). At 100 TB the
+    *    corpus bucket table is a broadcast only per-band-shard or a
+    *    bucketed storage join; the join SHAPE is what carries over. */
+  def streamingNearDupMatches(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.Dedup
+    val corpusSigned = Dedup
+      .withSignature(Dedup.withShingleHashes(corpus))
+      .select("doc_id", "shingle_hashes", "signature")
+    val corpusBuckets = Dedup.lshBuckets(corpusSigned)
+      .select(col("doc_id").as("match_id"), col("band"), col("bucket"))
+    val corpusSets = corpusSigned
+      .select(col("doc_id").as("match_id"),
+        col("shingle_hashes").as("h2"))
+    // stream side: one banded row per (doc, band) CARRYING the shingle
+    // set (a stream cannot join back to itself for the verify stage;
+    // the per-band duplication of one array column costs nothing in
+    // state) — banding delegates to the SAME lshBuckets the batch path
+    // uses, so the bucket keys can never drift apart
+    val batchBuckets = Dedup.lshBuckets(
+      Dedup.withSignature(Dedup.withShingleHashes(batch)),
+      carry = Seq("shingle_hashes"))
+      .select(col("doc_id").as("batch_id"),
+        col("shingle_hashes").as("h1"), col("band"), col("bucket"))
+    batchBuckets
+      .join(broadcast(corpusBuckets), Seq("band", "bucket"))
+      .join(broadcast(corpusSets), Seq("match_id"))
+      .withColumn("n_common", size(array_intersect(col("h1"), col("h2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("n_common"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "match_id", "jaccard")
+  }
+
   /** Stream-stream inner join: right events within [0, `boundSeconds`]
     * after the left event, per key. Watermarks on both sides bound the
     * buffered state. */

@@ -233,4 +233,44 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming ingest gate equals the batch corpus-match path") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "totally different content words appearing nowhere else"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated ingest content sharing no shingles at all"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.streamingNearDupMatches(
+      input.toDF().toDF("doc_id", "text"), corpus, 0.2)
+      .writeStream.format("memory").queryName("ingate")
+      .outputMode("append").start()
+    try {
+      input.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val first = spark.table("ingate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the batch path's corpus-side matches on the same slice
+      val ref = graft.functions.Dedup.incrementalMinhashMatches(
+        corpus, batchDocs.toDF("doc_id", "text"), 0.2)
+        .filter(col("matched_in") === "corpus")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(first.toSet === ref,
+        "streaming gate must equal the batch corpus-match set")
+      assert(ref.exists(_._1 == 1L), "the planted dup must match")
+      // redelivery: the gate is stateless, so the same doc re-emits the
+      // same matches (at-least-once) and nothing else
+      input.addData(batchDocs.head)
+      q.processAllAvailable()
+      val all = spark.table("ingate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(all.toSet === ref, "redelivery adds no new match identities")
+      assert(all.length > first.length, "redelivered doc re-emits")
+    } finally q.stop()
+  }
 }
