@@ -323,4 +323,64 @@ class PropertySpec extends SparkSpec {
         s"bigram prefix filter lost or invented pairs on: ${rows.take(3)}…")
     }
   }
+
+  test("budget allocation: Σalloc = B exactly, fair to the floor, " +
+    "for arbitrary corpora") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc"))
+      src <- Gen.chooseNum(1, 5).map(i => s"s$i")
+    } yield (toks.mkString(" "), src)
+    val genCorpus = Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 8).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((t, s), i) =>
+        (i.toLong, t, "en", s, t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.functions.TrainPrep.budgetAllocation(df).collect()
+      val w = rows.groupBy(_._2).view
+        .mapValues(_.map(_._1.split(" ").length.toLong).sum).toMap
+      val totalW = w.values.sum
+      val b = totalW / 3
+      assert(out.map(_.getAs[Long]("alloc")).sum === b,
+        s"Σalloc must be exactly B=$b")
+      out.foreach { r =>
+        val src = r.getString(0)
+        assert(r.getAs[Long]("w_tok") === w(src))
+        val floor = b * w(src) / totalW
+        val alloc = r.getAs[Long]("alloc")
+        assert(alloc === floor || alloc === floor + 1,
+          s"$src: alloc $alloc outside [floor, floor+1]")
+      }
+    }
+  }
+
+  test("version diff: statuses partition both versions, for random edits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val genRow = for {
+      id <- Gen.chooseNum(0L, 30L)
+      txt <- Gen.oneOf("t1", "t2", "t3")
+    } yield (id, txt)
+    val genVer = Gen.chooseNum(0, 25)
+      .flatMap(n => Gen.listOfN(n, genRow))
+      .map(_.distinctBy(_._1)) // doc_id is a key within a version
+    samples(Gen.zip(genVer, genVer), 8).foreach { case (r1, r2) =>
+      def df(rs: Seq[(Long, String)]) = rs.map { case (id, t) =>
+        (id, t, "s" + (id % 3), t.length.toLong)
+      }.toDF("doc_id", "text", "source", "n_chars")
+      val out = graft.functions.CorpusOps.versionDiff(df(r1), df(r2))
+        .collect()
+      val by = out.groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+        .toMap.withDefaultValue(0L)
+      val m1 = r1.toMap; val m2 = r2.toMap
+      assert(by("removed") === m1.keySet.diff(m2.keySet).size.toLong)
+      assert(by("added") === m2.keySet.diff(m1.keySet).size.toLong)
+      val common = m1.keySet & m2.keySet
+      assert(by("same") === common.count(k => m1(k) == m2(k)).toLong)
+      assert(by("changed") === common.count(k => m1(k) != m2(k)).toLong)
+    }
+  }
 }
