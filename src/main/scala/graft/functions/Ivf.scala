@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the
   * corpus into k-means cells, probe only the `nprobe` cells nearest to
-  * each query. The coarse quantizer is Lloyd's algorithm expressed as
-  * DataFrame operations — each iteration is one broadcast-assign pass
-  * (narrow) plus one per-dimension average (a (cid, dim) shuffle), so
-  * it scales to any corpus the cluster can scan.
+  * each query. The coarse quantizer is Lloyd's algorithm — each
+  * iteration is ONE corpus pass folding k·d scaled-long mean cells up
+  * a treeAggregate (layout-stable, see [[lloydStep]]), so it scales to
+  * any corpus the cluster can scan; assignment at query/layout time
+  * stays the zero-shuffle literal-centroid argmin below.
   *
   * At 100 TB the cell assignment becomes the partition key of the
   * vector table (write bucketed by `cid`), and a query touches
@@ -39,15 +40,73 @@ object Ivf {
       .select(col("cid"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 
-  /** One Lloyd iteration: assign → per-dimension mean. */
+  /** One Lloyd iteration: assign → per-dimension mean, folded up a
+    * treeAggregate of k·d 2^32-scaled long cells (the [[Pca.foldRdd]]
+    * / [[Pq.trainCodebooks]] device, for the same two reasons): the
+    * earlier assign-explode-average formulation re-planned a
+    * k-literal-centroid expression tree and shuffled n·d exploded
+    * rows EVERY pass, and its `avg` accumulated doubles in partition
+    * order — so the centroids were not layout-stable. Long sums
+    * commute; IvfSpec pins identical centroids across partitionings.
+    * The in-task argmin mirrors [[assign]]'s codegen exactly
+    * (ascending-index distance loop, strict-less scan = lowest-cid
+    * tie-break). Cells that go empty keep their previous centroid
+    * (standard Lloyd; the old groupBy silently DROPPED them). */
   def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = assign(corpus, centroids)
-    assigned
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cid", "dim").agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cid"), transform(col("dm"), x => x("m")).as("centroid"))
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "lloydStep: empty centroid set")
+    val k = cents.length
+    val d = cents.head._2.length
+    val cws = cents.map(_._2)
+    val data = corpus.select(col("embedding")).rdd.map { r =>
+      val s = r.getSeq[Float](0)
+      val a = new Array[Double](d)
+      var i = 0
+      while (i < d) { a(i) = s(i).toDouble; i += 1 }
+      a
+    }
+    val scale = 4294967296.0d // 2^32
+    val (sums, counts) = data.treeAggregate(
+      (new Array[Long](k * d), new Array[Long](k)))(
+      seqOp = { case ((ss, ns), x) =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val cw = cws(c)
+          var s = 0.0
+          var i = 0
+          while (i < d) {
+            val diff = x(i) - cw(i); s += diff * diff; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) {
+          ss(best * d + i) += math.floor(x(i) * scale + 0.5d).toLong
+          i += 1
+        }
+        ns(best) += 1
+        (ss, ns)
+      },
+      combOp = { case ((s1, n1), (s2, n2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < n1.length) { n1(i) += n2(i); i += 1 }
+        (s1, n1)
+      })
+    val next = cents.indices.map { c =>
+      val cw =
+        if (counts(c) == 0) cws(c)
+        else Array.tabulate(d)(i =>
+          sums(c * d + i).toDouble / counts(c).toDouble / scale)
+      (cents(c)._1, cw.toSeq)
+    }
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    next.toDF("cid", "centroid")
   }
 
   /** Centroids materialized driver-side — k rows of k-means state, the

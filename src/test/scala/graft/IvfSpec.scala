@@ -33,6 +33,15 @@ class IvfSpec extends SparkSpec {
     assert(distortion(c1) <= distortion(c0) * 1.0001)
   }
 
+  test("centroids are bit-identical across partition layouts") {
+    def books(df: org.apache.spark.sql.DataFrame) =
+      Ivf.trainCentroids(df, k = 8, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    assert(books(emb.repartition(3)) === books(emb.repartition(11)),
+      "scaled-long mean folds must erase layout order")
+  }
+
   test("IVF self-retrieval: a corpus vector always finds itself at rank 1") {
     val res = Ivf.simIvf(spark, sf)
     val selfHits = res.filter(col("q_id") === col("c_id") &&
