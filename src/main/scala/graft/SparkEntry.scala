@@ -33,7 +33,7 @@ object SparkEntry {
       operators.Stats.queries ++ functions.LangModel.queries ++
       operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
       functions.Pca.queries ++ functions.CorpusOps.queries ++
-      functions.SearchIndex.queries
+      functions.SearchIndex.queries ++ functions.Dsir.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -51,5 +51,6 @@ object SparkEntry {
       operators.Layout.oracles ++ functions.Pq.oracles ++
       operators.Stats.oracles ++ functions.LangModel.oracles ++
       operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
-      functions.CorpusOps.oracles ++ functions.SearchIndex.oracles
+      functions.CorpusOps.oracles ++ functions.SearchIndex.oracles ++
+      functions.Dsir.oracles
 }
