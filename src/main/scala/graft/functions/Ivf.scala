@@ -211,9 +211,62 @@ object Ivf {
       .orderBy("q_id")
   }
 
+  // ── SemDeDup: semantic dedup inside k-means cells ───────────────────
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with k-means, then drop all but one member of
+    * every near-identical group — but only comparing WITHIN a cluster,
+    * so the pair enumeration is O(Σ n_c²) over cell sizes instead of
+    * O(n²) over the corpus. That is the published recipe's exact scale
+    * argument (k is chosen so cells stay small: 50k cells for 5B
+    * embeddings in the paper; 8 cells for this corpus keeps the same
+    * cell-occupancy ratio observable in tests).
+    *
+    * Spark shape: centroids are trained by the bit-stable
+    * [[trainCentroids]] treeAggregate loop and assignment is the
+    * zero-shuffle literal-centroid argmin ([[assign]]). The
+    * within-cell self-join runs through
+    * [[Dedup.cappedBucketSelfJoin]], so one degenerate cell (the
+    * k-means failure mode: a boilerplate/zero-vector basin) triangle-
+    * splits across tasks instead of melting one reducer. The kill rule
+    * mirrors the suite's other dedups: the higher vec_id of any
+    * over-threshold pair drops, so "kept" is the cluster's canonical
+    * (lowest-id) representative of each semantic group — deterministic
+    * across engines and layouts, no RNG.
+    *
+    * No SQL oracle (k-means cells are iterative, and double cosine
+    * accumulation is engine-specific); IvfSpec proves the result
+    * equals a driver-side brute-force within-cell pass and that the
+    * per-cell counts reconcile with [[assign]]'s occupancy. */
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.3, cap: Int = Dedup.LshBucketCap): DataFrame = {
+    val centroids = trainCentroids(emb, k, iters)
+    // persisted: feeds the hot-cell probe, both join sides, and the
+    // final charge-back, and its lineage contains the trained model
+    val cells = assign(emb, centroids)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .persist()
+    val killed = Dedup.cappedBucketSelfJoin(cells, "vec_id", Seq("cid"), cap)
+      .withColumn("cos",
+        Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    cells.join(killed, Seq("vec_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("__dropped").isNull, 1)).as("n_kept"),
+        count(col("__dropped")).as("n_dropped"))
+      .orderBy("cid")
+  }
+
+  def simSemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_ann" -> (simIvf _),
-    "sim_ivf_recall" -> (simIvfRecall _))
+    "sim_ivf_recall" -> (simIvfRecall _),
+    "sim_semdedup" -> (simSemDedup _))
 
   val oracles: Map[String, String] = Map.empty
 }

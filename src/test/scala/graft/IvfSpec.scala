@@ -78,4 +78,36 @@ class IvfSpec extends SparkSpec {
       assert(r.getAs[Double]("recall_at_k") === hits.toDouble / 5.0)
     }
   }
+
+  test("semdedup equals brute-force within-cell pruning") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // driver-side reference: same cells, all pairs, same kill rule
+    val cells = Ivf.assign(emb, centroids)
+      .select("vec_id", "embedding", "cid")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = cells.groupBy(_._3).map { case (cid, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val killed = (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if cos(sorted(i)._2, sorted(j)._2) >= 0.3
+      } yield sorted(j)._1).toSet
+      cid -> ((vs.length.toLong, (vs.length - killed.size).toLong,
+        killed.size.toLong))
+    }
+    val got = Ivf.semDedup(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === expected)
+    // something actually deduplicates at this threshold (non-vacuous)
+    assert(got.values.map(_._3).sum > 0)
+  }
 }
