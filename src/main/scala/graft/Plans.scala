@@ -116,7 +116,13 @@ object Plans {
         functions.SearchIndex.ixConjSearch(spark, dir)),
       ("ix_rank_search",
         "BM25 disjunction: log-free idf, per-term scores round to scaled longs so the per-doc sum commutes; query+stats broadcast, top-k heaps",
-        functions.SearchIndex.ixRankSearch(spark, dir)))
+        functions.SearchIndex.ixRankSearch(spark, dir)),
+      ("ts_dsir_weights",
+        "DSIR importance weights: doc-term and vocabulary aggs map-side combine; scoring is a word hash join re-aggregated per doc; T/R/V scalars broadcast as one row",
+        functions.Dsir.tsDsirWeights(spark, dir)),
+      ("sim_semdedup",
+        "SemDeDup: literal-centroid argmin assignment (zero shuffle), capped within-cell self-join, kill-set left join rides the cell agg",
+        functions.Ivf.simSemDedup(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -301,7 +301,8 @@ class PlanAuditSpec extends SparkSpec {
       "lay_file_skip", // corpus z-bounds row
       "tp_quality_calibration", // score quantile row
       "tc_surprisal", // corpus token-total row
-      "ix_rank_search" // corpus (n_docs, sum_dl) stats row
+      "ix_rank_search", // corpus (n_docs, sum_dl) stats row
+      "ts_dsir_weights" // corpus (T, R, V) scalars row
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
