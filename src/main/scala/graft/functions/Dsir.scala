@@ -61,12 +61,12 @@ object Dsir {
     val t = tok(docs)
     // per-doc term frequencies: one map-side-combined shuffle
     val docTf = t.groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))
-    // vocabulary-sized count tables for the two language models
-    val rawCounts = t.groupBy("w").agg(count(lit(1)).as("c_r"))
-    val tgtCounts = t.filter(col("lang") === targetLang)
-      .groupBy("w").agg(count(lit(1)).as("c_t"))
-    val counts = rawCounts.join(tgtCounts, Seq("w"), "left")
-      .select(col("w"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    // BOTH language models from one token pass: the raw count and the
+    // target count are two aggregates of the same word-keyed shuffle
+    // (a conditional count is free next to the unconditional one),
+    // not two scans and a left join
+    val counts = t.groupBy("w").agg(count(lit(1)).as("c_r"),
+      count(when(col("lang") === targetLang, 1)).as("c_t"))
     // T, R, V in one row, broadcast into the scorer
     val scalars = counts.agg(sum("c_t").as("big_t"), sum("c_r").as("big_r"),
       count(lit(1)).as("v"))

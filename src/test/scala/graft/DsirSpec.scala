@@ -48,6 +48,23 @@ class DsirSpec extends SparkSpec {
     assert(sel === Map("src0" -> 2L))
   }
 
+  test("degenerate corpora stay finite: no target docs, empty text") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val noTarget = Seq(
+      (1L, "gamma delta", "zh", "src0", 11L),
+      (2L, "", "fr", "src1", 0L) // empty text → one "" token, n=1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Dsir.dsirWeights(noTarget).collect()
+    assert(w.length === 2)
+    w.foreach { r =>
+      val weight = r.getDouble(4)
+      assert(!weight.isNaN && !weight.isInfinite && weight > 0.0)
+      // T=0: every word's smoothed target count is 1 → num = n_tokens
+      assert(r.getLong(2) === r.getLong(1))
+    }
+  }
+
   test("real-table weights are positive, finite, and corpus-complete") {
     val docs = Tables.documents(spark, sf)
     val w = Dsir.dsirWeights(docs)
