@@ -609,6 +609,137 @@ object Similarity {
        |WHERE r <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ── ranking-quality metrics (MRR / precision@k / nDCG@k) ────────────
+  private val MetricsK = 10
+
+  /** 2^20-scaled reciprocal log2 discounts round(2^20 / log2(i+1)) for
+    * ranks i = 1..k. Computed ONCE at plan-construction time and the
+    * SAME integer constants are interpolated into the DuckDB oracle, so
+    * no engine ever evaluates a transcendental: DCG sums are pure long
+    * arithmetic over shared constants — the log-free exactness rule
+    * from [[rankedSearch]] taken one step further (there the formula
+    * was rearranged to avoid ln; here the log exists only in the metric
+    * DEFINITION, outside both engines). */
+  private val Disc20: Array[Long] = (1 to MetricsK).map(i =>
+    math.round(1048576.0 * math.log(2.0) / math.log(i + 1.0))).toArray
+
+  /** Ideal DCG in the same 2^20 units: truth grades are k..1 by
+    * construction (the exact top-k, graded by position), so the ideal
+    * ordering is the grades descending — one shared constant. */
+  private val IDcg20: Long = (1 to MetricsK).map(i =>
+    (MetricsK + 1 - i).toLong * Disc20(i - 1)).sum
+
+  /** Index-quality evaluation of the int8-quantized ranker against the
+    * exact float ranking — the metrics sheet (MRR@k, precision@k,
+    * nDCG@k) every retrieval deployment reads before trusting a
+    * compressed index, computed corpus-side so the eval scales with the
+    * corpus, not the eval harness. Truth: exact cosine top-k per query,
+    * graded k..1 by exact rank. Run: the quantized-cosine ranking (the
+    * [[rrfFusion]] int8 ranker). Per query: n_hits (run∩truth),
+    * precision@k, MRR@k (reciprocal rank of the first relevant run
+    * position), and nDCG@k with the shared-constant discounts above.
+    *
+    * ONE broadcast pass scores both rankings; the two row_number
+    * windows and the final agg share the q_id partitioning, so the
+    * whole eval is a single shuffle. The aggregate output is |Q| rows —
+    * model-sized at any corpus scale. All metric divisions are single
+    * IEEE ops on integer-valued operands → hash-exact oracle. */
+  def rankMetrics(queries: DataFrame, corpus: DataFrame,
+      k: Int = MetricsK): DataFrame = {
+    require(k == MetricsK, "discount table is built for k = " + MetricsK)
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val int8 = transform(col("embedding"), x =>
+      when(col("__m") === 0d, lit(0L)).otherwise(
+        floor(x.cast("double") * lit(127.0d) / col("__m") + lit(0.5d))
+          .cast("long")))
+    val idot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val q = broadcast(queries.withColumn("__m", maxabs)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"), int8.as("q_qv")))
+    val c = corpus.withColumn("__m", maxabs)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), int8.as("c_qv"))
+    val qn = sqrt(idot(col("q_qv"), col("q_qv")).cast("double"))
+    val cn = sqrt(idot(col("c_qv"), col("c_qv")).cast("double"))
+    val qcos = when(qn === 0d || cn === 0d, lit(-2.0d)).otherwise(
+      idot(col("q_qv"), col("c_qv")).cast("double") / (qn * cn))
+    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val wQ = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id"))
+    val disc = element_at(array(Disc20.map(lit).toIndexedSeq: _*),
+      col("rank_q").cast("int"))
+    val run = c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("qcos", qcos)
+      .withColumn("rank_d", row_number().over(wD))
+      .withColumn("rank_q", row_number().over(wQ))
+      .filter(col("rank_q") <= k)
+      .withColumn("grade",
+        when(col("rank_d") <= k, lit(k + 1) - col("rank_d"))
+          .otherwise(lit(0)).cast("long"))
+    run.groupBy("q_id")
+      .agg(
+        sum(when(col("grade") > 0L, lit(1L)).otherwise(lit(0L)))
+          .as("n_hits"),
+        min(when(col("grade") > 0L, col("rank_q"))).as("__fr"),
+        sum(col("grade") * disc).as("__dcg20"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(col("__fr").isNull, lit(0.0d))
+          .otherwise(lit(1.0d) / col("__fr").cast("double")).as("mrr"),
+        (col("__dcg20").cast("double") / lit(IDcg20.toDouble)).as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  def simRankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    rankMetrics(emb.filter(col("vec_id") < 10), emb)
+  }
+
+  val simRankMetricsSql: String = {
+    val k = MetricsK
+    val discCase = (1 to k).map(i =>
+      s"WHEN $i THEN ${Disc20(i - 1)}").mkString(" ")
+    s"""WITH q8 AS (
+       |  SELECT vec_id, embedding, ${int8Sql("embedding")} AS qv
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+       |    CASE WHEN ${idotSql("q.qv", "q.qv")} = 0
+       |           OR ${idotSql("c.qv", "c.qv")} = 0 THEN -2.0
+       |         ELSE CAST(${idotSql("q.qv", "c.qv")} AS DOUBLE) /
+       |           (sqrt(CAST(${idotSql("q.qv", "q.qv")} AS DOUBLE)) *
+       |            sqrt(CAST(${idotSql("c.qv", "c.qv")} AS DOUBLE)))
+       |    END AS qcos
+       |  FROM q8 q JOIN q8 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rank_d,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, c_id) AS rank_q
+       |  FROM pairs),
+       |run AS (
+       |  SELECT q_id, rank_q,
+       |    CASE WHEN rank_d <= $k THEN ${k + 1} - rank_d ELSE 0 END
+       |      AS grade
+       |  FROM ranked WHERE rank_q <= $k)
+       |SELECT q_id,
+       |  CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k.0 AS p_at_k,
+       |  CASE WHEN MIN(CASE WHEN grade > 0 THEN rank_q END) IS NULL
+       |       THEN 0.0
+       |       ELSE 1.0 / CAST(MIN(CASE WHEN grade > 0 THEN rank_q END)
+       |         AS DOUBLE) END AS mrr,
+       |  CAST(SUM(grade * (CASE rank_q $discCase END)) AS DOUBLE)
+       |    / $IDcg20.0 AS ndcg
+       |FROM run GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   // ── hard-negative mining ────────────────────────────────────────────
   /** Contrastive-training data mining: for each anchor, the most
     * similar vector of a DIFFERENT label — the "hard negative" that
@@ -798,7 +929,8 @@ object Similarity {
     "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_neardup_cosine" -> (simNearDup _),
     "sim_neardup_groups" -> (simNearDupGroups _),
-    "sim_rrf_fusion" -> (simRrfFusion _))
+    "sim_rrf_fusion" -> (simRrfFusion _),
+    "sim_rank_metrics" -> (simRankMetrics _))
 
   def oracles: Map[String, String] = Map(
     "sim_lsh_recall" -> simLshRecallSql,
@@ -813,5 +945,6 @@ object Similarity {
     "sim_lsh_ann" -> simLshSql,
     "sim_neardup_cosine" -> simNearDupSql,
     "sim_neardup_groups" -> simNearDupGroupsSql,
-    "sim_rrf_fusion" -> simRrfFusionSql)
+    "sim_rrf_fusion" -> simRrfFusionSql,
+    "sim_rank_metrics" -> simRankMetricsSql)
 }

@@ -174,6 +174,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "triangle query must not be vacuous")
   }
 
+  test("rank metrics: match an independent driver-side eval exactly") {
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def int8(v: Array[Double]): Array[Long] = {
+      val m = v.map(math.abs).max
+      if (m == 0.0) v.map(_ => 0L)
+      else v.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
+    }
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      val qq = a.map(x => x * x).sum; val cc = b.map(x => x * x).sum
+      if (qq == 0L || cc == 0L) -2.0
+      else a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(qq.toDouble) * math.sqrt(cc.toDouble))
+    }
+    val k = 10
+    val disc = (1 to k).map(i =>
+      math.round(1048576.0 * math.log(2.0) / math.log(i + 1.0)))
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val got = functions.Similarity.simRankMetrics(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    assert(got.keySet === (0L until 10L).toSet)
+    for ((qId, qVec) <- all.filter(_._1 < 10)) {
+      val cands = all.filter(_._1 != qId)
+      val exactTop = cands.map { case (id, v) => (id, cos(qVec, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+        .zipWithIndex.map { case ((id, _), i) => id -> (k - i).toLong }
+        .toMap // grade k..1 by exact rank
+      val qQv = int8(qVec)
+      val runTop = cands.map { case (id, v) => (id, qcos(qQv, int8(v))) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      val grades = runTop.map(id => exactTop.getOrElse(id, 0L))
+      val nHits = grades.count(_ > 0L).toLong
+      val firstRel = grades.indexWhere(_ > 0L)
+      val mrr = if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1).toDouble
+      val dcg = grades.zipWithIndex
+        .map { case (g, i) => g * disc(i) }.sum
+      val r = got(qId)
+      assert(r.getAs[Long]("n_hits") === nHits, s"q$qId n_hits")
+      assert(r.getAs[Double]("p_at_k") === nHits.toDouble / k.toDouble)
+      assert(r.getAs[Double]("mrr") === mrr, s"q$qId mrr")
+      assert(r.getAs[Double]("ndcg") === dcg.toDouble / idcg.toDouble,
+        s"q$qId ndcg")
+      // sanity: the quantized ranker is good but not perfect everywhere
+      assert(r.getAs[Double]("ndcg") > 0.0)
+    }
+  }
+
   test("MMR: selection equals an independent greedy reference") {
     val all = emb.collect()
       .map(r => (r.getAs[Long]("vec_id"),
