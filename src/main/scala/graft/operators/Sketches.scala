@@ -88,10 +88,106 @@ object Sketches {
       .orderBy("source")
   }
 
+  // ── join-size estimation by sketch inner product ────────────────────
+  private val JsP = 2147483647L // 2^31 − 1, prime
+  private val JsW = 16384
+  private val JsD = 5
+
+  /** Pairwise-independent multiplicative hash constants (a_d, b_d) from
+    * the fixed-LCG device ([[graft.functions.Similarity.hyperplanes]]):
+    * a_d < 2^30 bounds a·(k mod p) < 2^61, so every product stays in
+    * int64 on BOTH engines — the SAME constants are interpolated into
+    * the DuckDB oracle, so the sketches are cross-engine identical. */
+  private val (jsA, jsB) = {
+    var s = 0x5851f42d4c957f2dL
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 1
+    }
+    val a = Array.fill(JsD)(next() % ((1L << 30) - 1) + 1)
+    val b = Array.fill(JsD)(next() % JsP)
+    (a, b)
+  }
+
+  /** Join-size estimation WITHOUT executing (or shuffling) the join —
+    * the "will this join blow up?" probe a planner runs before
+    * committing 100 TB to an exchange. Each side folds to a count-min
+    * sketch built as a plain aggregation (explode the D (depth, bucket)
+    * cells per row, word-count them → ≤ D·W cells, map-side
+    * combinable and mergeable like every sketch here); the estimate is
+    * the classic CMS inner product min_d Σ_w cntA[d][w]·cntB[d][w] —
+    * one-sided (collisions only ADD, so est ≥ true always) with
+    * E[overshoot] ≤ |A|·|B|/W per depth, and the min over D
+    * independent rows concentrates it. The exact size Σ_k cA(k)·cB(k)
+    * rides beside it (the recall-trio pattern: approx + truth + both
+    * oracled), computed from per-key counts — never the joined rows.
+    * All arithmetic is int64 on shared constants → hash-exact. */
+  def skJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    def cells(df: DataFrame): DataFrame = {
+      val bs = array((0 until JsD).map(d =>
+        struct(lit(d).as("d"),
+          (((lit(jsA(d)) * (col("k") % JsP)) + lit(jsB(d))) % JsP % JsW)
+            .as("w"))): _*)
+      df.select(explode(bs).as("b"))
+        .groupBy(col("b.d").as("d"), col("b.w").as("w"))
+        .agg(count(lit(1)).as("c"))
+    }
+    def keyCounts(df: DataFrame): DataFrame =
+      df.groupBy("k").agg(count(lit(1)).as("c"))
+    val left = Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("k"))
+    val right = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("k"))
+    val est = cells(left).as("a")
+      .join(cells(right).as("b"), Seq("d", "w"))
+      .groupBy("d").agg(sum(col("a.c") * col("b.c")).as("e"))
+      .agg(min("e").as("est_pairs"))
+    val exact = keyCounts(left).as("a")
+      .join(keyCounts(right).as("b"), Seq("k"))
+      .agg(sum(col("a.c") * col("b.c")).as("exact_pairs"))
+    val sizes = left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(broadcast(right.agg(count(lit(1)).as("n_right"))))
+    sizes.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+  }
+
+  val skJoinSizeSql: String = {
+    val aCase = (0 until JsD).map(d =>
+      s"WHEN $d THEN ${jsA(d)}").mkString(" ")
+    val bCase = (0 until JsD).map(d =>
+      s"WHEN $d THEN ${jsB(d)}").mkString(" ")
+    s"""WITH la AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+       |lb AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+       |da AS (
+       |  SELECT d, ((CASE d $aCase END * (k % $JsP) + CASE d $bCase END)
+       |    % $JsP) % $JsW AS w, COUNT(*) AS c
+       |  FROM la CROSS JOIN (SELECT unnest(range($JsD)) AS d)
+       |  GROUP BY 1, 2),
+       |db AS (
+       |  SELECT d, ((CASE d $aCase END * (k % $JsP) + CASE d $bCase END)
+       |    % $JsP) % $JsW AS w, COUNT(*) AS c
+       |  FROM lb CROSS JOIN (SELECT unnest(range($JsD)) AS d)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT CAST(MIN(e) AS BIGINT) AS est_pairs FROM (
+       |    SELECT d, SUM(a.c * b.c) AS e
+       |    FROM da a JOIN db b USING (d, w) GROUP BY d)),
+       |ex AS (
+       |  SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs FROM
+       |    (SELECT k, COUNT(*) AS c FROM la GROUP BY k) a JOIN
+       |    (SELECT k, COUNT(*) AS c FROM lb GROUP BY k) b USING (k))
+       |SELECT (SELECT COUNT(*) FROM la) AS n_left,
+       |  (SELECT COUNT(*) FROM lb) AS n_right,
+       |  exact_pairs, est_pairs
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct" -> (skApproxDistinct _),
     "sk_approx_percentiles" -> (skApproxPercentiles _),
     "sk_hll_union" -> (skHllUnion _),
+    "sk_join_size" -> (skJoinSize _),
     "sk_heavy_hitters" ->
       ((s: SparkSession, d: String) => skHeavyHitters(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sk_join_size" -> skJoinSizeSql)
 }

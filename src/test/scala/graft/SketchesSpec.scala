@@ -68,4 +68,25 @@ class SketchesSpec extends SparkSpec {
     rows.filter(_._1 != "__all__").values
       .foreach(v => assert(v <= rows("__all__") * 2))
   }
+
+  test("join-size sketch: one-sided, concentrated, and exact side true") {
+    val r = Sketches.skJoinSize(spark, sf).collect().head
+    val (nl, nr) = (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"))
+    val exact = r.getAs[Long]("exact_pairs")
+    val est = r.getAs[Long]("est_pairs")
+    // the exact side really is the join size (independent recompute
+    // through the actual join, which the estimator never executes)
+    val joined = Tables.events(spark, sf).select(col("user_id").as("k"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey").as("k")),
+        Seq("k"))
+      .count()
+    assert(exact === joined, "exact side must equal the executed join")
+    // CMS inner product: collisions only add → never an underestimate
+    assert(est >= exact, s"one-sided bound violated: $est < $exact")
+    // Markov + min over depths: overshoot ≤ 4·|A|·|B|/W with
+    // probability 1 − 4^-D; deterministic data, so once green always
+    // green
+    val bound = exact + 4L * nl * nr / 16384L
+    assert(est <= bound, s"est $est above concentration bound $bound")
+  }
 }
