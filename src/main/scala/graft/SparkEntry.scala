@@ -52,5 +52,6 @@ object SparkEntry {
       operators.Stats.oracles ++ functions.LangModel.oracles ++
       operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
       functions.CorpusOps.oracles ++ functions.SearchIndex.oracles ++
-      functions.Dsir.oracles ++ operators.Sketches.oracles
+      functions.Dsir.oracles ++ operators.Sketches.oracles ++
+      functions.Pca.oracles
 }

@@ -140,8 +140,76 @@ object Pca {
       .orderBy("label")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_pca_power" -> (embPcaPower _))
+  // ── Johnson–Lindenstrauss random projection ─────────────────────────
+  private val JlOutDim = 16
 
-  val oracles: Map[String, String] = Map.empty
+  /** Deterministic ±1 sign matrix (JlOutDim × Dim) — the Achlioptas
+    * database-friendly JL family (signs, not Gaussians: the projection
+    * is adds/subtracts). Fixed-LCG device as [[Similarity.hyperplanes]]
+    * — same matrix on every run/executor, carried as plan literals. */
+  private val jlSigns: Array[Array[Double]] = {
+    var s = 0xd1b54a32d192ed03L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (s < 0L) -1.0 else 1.0
+    }
+    Array.fill(JlOutDim, Similarity.Dim)(next())
+  }
+
+  /** 64→16-dim JL projection with a cosine-distortion audit — the
+    * cost-reduction step an embedding pipeline takes BEFORE ANN/dedup
+    * at 100 TB (4× fewer bytes per vector shrinks every downstream
+    * pair computation by the same factor; JL says pairwise geometry
+    * survives to O(√(log n / d')) distortion). The projection is a
+    * narrow per-row map: 16 sign-dots, each a codegen'd
+    * [[DotProduct]] against a literal ±1 row — no shuffle, no state.
+    * The audit computes full-space and projected-space cosine for
+    * every pair in a small id-block sample and reports both plus the
+    * absolute gap. Cosine is scale-free, so the 1/√d' JL factor
+    * cancels and is omitted. Both engines fold the same ±1 literals
+    * in index order → hash-exact. */
+  def jlDistortion(spark: SparkSession, dir: String, idLimit: Long = 30L)
+      : DataFrame = {
+    val proj = array(jlSigns.map(row =>
+      Similarity.dot(col("embedding"),
+        array(row.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+    val s = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < idLimit)
+      .select(col("vec_id"), col("embedding"), proj.as("p"))
+    val a = s.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("p").as("p1"))
+    val b = s.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("p").as("p2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        Similarity.cosine(col("e1"), col("e2")).as("cos_full"),
+        Similarity.cosine(col("p1"), col("p2")).as("cos_jl"))
+      .withColumn("abs_err", abs(col("cos_full") - col("cos_jl")))
+      .orderBy("v1", "v2")
+  }
+
+  def embJlDistortion(spark: SparkSession, dir: String): DataFrame =
+    jlDistortion(spark, dir)
+
+  val embJlDistortionSql: String = {
+    val projList = jlSigns.map(row =>
+      Similarity.planeDotSql("embedding", row)).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, $projList AS p
+       |  FROM embeddings WHERE vec_id < 30)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  ${Similarity.cosSql("a.embedding", "b.embedding")} AS cos_full,
+       |  ${Similarity.cosSql("a.p", "b.p")} AS cos_jl,
+       |  abs(${Similarity.cosSql("a.embedding", "b.embedding")} -
+       |    ${Similarity.cosSql("a.p", "b.p")}) AS abs_err
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |ORDER BY v1, v2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power" -> (embPcaPower _),
+    "emb_jl_distortion" -> (embJlDistortion _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_jl_distortion" -> embJlDistortionSql)
 }

@@ -425,12 +425,12 @@ object Similarity {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def cosSql(a: String, b: String): String =
+  private[functions] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Dot against a literal plane (Scala Double.toString round-trips
     * exactly through DuckDB's correctly-rounded literal parser). */
-  private def planeDotSql(v: String, plane: Array[Double]): String = {
+  private[functions] def planeDotSql(v: String, plane: Array[Double]): String = {
     val lits = plane.mkString("[", ", ", "]")
     s"list_reduce(list_transform(range(1, len($v) + 1), " +
       s"i -> CAST($v[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"

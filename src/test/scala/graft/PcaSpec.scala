@@ -75,4 +75,41 @@ class PcaSpec extends SparkSpec {
       s"pooled projection variance $pooled vs eigenvalue $lambda")
     rows.foreach(r => assert(r.getAs[Double]("eigenvalue") === lambda))
   }
+
+  test("JL distortion: matches a driver recompute exactly, geometry survives") {
+    val got = Pca.embJlDistortion(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 30).count()
+    assert(got.length === (n * (n - 1) / 2).toInt)
+    // regenerate the sign matrix with the same LCG
+    var s = 0xd1b54a32d192ed03L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (s < 0L) -1.0 else 1.0
+    }
+    val signs = Array.fill(16, 64)(next())
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 30).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def dotIdx(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotIdx(a, b) / (math.sqrt(dotIdx(a, a)) * math.sqrt(dotIdx(b, b)))
+    def proj(v: Array[Double]): Array[Double] = signs.map(dotIdx(v, _))
+    got.foreach { r =>
+      val (a, b) = (vecs(r.getAs[Long]("v1")), vecs(r.getAs[Long]("v2")))
+      assert(r.getAs[Double]("cos_full") === cos(a, b))
+      assert(r.getAs[Double]("cos_jl") === cos(proj(a), proj(b)))
+      assert(r.getAs[Double]("abs_err") ===
+        math.abs(cos(a, b) - cos(proj(a), proj(b))))
+    }
+    // JL quality: projecting 64→16 must keep pairwise cosine geometry
+    // coarse but usable — mean gap well under the concentration scale
+    val meanErr = got.map(_.getAs[Double]("abs_err")).sum / got.length
+    assert(meanErr < 0.25, s"mean cosine distortion too high: $meanErr")
+  }
 }
