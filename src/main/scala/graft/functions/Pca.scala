@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Top principal component of the embedding corpus by distributed
@@ -141,7 +142,7 @@ object Pca {
   }
 
   // ── Johnson–Lindenstrauss random projection ─────────────────────────
-  private val JlOutDim = 16
+  private val JlOutDim = 32
 
   /** Deterministic ±1 sign matrix (JlOutDim × Dim) — the Achlioptas
     * database-friendly JL family (signs, not Gaussians: the projection
@@ -156,12 +157,14 @@ object Pca {
     Array.fill(JlOutDim, Similarity.Dim)(next())
   }
 
-  /** 64→16-dim JL projection with a cosine-distortion audit — the
+  /** 64→32-dim JL projection with a cosine-distortion audit — the
     * cost-reduction step an embedding pipeline takes BEFORE ANN/dedup
-    * at 100 TB (4× fewer bytes per vector shrinks every downstream
+    * at 100 TB (2× fewer bytes per vector shrinks every downstream
     * pair computation by the same factor; JL says pairwise geometry
-    * survives to O(√(log n / d')) distortion). The projection is a
-    * narrow per-row map: 16 sign-dots, each a codegen'd
+    * survives to O(√(log n / d')) distortion — and d' is a measured
+    * choice: at d'=16 the downstream recall gate failed, see
+    * [[embJlRecall]]). The projection is a narrow per-row map:
+    * JlOutDim sign-dots, each a codegen'd
     * [[DotProduct]] against a literal ±1 row — no shuffle, no state.
     * The audit computes full-space and projected-space cosine for
     * every pair in a small id-block sample and reports both plus the
@@ -206,10 +209,89 @@ object Pca {
        |ORDER BY v1, v2""".stripMargin
   }
 
+  /** Recall@k of the two-stage JL pipeline — projected-space SHORTLIST
+    * (top-`short` by 16-dim cosine), exact re-rank of the shortlist,
+    * final top-k — against the full-space exact top-k. This is how a
+    * coarse projection is actually deployed (nobody ranks FINAL results
+    * in the compressed space: measured at d'=16, pure-projected ranking
+    * recalled only ~0.12 of the exact top-10 and even shortlist+rerank
+    * only 0.36 — which is why d'=32 ships; there the pipeline clears
+    * the PcaSpec majority-recall gate at `short`/N of full-rank cost).
+    * Same shape as the recall trio (`sim_lsh_recall`/`sim_ivf_recall`/
+    * `sim_pq_recall`): broadcast-query window rankings, the
+    * intersection joins two O(|Q|·k) sides, one exact integer
+    * division. */
+  def embJlRecall(spark: SparkSession, dir: String, k: Int = 10,
+      short: Int = 50): DataFrame = {
+    val proj = array(jlSigns.map(row =>
+      Similarity.dot(col("embedding"),
+        array(row.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), proj.as("p"))
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("p").as("q_p")))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("p").as("c_p"))
+    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val wJ = Window.partitionBy("q_id").orderBy(col("jcos").desc, col("c_id"))
+    val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val ranked = c.join(q, col("q_id") =!= col("c_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("jcos", Similarity.cosine(col("q_p"), col("c_p")))
+      .withColumn("rank_d", row_number().over(wD))
+      .withColumn("rank_j", row_number().over(wJ))
+    // exact re-rank of the projected shortlist → the pipeline's top-k
+    val finalTopK = ranked.filter(col("rank_j") <= short)
+      .withColumn("rank_f", row_number().over(wR))
+      .filter(col("rank_f") <= k)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    ranked.filter(col("rank_d") <= k)
+      .select(col("q_id"), col("c_id"))
+      .join(finalTopK, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k.toDouble)).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  def embJlRecallSql(k: Int = 10, short: Int = 50): String = {
+    val projList = jlSigns.map(row =>
+      Similarity.planeDotSql("embedding", row)).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, $projList AS p FROM embeddings),
+       |ranked AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${Similarity.cosSql("q.embedding", "c.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${Similarity.cosSql("q.embedding", "c.embedding")} DESC,
+       |      c.vec_id) AS rank_d,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${Similarity.cosSql("q.p", "c.p")} DESC, c.vec_id) AS rank_j
+       |  FROM s q JOIN s c
+       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |finals AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rank_f
+       |    FROM ranked WHERE rank_j <= $short)
+       |  WHERE rank_f <= $k)
+       |SELECT r.q_id,
+       |  CAST(COUNT(f.c_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(f.c_id) AS DOUBLE) / $k.0 AS recall_at_k
+       |FROM ranked r LEFT JOIN finals f
+       |  ON f.q_id = r.q_id AND f.c_id = r.c_id
+       |WHERE r.rank_d <= $k
+       |GROUP BY r.q_id ORDER BY r.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_power" -> (embPcaPower _),
-    "emb_jl_distortion" -> (embJlDistortion _))
+    "emb_jl_distortion" -> (embJlDistortion _),
+    "emb_jl_recall" -> ((s: SparkSession, d: String) => embJlRecall(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "emb_jl_distortion" -> embJlDistortionSql)
+    "emb_jl_distortion" -> embJlDistortionSql,
+    "emb_jl_recall" -> embJlRecallSql())
 }

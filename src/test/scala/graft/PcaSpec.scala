@@ -87,7 +87,7 @@ class PcaSpec extends SparkSpec {
       s = s * 6364136223846793005L + 1442695040888963407L
       if (s < 0L) -1.0 else 1.0
     }
-    val signs = Array.fill(16, 64)(next())
+    val signs = Array.fill(32, 64)(next())
     val vecs = Tables.embeddings(spark, sf)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 30).collect()
       .map(r => r.getAs[Long]("vec_id") ->
@@ -107,9 +107,56 @@ class PcaSpec extends SparkSpec {
       assert(r.getAs[Double]("abs_err") ===
         math.abs(cos(a, b) - cos(proj(a), proj(b))))
     }
-    // JL quality: projecting 64→16 must keep pairwise cosine geometry
+    // JL quality: projecting 64→32 must keep pairwise cosine geometry
     // coarse but usable — mean gap well under the concentration scale
     val meanErr = got.map(_.getAs[Double]("abs_err")).sum / got.length
     assert(meanErr < 0.25, s"mean cosine distortion too high: $meanErr")
+  }
+
+  test("JL recall: equals the exact/projected top-k intersection size") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val all = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    var s = 0xd1b54a32d192ed03L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (s < 0L) -1.0 else 1.0
+    }
+    val signs = Array.fill(32, 64)(next())
+    def dotIdx(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotIdx(a, b) / (math.sqrt(dotIdx(a, a)) * math.sqrt(dotIdx(b, b)))
+    def proj(v: Array[Double]): Array[Double] = signs.map(dotIdx(v, _))
+    val got = Pca.embJlRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(got.keySet === (0L until 10L).toSet)
+    for (q <- 0L until 10L) {
+      val qv = all(q)
+      val cands = all.toSeq.filter(_._1 != q)
+      val exact = cands.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      // two-stage pipeline: projected top-50 shortlist, exact re-rank
+      val qp = proj(qv)
+      val shortlist = cands.map { case (id, v) => (id, cos(qp, proj(v))) }
+        .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1).toSet
+      val finalTopK = cands.filter(c => shortlist(c._1))
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val hits = (exact & finalTopK).size.toLong
+      assert(got(q)._1 === hits, s"q$q n_hit")
+      assert(got(q)._2 === hits.toDouble / 10.0)
+    }
+    // usable-retrieval gate: shortlist+rerank must keep most of top-k
+    // (at d'=16 pure projected ranking managed ~0.12 and the pipeline
+    // 0.36 — the measurements that set d'=32)
+    val totalRecall = got.values.map(_._2).sum / got.size
+    assert(totalRecall > 0.5, s"mean JL pipeline recall: $totalRecall")
   }
 }
