@@ -122,7 +122,16 @@ object Plans {
         functions.Dsir.tsDsirWeights(spark, dir)),
       ("sim_semdedup",
         "SemDeDup: literal-centroid argmin assignment (zero shuffle), capped within-cell self-join, kill-set left join rides the cell agg",
-        functions.Ivf.simSemDedup(spark, dir)))
+        functions.Ivf.simSemDedup(spark, dir)),
+      ("sk_join_size",
+        "join-size estimate: both sides fold to D·W sketch cells (word-count shape); the inner product joins cell tables, never fact rows",
+        operators.Sketches.skJoinSize(spark, dir)),
+      ("sim_rank_metrics",
+        "index-quality eval: one broadcast pass scores both rankings; windows and final agg share the q_id exchange",
+        functions.Similarity.simRankMetrics(spark, dir)),
+      ("emb_jl_recall",
+        "JL shortlist+rerank recall: 32 codegen sign-dots per row (no shuffle), then the recall-trio broadcast/window shape",
+        functions.Pca.embJlRecall(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

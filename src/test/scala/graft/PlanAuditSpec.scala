@@ -302,7 +302,10 @@ class PlanAuditSpec extends SparkSpec {
       "tp_quality_calibration", // score quantile row
       "tc_surprisal", // corpus token-total row
       "ix_rank_search", // corpus (n_docs, sum_dl) stats row
-      "ts_dsir_weights" // corpus (T, R, V) scalars row
+      "ts_dsir_weights", // corpus (T, R, V) scalars row
+      "sk_join_size", // three 1-row builds: sizes, exact, estimate
+      "sim_rank_metrics", // broadcast query rows, non-equi self filter
+      "emb_jl_recall" // broadcast query rows, non-equi self filter
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
