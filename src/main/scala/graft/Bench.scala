@@ -46,13 +46,14 @@ object Bench {
         }
         val cold = once(); val warm = once()
         // release this query's persisted intermediates (signature
-        // tables, prefix indexes, PQ codes, ...) before the next query
-        // runs: caches legitimately persist WITHIN a query's two runs,
-        // but letting ~170 queries' blocks accumulate in one session
-        // drove LRU eviction + disk spill that inflated every
-        // subsequent measurement (observed round 5: the dd_* suite
-        // benched 2-6× its standalone time)
-        spark.catalog.clearCache()
+        // tables, prefix indexes, PQ codes, localCheckpoint blocks ...)
+        // before the next query runs: caches legitimately persist
+        // WITHIN a query's two runs, but letting ~190 queries' blocks
+        // accumulate in one session drove LRU eviction + disk spill
+        // that inflated later measurements 7-21× (round 5: clearCache
+        // alone left localCheckpoint RDD blocks registered — see
+        // graft.util.Caches)
+        graft.util.Caches.releaseAll(spark)
         name -> (if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm))
     }.toMap
     val total =

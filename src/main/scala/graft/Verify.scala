@@ -28,10 +28,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // drop this query's persisted intermediates so ~170 queries'
-        // cached blocks don't accumulate in the shared session (same
-        // hygiene as Bench)
-        spark.catalog.clearCache()
+        // drop this query's persisted intermediates — SQL cache AND
+        // localCheckpoint RDD blocks — so ~190 queries' blocks don't
+        // accumulate in the shared session (same hygiene as Bench)
+        graft.util.Caches.releaseAll(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

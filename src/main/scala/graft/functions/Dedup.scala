@@ -178,12 +178,12 @@ object Dedup {
     // artifact of AllPairs — at scale it is materialized once per
     // (corpus, threshold) and amortized across runs, the same pattern
     // as the persisted MinHash signature table below
-    val prefixes = grams.join(dfreq, "g" +: blockCols)
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <=
-        col("s") - expr(s"int((s * $tNum + ${tDen - 1}) div $tDen)") + lit(1))
-      .select(col("doc_id") +: col("s") +: col("rn") +: col("g") +: bc: _*)
-      .persist()
+    val prefixes = graft.util.Caches.persistOnce(
+      grams.join(dfreq, "g" +: blockCols)
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <=
+          col("s") - expr(s"int((s * $tNum + ${tDen - 1}) div $tDen)") + lit(1))
+        .select(col("doc_id") +: col("s") +: col("rn") +: col("g") +: bc: _*))
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(lit(true))(_ && _)
@@ -259,12 +259,9 @@ object Dedup {
     * expression (per-row distinct, no bigram strings materialized);
     * every shuffle in the plan carries 8-byte keys, never text. */
   def ngramJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val sets = withShingleHashes(docs)
-      .select(col("doc_id"), col("source"),
-        array_sort(col("shingle_hashes")).as("hs")) // sorted for the merge-count verify
-      .withColumn("s", size(col("hs")))
-      .filter(col("s") > 0)
-      .persist() // feeds grams, dfreq and both verify joins
+    // session-shared bigram index: feeds grams, dfreq and both verify
+    // joins (hs sorted for the merge-count verify)
+    val sets = GramIndex.bigramSourceSets(docs)
     val cands = prefixFilteredCandidates(sets, tNum, tDen, Seq("source"),
       spreadEnumeration = true, dedupCandidates = false)
     verifiedJaccardPairs(cands, sets, tNum.toDouble / tDen.toDouble)
@@ -326,12 +323,10 @@ object Dedup {
     * the qualifying pairs themselves (measured 256 candidates vs
     * 12.5M possible pairs at sf0.1 — a 50,000× pruning). */
   def prefixJaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = docs
-      .select(col("doc_id"), array_sort(array_distinct(
-        ShingleFunctions.ngram_hashes(col("text"), 4))).as("hs"))
-      .withColumn("s", size(col("hs")))
-      .filter(col("s") > 0)
-      .localCheckpoint() // reused by grams, df, and both verify joins
+    // the session-shared 4-gram index (reused by grams, df, both
+    // verify joins — and by survivorship/fuzzy-decontamination runs
+    // over the same corpus in the same session)
+    val sets = GramIndex.ngramSets(docs, 4)
     val cands = prefixFilteredCandidates(sets, 1, 2)
     verifiedJaccardPairs(cands, sets, 0.5d)
   }
@@ -405,7 +400,15 @@ object Dedup {
     * Returns the raw two-sided join aliased `a`/`b` (payload columns
     * intact) with `id(a) < id(b)`; callers select/verify as usual.
     * DedupSpec plants a hot bucket and proves the pair set equals the
-    * uncapped join's, and that no block exceeds the 2·cap-scale bound. */
+    * uncapped join's, and that no block exceeds the 2·cap-scale bound.
+    *
+    * CONTRACT: the hot-bucket probe runs a Spark job at PLAN TIME, so
+    * this builder is eager and batch-only (a streaming DataFrame cannot
+    * be probed — the streaming gate in [[graft.streaming.StreamOps]]
+    * uses the uncapped band join instead). Callers passing an expensive
+    * `rows` subtree should persist it first (every in-repo caller does,
+    * via [[graft.util.Caches.persistOnce]]) or the probe pass
+    * recomputes that subtree once more per call. */
   def cappedBucketSelfJoin(rows: DataFrame, idCol: String,
       keyCols: Seq[String], cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
@@ -503,13 +506,10 @@ object Dedup {
   def minhashDuplicatePairs(docs: DataFrame, threshold: Double,
       bucketCap: Int = LshBucketCap): DataFrame = {
     // signatures feed both the bucket join and the verification join —
-    // persist so the shingle/signature computation runs once (at real
-    // scale this is a materialized signature table; within a session
-    // the cached blocks live until the session ends — callers running
-    // many corpora should materialize signatures to storage instead)
-    val signed = withSignature(withShingleHashes(docs))
-      .select("doc_id", "shingle_hashes", "signature")
-      .persist()
+    // the session-shared signature index computes them once per corpus
+    // (at real scale this is a materialized signature table; callers
+    // running many corpora should materialize signatures to storage)
+    val signed = GramIndex.minhashSignatures(docs)
     val buckets = lshBuckets(signed)
     val cands = cappedBucketSelfJoin(buckets, "doc_id",
         Seq("band", "bucket"), bucketCap)
@@ -633,11 +633,10 @@ object Dedup {
     * batch docs with no match anywhere. */
   def incrementalMinhashMatches(corpus: DataFrame, batch: DataFrame,
       threshold: Double, bucketCap: Int = LshBucketCap): DataFrame = {
-    def signed(docs: DataFrame) =
-      withSignature(withShingleHashes(docs))
-        .select("doc_id", "shingle_hashes", "signature")
-    val corpusSigned = signed(corpus).persist() // the stored index
-    val batchSigned = signed(batch).persist()
+    // the stored index — shared with the batch-only dedups and the
+    // streaming ingest gate through the session signature registry
+    val corpusSigned = GramIndex.minhashSignatures(corpus)
+    val batchSigned = GramIndex.minhashSignatures(batch)
     val corpusBuckets = lshBuckets(corpusSigned)
     val batchBuckets = lshBuckets(batchSigned)
     // batch × corpus: plain asymmetric hash join on the band key — the
@@ -752,9 +751,8 @@ object Dedup {
     // join — persist so tokenize+hash runs once (~24 bytes/doc; at
     // real scale this is the stored fingerprint table, same contract
     // as the minhash signature persist below)
-    val s = withSimhash(docs).select(
-      col("doc_id"), col("source"), col("simhash"))
-      .persist()
+    val s = graft.util.Caches.persistOnce(withSimhash(docs).select(
+      col("doc_id"), col("source"), col("simhash")))
     val bandCols = (0 until bands).map { b =>
       val shifted = shiftrightunsigned(col("simhash"), b * width)
       val bits = // last band keeps the leftover high bits

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.util.Caches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+/** Session-shared shingle/signature index tables for the dedup and
+  * decontamination family — the `ix_postings` pattern applied to the
+  * similarity-join inputs.
+  *
+  * Every exact-similarity and LSH operator starts from the same
+  * derived table: the per-doc set of gram hashes (4-gram, bigram) or
+  * the MinHash signature over it. Round 5 measured each of
+  * `dd_prefix_jaccard`, `dd_survivorship`, `dc2_fuzzy_decontamination`
+  * rebuilding the 4-gram set table from the raw text per query. At
+  * 100 TB the gram index is materialized ONCE per (corpus, shape) and
+  * amortized across every dedup/decontamination/audit run over that
+  * corpus — this registry is the in-session form of that contract:
+  * the first caller builds and persists; later callers (same session,
+  * same source plan) reuse the cached blocks.
+  *
+  * Keying: (session, canonicalized source plan, shape). Canonicalized
+  * plans are alias/exprId-normalized, so syntactically re-created
+  * reads of the same table hit. The registry stores PLANS (persisted
+  * DataFrames), not data: entries re-persist lazily after a
+  * [[Caches.releaseAll]] sweep (persist keeps lineage, so a swept
+  * entry silently rebuilds — which is why these use persist and NOT
+  * localCheckpoint, whose truncated lineage cannot recompute).
+  * Bounded at [[MaxEntries]] plans; the map clears wholesale at the
+  * bound (sessions hold a handful of corpora, not thousands).
+  */
+object GramIndex {
+
+  private val MaxEntries = 64
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, LogicalPlan, String), DataFrame]()
+
+  def invalidate(): Unit = registry.clear()
+
+  /** Build-once lookup: `build` runs on first use per (session, source
+    * plan, shape); every access routes through
+    * [[Caches.persistOnce]] so swept entries re-persist. */
+  private def cached(source: DataFrame, shape: String)
+      (build: => DataFrame): DataFrame = {
+    if (registry.size >= MaxEntries) registry.clear()
+    val key = (source.sparkSession,
+      source.queryExecution.analyzed.canonicalized, shape)
+    Caches.persistOnce(registry.computeIfAbsent(key, _ => build))
+  }
+
+  /** Sorted-distinct word n-gram hash sets: (doc_id, hs, s), empty
+    * sets dropped. The shared input of [[Dedup.prefixJaccardPairs]],
+    * [[Dedup.survivorshipBySource]] and
+    * [[TrainPrep.dc2FuzzyDecontamination]] (all 4-gram, t=1/2).
+    * Hashes come from the single-pass [[NgramHashes]] scan — no gram
+    * strings materialized; `hs` is sorted for the merge-count verify
+    * kernel ([[SortedIntersectCount]]). */
+  def ngramSets(docs: DataFrame, n: Int): DataFrame =
+    cached(docs, s"ngram_sets_$n") {
+      docs
+        .select(col("doc_id"), array_sort(array_distinct(
+          ShingleFunctions.ngram_hashes(col("text"), n))).as("hs"))
+        .withColumn("s", size(col("hs")))
+        .filter(col("s") > 0)
+    }
+
+  /** Sorted-distinct word-bigram hash sets with the `source` blocking
+    * column: (doc_id, source, hs, s) — [[Dedup.ngramJaccardPairs]]'s
+    * input shape. */
+  def bigramSourceSets(docs: DataFrame): DataFrame =
+    cached(docs, "bigram_source_sets") {
+      Dedup.withShingleHashes(docs)
+        .select(col("doc_id"), col("source"),
+          array_sort(col("shingle_hashes")).as("hs"))
+        .withColumn("s", size(col("hs")))
+        .filter(col("s") > 0)
+    }
+
+  /** MinHash signature table: (doc_id, shingle_hashes, signature) —
+    * the stored index of the LSH dedup family
+    * ([[Dedup.minhashDuplicatePairs]], the incremental ingest gate). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    cached(docs, "minhash_signatures") {
+      Dedup.withSignature(Dedup.withShingleHashes(docs))
+        .select("doc_id", "shingle_hashes", "signature")
+    }
+}

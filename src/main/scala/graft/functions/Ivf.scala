@@ -51,7 +51,16 @@ object Ivf {
     * The in-task argmin mirrors [[assign]]'s codegen exactly
     * (ascending-index distance loop, strict-less scan = lowest-cid
     * tie-break). Cells that go empty keep their previous centroid
-    * (standard Lloyd; the old groupBy silently DROPPED them). */
+    * (standard Lloyd; the old groupBy silently DROPPED them).
+    *
+    * OVERFLOW BOUND: each cell accumulates floor(x·2^32 + 0.5) longs,
+    * so a single cell overflows int64 only past ~2^31/max|x| rows —
+    * with unit-normalized embeddings (|x| ≤ 1) that is ~2·10^9 rows IN
+    * ONE CELL. The guard below fails loudly rather than wrap silently;
+    * at 100 TB, train the quantizer on a bounded sample (as every IVF
+    * deployment does) — assignment, the full-corpus pass, never
+    * accumulates. Same contract as [[Pq.trainCodebooks]]; [[Pca]]'s
+    * 2^20 scale documents its n ≤ 10^9 bound the same way. */
   def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "lloydStep: empty centroid set")
@@ -97,6 +106,11 @@ object Ivf {
         while (i < n1.length) { n1(i) += n2(i); i += 1 }
         (s1, n1)
       })
+    // counts-based overflow tripwire (see scaladoc): 2^31 rows/cell is
+    // where |Σ floor(x·2^32+0.5)| can leave int64 for |x| ≤ 1
+    require(counts.forall(_ <= (1L << 31)),
+      s"lloydStep: a cell holds > 2^31 rows — the 2^32-scaled long " +
+        "mean could overflow; train the quantizer on a bounded sample")
     val next = cents.indices.map { c =>
       val cw =
         if (counts(c) == 0) cws(c)
@@ -243,9 +257,8 @@ object Ivf {
     val centroids = trainCentroids(emb, k, iters)
     // persisted: feeds the hot-cell probe, both join sides, and the
     // final charge-back, and its lineage contains the trained model
-    val cells = assign(emb, centroids)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-      .persist()
+    val cells = graft.util.Caches.persistOnce(assign(emb, centroids)
+      .select(col("vec_id"), col("embedding"), col("cid")))
     val killed = Dedup.cappedBucketSelfJoin(cells, "vec_id", Seq("cid"), cap)
       .withColumn("cos",
         Similarity.cosine(col("a.embedding"), col("b.embedding")))

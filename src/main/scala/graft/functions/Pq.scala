@@ -119,6 +119,12 @@ object Pq {
             while (i < n1.length) { n1(i) += n2(i); i += 1 }
             (s1, n1)
           })
+        // counts-based overflow tripwire (same contract as
+        // [[Ivf.lloydStep]]): 2^31 rows in one (subspace, code) cell is
+        // where the 2^32-scaled long sum can leave int64 for |x| ≤ 1
+        require(counts.forall(_ <= (1L << 31)),
+          "trainCodebooks: a cell holds > 2^31 rows — the 2^32-scaled " +
+            "long mean could overflow; train on a bounded sample")
         // empty cells keep their previous codeword (standard Lloyd)
         val next = books.map(_.map(_.clone()))
         for (j <- 0 until m; c <- 0 until k if counts(j * k + c) > 0;

@@ -233,8 +233,11 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       bits: Int = NearDupBits,
       bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
-    val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
-      "embedding", bits)
+    // persisted: the capped join's eager hot-bucket probe would
+    // otherwise recompute the key/hyperplane pass an extra time
+    val v = graft.util.Caches.persistOnce(
+      withLshKey(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", bits))
     // hot-bucket safety: a degenerate key (zero/boilerplate embeddings
     // all hashing alike) would put one bucket's n²/2 cosine evaluations
     // on a single task; the capped join triangle-splits such buckets
@@ -262,8 +265,10 @@ object Similarity {
     * and the whole graph hash-matches the oracle. */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits,
       bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
-    val v = withLshKey(corpus.select(col("vec_id"), col("embedding")),
-      "embedding", bits)
+    // persisted for the same eager-probe reason as [[nearDupPairs]]
+    val v = graft.util.Caches.persistOnce(
+      withLshKey(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", bits))
     val w = Window.partitionBy("src_id")
       .orderBy(col("cos").desc, col("nbr_id"))
     // hot-bucket-capped candidate join; each UNORDERED pair surfaces

@@ -389,13 +389,10 @@ object TrainPrep {
     * lowest eval id for a total order. */
   def dc2FuzzyDecontamination(spark: SparkSession, dir: String)
       : DataFrame = {
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(
-        ShingleFunctions.ngram_hashes(col("text"), 4))).as("hs"))
-      .withColumn("s", size(col("hs")))
-      .filter(col("s") > 0)
+    // session-shared 4-gram index (same table dd_prefix_jaccard and
+    // dd_survivorship read); is_eval is a cheap column on top
+    val sets = GramIndex.ngramSets(Tables.documents(spark, dir), 4)
       .withColumn("is_eval", col("doc_id") % 5 === 0)
-      .localCheckpoint()
     val grams = sets.select(col("doc_id"), col("s"), col("is_eval"),
       explode(col("hs")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))

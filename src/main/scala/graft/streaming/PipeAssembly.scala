@@ -72,6 +72,15 @@ object PipeAssembly {
     conf.get("filter.scalaCondition") match {
       case None => base
       case Some(src) =>
+        // TRUST BOUNDARY: this compiles and executes config-supplied
+        // Scala on the driver AND every executor (deliberate parity
+        // with the reference's include-event-condition Eval —
+        // mypipe-api Pipe config). Pipe configs carrying
+        // scalaCondition are CODE and must come from the same trust
+        // domain as the deployed jars — never from tenant/user input.
+        // Untrusted callers get filter.condition (SQL, no codegen
+        // escape) instead.
+        //
         // the SOURCE STRING is the closure's serialized form: each
         // JVM (driver and every executor) compiles it once through
         // Eval.compiled's cache — a ToolBox closure itself would not
