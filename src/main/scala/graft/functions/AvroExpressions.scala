@@ -54,6 +54,14 @@ object AvroCodec {
       case FloatType => java.lang.Float.valueOf(v.asInstanceOf[Float])
       case BooleanType => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
       case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      // Avro decimal logical-type convention: unscaled big-endian
+      // two's-complement bytes; scale is fixed by the schema.
+      case _: DecimalType => ByteBuffer.wrap(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue().toByteArray)
+      // Spark-internal days-since-epoch Int / micros-since-epoch Long
+      // ride as Avro int(date) / long(timestamp-micros).
+      case DateType => Integer.valueOf(v.asInstanceOf[Int])
+      case TimestampType => java.lang.Long.valueOf(v.asInstanceOf[Long])
       case MapType(StringType, vt, _) =>
         val m = v.asInstanceOf[MapData]
         val jm = new java.util.HashMap[String, AnyRef](m.numElements())
@@ -85,6 +93,12 @@ object AvroCodec {
       case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
       case (b: ByteBuffer, BinaryType) =>
         val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case (b: ByteBuffer, d: DecimalType) =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(arr), d.scale), d.precision, d.scale)
+      case (i: Integer, DateType) => i.intValue()
+      case (l: java.lang.Long, TimestampType) => l.longValue()
       case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
         val entries = m.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
           .entrySet().toArray(Array.empty[AnyRef])
