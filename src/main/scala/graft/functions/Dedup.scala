@@ -781,6 +781,57 @@ object Dedup {
     simhashPairsBanded(Tables.documents(spark, dir), 3)
       .orderBy("d1", "d2")
 
+  /** DuckDB emulation of the whole SimHash pipeline, making
+    * `dd_simhash` hash-exact rather than rows-only: rolling-hash each
+    * distinct whitespace token (HUGEINT fold mod 2^64, see
+    * [[TextAnalysis.taFingerprintSql]]), take the per-bit weak-majority
+    * vote (`2·cnt ≥ n`, [[SimHash64]]'s tie rule), pack the 64 bits,
+    * band into 4×16-bit keys and hash-join candidates — the same
+    * pigeonhole construction as [[simhashPairsBanded]], so the result
+    * sets must be identical pair-for-pair. */
+  val ddSimhashSql: String =
+    """WITH th AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(string_split(tok,''),
+      |        c -> CAST(ascii(c) AS HUGEINT))),
+      |      (acc,c) -> (acc*1000003+c)%18446744073709551616) AS uh
+      |  FROM (SELECT doc_id, source,
+      |          unnest(regexp_split_to_array(text,'\s+')) AS tok
+      |        FROM documents)),
+      |counts AS (
+      |  SELECT doc_id, source, j,
+      |    SUM(CASE WHEN (uh // (CAST(1 AS HUGEINT) << j)) % 2 = 1
+      |        THEN 1 ELSE 0 END) AS cnt,
+      |    COUNT(*) AS n
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+      |  GROUP BY 1,2,3),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CAST(SUM(CASE WHEN 2*cnt >= n
+      |      THEN (CAST(1 AS HUGEINT) << j) ELSE 0 END) AS HUGEINT) AS su
+      |  FROM counts GROUP BY 1,2),
+      |banded AS (
+      |  SELECT doc_id, source, su, b,
+      |    (su // (CAST(1 AS HUGEINT) << (16*b))) % 65536 AS bits
+      |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) bands),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.su AS su1, b.su AS su2
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bits = b.bits AND a.source = b.source
+      |   AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  bit_count(xor(
+      |    CAST(CASE WHEN su1 >= 9223372036854775808
+      |      THEN su1 - 18446744073709551616 ELSE su1 END AS BIGINT),
+      |    CAST(CASE WHEN su2 >= 9223372036854775808
+      |      THEN su2 - 18446744073709551616 ELSE su2 END AS BIGINT)))
+      |    AS hamming
+      |FROM cand
+      |WHERE hamming <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   // ── exact span (substring) dedup ────────────────────────────────────
   /** Corpus-wide duplicate-SPAN accounting — the fixed-length-window
     * approximation of suffix-array exact-substring dedup (the
@@ -856,5 +907,6 @@ object Dedup {
     "dd_survivorship" -> ddSurvivorshipSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
+    "dd_simhash" -> ddSimhashSql,
     "dd_span_dedup" -> ddSpanDedupSql())
 }

@@ -403,15 +403,40 @@ object TextAnalysis {
 
   // ── document fingerprinting ─────────────────────────────────────────
   /** Rolling-hash fingerprint of the full text plus a coarse 64-bucket
-    * shard id — the custom codegen expression ([[RollingHash]]); no SQL
-    * oracle (engine-specific hash), validated against the plain-Scala
-    * reference in ScalaTest and rows-checked by the driver. */
+    * shard id — the custom codegen expression ([[RollingHash]]). The
+    * hash IS SQL-expressible: `h = h·base + byte` with 64-bit
+    * wraparound folds in DuckDB as a HUGEINT `list_reduce` mod 2^64
+    * over the (ASCII) character codes — see [[taFingerprintSql]] — so
+    * this is hash-exact against the oracle, not rows-only. */
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       HashFunctions.rolling_hash(col("text")).as("fingerprint"),
       pmod(HashFunctions.rolling_hash(col("text")), lit(64)).as("shard"))
       .orderBy("doc_id")
+
+  /** DuckDB emulation of [[RollingHash]]: HUGEINT (128-bit) fold of
+    * `acc·1000003 + ascii(c) mod 2^64` (the product stays < 2^84, so
+    * it never overflows HUGEINT), then two's-complement to signed for
+    * the fingerprint and unsigned `% 64` for the shard (≡ Spark `pmod`
+    * since 64 divides 2^64). Valid while the corpus is ASCII — byte
+    * sequence == codepoint sequence (the testdata generator emits
+    * ASCII; a multi-byte corpus would need a bytes-level fold). */
+  val taFingerprintSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(string_split(text, ''),
+      |          c -> CAST(ascii(c) AS HUGEINT))),
+      |      (acc, c) -> (acc * 1000003 + c) % 18446744073709551616) AS uh
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN uh >= 9223372036854775808
+      |    THEN uh - 18446744073709551616 ELSE uh END AS BIGINT)
+      |    AS fingerprint,
+      |  CAST(uh % 64 AS BIGINT) AS shard
+      |FROM h ORDER BY doc_id""".stripMargin
 
   // ── rare-bigram novelty ─────────────────────────────────────────────
   /** Corpus-relative novelty: the fraction of a document's word-bigram
@@ -594,5 +619,6 @@ object TextAnalysis {
     "ta_vocab" -> taVocabSql(),
     "ta_repetition" -> taRepetitionSql,
     "ta_bm25" -> taBm25Sql,
-    "ta_rare_bigrams" -> taRareBigramsSql)
+    "ta_rare_bigrams" -> taRareBigramsSql,
+    "ta_fingerprint" -> taFingerprintSql)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates — the approximate path for cardinality and
@@ -15,28 +15,80 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HLL++ distinct counts per return flag at 2% target error, beside
-    * the exact count for driver-side rows checking. */
-  def skApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** HLL++ distinct counts per return flag at 2% target error, checked
+    * against the exact counts IN the query: the output carries the
+    * exact cardinalities plus within-bounds flags (|approx−exact| ≤
+    * 5·rsd·exact — 5 standard errors), so the DuckDB oracle (exact
+    * counts + TRUE flags) hash-verifies both the exact aggregation and
+    * that the sketch estimates landed inside their documented error —
+    * a bounds-checked driver row rather than rows-only. The sketch
+    * values themselves stay spec-asserted in SketchesSpec. */
+  def skApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02)
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = rsd)
           .as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+        approx_count_distinct(col("l_orderkey"), rsd = rsd)
           .as("approx_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * (5 * rsd)).as("parts_within_bounds"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * (5 * rsd)).as("orders_within_bounds"))
       .orderBy("l_returnflag")
+  }
 
-  /** Approximate percentiles of the price distribution. */
-  def skApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50"),
-        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000))
-          .as("p95"),
-        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("p99"))
+  val skApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_bounds,
+      |  TRUE AS orders_within_bounds
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate percentiles of the price distribution, rank-checked IN
+    * the query: `approx_percentile(accuracy=a)` returns an actual data
+    * element whose rank span [count(<v)+1, count(≤v)] must intersect
+    * the target window (q ± 1/a)·n — a hard deterministic guarantee of
+    * the GK summary, not a probabilistic one. The output is the exact
+    * row count plus one flag per percentile, so the DuckDB oracle
+    * (COUNT(*) + TRUE flags) hash-verifies the bound; the estimate
+    * values stay spec-asserted in SketchesSpec. The 1-row broadcast of
+    * the estimates is the whitelisted scalar-build BNLJ pattern. */
+  def skApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val eps = 1.0 / acc
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val approx = li.agg(
+      approx_percentile(col("v"), lit(0.5), lit(acc)).as("p50"),
+      approx_percentile(col("v"), lit(0.95), lit(acc)).as("p95"),
+      approx_percentile(col("v"), lit(0.99), lit(acc)).as("p99"))
+    val ranks = li.crossJoin(broadcast(approx)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+      sum(when(col("v") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+      sum(when(col("v") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+      sum(when(col("v") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+      sum(when(col("v") < col("p99"), 1L).otherwise(0L)).as("lt99"),
+      sum(when(col("v") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+    def ok(q: Double, lt: Column, le: Column): Column =
+      (lt + 1 <= (lit(q) + eps) * col("n") + 1) &&
+        (le >= (lit(q) - eps) * col("n") - 1)
+    ranks.select(col("n"),
+      ok(0.50, col("lt50"), col("le50")).as("p50_within_bounds"),
+      ok(0.95, col("lt95"), col("le95")).as("p95_within_bounds"),
+      ok(0.99, col("lt99"), col("le99")).as("p99_within_bounds"))
+  }
+
+  val skApproxPercentilesSql: String =
+    """SELECT COUNT(*) AS n, TRUE AS p50_within_bounds,
+      |  TRUE AS p95_within_bounds, TRUE AS p99_within_bounds
+      |FROM lineitem""".stripMargin
 
   /** Heavy hitters via Count-Min Sketch: the frequency sketch is a
     * built-in partial aggregate (map-side combinable, O(w·d) state —
@@ -58,9 +110,28 @@ object Sketches {
     val keys = events.select("event_type").distinct()
       .orderBy("event_type").collect().map(_.getString(0))
     import spark.implicits._
-    keys.toSeq.map(k => (k, cms.estimateCount(k)))
+    val est = keys.toSeq.map(k => (k, cms.estimateCount(k)))
       .toDF("event_type", "est_count")
+    // Bounds-checked driver row: CMS guarantees est ≥ exact always, and
+    // est ≤ exact + eps·N with prob. `conf` — both checked IN the query
+    // against the exact grouped counts, so the DuckDB oracle (exact
+    // counts + TRUE flags) hash-verifies the sketch's hard guarantees.
+    // cms.totalCount is the stream length N the eps bound scales with.
+    val total = cms.totalCount
+    val exact = events.groupBy("event_type")
+      .agg(count(lit(1)).as("exact_count"))
+    exact.join(broadcast(est), "event_type")
+      .select(col("event_type"), col("exact_count"),
+        (col("est_count") >= col("exact_count")).as("never_under"),
+        (col("est_count") <= col("exact_count") +
+          lit(math.ceil(eps * total).toLong)).as("within_eps"))
+      .orderBy("event_type")
   }
+
+  val skHeavyHittersSql: String =
+    """SELECT event_type, COUNT(*) AS exact_count,
+      |  TRUE AS never_under, TRUE AS within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
     * answer: per-source HLL sketches (computed independently, as
@@ -189,5 +260,8 @@ object Sketches {
       ((s: SparkSession, d: String) => skHeavyHitters(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "sk_join_size" -> skJoinSizeSql)
+    "sk_join_size" -> skJoinSizeSql,
+    "sk_approx_distinct" -> skApproxDistinctSql,
+    "sk_approx_percentiles" -> skApproxPercentilesSql,
+    "sk_heavy_hitters" -> skHeavyHittersSql)
 }

