@@ -33,11 +33,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // per-query spill audit (VERDICT r6 item 8): a query that silently
+    // falls out of memory at bench scale is a scale bug — surface it
+    // in the bench JSON so rounds can regress against zero
+    val spills = scala.collection.mutable.Map.empty[String, Long]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try {
+            val df = fn(spark, sfDir)
+            df.count()
+            val el = (System.nanoTime() - t0) / 1e9
+            val sp = graft.util.SpillAudit.spillBytes(df)
+            if (sp > 0) spills(name) = spills.getOrElse(name, 0L) + sp
+            el
+          }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -58,13 +69,36 @@ object Bench {
     }.toMap
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // streaming backlog-replay throughput (VERDICT r5 item 7): events/s
+    // through ChangeLogSource → tx grouping → checkpointed parquet sink
+    // with Trigger.AvailableNow. Generation is untimed; failures report
+    // -1 rather than killing the query bench.
+    val streamReplay: String = {
+      val skip = only.isDefined // dev allow-list → query iteration only
+      if (skip) "" else try {
+        val (lines, out, sec, eps) = streaming.ReplayBench.run(
+          spark, sfDir, "/tmp/graft_bench_replay")
+        graft.util.Caches.releaseAll(spark)
+        s""","stream_replay":{"events":$lines,"mutations_out":$out,"sec":${"%.3f".format(sec)},"events_per_sec":${"%.0f".format(eps)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream_replay failed: ${e.getMessage}")
+          ""","stream_replay":{"events_per_sec":-1}"""
+      }
+    }
     def fmt(v: Double): String =
       if (v < 0) "-1" else "%.3f".format(v)
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spillJson =
+      if (spills.isEmpty) ""","spill_bytes":0"""
+      else s""","spill_bytes":${spills.values.sum},"spilled_queries":${
+        spills.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$streamReplay$spillJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // JSON lines found there (rounds 1-2: the full per-query line grew
     // past 2000 chars, was truncated mid-line, and recorded parsed:null).
@@ -76,7 +110,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":{"""
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var len = head.length + 60 // reserve room for closing + omitted note
+    // reserve room for closing + omitted note + stream_replay object
+    var len = head.length + 60 + streamReplay.length
     var omitted = 0
     bySlowest.foreach { case (k, v) =>
       val p = s"\"" + k + "\":" + fmt(v)
@@ -85,7 +120,8 @@ object Bench {
     }
     val note =
       if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
-    val stdoutJson = head + parts.mkString(",") + "}" + note + "}"
+    val stdoutJson = head + parts.mkString(",") + "}" + note +
+      streamReplay + s""","spill_bytes":${spills.values.sum}""" + "}"
     spark.stop()
     System.err.flush()
     println()

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.Tables
+import graft.sources.ChangeLogSource
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backlog-replay throughput for the CDC half of the engine (round-5
+  * VERDICT item 7): the streaming path had correctness specs but no
+  * perf signal. This drives the REAL pipe — [[ChangeLogSource]] DSv2
+  * scan (rotated segments, sparse index) → [[TxPipeline]] tx grouping
+  * (BEGIN/COMMIT buffering, commit-ts rewrite, state store) →
+  * checkpointed parquet sink — over a multi-segment log generated from
+  * the events table, with `Trigger.AvailableNow` (the catch-up-then-
+  * stop shape of a consumer draining a binlog backlog). The reported
+  * number is end-to-end events/second through the whole pipe.
+  *
+  * The log generator wraps each run of `txSize` consecutive events per
+  * connection in BEGIN/COMMIT markers, so the replay exercises the
+  * state machine on every line, and writes `segments` range-partitioned
+  * files in global seq order — rotated-segment catch-up reads them with
+  * one input partition per segment (parallel backlog, serial tail).
+  */
+object ReplayBench {
+
+  /** Render the events table as a multi-segment change log. Returns the
+    * total line count (mutations + begin/commit markers). */
+  def generateLog(spark: SparkSession, sfDir: String, logDir: String,
+      connections: Int = 32, txSize: Int = 5, segments: Int = 8): Long = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"))
+      .withColumn("conn", pmod(col("user_id"), lit(connections)))
+    val w = Window.partitionBy("conn").orderBy("ts_us", "event_id")
+    val seqd = ev.withColumn("mseq", row_number().over(w).cast("long"))
+    // line seq per conn: mutations at mseq·10, BEGIN at lo·10−2 and
+    // COMMIT at hi·10+2 — strictly between the neighbouring txs'
+    // markers (a tx's COMMIT at hi·10+2 precedes the next BEGIN at
+    // hi·10+8). An earlier ±5 scheme made COMMIT(tx N) collide with
+    // BEGIN(tx N+1); tie-order is undefined after a shuffle, and a
+    // BEGIN sorting first reset-discarded the open buffer — exactly
+    // the ambiguity a real binlog cannot contain (positions are
+    // strictly monotone), so the generator must keep seqs unique too.
+    val muts = seqd.select(col("conn"), (col("mseq") * 10).as("seq"),
+      lit("mutation").as("kind"), lit("update").as("op"),
+      concat(lit("pk"), col("event_id")).as("pk"), col("ts_us"),
+      col("event_type").as("value"))
+    val txs = seqd
+      .groupBy(col("conn"),
+        ((col("mseq") - 1) / txSize).cast("long").as("tx"))
+      .agg(min("mseq").as("lo"), max("mseq").as("hi"),
+        max("ts_us").as("commit_ts"))
+    val nulls = lit(null).cast("string")
+    val begins = txs.select(col("conn"), (col("lo") * 10 - 2).as("seq"),
+      lit("begin").as("kind"), nulls.as("op"), nulls.as("pk"),
+      col("commit_ts").as("ts_us"), nulls.as("value"))
+    val commits = txs.select(col("conn"), (col("hi") * 10 + 2).as("seq"),
+      lit("commit").as("kind"), nulls.as("op"), nulls.as("pk"),
+      col("commit_ts").as("ts_us"), nulls.as("value"))
+    val lines = muts.unionByName(begins).unionByName(commits)
+      .as[(Long, Long, String, String, String, Long, String)]
+      .map { case (conn, seq, kind, op, pk, ts, value) =>
+        (seq, conn, ChangeLogSource.renderLine(conn, seq, kind, op, pk,
+          ts, value))
+      }
+      .toDF("seq", "conn", "line")
+    val n = lines.count()
+    // global line order == seq order across name-sorted part files:
+    // range-partition by seq so part-0000i holds the i-th seq range
+    // (a binlog is time-ordered; rotated segments preserve that)
+    lines.repartitionByRange(segments, col("seq"), col("conn"))
+      .sortWithinPartitions("seq", "conn")
+      .select("line")
+      .write.mode("overwrite").text(logDir)
+    // _SUCCESS would list as a zero-line segment; drop it
+    val fs = new Path(logDir).getFileSystem(new Configuration())
+    fs.delete(new Path(logDir, "_SUCCESS"), false)
+    n
+  }
+
+  /** Drain the backlog through the full pipe; returns
+    * (output mutations, elapsed seconds). */
+  def replay(spark: SparkSession, logDir: String, outDir: String)
+      : (Long, Double) = {
+    val dataDir = s"$outDir/data"
+    val t0 = System.nanoTime()
+    val q = PipeAssembly.start(spark, Map(
+      "source.path" -> logDir,
+      "sink.path" -> dataDir,
+      "sink.checkpoint" -> s"$outDir/ckpt"), availableNow = true)
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (spark.read.parquet(dataDir).count(), sec)
+  }
+
+  /** Generate (untimed) + replay (timed); returns
+    * (log lines, output mutations, seconds, events/sec). */
+  def run(spark: SparkSession, sfDir: String, workDir: String)
+      : (Long, Long, Double, Double) = {
+    val fs = new Path(workDir).getFileSystem(new Configuration())
+    fs.delete(new Path(workDir), true)
+    val lines = generateLog(spark, sfDir, s"$workDir/log")
+    val (out, sec) = replay(spark, s"$workDir/log", s"$workDir/sink")
+    (lines, out, sec, lines / sec)
+  }
+}

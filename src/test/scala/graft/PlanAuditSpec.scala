@@ -325,4 +325,20 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
   }
+
+  test("suite-wide: no headline query spills memory when executed") {
+    // Executes every headline plan and reads the spill SQL metrics off
+    // the executed tree (SpillAudit) — the class of silent-degradation
+    // bug behind the round-5 bench blowups becomes a CI failure. Spill
+    // legitimately appears only when data outgrows executor memory;
+    // at spec scale ANY spill means a plan asked for one (e.g. an
+    // unbounded sort buffer), which is a scale defect.
+    val spilled = graft.Plans.sections(spark, sf).flatMap {
+      case (name, _, df) =>
+        df.count()
+        val sp = graft.util.SpillAudit.spillBytes(df)
+        if (sp > 0) Some(s"$name ($sp B)") else None
+    }
+    assert(spilled.isEmpty, s"headline queries spilled: $spilled")
+  }
 }
