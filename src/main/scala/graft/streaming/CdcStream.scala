@@ -179,4 +179,61 @@ object CdcStream {
     repo.save(consumerId, BinlogPosition(logName, math.max(boundary, 0L)))
     boundary
   }
+
+  // ── with-transaction snapshot variant ───────────────────────────────
+  /** The consistent table view AT a captured position: latest image per
+    * pk over changes with position ≤ `boundary`; pks whose latest
+    * change is a delete (per `opCol`) are absent. Changes past the
+    * boundary are invisible no matter when the view is EXECUTED — the
+    * REPEATABLE READ property as a predicate. */
+  def consistentViewAt(changes: DataFrame, positionCol: String,
+      pkCols: Seq[String], boundary: Long,
+      opCol: Option[String] = Some("op")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(col(positionCol).desc)
+    val latest = changes
+      .filter(col(positionCol) <= boundary)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    opCol.fold(latest)(o => latest.filter(col(o) =!= "delete"))
+  }
+
+  /** With-transaction snapshot handoff (reference
+    * MySQLSnapshotter.scala:249-258: `SET TRANSACTION ISOLATION LEVEL
+    * REPEATABLE READ` → `FLUSH TABLES WITH READ LOCK` → `SHOW MASTER
+    * STATUS` → `UNLOCK TABLES` → table selects → `COMMIT` — capture the
+    * position while locked, then read a consistent view that predates
+    * any concurrent write).
+    *
+    * An append-only totally-ordered change log gives the same guarantee
+    * WITHOUT a lock: (1) capture `boundary` = the log's current end —
+    * the readLock+showMasterStatus step; (2) snapshot the consistent
+    * view pinned to `≤ boundary` — the repeatable-read selects. `table`
+    * is call-by-need and read FRESH for each step (as the reference's
+    * two queries each see the live table): mutations that land between
+    * the two reads are filtered out of the view by the boundary pin, so
+    * position and data are ATOMICALLY consistent and resuming at
+    * `boundary + 1` is both lossless and duplicate-free. The no-txn
+    * variant ([[snapshotHandoff]]) derives its boundary from whatever
+    * data the write happened to read, so its replay is exactly-once
+    * only because latest-image apply is idempotent. */
+  def snapshotHandoffWithTxn(table: () => DataFrame, sinkDir: String,
+      positionCol: String, pkCols: Seq[String],
+      repo: PositionRepository, consumerId: String,
+      logName: String = "changelog",
+      opCol: Option[String] = Some("op")): Long = {
+    // step 1 — position capture (readLock + showMasterStatus analog)
+    val boundary = table().agg(max(col(positionCol))).collect().head match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r => r.getLong(0)
+    }
+    // step 2 — repeatable-read selects: a FRESH read, possibly already
+    // grown past the boundary; the ≤ boundary pin restores the view
+    consistentViewAt(table(), positionCol, pkCols, boundary, opCol)
+      .write.mode("overwrite").parquet(sinkDir)
+    repo.save(consumerId, BinlogPosition(logName, math.max(boundary, 0L)))
+    boundary
+  }
 }
