@@ -131,7 +131,16 @@ object Plans {
         functions.Similarity.simRankMetrics(spark, dir)),
       ("emb_jl_recall",
         "JL shortlist+rerank recall: 32 codegen sign-dots per row (no shuffle), then the recall-trio broadcast/window shape",
-        functions.Pca.embJlRecall(spark, dir)))
+        functions.Pca.embJlRecall(spark, dir)),
+      ("ct_typed_envelope",
+        "full-ColumnType envelope roundtrip: decimal/date/blob cells through Avro encode/frame/decode — codec expressions sit at the scan edge, everything else codegen",
+        functions.SpecificEnvelope.ctTypedEnvelope(spark, dir)),
+      ("sk_approx_percentiles",
+        "GK percentile rank-check: one agg builds the 1-row estimates (whitelisted BNLJ broadcast), one pass ranks them; no sort anywhere",
+        operators.Sketches.skApproxPercentiles(spark, dir)),
+      ("sk_heavy_hitters",
+        "CMS bound-check: sketch and exact counts are both map-side-combined aggs; the tiny estimate table broadcasts back",
+        operators.Sketches.skHeavyHitters(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

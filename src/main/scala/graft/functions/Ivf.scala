@@ -174,10 +174,17 @@ object Ivf {
     * sort orders by (d, cid), the deterministic tie-break) → slice
     * nprobe → explode. No crossJoin, no window on the query side. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val cells = assign(corpus, centroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-        col("cid"))
+      k: Int, nprobe: Int): DataFrame =
+    topKInCells(queries,
+      assign(corpus, centroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+          col("cid")),
+      centroids, k, nprobe)
+
+  /** Probe + rank against an already-assigned cell table (in-memory or
+    * loaded from a persisted index). */
+  private def topKInCells(queries: DataFrame, cells: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents = collectCentroids(centroids)
     val probeArr = array(cents.map { case (cid, c) =>
       struct(sqDist(col("embedding"), array(c.map(lit).toSeq: _*)).as("d"),
@@ -196,6 +203,40 @@ object Ivf {
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "cos", "rank")
+  }
+
+  // ── persisted index: the inverted file as partition pruning ─────────
+  /** Persist a trained index as the deployment artifact: the centroid
+    * model (k rows) plus the corpus PARTITIONED BY CELL. The "inverted
+    * file" is then Spark's own partition layout — a probe of nprobe
+    * cells reads nprobe directories and skips the rest, so serving cost
+    * is nprobe/k of the corpus in I/O, not just in compute. Train once
+    * (the expensive treeAggregate Lloyd loop), serve forever; at 100 TB
+    * re-deriving assignments per query session would be the bug. */
+  def saveIndex(corpus: DataFrame, centroids: DataFrame, dir: String)
+      : Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(corpus, centroids).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$dir/cells")
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** Query a persisted index. The probe side (queries × nprobe cell
+    * ids) joins the cell store on its PARTITION column, so dynamic
+    * partition pruning turns the probe list into a directory filter —
+    * the scan reads only the probed cells (IvfSpec asserts the
+    * dynamicpruning subquery reaches the FileScan). Results are
+    * identical to [[topKIvf]] over the in-memory assignment: the
+    * persisted index changes WHERE cells live, never what they hold. */
+  def topKPersisted(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = loadCentroids(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("cid"))
+    topKInCells(queries, cells, centroids, k, nprobe)
   }
 
   def simIvf(spark: SparkSession, dir: String): DataFrame = {

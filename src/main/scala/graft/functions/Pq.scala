@@ -204,6 +204,50 @@ object Pq {
       .select("q_id", "c_id", "cos", "rank")
   }
 
+  // ── persisted index: codebooks + codes as the stored artifact ───────
+  /** Persist a trained PQ index: the m×k×sub codebook tensor (model
+    * state, flattened to rows) and the encoded corpus — vec_id, the
+    * m-byte code array, and the raw embedding for the exact re-rank
+    * stage. Training (treeAggregate Lloyd per subspace) and encoding
+    * (m×k argmin per vector) are the expensive passes; a serving
+    * session reloads both tables and pays only the ADC scan. At 100 TB
+    * the codes table is ~32× smaller than the corpus — THE artifact a
+    * PQ deployment ships. */
+  def saveIndex(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      dir: String): Unit = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("subspace", "code", "codeword")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    encode(corpus, books)
+      .select(col("vec_id"), col("codes"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Reload the codebook tensor exactly as trained (ordered by
+    * (subspace, code) — the layout [[encode]]/[[adcTopK]] index by). */
+  def loadCodebooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("codeword"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, sub) =>
+      sub.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
+  /** Query a persisted PQ index: loaded codebooks + stored codes, same
+    * ADC + exact-re-rank plan as [[adcTopK]] — results identical to an
+    * in-session train+encode (PqSpec asserts). */
+  def topKPersisted(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int, shortlist: Int): DataFrame =
+    adcTopK(queries, spark.read.parquet(s"$dir/codes"),
+      loadCodebooks(spark, dir), k, shortlist)
+
   /** Declared query: PQ(m=4, k=16) over the embeddings table, ADC
     * shortlist 32 → exact top-5 for the first 10 vectors as queries.
     * No SQL oracle (k-means + ADC aren't DuckDB-expressible);

@@ -110,4 +110,30 @@ class IvfSpec extends SparkSpec {
     // something actually deduplicates at this threshold (non-vacuous)
     assert(got.values.map(_._3).sum > 0)
   }
+
+  test("persisted index serves identical results and prunes to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Ivf.trainCentroids(emb, k = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_index").toString
+    Ivf.saveIndex(emb, centroids, dir)
+    // the store is partitioned by cell — one directory per cid
+    val cellDirs = new java.io.File(s"$dir/cells")
+      .listFiles().filter(_.getName.startsWith("cid=")).map(_.getName)
+    assert(cellDirs.length === 8, cellDirs.mkString(","))
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromDisk = Ivf.topKPersisted(queries, spark, dir, k = 5,
+      nprobe = 2)
+    val inMemory = Ivf.topKIvf(queries, emb, centroids, k = 5, nprobe = 2)
+    assert(fromDisk.orderBy("q_id", "rank").collect().toSeq ===
+      inMemory.orderBy("q_id", "rank").collect().toSeq,
+      "persistence changed retrieval results")
+    // the inverted-file property: the probe join reaches the cell scan
+    // as a dynamic partition-pruning filter, so only probed cid
+    // directories are read
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "cell scan is not dynamically pruned:\n" + plan)
+  }
 }

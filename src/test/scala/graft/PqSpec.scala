@@ -123,4 +123,29 @@ class PqSpec extends SparkSpec {
       assert(r.getAs[Double]("recall_at_k") === hits.toDouble / 5.0)
     }
   }
+
+  test("persisted index roundtrips codebooks and serves identical results") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val books = Pq.trainCodebooks(emb, m = 4, k = 16, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_index").toString
+    Pq.saveIndex(emb, books, dir)
+    // codebook tensor survives storage bit-for-bit, in trained order
+    val loaded = Pq.loadCodebooks(spark, dir)
+    assert(loaded.length === books.length)
+    loaded.zip(books).foreach { case (lb, b) =>
+      assert(lb.length === b.length)
+      lb.zip(b).foreach { case (lcw, cw) => assert(lcw.toSeq === cw.toSeq) }
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromDisk = Pq.topKPersisted(queries, spark, dir,
+      k = 5, shortlist = 32)
+    val inMemory = Pq.adcTopK(queries,
+      Pq.encode(emb, books).localCheckpoint(), books,
+      k = 5, shortlist = 32)
+    assert(fromDisk.orderBy("q_id", "rank").collect().toSeq ===
+      inMemory.orderBy("q_id", "rank").collect().toSeq,
+      "persistence changed retrieval results")
+  }
 }
