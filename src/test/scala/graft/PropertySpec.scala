@@ -383,4 +383,53 @@ class PropertySpec extends SparkSpec {
       assert(by("changed") === common.count(k => m1(k) != m2(k)).toLong)
     }
   }
+
+  test("typed avro wire: arbitrary decimal/date/timestamp/binary cells roundtrip") {
+    import graft.functions.{AvroCodec, SpecificEnvelope}
+    import org.apache.spark.sql.types._
+    val sparkS = spark
+    import sparkS.implicits._
+    val fields = Seq(
+      StructField("id", LongType),
+      StructField("dec", DecimalType(20, 4)),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("blob", BinaryType))
+    val schemaJson =
+      SpecificEnvelope.schemaFor("testdb", "fuzz", "insert", fields)
+    val rowGen = Gen.zip(
+      // unscaled values across sign/magnitude, incl. > 2^63 / 10^4
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.chooseNum(-719162, 2932896), // date range 0001..9999
+      Gen.chooseNum(-62135596800000000L, 253402300799000000L),
+      Gen.listOfN(12, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    val rows = samples(rowGen, 200).zipWithIndex.map {
+      case ((unscaled, days, micros, bytes), i) =>
+        (i.toLong, BigDecimal(BigInt(unscaled), 4), // ≤19 digits < p=20
+          java.time.LocalDate.ofEpochDay(days.toLong),
+          java.time.Instant.EPOCH.plusNanos(micros * 1000L),
+          bytes.map(_.toByte).toArray)
+    }
+    val df = rows.toDF("id", "dec", "day", "ts", "blob")
+      .select(col("id"), col("dec").cast(DecimalType(20, 4)).as("dec"),
+        col("day"), col("ts"), col("blob"))
+    val rt = df
+      .withColumn("rec", struct(fields.map(f => col(f.name)): _*))
+      .withColumn("bin", AvroCodec.encode(col("rec"), schemaJson))
+      .withColumn("dec2",
+        AvroCodec.decode(col("bin"), schemaJson, StructType(fields)))
+      .select(col("dec2.id").as("id"), col("dec2.dec").as("dec"),
+        col("dec2.day").as("day"), col("dec2.ts").as("ts"),
+        col("dec2.blob").as("blob"))
+    val a = df.orderBy("id").collect()
+    val b = rt.orderBy("id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getDecimal(1) === y.getDecimal(1), s"decimal ${x.getLong(0)}")
+      assert(x.getDate(2) === y.getDate(2), s"date ${x.getLong(0)}")
+      assert(x.getTimestamp(3) === y.getTimestamp(3), s"ts ${x.getLong(0)}")
+      assert(x.getAs[Array[Byte]](4).toSeq === y.getAs[Array[Byte]](4).toSeq)
+    }
+  }
 }

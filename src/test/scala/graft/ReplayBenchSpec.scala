@@ -28,4 +28,41 @@ class ReplayBenchSpec extends SparkSpec {
     assert(perTx.filter(col("nts") =!= 1).count() === 0,
       "commit-ts rewrite within tx")
   }
+
+  test("per-event state-machine cost clears the reference's 10 ms latency bound") {
+    // The reference's ONLY hard perf number (BASELINE.md): mean
+    // insert→consumer latency < 10 ms over ≥100 sequential events
+    // (reference test.conf:14-15, LatencySpec.scala:169-172). The
+    // micro-batch model moves DELIVERY latency to the trigger, but the
+    // per-event PROCESSING cost of the same state machine — the tx
+    // fold every event passes through — is directly comparable, and
+    // must clear the bound with orders of magnitude to spare for the
+    // trigger budget to dominate.
+    import graft.streaming.TxPipeline
+    import graft.streaming.TxPipeline.ChangeEvent
+    val n = 100000
+    val events = (0 until n).map { i =>
+      val kind = i % 7 match {
+        case 0 => "begin"
+        case 6 => "commit"
+        case _ => "mutation"
+      }
+      ChangeEvent(1L, i.toLong, kind, "update", s"pk$i", i.toLong,
+        Map("value" -> i.toString))
+    }
+    // warm-up then timed fold, batched as micro-batches of 1000
+    def run(): Long = {
+      val t0 = System.nanoTime()
+      events.grouped(1000).foldLeft(TxPipeline.emptyState) { (st, batch) =>
+        TxPipeline.advance(1L, batch, st)._1
+      }
+      System.nanoTime() - t0
+    }
+    run()
+    val perEventMicros = run() / 1000.0 / n
+    // reference bound is 10 ms = 10000 µs END TO END; the state machine
+    // itself must be far under it (it shares the event loop budget)
+    assert(perEventMicros < 1000.0,
+      f"state-machine fold costs $perEventMicros%.1f µs/event")
+  }
 }
