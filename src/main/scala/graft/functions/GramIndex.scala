@@ -1,8 +1,7 @@
 package graft.functions
 
 import graft.util.Caches
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Session-shared shingle/signature index tables for the dedup and
@@ -20,34 +19,28 @@ import org.apache.spark.sql.functions._
   * the first caller builds and persists; later callers (same session,
   * same source plan) reuse the cached blocks.
   *
-  * Keying: (session, canonicalized source plan, shape). Canonicalized
-  * plans are alias/exprId-normalized, so syntactically re-created
-  * reads of the same table hit. The registry stores PLANS (persisted
-  * DataFrames), not data: entries re-persist lazily after a
-  * [[Caches.releaseAll]] sweep (persist keeps lineage, so a swept
+  * Keying and bounds live in [[Caches.PlanMemo]] (shared with the
+  * Bloom model-state cache): (session, canonicalized source plan,
+  * shape), wholesale clear at the bound with unpersist-on-evict so a
+  * dropped entry's blocks free immediately. The registry stores PLANS
+  * (persisted DataFrames), not data: entries re-persist lazily after
+  * a [[Caches.releaseAll]] sweep (persist keeps lineage, so a swept
   * entry silently rebuilds — which is why these use persist and NOT
   * localCheckpoint, whose truncated lineage cannot recompute).
-  * Bounded at [[MaxEntries]] plans; the map clears wholesale at the
-  * bound (sessions hold a handful of corpora, not thousands).
   */
 object GramIndex {
 
-  private val MaxEntries = 64
-  private val registry = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, LogicalPlan, String), DataFrame]()
+  private val registry = new Caches.PlanMemo[String, DataFrame](
+    maxEntries = 64, onEvict = _.unpersist(blocking = false))
 
-  def invalidate(): Unit = registry.clear()
+  def invalidate(): Unit = registry.invalidate()
 
   /** Build-once lookup: `build` runs on first use per (session, source
     * plan, shape); every access routes through
     * [[Caches.persistOnce]] so swept entries re-persist. */
   private def cached(source: DataFrame, shape: String)
-      (build: => DataFrame): DataFrame = {
-    if (registry.size >= MaxEntries) registry.clear()
-    val key = (source.sparkSession,
-      source.queryExecution.analyzed.canonicalized, shape)
-    Caches.persistOnce(registry.computeIfAbsent(key, _ => build))
-  }
+      (build: => DataFrame): DataFrame =
+    Caches.persistOnce(registry.get(source, shape)(build))
 
   /** Sorted-distinct word n-gram hash sets: (doc_id, hs, s), empty
     * sets dropped. The shared input of [[Dedup.prefixJaccardPairs]],

@@ -75,9 +75,9 @@ object Ivf {
       a
     }
     val scale = 4294967296.0d // 2^32
-    val (sums, counts) = data.treeAggregate(
-      (new Array[Long](k * d), new Array[Long](k)))(
-      seqOp = { case ((ss, ns), x) =>
+    val (sums, counts, maxAbs) = data.treeAggregate(
+      (new Array[Long](k * d), new Array[Long](k), new Array[Double](1)))(
+      seqOp = { case ((ss, ns, mx), x) =>
         var best = 0
         var bestD = Double.PositiveInfinity
         var c = 0
@@ -94,23 +94,32 @@ object Ivf {
         var i = 0
         while (i < d) {
           ss(best * d + i) += math.floor(x(i) * scale + 0.5d).toLong
+          val a = math.abs(x(i)); if (a > mx(0)) mx(0) = a
           i += 1
         }
         ns(best) += 1
-        (ss, ns)
+        (ss, ns, mx)
       },
-      combOp = { case ((s1, n1), (s2, n2)) =>
+      combOp = { case ((s1, n1, m1), (s2, n2, m2)) =>
         var i = 0
         while (i < s1.length) { s1(i) += s2(i); i += 1 }
         i = 0
         while (i < n1.length) { n1(i) += n2(i); i += 1 }
-        (s1, n1)
+        if (m2(0) > m1(0)) m1(0) = m2(0)
+        (s1, n1, m1)
       })
-    // counts-based overflow tripwire (see scaladoc): 2^31 rows/cell is
-    // where |Σ floor(x·2^32+0.5)| can leave int64 for |x| ≤ 1
-    require(counts.forall(_ <= (1L << 31)),
-      s"lloydStep: a cell holds > 2^31 rows — the 2^32-scaled long " +
-        "mean could overflow; train the quantizer on a bounded sample")
+    // counts-based overflow tripwire (see scaladoc), sized from the
+    // OBSERVED magnitude bound rather than assuming unit-normalized
+    // input: each row contributes at most perRow = floor(max|x|·2^32
+    // + 0.5) per cell coordinate, so any cell with count <
+    // Long.MaxValue / perRow cannot have wrapped. Strict `<` — at
+    // exactly the bound the sum can land ON 2^63 and wrap.
+    val perRow = math.max(1L, math.floor(maxAbs(0) * scale + 0.5d).toLong)
+    val cellCap = Long.MaxValue / perRow
+    require(counts.forall(_ < cellCap),
+      s"lloydStep: a cell holds >= $cellCap rows at observed max|x| = " +
+        s"${maxAbs(0)} — the 2^32-scaled long mean could overflow; " +
+        "train the quantizer on a bounded sample")
     val next = cents.indices.map { c =>
       val cw =
         if (counts(c) == 0) cws(c)

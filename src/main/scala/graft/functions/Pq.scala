@@ -80,9 +80,10 @@ object Pq {
       val scale = 4294967296.0d // 2^32
       for (_ <- 0 until iters) {
         val bks = books // stable capture for the task closure
-        val (sums, counts) = data.treeAggregate(
-          (new Array[Long](m * k * sub), new Array[Long](m * k)))(
-          seqOp = { case ((ss, ns), (_, x)) =>
+        val (sums, counts, maxAbs) = data.treeAggregate(
+          (new Array[Long](m * k * sub), new Array[Long](m * k),
+            new Array[Double](1)))(
+          seqOp = { case ((ss, ns, mx), (_, x)) =>
             var j = 0
             while (j < m) {
               var best = 0
@@ -105,26 +106,34 @@ object Pq {
               while (i < sub) {
                 ss(cell + i) +=
                   math.floor(x(j * sub + i) * scale + 0.5d).toLong
+                val a = math.abs(x(j * sub + i))
+                if (a > mx(0)) mx(0) = a
                 i += 1
               }
               ns(j * k + best) += 1
               j += 1
             }
-            (ss, ns)
+            (ss, ns, mx)
           },
-          combOp = { case ((s1, n1), (s2, n2)) =>
+          combOp = { case ((s1, n1, m1), (s2, n2, m2)) =>
             var i = 0
             while (i < s1.length) { s1(i) += s2(i); i += 1 }
             i = 0
             while (i < n1.length) { n1(i) += n2(i); i += 1 }
-            (s1, n1)
+            if (m2(0) > m1(0)) m1(0) = m2(0)
+            (s1, n1, m1)
           })
         // counts-based overflow tripwire (same contract as
-        // [[Ivf.lloydStep]]): 2^31 rows in one (subspace, code) cell is
-        // where the 2^32-scaled long sum can leave int64 for |x| ≤ 1
-        require(counts.forall(_ <= (1L << 31)),
-          "trainCodebooks: a cell holds > 2^31 rows — the 2^32-scaled " +
-            "long mean could overflow; train on a bounded sample")
+        // [[Ivf.lloydStep]]): sized from the OBSERVED max|x| instead of
+        // assuming unit-normalized input, and strict `<` — at exactly
+        // the bound the scaled sum can land ON 2^63 and wrap
+        val perRow =
+          math.max(1L, math.floor(maxAbs(0) * scale + 0.5d).toLong)
+        val cellCap = Long.MaxValue / perRow
+        require(counts.forall(_ < cellCap),
+          s"trainCodebooks: a cell holds >= $cellCap rows at observed " +
+            s"max|x| = ${maxAbs(0)} — the 2^32-scaled long mean could " +
+            "overflow; train on a bounded sample")
         // empty cells keep their previous codeword (standard Lloyd)
         val next = books.map(_.map(_.clone()))
         for (j <- 0 until m; c <- 0 until k if counts(j * k + c) > 0;

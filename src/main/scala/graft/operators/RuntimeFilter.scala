@@ -109,27 +109,24 @@ object RuntimeFilter {
     * removed data only adds false positives removed by the exact join;
     * new keys could be wrongly pruned after an APPEND — call
     * [[invalidateBloomCache]] after rewriting a build-side table).
-    * Bounded: ≤ [[BloomCacheMax]] entries, each ≤ 16 MB by [[MaxBits]];
-    * the whole map clears when the bound is hit (simplicity over LRU —
-    * a session rarely holds > a handful of distinct runtime filters). */
-  private val BloomCacheMax = 32
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, Int, Long), Option[BloomBits]]()
+    * Bounded: ≤ 32 entries, each ≤ 16 MB by [[MaxBits]], via the
+    * shared [[graft.util.Caches.PlanMemo]] (one implementation of the
+    * model-state-cache idiom; the session is part of the key, so a
+    * bitset built against one session's relations never serves
+    * another's). */
+  private val bloomCache =
+    new graft.util.Caches.PlanMemo[(String, Int, Long), Option[BloomBits]](
+      maxEntries = 32)
 
-  def invalidateBloomCache(): Unit = bloomCache.clear()
+  def invalidateBloomCache(): Unit = bloomCache.invalidate()
 
   /** [[buildBloom]] through the model-state cache: the build actions
-    * run once per distinct (build plan, key, sizing) per session. */
+    * run once per distinct (session, build plan, key, sizing). */
   def buildBloomCached(keys: DataFrame, keyCol: String,
       bitsPerKey: Int = BitsPerKey,
-      maxBits: Long = MaxBits): Option[BloomBits] = {
-    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
-    bloomCache.computeIfAbsent(
-      (keys.queryExecution.analyzed.canonicalized, keyCol, bitsPerKey,
-        maxBits),
-      _ => buildBloom(keys, keyCol, bitsPerKey, maxBits))
-  }
+      maxBits: Long = MaxBits): Option[BloomBits] =
+    bloomCache.get(keys, (keyCol, bitsPerKey, maxBits))(
+      buildBloom(keys, keyCol, bitsPerKey, maxBits))
 
   /** Apply the Bloom pre-filter when one was built; identity when the
     * build side was too big to size a useful bitset. */

@@ -117,6 +117,13 @@ object Sketches {
     // against the exact grouped counts, so the DuckDB oracle (exact
     // counts + TRUE flags) hash-verifies the sketch's hard guarantees.
     // cms.totalCount is the stream length N the eps bound scales with.
+    // The ORACLE-FACING margin is 3·eps·N, not eps·N: the 1·eps bound
+    // is probabilistic (holds per key with prob. `conf` ≈ 0.99), so a
+    // regenerated corpus could legitimately put one key past it and
+    // turn permitted sketch behavior into a driver hash mismatch; at
+    // 3·eps the per-key failure odds are ~(1-conf)^3 — negligible —
+    // while a broken sketch still trips it. SketchesSpec keeps the
+    // tight 1·eps assertion for the fixed test corpus.
     val total = cms.totalCount
     val exact = events.groupBy("event_type")
       .agg(count(lit(1)).as("exact_count"))
@@ -124,7 +131,7 @@ object Sketches {
       .select(col("event_type"), col("exact_count"),
         (col("est_count") >= col("exact_count")).as("never_under"),
         (col("est_count") <= col("exact_count") +
-          lit(math.ceil(eps * total).toLong)).as("within_eps"))
+          lit(math.ceil(3 * eps * total).toLong)).as("within_eps"))
       .orderBy("event_type")
   }
 

@@ -197,7 +197,11 @@ object CdcStream {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    opCol.fold(latest)(o => latest.filter(col(o) =!= "delete"))
+    // null-safe: the wire format round-trips NULL op (ChangeLogSource's
+    // \N sentinel); a plain =!= would evaluate to NULL on such rows and
+    // silently DROP the pk from the snapshot — data loss, not a style
+    // point. Only a literal "delete" removes a pk from the view.
+    opCol.fold(latest)(o => latest.filter(!(col(o) <=> lit("delete"))))
   }
 
   /** With-transaction snapshot handoff (reference

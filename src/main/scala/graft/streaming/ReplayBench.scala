@@ -68,7 +68,6 @@ object ReplayBench {
           ts, value))
       }
       .toDF("seq", "conn", "line")
-    val n = lines.count()
     // global line order == seq order across name-sorted part files:
     // range-partition by seq so part-0000i holds the i-th seq range
     // (a binlog is time-ordered; rotated segments preserve that)
@@ -79,7 +78,9 @@ object ReplayBench {
     // _SUCCESS would list as a zero-line segment; drop it
     val fs = new Path(logDir).getFileSystem(new Configuration())
     fs.delete(new Path(logDir, "_SUCCESS"), false)
-    n
+    // count what was WRITTEN (validates the persisted log) instead of
+    // running the generation plan a second time just to count it
+    spark.read.text(logDir).count()
   }
 
   /** Drain the backlog through the full pipe; returns

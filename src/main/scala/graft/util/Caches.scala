@@ -1,6 +1,7 @@
 package graft.util
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Session-level cache hygiene for long-lived Spark sessions running
@@ -47,5 +48,41 @@ object Caches {
     // localCheckpoint/broadcast cleanup is reference-triggered: blocks
     // free when ContextCleaner sees the driver-side object collected
     System.gc()
+  }
+
+  /** Bounded session memo keyed by (session, canonicalized source
+    * plan, extra key) — the ONE implementation of the "model-state
+    * cache" idiom (gram/signature index tables, Bloom bitsets), so the
+    * bound/eviction/staleness story lives in one place. Canonicalized
+    * plans are alias/exprId-normalized: syntactic re-creations of the
+    * same read hit the entry. The SparkSession is part of the key — a
+    * value built against one session's relations must not serve
+    * another's.
+    *
+    * Eviction (the wholesale clear at `maxEntries`, and
+    * [[invalidate]]) runs `onEvict` on every dropped value — a memo of
+    * persisted DataFrames unpersists them there, so clearing the LAST
+    * HANDLE to a cached plan can never strand its blocks in the block
+    * manager (the accumulation→eviction→spill pathology
+    * [[releaseAll]] exists to mop up). */
+  final class PlanMemo[K, V](maxEntries: Int,
+      onEvict: V => Unit = (_: V) => ()) {
+    private val map = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, LogicalPlan, K), V]()
+
+    def get(source: DataFrame, key: K)(build: => V): V = {
+      if (map.size >= maxEntries) invalidate()
+      map.computeIfAbsent((source.sparkSession,
+        source.queryExecution.analyzed.canonicalized, key), _ => build)
+    }
+
+    def invalidate(): Unit = {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        it.remove()
+        onEvict(e.getValue)
+      }
+    }
   }
 }

@@ -17,20 +17,28 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   */
 object SpillAudit {
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+  private def allNodes(p: SparkPlan,
+      seen: java.util.IdentityHashMap[SparkPlan, AnyRef])
+      : Seq[SparkPlan] = {
+    // identity-dedupe: a reused exchange/query stage is referenced from
+    // several parents; visiting it once per parent would double-count
+    // its spill metric
+    if (seen.containsKey(p)) return Nil
+    seen.put(p, None)
     val inner = p match {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-      case q: QueryStageExec => allNodes(q.plan)
-      case other => other.children.flatMap(allNodes)
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan, seen)
+      case q: QueryStageExec => allNodes(q.plan, seen)
+      case other => other.children.flatMap(allNodes(_, seen))
     }
-    val subs = p.subqueries.flatMap(allNodes)
+    val subs = p.subqueries.flatMap(allNodes(_, seen))
     (p +: inner) ++ subs
   }
 
   /** Total bytes spilled (memory + disk) across every node of the last
     * execution of `df`. Call AFTER an action has run the plan. */
   def spillBytes(df: DataFrame): Long =
-    allNodes(df.queryExecution.executedPlan)
+    allNodes(df.queryExecution.executedPlan,
+      new java.util.IdentityHashMap[SparkPlan, AnyRef]())
       .flatMap(_.metrics)
       .collect {
         case (name, m)

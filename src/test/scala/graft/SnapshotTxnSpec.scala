@@ -81,6 +81,28 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(applied.toSeq === Seq(("a", 9.0), ("c", 9.9)))
   }
 
+  test("a NULL op on the latest image is a non-delete, not a drop") {
+    // the wire format round-trips NULL op (ChangeLogSource's \N
+    // sentinel); a null-unsafe delete filter silently LOST such pks
+    // from the snapshot — regression for the null-safe <=> fix
+    val work = java.nio.file.Files
+      .createTempDirectory("snap_txn_null").toString
+    import spark.implicits._
+    Seq(
+      (1L, Option("insert"), "a", 1.0),
+      (2L, Option.empty[String], "a", 2.0), // latest change: op NULL
+      (3L, Option("insert"), "b", 3.0),
+      (4L, Option("delete"), "b", 0.0))
+      .toDF("seq", "op", "pk", "value")
+      .write.parquet(s"$work/log")
+    val view = CdcStream.consistentViewAt(
+      spark.read.parquet(s"$work/log"), "seq", Seq("pk"), Long.MaxValue)
+      .select("pk", "value").orderBy("pk")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // a survives with the NULL-op image; b is deleted
+    assert(view.toSeq === Seq(("a", 2.0)))
+  }
+
   test("empty table yields the replay-from-start sentinel") {
     val work = java.nio.file.Files
       .createTempDirectory("snap_txn_empty").toString
