@@ -69,6 +69,12 @@ class SchemaRegistry extends SchemaRepo with Serializable {
 
   def versionCount(subject: String): Int =
     subjects.get(subject).map(_.size).getOrElse(0)
+
+  /** All (id, schema) versions of a subject in registration order —
+    * the writer-schema table a mixed-version stream decoder dispatches
+    * on ([[graft.functions.AvroCodec.decodeVersioned]]). */
+  def versionsOf(subject: String): Seq[(Int, String)] =
+    subjects.get(subject).map(_.map(_.swap)).getOrElse(Vector.empty)
 }
 
 /** Caching client over a remote [[SchemaRepo]] — the shape of the

@@ -37,11 +37,44 @@ object AvroCodec {
   def encode(c: Column, schemaJson: String): Column =
     column(AvroEncodeExpr(expression(c), schemaJson))
 
-  /** Avro binary → struct (reader schema fixed at plan time; Avro
-    * schema-resolution rules apply for older writers — the registry
-    * supplies writer schemas per embedded schema id). */
+  /** Avro binary → struct (reader schema fixed at plan time; writer
+    * defaults to the reader — see [[decodeResolved]] for mixed-version
+    * streams). */
   def decode(c: Column, schemaJson: String, as: StructType): Column =
     column(AvroDecodeExpr(expression(c), schemaJson, as))
+
+  /** Avro binary written under `writerSchemaJson`, decoded INTO the
+    * `readerSchemaJson` shape via Avro schema resolution: fields the
+    * writer lacks take the reader's defaults, fields the reader
+    * dropped are skipped. This is how a consumer on schema vN reads a
+    * stream whose older records were framed under vK<N (reference
+    * `AvroVersionedRecordDeserializer.scala:38-47`: writer schema
+    * looked up by the envelope's embedded id, reader pinned to
+    * latest). */
+  def decodeResolved(c: Column, writerSchemaJson: String,
+      readerSchemaJson: String, as: StructType): Column =
+    column(AvroDecodeExpr(expression(c), readerSchemaJson, as,
+      writerSchemaJson))
+
+  /** Mixed-version stream decode: dispatch on the envelope's embedded
+    * schema id over the registry's known versions of a subject — each
+    * id decodes with ITS writer schema, every row lands in the latest
+    * (reader) shape. The CASE chain is tiny (version count per
+    * subject, single digits in practice) and entirely plan-side: no
+    * per-row registry lookups, exactly like the reference's
+    * id→deserializer cache. Unknown ids yield NULL (the reference
+    * consumer skips undecodable messages). */
+  def decodeVersioned(payload: Column, schemaId: Column,
+      versions: Seq[(Int, String)], readerSchemaJson: String,
+      as: StructType): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    versions.foldLeft(lit(null).cast(as)) {
+      case (acc, (id, writerJson)) =>
+        when(schemaId === lit(id),
+          decodeResolved(payload, writerJson, readerSchemaJson, as))
+          .otherwise(acc)
+    }
+  }
 
   private[functions] def sparkToAvro(v: Any, dt: DataType, fieldSchema: Schema): AnyRef =
     dt match {
@@ -152,13 +185,20 @@ case class AvroEncodeExpr(child: Expression, schemaJson: String)
 }
 
 case class AvroDecodeExpr(child: Expression, schemaJson: String,
-    targetSchema: StructType)
+    targetSchema: StructType, writerSchemaJson: String = null)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = targetSchema
   override def prettyName: String = "avro_decode"
 
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+  // writer defaults to the reader; when they differ, GenericDatumReader
+  // applies Avro schema resolution (writer-absent fields → reader
+  // defaults, reader-absent fields skipped)
+  @transient private lazy val writerSchema =
+    if (writerSchemaJson == null) schema
+    else new Schema.Parser().parse(writerSchemaJson)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](writerSchema, schema)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]

@@ -123,4 +123,65 @@ class AlterEvolutionSpec extends SparkSpec {
       } finally q.stop()
     } finally server.stop(0)
   }
+
+  test("versioned decode: v1-written records resolve into the v2 reader shape") {
+    // the reference's AvroVersionedRecordDeserializer scenario: a
+    // stream holds records framed under BOTH pre- and post-ALTER
+    // schemas; the consumer decodes every record into the latest shape
+    // by dispatching writer schemas on the embedded id (schema
+    // resolution fills writer-absent fields with reader defaults)
+    val sparkS = spark
+    import sparkS.implicits._
+    val reg = new SchemaRegistry
+    val subj = AvroSubjects.specific("testdb", "user", "insert")
+    val v1 = specificSchema(Seq("id", "name"))
+    val v2 = specificSchema(Seq("id", "name", "email"))
+    val id1 = reg.register(subj, v1)
+    val id2 = reg.register(subj, v2)
+    val v1st = StructType(Seq(StructField("id", StringType),
+      StructField("name", StringType)))
+    val v2st = StructType(Seq(StructField("id", StringType),
+      StructField("name", StringType), StructField("email", StringType)))
+
+    val oldRec = Seq(("1", "alice")).toDF("id", "name")
+      .select(Envelope.frame(lit(1), lit(id1),
+        AvroCodec.encode(struct(col("id"), col("name")), v1))
+        .as("envelope"))
+    val newRec = Seq(("2", "bob", "bob@example.com"))
+      .toDF("id", "name", "email")
+      .select(Envelope.frame(lit(1), lit(id2),
+        AvroCodec.encode(struct(col("id"), col("name"), col("email")), v2))
+        .as("envelope"))
+    val stream = oldRec.unionByName(newRec)
+      .withColumn("sid", Envelope.sliceSchemaId(col("envelope")))
+      .withColumn("payload", Envelope.slicePayload("envelope"))
+
+    // consumer pinned to latest (v2): v1 rows surface email = NULL
+    val versions = reg.versionsOf(subj)
+    val up = stream.select(col("sid"),
+      AvroCodec.decodeVersioned(col("payload"), col("sid"),
+        versions, v2, v2st).as("d"))
+      .select(col("d.id").as("id"), col("d.name").as("name"),
+        col("d.email").as("email"))
+      .orderBy("id").collect()
+    assert(up.map(_.getString(0)).toSeq === Seq("1", "2"))
+    assert(up(0).isNullAt(2), "v1-written row takes the reader default")
+    assert(up(1).getString(2) === "bob@example.com")
+
+    // and the narrowing direction: a v1-pinned consumer skips the
+    // writer's extra field instead of erroring
+    val down = stream.select(
+      AvroCodec.decodeVersioned(col("payload"), col("sid"),
+        versions, v1, v1st).as("d"))
+      .select(col("d.id").as("id"), col("d.name").as("name"))
+      .orderBy("id").collect()
+    assert(down.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("1", "alice"), ("2", "bob")))
+
+    // unknown id → NULL row (the skip-undecodable consumer contract)
+    val unknown = stream.select(
+      AvroCodec.decodeVersioned(col("payload"), lit(9999),
+        versions, v2, v2st).as("d")).collect()
+    assert(unknown.forall(_.isNullAt(0)))
+  }
 }
