@@ -135,18 +135,34 @@ object Envelope {
 
   /** Consumer-side decode of [[serialize]]'s output. Ill-formed frames
     * (truncated, wrong magic) are dropped up front — the reference's
-    * consumer skips undecodable messages rather than dying on them. */
+    * consumer skips undecodable messages rather than dying on them.
+    * Decode dispatches writer schemas on the embedded id across every
+    * registered generic version ([[AvroCodec.decodeVersioned]]), with
+    * rows landing in the latest reader shape — so a stream whose older
+    * records were framed under an earlier envelope version keeps
+    * decoding after the registry advances. (The generic record itself
+    * rarely versions — ALTERs ride the typed maps — but the consumer
+    * must not assume that.) */
   def deserialize(envelopes: DataFrame, registry: SchemaRegistry): DataFrame = {
-    // single generic schema in this engine build: v1 for all subjects
-    envelopes
+    val versions = Seq("insert", "update", "delete")
+      .flatMap(op => registry.versionsOf(AvroSubjects.generic(op)))
+      .distinct
+    val reader =
+      if (versions.isEmpty) genericSchemaV1 else versions.last._2
+    val base = envelopes
       .filter(wellFormed(col("envelope")))
       .withColumn("magic", sliceMagic(col("envelope")))
       .withColumn("mtype_decoded", sliceMtype(col("envelope")))
       .withColumn("schema_id_decoded", sliceSchemaId(col("envelope")))
       .withColumn("payload",
         expr("substring(envelope, 5, length(envelope) - 4)"))
-      .withColumn("decoded",
-        AvroCodec.decode(col("payload"), genericSchemaV1, genericStructV1))
+    val decoded =
+      if (versions.isEmpty) // no registry state: assume current build
+        AvroCodec.decode(col("payload"), genericSchemaV1, genericStructV1)
+      else
+        AvroCodec.decodeVersioned(col("payload"),
+          col("schema_id_decoded"), versions, reader, genericStructV1)
+    base.withColumn("decoded", decoded)
   }
 
   // ── P5+P12 oracle query: full round trip ────────────────────────────
