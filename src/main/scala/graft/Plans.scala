@@ -140,7 +140,10 @@ object Plans {
         operators.Sketches.skApproxPercentiles(spark, dir)),
       ("sk_heavy_hitters",
         "CMS bound-check: sketch and exact counts are both map-side-combined aggs; the tiny estimate table broadcasts back",
-        operators.Sketches.skHeavyHitters(spark, dir)))
+        operators.Sketches.skHeavyHitters(spark, dir)),
+      ("dc3_semantic_decontamination",
+        "semantic contamination gate: bounded eval set broadcast across one train scan (whitelisted non-equi broadcast), max/argmax via one t_id window",
+        functions.Similarity.dc3SemanticDecontamination(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -920,7 +920,65 @@ object Similarity {
        |SELECT node, COUNT(*) AS n_triangles FROM nodes
        |GROUP BY node ORDER BY node""".stripMargin
 
+  // ── semantic decontamination (embedding contamination gate) ─────────
+  /** The third decontamination mode beside the exact n-gram gate
+    * ([[TrainPrep.dcDecontamination]]) and the fuzzy-Jaccard gate
+    * (dc2): a train vector is contaminated when its embedding sits
+    * within cosine `tau` of ANY eval-benchmark embedding — the gate
+    * that catches paraphrases and translations n-gram overlap misses.
+    * Eval suites are tiny next to a training corpus, so the scale
+    * shape is one corpus scan with the eval side BROADCAST (a bounded
+    * non-equi broadcast, the [[simRankMetrics]] pattern — whitelisted
+    * in the plan audit); for an eval side too big to broadcast, the
+    * LSH/IVF bucketed machinery runs the same semantics. Fully
+    * oracled: cosine folds bit-identically in both engines
+    * ([[cosSql]]), max/argmax are selections (order-independent), and
+    * ties break to the lowest eval id. */
+  def semanticDecontamination(train: DataFrame, eval_ : DataFrame,
+      tau: Double): DataFrame = {
+    val w = Window.partitionBy("t_id")
+      .orderBy(col("cos").desc, col("e_id"))
+    train.crossJoin(broadcast(eval_))
+      .withColumn("cos", cosine(col("t_vec"), col("e_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("t_id").as("vec_id"), col("e_id").as("nearest_eval"),
+        col("cos").as("max_cos"),
+        (col("cos") >= lit(tau)).as("contaminated"))
+  }
+
+  val Dc3Tau = 0.35
+
+  def dc3SemanticDecontamination(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semanticDecontamination(
+      emb.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id").as("t_id"), col("embedding").as("t_vec")),
+      emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("e_id"), col("embedding").as("e_vec")),
+      Dc3Tau)
+      .orderBy("vec_id")
+  }
+
+  val dc3Sql: String =
+    s"""WITH e AS (SELECT vec_id AS e_id, embedding AS e_vec
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |t AS (SELECT vec_id AS t_id, embedding AS t_vec
+       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |scored AS (
+       |  SELECT t_id, e_id, ${cosSql("t_vec", "e_vec")} AS cos
+       |  FROM t CROSS JOIN e),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |    ORDER BY cos DESC, e_id) AS rn
+       |  FROM scored)
+       |SELECT t_id AS vec_id, e_id AS nearest_eval, cos AS max_cos,
+       |  cos >= $Dc3Tau AS contaminated
+       |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dc3_semantic_decontamination" -> (dc3SemanticDecontamination _),
     "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
     "sim_lsh_recall" -> (simLshRecall _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) => simLshBuckets(s, d)),
@@ -938,6 +996,7 @@ object Similarity {
     "sim_rank_metrics" -> (simRankMetrics _))
 
   def oracles: Map[String, String] = Map(
+    "dc3_semantic_decontamination" -> dc3Sql,
     "sim_lsh_recall" -> simLshRecallSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
     "sim_threshold_sweep" -> simThresholdSweepSql,

@@ -306,7 +306,8 @@ class PlanAuditSpec extends SparkSpec {
       "sk_join_size", // three 1-row builds: sizes, exact, estimate
       "sk_approx_percentiles", // 1-row percentile-estimates build
       "sim_rank_metrics", // broadcast query rows, non-equi self filter
-      "emb_jl_recall" // broadcast query rows, non-equi self filter
+      "emb_jl_recall", // broadcast query rows, non-equi self filter
+      "dc3_semantic_decontamination" // bounded eval-set broadcast
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>

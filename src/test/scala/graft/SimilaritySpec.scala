@@ -263,4 +263,36 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("semantic decontamination flags planted near-copies of eval vectors") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // eval set: two orthogonal-ish unit vectors; train: a near-copy of
+    // eval#1 (contaminated), an exact copy of eval#2 (contaminated),
+    // and an orthogonal vector (clean)
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val nearE1 = Array(0.98f, 0.02f, 0.01f, 0f)
+    val ortho = Array(0f, 0f, 0f, 1f)
+    val eval_ = Seq((100L, e1.toSeq), (200L, e2.toSeq))
+      .toDF("e_id", "e_vec")
+    val train = Seq((1L, nearE1.toSeq), (2L, e2.toSeq), (3L, ortho.toSeq))
+      .toDF("t_id", "t_vec")
+    val got = Similarity.semanticDecontamination(train, eval_, tau = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 100L, true), // near-copy → nearest eval#1, flagged
+      (2L, 200L, true), // exact copy → cos 1.0, flagged
+      (3L, 100L, false))) // orthogonal: cos 0 to both, tie → lowest id
+    // the declared query flags a plausible fraction on the corpus (the
+    // synthetic embeddings carry no planted semantic dups, so the gate
+    // must neither fire on everything nor be vacuously all-false logic)
+    val corpus = Similarity.dc3SemanticDecontamination(spark, sf)
+    val n = corpus.count()
+    assert(n > 0)
+    val flagged = corpus.filter(org.apache.spark.sql.functions
+      .col("contaminated")).count()
+    assert(flagged < n, "threshold must not flag the whole corpus")
+  }
 }
