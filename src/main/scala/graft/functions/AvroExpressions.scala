@@ -50,11 +50,15 @@ object AvroCodec {
     * stream whose older records were framed under vK<N (reference
     * `AvroVersionedRecordDeserializer.scala:38-47`: writer schema
     * looked up by the envelope's embedded id, reader pinned to
-    * latest). */
+    * latest). `lenient = true` maps per-row decode failures (corrupt
+    * payloads, incompatible resolution) to NULL — the consumer's
+    * skip-undecodable contract; the default stays STRICT so tests and
+    * batch codecs fail loudly on real bugs. */
   def decodeResolved(c: Column, writerSchemaJson: String,
-      readerSchemaJson: String, as: StructType): Column =
+      readerSchemaJson: String, as: StructType,
+      lenient: Boolean = false): Column =
     column(AvroDecodeExpr(expression(c), readerSchemaJson, as,
-      writerSchemaJson))
+      writerSchemaJson, lenient))
 
   /** Mixed-version stream decode: dispatch on the envelope's embedded
     * schema id over the registry's known versions of a subject — each
@@ -66,12 +70,13 @@ object AvroCodec {
     * consumer skips undecodable messages). */
   def decodeVersioned(payload: Column, schemaId: Column,
       versions: Seq[(Int, String)], readerSchemaJson: String,
-      as: StructType): Column = {
+      as: StructType, lenient: Boolean = false): Column = {
     import org.apache.spark.sql.functions.{lit, when}
     versions.foldLeft(lit(null).cast(as)) {
       case (acc, (id, writerJson)) =>
         when(schemaId === lit(id),
-          decodeResolved(payload, writerJson, readerSchemaJson, as))
+          decodeResolved(payload, writerJson, readerSchemaJson, as,
+            lenient))
           .otherwise(acc)
     }
   }
@@ -185,9 +190,12 @@ case class AvroEncodeExpr(child: Expression, schemaJson: String)
 }
 
 case class AvroDecodeExpr(child: Expression, schemaJson: String,
-    targetSchema: StructType, writerSchemaJson: String = null)
+    targetSchema: StructType, writerSchemaJson: String = null,
+    lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = targetSchema
+  // lenient mode can produce NULL from non-null input
+  override def nullable: Boolean = lenient || super.nullable
   override def prettyName: String = "avro_decode"
 
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
@@ -202,13 +210,22 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String,
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-    val rec = reader.read(null, dec)
-    InternalRow.fromSeq(targetSchema.fields.toSeq.map { f =>
-      val avroField = schema.getField(f.name)
-      if (avroField == null) null
-      else AvroCodec.avroToSpark(rec.get(f.name), f.dataType)
-    })
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      InternalRow.fromSeq(targetSchema.fields.toSeq.map { f =>
+        val avroField = schema.getField(f.name)
+        if (avroField == null) null
+        else AvroCodec.avroToSpark(rec.get(f.name), f.dataType)
+      })
+    } catch {
+      // corrupt payload past the frame header, or writer/reader
+      // resolution mismatch: a streaming consumer must SKIP (null),
+      // not die — strict mode (tests, batch codecs) rethrows
+      case e @ (_: java.io.IOException | _: org.apache.avro.AvroRuntimeException
+          | _: ArrayIndexOutOfBoundsException) =>
+        if (lenient) null else throw e
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

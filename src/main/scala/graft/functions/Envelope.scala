@@ -133,22 +133,29 @@ object Envelope {
         concat_ws("_", col("database"), col("tbl"), lit("generic")))
   }
 
+  /** The generic mutation ops — ONE list shared by [[serialize]] and
+    * [[deserialize]]: an op added to one side but not the other would
+    * silently fall through the decode dispatch to NULL. */
+  val GenericOps: Seq[String] = Seq("insert", "update", "delete")
+
   /** Consumer-side decode of [[serialize]]'s output. Ill-formed frames
     * (truncated, wrong magic) are dropped up front — the reference's
     * consumer skips undecodable messages rather than dying on them.
-    * Decode dispatches writer schemas on the embedded id across every
-    * registered generic version ([[AvroCodec.decodeVersioned]]), with
-    * rows landing in the latest reader shape — so a stream whose older
-    * records were framed under an earlier envelope version keeps
-    * decoding after the registry advances. (The generic record itself
-    * rarely versions — ALTERs ride the typed maps — but the consumer
-    * must not assume that.) */
+    *
+    * The consumer is PINNED to this build's record shape
+    * ([[genericStructV1]], reader = [[genericSchemaV1]] — the reader
+    * schema and the output struct must agree, or resolved fields would
+    * silently project to NULL); writer schemas dispatch on the
+    * envelope's embedded id across every registered generic version,
+    * grouped by distinct schema so identical registrations (the three
+    * op subjects share one record schema) decode through ONE branch.
+    * Records framed under an id the registry does not know, or whose
+    * bytes fail Avro resolution, decode to NULL and are treated as
+    * undecodable per the reference contract. */
   def deserialize(envelopes: DataFrame, registry: SchemaRegistry): DataFrame = {
-    val versions = Seq("insert", "update", "delete")
+    val versions = GenericOps
       .flatMap(op => registry.versionsOf(AvroSubjects.generic(op)))
       .distinct
-    val reader =
-      if (versions.isEmpty) genericSchemaV1 else versions.last._2
     val base = envelopes
       .filter(wellFormed(col("envelope")))
       .withColumn("magic", sliceMagic(col("envelope")))
@@ -160,9 +167,19 @@ object Envelope {
       if (versions.isEmpty) // no registry state: assume current build
         AvroCodec.decode(col("payload"), genericSchemaV1, genericStructV1)
       else
-        AvroCodec.decodeVersioned(col("payload"),
-          col("schema_id_decoded"), versions, reader, genericStructV1)
+        versions.groupBy(_._2).toSeq.sortBy(_._2.head._1)
+          .foldLeft(lit(null).cast(genericStructV1)) {
+            case (acc, (writerJson, idPairs)) =>
+              when(col("schema_id_decoded")
+                  .isInCollection(idPairs.map(_._1)),
+                AvroCodec.decodeResolved(col("payload"), writerJson,
+                  genericSchemaV1, genericStructV1, lenient = true))
+                .otherwise(acc)
+          }
+    // skip-undecodable: unknown ids and failed decodes drop like
+    // ill-formed frames do, rather than flowing null structs downstream
     base.withColumn("decoded", decoded)
+      .filter(col("decoded").isNotNull)
   }
 
   // ── P5+P12 oracle query: full round trip ────────────────────────────

@@ -936,6 +936,17 @@ object Similarity {
     * ties break to the lowest eval id. */
   def semanticDecontamination(train: DataFrame, eval_ : DataFrame,
       tau: Double): DataFrame = {
+    // an empty eval set means "nothing to be contaminated BY" — every
+    // train vector must come back clean, not vanish from the output
+    // (the cross join would drop them all). The probe is an eager
+    // driver action, legitimate here: the eval side is by contract the
+    // broadcast-sized benchmark suite (the cappedBucketSelfJoin
+    // precedent for documented eager builders).
+    if (eval_.isEmpty)
+      return train.select(col("t_id").as("vec_id"),
+        lit(null).cast("long").as("nearest_eval"),
+        lit(null).cast("double").as("max_cos"),
+        lit(false).as("contaminated"))
     val w = Window.partitionBy("t_id")
       .orderBy(col("cos").desc, col("e_id"))
     train.crossJoin(broadcast(eval_))

@@ -161,6 +161,32 @@ class EnvelopeSpec extends SparkSpec {
     assert(decoded.filter(col("magic") === Envelope.Magic).count() === 3)
   }
 
+  test("skip-undecodable: unknown ids and corrupt payloads drop, not die") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val reg = new SchemaRegistry
+    val good = Envelope.serialize(
+      ChangeFeed.fromEvents(spark, sf).limit(3), reg)
+      .select("envelope")
+    // well-FORMED frames (magic ok, length ok) that cannot decode:
+    // an id the registry never minted, and a known id over garbage
+    // avro bytes — the reference consumer skips both rather than dying
+    val knownId = reg.versionsOf(
+      graft.avro.AvroSubjects.generic("insert")).head._1
+    val unknownId = Seq(("x", 9999)).toDF("x", "sid")
+      .select(Envelope.frame(lit(1), col("sid"),
+        lit(Array[Byte](1, 2, 3))).as("envelope"))
+    val corrupt = Seq(("x", knownId)).toDF("x", "sid")
+      .select(Envelope.frame(lit(1), col("sid"),
+        lit(Array.fill[Byte](7)(-1))).as("envelope"))
+    val mixed = good.unionByName(unknownId).unionByName(corrupt)
+    assert(mixed.filter(Envelope.wellFormed(col("envelope"))).count() === 5,
+      "all five frames pass the header guard")
+    val decoded = Envelope.deserialize(mixed, reg)
+    assert(decoded.count() === 3, "only the decodable rows survive")
+    assert(decoded.filter(col("decoded").isNull).count() === 0)
+  }
+
   test("end-to-end envelope roundtrip matches the source feed") {
     val feed = ChangeFeed.fromEvents(spark, sf)
     val rt = Envelope.p5EnvelopeRoundtrip(spark, sf)

@@ -285,14 +285,22 @@ class SimilaritySpec extends SparkSpec {
       (1L, 100L, true), // near-copy → nearest eval#1, flagged
       (2L, 200L, true), // exact copy → cos 1.0, flagged
       (3L, 100L, false))) // orthogonal: cos 0 to both, tie → lowest id
-    // the declared query flags a plausible fraction on the corpus (the
-    // synthetic embeddings carry no planted semantic dups, so the gate
-    // must neither fire on everything nor be vacuously all-false logic)
+    // empty eval set: every train vector comes back CLEAN, not dropped
+    val noEval = Similarity.semanticDecontamination(train,
+      eval_.filter(org.apache.spark.sql.functions.col("e_id") < 0),
+      tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(noEval.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(noEval.forall(r => !r.getBoolean(3) && r.isNullAt(2)))
+    // the declared query flags a nonzero but partial fraction on the
+    // corpus at the declared tau (measured ~31/475; zero would mean
+    // the gate regressed to never-fire, n would mean it fires always)
     val corpus = Similarity.dc3SemanticDecontamination(spark, sf)
     val n = corpus.count()
     assert(n > 0)
     val flagged = corpus.filter(org.apache.spark.sql.functions
       .col("contaminated")).count()
+    assert(flagged > 0, "gate regressed to never-fire at declared tau")
     assert(flagged < n, "threshold must not flag the whole corpus")
   }
 }
