@@ -25,15 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as Long
-    * nanos-since-epoch. Convert to a microsecond timestamp with integer
-    * division (a double division would lose precision above 2^53 ns).
-    * DuckDB equivalent: `CAST(ts AS TIMESTAMP)` (ns → us truncation).
+  /** Normalize `events.ts` to a session-TZ TIMESTAMP regardless of how the
+    * generator wrote it. Known layouts: TIMESTAMP(NANOS) (reads as Long
+    * nanos-since-epoch under `spark.sql.legacy.parquet.nanosAsLong=true`;
+    * convert with integer division — a double division would lose precision
+    * above 2^53 ns) and TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ; cast is value-preserving because the session TZ is UTC).
+    * DuckDB equivalent either way: `CAST(ts AS TIMESTAMP)`.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

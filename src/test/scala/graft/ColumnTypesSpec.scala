@@ -69,7 +69,9 @@ class ColumnTypesSpec extends SparkSpec {
   test("decimal/date/blob cells survive the specific envelope exactly") {
     val out = SpecificEnvelope.ctTypedEnvelope(spark, sf)
     val schema = out.schema
-    assert(schema("l_quantity").dataType === DecimalType(12, 2))
+    // DECIMAL rides the wire but the output projects to hash-portable
+    // integer cents (driver readers disagree on decimal rendering)
+    assert(schema("l_quantity_cents").dataType === LongType)
     assert(schema("l_shipdate").dataType === DateType)
     val rows = out.collect()
     assert(rows.length > 0)
@@ -77,12 +79,36 @@ class ColumnTypesSpec extends SparkSpec {
     val direct = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_orderkey") % 7 === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("l_quantity_cents"),
         col("l_shipdate").cast("date").as("l_shipdate"),
         col("l_returnflag"), lit(1).as("schema_id_rt"))
       .orderBy("l_orderkey", "l_linenumber")
       .collect()
     assert(rows.toSeq === direct.toSeq)
+  }
+
+  test("timestamp/time/enum/set cells survive the specific envelope") {
+    val out = SpecificEnvelope.ctTypedEnvelope2(spark, sf)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) % lit(86400000000L)).as("time_cell"),
+        col("event_type").as("enum_cell"),
+        concat_ws(",",
+          when(col("value") >= 50, lit("hi")),
+          when(col("user_id") % 2 === 0, lit("even"))).as("set_cell"),
+        lit(1).as("schema_id_rt"))
+      .orderBy("event_id")
+      .collect()
+    assert(rows.toSeq === direct.toSeq)
+    // the set cell actually exercises multi-label, single-label and
+    // empty forms (otherwise the SET coverage claim is hollow)
+    val sets = rows.map(_.getAs[String]("set_cell")).toSet
+    assert(sets.exists(_.contains(",")) && sets.contains(""))
   }
 
   test("timestamp micros survive the avro wire (DATETIME_V2 path)") {
