@@ -39,9 +39,11 @@ object AvroCodec {
 
   /** Avro binary → struct (reader schema fixed at plan time; writer
     * defaults to the reader — see [[decodeResolved]] for mixed-version
-    * streams). */
-  def decode(c: Column, schemaJson: String, as: StructType): Column =
-    column(AvroDecodeExpr(expression(c), schemaJson, as))
+    * streams). `lenient = true` maps per-row decode failures to NULL
+    * (consumer skip-undecodable contract); default stays strict. */
+  def decode(c: Column, schemaJson: String, as: StructType,
+      lenient: Boolean = false): Column =
+    column(AvroDecodeExpr(expression(c), schemaJson, as, lenient = lenient))
 
   /** Avro binary written under `writerSchemaJson`, decoded INTO the
     * `readerSchemaJson` shape via Avro schema resolution: fields the
