@@ -302,5 +302,32 @@ class SimilaritySpec extends SparkSpec {
       .col("contaminated")).count()
     assert(flagged > 0, "gate regressed to never-fire at declared tau")
     assert(flagged < n, "threshold must not flag the whole corpus")
+    // routing: an eval side past the broadcast bound takes the IVF
+    // path (2 cells here, default nprobe ≥ 2 → full probe → exact)
+    val routed = Similarity.semanticDecontamination(train, eval_,
+      tau = 0.9, maxBroadcastEval = 1L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(routed.toSeq === Seq(
+      (1L, 100L, true), (2L, 200L, true), (3L, 100L, false)))
+  }
+
+  test("ivf decontamination agrees with the exact gate under full probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val train = emb.filter(col("vec_id") % 20 =!= 0 || col("vec_id") >= 2000)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_vec"))
+    val eval_ = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
+    val exact = Similarity.semanticDecontamination(train, eval_,
+      Similarity.Dc3Tau).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // nprobe = k probes every cell: the bucketed path must reproduce
+    // the exact gate bit-for-bit (same cosine fold, same tie-break)
+    val ivf = Similarity.ivfDecontamination(train, eval_,
+      Similarity.Dc3Tau, k = 8, iters = 2, nprobe = 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(ivf.toSeq === exact.toSeq)
   }
 }
