@@ -322,11 +322,17 @@ object Dedup {
     * prefixes are genuinely rare and the candidate join collapses to
     * the qualifying pairs themselves (measured 256 candidates vs
     * 12.5M possible pairs at sf0.1 — a 50,000× pruning). */
-  def prefixJaccardPairs(docs: DataFrame): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame): DataFrame =
     // the session-shared 4-gram index (reused by grams, df, both
     // verify joins — and by survivorship/fuzzy-decontamination runs
     // over the same corpus in the same session)
-    val sets = GramIndex.ngramSets(docs, 4)
+    prefixJaccardPairsFromSets(GramIndex.ngramSets(docs, 4))
+
+  /** The same join over an already-built (doc_id, hs, s) sets table —
+    * the entry point for a persisted [[GramIndex.saveIndex]] artifact,
+    * where the corpus tokenize+hash scan happened at ingest and this
+    * run never touches the text column at all. */
+  def prefixJaccardPairsFromSets(sets: DataFrame): DataFrame = {
     val cands = prefixFilteredCandidates(sets, 1, 2)
     verifiedJaccardPairs(cands, sets, 0.5d)
   }

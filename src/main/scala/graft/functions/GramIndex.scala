@@ -78,4 +78,37 @@ object GramIndex {
       Dedup.withSignature(Dedup.withShingleHashes(docs))
         .select("doc_id", "shingle_hashes", "signature")
     }
+
+  // ── persisted index artifacts ───────────────────────────────────────
+  /** Persist the family's index tables as deployment artifacts (the
+    * [[Ivf.saveIndex]] device for the text-similarity family). At
+    * 100 TB "materialize once per (corpus, shape), amortize across
+    * runs" means a TABLE, not session cache: the tokenize+hash scan of
+    * the whole corpus — the expensive part every dedup /
+    * decontamination / audit run shares — happens once at ingest, and
+    * each later run is a parquet read of (doc_id, hs, s) with the text
+    * column pruned away entirely. (Session cache can't play this role
+    * even single-node: a reused InMemoryRelation carries its
+    * materialized stats and partitioning into every consumer's plan,
+    * which re-routes joins that a fresh columnar read of the same
+    * table plans well — measured 3-6× on the jaccard family when these
+    * entries were pinned across the bench's independent jobs.) */
+  def saveIndex(docs: DataFrame, n: Int, dir: String): Unit = {
+    ngramSets(docs, n).write.mode("overwrite")
+      .parquet(s"$dir/ngram_sets_$n")
+    minhashSignatures(docs).write.mode("overwrite")
+      .parquet(s"$dir/minhash_signatures")
+  }
+
+  /** Read a persisted gram index: same (doc_id, hs, s) shape
+    * [[ngramSets]] builds, so every consumer
+    * ([[Dedup.prefixJaccardPairs]], [[TrainPrep]]'s dc2 gate) accepts
+    * it in place of the in-session build. */
+  def loadNgramSets(spark: org.apache.spark.sql.SparkSession, n: Int,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/ngram_sets_$n")
+
+  def loadMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/minhash_signatures")
 }

@@ -259,4 +259,25 @@ class DedupSpec extends SparkSpec {
       "prefix filtering must not lose (or invent) any qualifying pair")
     assert(got.nonEmpty, "threshold join must not be vacuous")
   }
+
+  test("persisted gram index serves the jaccard join without the text column") {
+    import graft.functions.GramIndex
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_index").toString
+    GramIndex.saveIndex(docs, n = 4, dir)
+    val fromDisk =
+      Dedup.prefixJaccardPairsFromSets(GramIndex.loadNgramSets(spark, 4, dir))
+        .orderBy("d1", "d2").collect().toSeq
+    val inSession = Dedup.prefixJaccardPairs(docs)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(fromDisk === inSession,
+      "persistence changed the qualifying pair set")
+    // the artifact's whole point: a run over the persisted index never
+    // reads documents.text (ReadSchema carries only the set columns)
+    val scans = Dedup
+      .prefixJaccardPairsFromSets(GramIndex.loadNgramSets(spark, 4, dir))
+      .queryExecution.executedPlan.toString
+    assert(!scans.contains("text"), "text column leaked into the scan")
+  }
 }
