@@ -228,8 +228,14 @@ object TrainPrep {
     val ranked = w.crossJoin(broadcast(tot))
       .withColumn("floor_alloc", expr("(B * w_tok) div W"))
       .withColumn("remainder", expr("(B * w_tok) % W"))
+      // constant-but-non-foldable partition key (the
+      // [[Ivf.seedCentroids]] device): the window ranks the
+      // #sources-row aggregate, so one partition is correct and
+      // bounded — but a bare Window.orderBy trips the planner's
+      // "No Partition Defined" warning on every run
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("remainder").desc, col("source"))))
+        Window.partitionBy(pmod(col("w_tok"), lit(1L)))
+          .orderBy(col("remainder").desc, col("source"))))
     val leftovers = ranked
       .agg((max("B") - sum("floor_alloc")).as("R"))
     ranked.crossJoin(broadcast(leftovers))

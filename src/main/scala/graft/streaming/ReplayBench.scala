@@ -98,6 +98,41 @@ object ReplayBench {
     (spark.read.parquet(dataDir).count(), sec)
   }
 
+  /** Micro-batch latency distribution (round-6 VERDICT item 5). The
+    * reference's only published perf number is its <10 ms
+    * insert→consumer latency bound (`mypipe` LatencySpec.scala:169-172,
+    * test.conf:14-15); in the micro-batch model the analog is
+    * trigger-start→sink-commit per batch. Re-drains the already
+    * generated log with a `maxLinesPerTrigger` admission cap so the
+    * catch-up becomes many small batches — the steady-state tailing
+    * shape, not one giant backlog batch — and reads each batch's
+    * `triggerExecution` duration (trigger begin through sink commit,
+    * incl. offset WAL + state store commit) from the query's progress
+    * ring after termination, which is synchronous with the stream
+    * execution thread (a listener would race awaitTermination).
+    *
+    * Returns (batches, p50 ms, p95 ms, max ms) over non-empty batches.
+    */
+  def latencyProbe(spark: SparkSession, logDir: String, outDir: String,
+      linesPerTrigger: Long = 4096): (Int, Double, Double, Double) = {
+    val q = PipeAssembly.start(spark, Map(
+      "source.path" -> logDir,
+      "source.maxLinesPerTrigger" -> linesPerTrigger.toString,
+      "sink.path" -> s"$outDir/data",
+      "sink.checkpoint" -> s"$outDir/ckpt"), availableNow = true)
+    q.awaitTermination()
+    val ds = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(_.durationMs.getOrDefault("triggerExecution", -1L).toLong)
+      .filter(_ >= 0)
+      .sorted
+    require(ds.nonEmpty, "latency probe saw no non-empty micro-batches")
+    def pct(p: Double): Double =
+      ds(math.max(0, math.min(ds.length - 1,
+        math.ceil(p * ds.length).toInt - 1))).toDouble
+    (ds.length, pct(0.50), pct(0.95), ds.last.toDouble)
+  }
+
   /** Generate (untimed) + replay (timed); returns
     * (log lines, output mutations, seconds, events/sec). */
   def run(spark: SparkSession, sfDir: String, workDir: String)

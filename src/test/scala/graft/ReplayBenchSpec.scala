@@ -29,6 +29,25 @@ class ReplayBenchSpec extends SparkSpec {
       "commit-ts rewrite within tx")
   }
 
+  test("latency probe yields ordered percentiles over many capped batches") {
+    val work = java.nio.file.Files
+      .createTempDirectory("replay_latency").toString
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
+    val lines = ReplayBench.generateLog(spark, sf, s"$work/log")
+    val cap = 1024L
+    val (nb, p50, p95, pmax) =
+      ReplayBench.latencyProbe(spark, s"$work/log", s"$work/lat", cap)
+    // capped admission must split the drain into many batches: at
+    // least ceil(lines/cap) (rotated-segment boundaries can add more)
+    assert(nb >= (lines + cap - 1) / cap,
+      s"$nb batches for $lines lines at cap $cap")
+    assert(p50 > 0 && p50 <= p95 && p95 <= pmax,
+      s"percentiles out of order: p50=$p50 p95=$p95 max=$pmax")
+    // every mutation still lands exactly once under capped triggers
+    val out = spark.read.parquet(s"$work/lat/data").count()
+    assert(out === Tables.events(spark, sf).count())
+  }
+
   test("per-event state-machine cost clears the reference's 10 ms latency bound") {
     // The reference's ONLY hard perf number (BASELINE.md): mean
     // insert→consumer latency < 10 ms over ≥100 sequential events
