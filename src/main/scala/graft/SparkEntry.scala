@@ -53,5 +53,5 @@ object SparkEntry {
       operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
       functions.CorpusOps.oracles ++ functions.SearchIndex.oracles ++
       functions.Dsir.oracles ++ operators.Sketches.oracles ++
-      functions.Pca.oracles
+      functions.Pca.oracles ++ functions.Ivf.oracles
 }

@@ -275,6 +275,31 @@ object Ivf {
       .orderBy("q_id")
   }
 
+  /** Bounds-checked driver row for the IVF recall gate (the
+    * `sk_heavy_hitters` pattern): the k-means cells themselves aren't
+    * SQL-expressible, but the index's QUALITY GUARANTEE can still be a
+    * hash-verified oracle row — aggregate the per-query recalls to
+    * booleans whose oracle side is constant TRUE, so a recall collapse
+    * (bad centroids, broken cell routing, argmin drift) flips a flag
+    * and fails the driver hash instead of hiding in a rows-only count.
+    * `n_queries` comes from the exact side (oracled independently via
+    * `sim_topk_bruteforce`). Thresholds carry the same regeneration
+    * margin argument as the CMS 3·eps bound: observed mean recall at
+    * sf0.01 is 0.74 and every query hits ≥2 of its exact top-5, so
+    * mean ≥ 0.5 / hit-fraction ≥ 0.9 trips only on a real collapse
+    * (IvfSpec keeps the tight per-query assertions for the fixed test
+    * corpus). */
+  def simIvfRecallGate(spark: SparkSession, dir: String): DataFrame =
+    simIvfRecall(spark, dir).agg(
+      count(lit(1)).as("n_queries"),
+      (avg(col("recall_at_k")) >= 0.5).as("mean_recall_ok"),
+      (avg((col("n_hit") >= 1).cast("double")) >= 0.9).as("hit_frac_ok"))
+
+  val simIvfRecallGateSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS mean_recall_ok, TRUE AS hit_frac_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ── SemDeDup: semantic dedup inside k-means cells ───────────────────
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
@@ -328,8 +353,9 @@ object Ivf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_ann" -> (simIvf _),
-    "sim_ivf_recall" -> (simIvfRecall _),
+    "sim_ivf_recall" -> (simIvfRecallGate _),
     "sim_semdedup" -> (simSemDedup _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "sim_ivf_recall" -> simIvfRecallGateSql)
 }

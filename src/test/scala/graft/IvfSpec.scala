@@ -79,6 +79,14 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("ivf recall gate: one all-TRUE bounds row over the query set") {
+    val r = Ivf.simIvfRecallGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_queries") === 10L)
+    assert(r.head.getAs[Boolean]("mean_recall_ok"))
+    assert(r.head.getAs[Boolean]("hit_frac_ok"))
+  }
+
   test("semdedup equals brute-force within-cell pruning") {
     val sparkS = spark
     import sparkS.implicits._

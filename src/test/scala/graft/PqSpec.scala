@@ -124,6 +124,14 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pq recall gate: one all-TRUE bounds row over the query set") {
+    val r = Pq.simPqRecallGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_queries") === 10L)
+    assert(r.head.getAs[Boolean]("mean_recall_ok"))
+    assert(r.head.getAs[Boolean]("hit_frac_ok"))
+  }
+
   test("persisted index roundtrips codebooks and serves identical results") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
