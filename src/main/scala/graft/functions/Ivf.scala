@@ -351,11 +351,40 @@ object Ivf {
   def simSemDedup(spark: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(spark, dir))
 
+  /** Bounds-checked driver row for SemDeDup — same pattern as
+    * [[simIvfRecallGate]]. The cell assignment is k-means-internal, but
+    * the operator's invariants are hash-verifiable: the per-cell
+    * occupancies must charge back to the exact corpus count (oracled
+    * side), every cell must keep at least one canonical representative
+    * (the kill rule spares each group's lowest id, so an empty cell
+    * means the charge-back or the join broke), kept+dropped must
+    * reconcile per cell, and the global drop fraction must stay
+    * plausible (observed 0.44 at tau=0.3; a degenerate all-drop or
+    * no-drop run trips the 0.9 / 0.0 floors only on real breakage —
+    * no-drop stays allowed since a regenerated corpus could lack
+    * near-dups). */
+  def simSemDedupGate(spark: SparkSession, dir: String): DataFrame =
+    simSemDedup(spark, dir).agg(
+      sum("n_vecs").as("n_vectors"),
+      (count(lit(1)) between(1, 8)).as("cells_ok"),
+      (min(col("n_kept")) >= 1).as("all_cells_keep_ok"),
+      (sum(col("n_kept") + col("n_dropped")) === sum(col("n_vecs")))
+        .as("counts_reconcile"),
+      (sum("n_dropped").cast("double") / sum("n_vecs").cast("double")
+        <= 0.9).as("drop_frac_ok"))
+
+  val simSemDedupGateSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS cells_ok,
+      |  TRUE AS all_cells_keep_ok, TRUE AS counts_reconcile,
+      |  TRUE AS drop_frac_ok
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_ann" -> (simIvf _),
     "sim_ivf_recall" -> (simIvfRecallGate _),
-    "sim_semdedup" -> (simSemDedup _))
+    "sim_semdedup" -> (simSemDedupGate _))
 
   val oracles: Map[String, String] = Map(
-    "sim_ivf_recall" -> simIvfRecallGateSql)
+    "sim_ivf_recall" -> simIvfRecallGateSql,
+    "sim_semdedup" -> simSemDedupGateSql)
 }

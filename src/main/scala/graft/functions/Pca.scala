@@ -286,12 +286,47 @@ object Pca {
        |GROUP BY r.q_id ORDER BY r.q_id""".stripMargin
   }
 
+  /** Bounds-checked driver row for the power-iteration PCA — same
+    * pattern as [[graft.functions.Ivf.simIvfRecallGate]]. The
+    * eigenvector is iterative (non-SQL), but convergence is
+    * hash-verifiable: the component must be unit-norm, each label's
+    * projection moments must satisfy Jensen (E[p²] ≥ E[p]², modulo the
+    * fixed-point rounding the moments are accumulated under — the
+    * Scale⁻¹ slack below), and the corpus-weighted mean of E[p²] must
+    * equal the Rayleigh eigenvalue (THE power-iteration identity:
+    * var(proj) = vᵀCv = λ; a diverged or mis-centered iteration breaks
+    * it immediately; 5% tolerance covers the integer-cent
+    * accumulation). Label counts come from the exact side. */
+  def embPcaPowerGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (_, v, lambda) = topComponent(emb)
+    val unitNorm = math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9
+    val per = embPcaPower(spark, dir)
+    val ray = per.agg(
+      ((abs(sum(col("mean_sq_proj") * col("n")) / sum(col("n"))
+        - lit(lambda)) / lit(lambda)) < 0.05).as("rayleigh_ok"))
+    per.crossJoin(broadcast(ray))
+      .select(col("label"), col("n"),
+        (col("mean_sq_proj") >=
+          col("mean_proj") * col("mean_proj") - lit(2.0 / Scale))
+          .as("jensen_ok"),
+        col("rayleigh_ok"),
+        lit(unitNorm).as("unit_norm_ok"))
+      .orderBy("label")
+  }
+
+  val embPcaPowerGateSql: String =
+    """SELECT label, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS jensen_ok,
+      |  TRUE AS rayleigh_ok, TRUE AS unit_norm_ok
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_pca_power" -> (embPcaPower _),
+    "emb_pca_power" -> (embPcaPowerGate _),
     "emb_jl_distortion" -> (embJlDistortion _),
     "emb_jl_recall" -> ((s: SparkSession, d: String) => embJlRecall(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "emb_pca_power" -> embPcaPowerGateSql,
     "emb_jl_distortion" -> embJlDistortionSql,
     "emb_jl_recall" -> embJlRecallSql())
 }

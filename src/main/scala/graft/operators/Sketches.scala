@@ -166,6 +166,61 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** Bounds-checked driver row for the HLL union (the
+    * `sk_heavy_hitters` pattern): the estimates themselves are
+    * DataSketches-internal, but the guarantees are hash-verifiable
+    * against exact distincts — per-source and corpus estimates within
+    * HLL error of exact (lgK=12 → ~1.6% relative; the oracle-facing
+    * margin is max(2, 10%·exact) for regeneration headroom, the tight
+    * band stays in SketchesSpec), and union-over-per-source-sketches
+    * equal to the one-shot corpus sketch EXACTLY (HLL union of
+    * same-width sketches is lossless — the mergeability property that
+    * makes the sketch the 100 TB answer). The exact distincts here are
+    * gate-side verification cost, not operator cost: [[skHllUnion]]
+    * itself stays sketch-only. */
+  def skHllUnionGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+          .as("tok"))
+    val perSource = toks.groupBy("source")
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"),
+        countDistinct(col("tok")).as("exact_vocab"))
+    val corpus = toks.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))")
+        .cast("long").as("direct_est"),
+      countDistinct(col("tok")).as("exact_all"))
+    val unioned = perSource.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("long").as("union_est"))
+    val err = (e: Column, x: Column) =>
+      abs(e - x).cast("double") <=
+        greatest(lit(2.0), x.cast("double") * 0.1)
+    val all = corpus.crossJoin(unioned)
+      .select(lit("__all__").as("source"), col("exact_all").as("exact_vocab"),
+        err(col("direct_est"), col("exact_all")).as("within_err"),
+        (col("union_est") === col("direct_est")).as("union_lossless"))
+    perSource
+      .select(col("source"), col("exact_vocab"),
+        err(expr("hll_sketch_estimate(sk)").cast("long"),
+          col("exact_vocab")).as("within_err"),
+        lit(true).as("union_lossless"))
+      .unionByName(all)
+      .orderBy("source")
+  }
+
+  val skHllUnionGateSql: String =
+    """WITH tt AS (
+      |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_vocab,
+      |  TRUE AS within_err, TRUE AS union_lossless
+      |FROM tt GROUP BY source
+      |UNION ALL
+      |SELECT '__all__', CAST(COUNT(DISTINCT tok) AS BIGINT), TRUE, TRUE
+      |FROM tt
+      |ORDER BY source""".stripMargin
+
   // ── join-size estimation by sketch inner product ────────────────────
   private val JsP = 2147483647L // 2^31 − 1, prime
   private val JsW = 16384
@@ -261,13 +316,14 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct" -> (skApproxDistinct _),
     "sk_approx_percentiles" -> (skApproxPercentiles _),
-    "sk_hll_union" -> (skHllUnion _),
+    "sk_hll_union" -> (skHllUnionGate _),
     "sk_join_size" -> (skJoinSize _),
     "sk_heavy_hitters" ->
       ((s: SparkSession, d: String) => skHeavyHitters(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sk_join_size" -> skJoinSizeSql,
+    "sk_hll_union" -> skHllUnionGateSql,
     "sk_approx_distinct" -> skApproxDistinctSql,
     "sk_approx_percentiles" -> skApproxPercentilesSql,
     "sk_heavy_hitters" -> skHeavyHittersSql)

@@ -87,6 +87,16 @@ class IvfSpec extends SparkSpec {
     assert(r.head.getAs[Boolean]("hit_frac_ok"))
   }
 
+  test("semdedup gate: invariants hold and charge back to the corpus") {
+    val r = Ivf.simSemDedupGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_vectors") ===
+      Tables.embeddings(spark, sf).count())
+    Seq("cells_ok", "all_cells_keep_ok", "counts_reconcile",
+      "drop_frac_ok").foreach(f =>
+      assert(r.head.getAs[Boolean](f), f))
+  }
+
   test("semdedup equals brute-force within-cell pruning") {
     val sparkS = spark
     import sparkS.implicits._

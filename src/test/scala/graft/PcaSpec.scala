@@ -76,6 +76,16 @@ class PcaSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("eigenvalue") === lambda))
   }
 
+  test("pca gate: unit norm, Jensen, and the Rayleigh identity all hold") {
+    val rows = Pca.embPcaPowerGate(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("jensen_ok"), r.toString)
+      assert(r.getAs[Boolean]("rayleigh_ok"), r.toString)
+      assert(r.getAs[Boolean]("unit_norm_ok"), r.toString)
+    }
+  }
+
   test("JL distortion: matches a driver recompute exactly, geometry survives") {
     val got = Pca.embJlDistortion(spark, sf).collect()
     val n = Tables.embeddings(spark, sf)

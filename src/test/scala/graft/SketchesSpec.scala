@@ -65,6 +65,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL union gate: all bounds flags true, exact vocab charged back") {
+    val rows = Sketches.skHllUnionGate(spark, sf).collect()
+    val srcs = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length === srcs + 1) // per source + __all__
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_err"), r.toString)
+      assert(r.getAs[Boolean]("union_lossless"), r.toString)
+      assert(r.getAs[Long]("exact_vocab") > 0)
+    }
+  }
+
   test("HLL union of per-source sketches equals a direct corpus sketch") {
     val rows = Sketches.skHllUnion(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
