@@ -559,6 +559,130 @@ object TrainPrep {
        |  (start_tok + n_tok - 1) // $seqLen AS last_seq
        |FROM packed ORDER BY doc_id""".stripMargin
 
+  // ── greedy no-split sequence packing ────────────────────────────────
+  /** Greedy NO-SPLIT packing: each document lands whole in exactly one
+    * fixed-capacity bin (the SFT-shape packer — [[tpPacking]] is the
+    * complementary concatenate-and-split pretraining shape where docs
+    * cross sequence boundaries). Greedy first-fit-in-order is
+    * prefix-dependent — bin boundaries depend on every earlier
+    * remainder, so no window expression computes it. The Spark shape
+    * is the scale-correct sequential fold: repartition by shard,
+    * sortWithinPartitions (secondary sort — the group is never
+    * materialized in memory, unlike groupByKey+flatMapGroups), then a
+    * single streaming pass per partition carrying (shard, bin, fill).
+    * Parallelism = shards; at 100 TB you raise `nShards`, never the
+    * per-task memory. A doc longer than `capacity` takes a bin alone
+    * (`fits_ok` stays true via the n_docs=1 escape; a multi-doc bin
+    * over capacity would be a packer bug and a driver hash fail).
+    * Oracle: the same fold as a DuckDB recursive CTE over (shard, rn)
+    * — iterations = max shard length, rows per step = shards. */
+  def tpPackGreedy(spark: SparkSession, dir: String, capacity: Int = 128,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val packed = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("tok"))
+      .as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        var shard = Long.MinValue; var bin = 0L; var fill = 0L
+        it.map { case (docId, sh, tok) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = tok }
+          else if (fill + tok <= capacity) fill += tok
+          else { bin += 1; fill = tok }
+          (docId, sh, bin, tok)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "tok")
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / lit(capacity.toDouble))
+          .as("fill_frac"),
+        (col("n_tokens") <= capacity || col("n_docs") === 1)
+          .as("fits_ok"))
+      .orderBy("shard", "bin")
+  }
+
+  def tpPackGreedySql(capacity: Int = 128, nShards: Int = 16): String =
+    s"""WITH RECURSIVE sized AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id % $nShards
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |fold AS (
+       |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin,
+       |    tok AS fill
+       |  FROM sized WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.shard, s.rn, s.doc_id, s.tok,
+       |    CASE WHEN f.fill + s.tok <= $capacity THEN f.bin
+       |         ELSE f.bin + 1 END,
+       |    CASE WHEN f.fill + s.tok <= $capacity THEN f.fill + s.tok
+       |         ELSE s.tok END
+       |  FROM fold f JOIN sized s
+       |    ON s.shard = f.shard AND s.rn = f.rn + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tok) AS DOUBLE) / $capacity AS fill_frac,
+       |  (SUM(tok) <= $capacity OR COUNT(*) = 1) AS fits_ok
+       |FROM fold GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  // ── length-curriculum schedule ──────────────────────────────────────
+  /** Shortest-first curriculum with equal-stride source interleave —
+    * the classic length-curriculum ordering, kept shuffle-cheap at
+    * scale: rank docs WITHIN each source (partitioned window — scales
+    * with sources × docs), index the handful of distinct sources
+    * (bounded single-digit window, same constant-key device as
+    * [[tsBudgetAlloc]]), and compute the schedule slot as
+    * `(rank-1)·n_sources + source_index` — a pure expression, NO
+    * global sort or single-partition window over the corpus. Sources
+    * exhaust at different ranks, so late slots are sparse; slot order,
+    * not density, is the schedule. */
+  def tsCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+    val srcW = Window.partitionBy(pmod(length(col("source")), lit(1)))
+      .orderBy("source")
+    val sources = docs.select("source").distinct()
+      .withColumn("sidx", row_number().over(srcW).cast("long") - 1L)
+    val nSrc = sources.select(count(lit(1)).as("n_src"))
+    val rankW = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    docs
+      .withColumn("rank_in_source", row_number().over(rankW).cast("long"))
+      .join(broadcast(sources), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("rank_in_source"),
+        ((col("rank_in_source") - 1L) * col("n_src") + col("sidx"))
+          .as("schedule_slot"))
+      .orderBy("schedule_slot")
+  }
+
+  val tsCurriculumSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |srcs AS (
+      |  SELECT source,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM srcs),
+      |ranked AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_tok, doc_id) AS BIGINT) AS rank_in_source
+      |  FROM docs)
+      |SELECT doc_id, r.source, n_tok, rank_in_source,
+      |  (rank_in_source - 1) * n_src + sidx AS schedule_slot
+      |FROM ranked r JOIN srcs USING (source) CROSS JOIN n
+      |ORDER BY schedule_slot""".stripMargin
+
   // ── per-source quality percentile gate ───────────────────────────────
   /** Keep each source's top quality quartile — the relative (percentile)
     * quality cut real curation uses when absolute thresholds would
@@ -909,6 +1033,9 @@ object TrainPrep {
     "ts_reservoir_topk" ->
       ((s: SparkSession, d: String) => tsReservoirTopk(s, d)),
     "tp_packing" -> ((s: SparkSession, d: String) => tpPacking(s, d)),
+    "tp_pack_greedy" ->
+      ((s: SparkSession, d: String) => tpPackGreedy(s, d)),
+    "ts_curriculum" -> (tsCurriculum _),
     "tp_quality_percentile" ->
       ((s: SparkSession, d: String) => tpQualityPercentile(s, d)),
     "tc_chunking" -> ((s: SparkSession, d: String) => tcChunking(s, d)),
@@ -932,6 +1059,8 @@ object TrainPrep {
     "tc_padding_sweep" -> tcPaddingSweepSql(),
     "ts_reservoir_topk" -> tsReservoirTopkSql(),
     "tp_packing" -> tpPackingSql(),
+    "tp_pack_greedy" -> tpPackGreedySql(),
+    "ts_curriculum" -> tsCurriculumSql,
     "tp_quality_percentile" -> tpQualityPercentileSql(),
     "tc_chunking" -> tcChunkingSql(),
     "ts_hash_split" -> tsHashSplitSql,

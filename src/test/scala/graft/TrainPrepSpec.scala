@@ -321,4 +321,61 @@ class TrainPrepSpec extends SparkSpec {
       "cross-set prefix filtering must find every contaminated doc")
     assert(got.nonEmpty, "decontamination must not be vacuous")
   }
+
+  test("greedy packing equals a driver fold and ignores partition layout") {
+    val cap = 128
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split("\\s+", -1).length.toLong))
+      .sortBy(_._1)
+    // driver reference: the same greedy fold per shard
+    val ref = docs.groupBy(_._1 % 16).toSeq.flatMap { case (sh, ds) =>
+      var bin = 0L; var fill = 0L
+      ds.sortBy(_._1).zipWithIndex.map { case ((_, tok), i) =>
+        if (i == 0) fill = tok
+        else if (fill + tok <= cap) fill += tok
+        else { bin += 1; fill = tok }
+        (sh, bin)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def run(): Map[(Long, Long), Long] =
+      TrainPrep.tpPackGreedy(spark, sf).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          r.getAs[Long]("n_docs")).toMap
+    val got = run()
+    assert(got === ref, "bin assignment must equal the sequential fold")
+    // every doc packed exactly once; no multi-doc bin over capacity
+    assert(got.values.sum === docs.length.toLong)
+    TrainPrep.tpPackGreedy(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("fits_ok"), r.toString)
+    }
+    // layout independence: the fold's state is keyed on shard, so the
+    // shuffle partition count must not change a single bin
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      assert(run() === got, "packing must not depend on parallelism")
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("curriculum: slots are unique, strided, and shortest-first") {
+    val rows = TrainPrep.tsCurriculum(spark, sf).collect()
+    val slots = rows.map(_.getAs[Long]("schedule_slot"))
+    assert(slots.toSet.size === rows.length, "slots must be unique")
+    val nSrc = rows.map(_.getAs[String]("source")).distinct.length.toLong
+    // within a source: ascending token count along the schedule
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("schedule_slot"))
+      val toks = ordered.map(_.getAs[Long]("n_tok"))
+      assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+      // stride structure: consecutive ranks are exactly n_src apart
+      val ss = ordered.map(_.getAs[Long]("schedule_slot"))
+      assert(ss.zip(ss.tail).forall { case (a, b) => b - a === nSrc })
+    }
+    // the first n_src slots are the per-source shortest docs
+    assert(rows.filter(_.getAs[Long]("schedule_slot") < nSrc)
+      .map(_.getAs[Long]("rank_in_source")).forall(_ == 1L))
+  }
 }
