@@ -143,7 +143,13 @@ object Plans {
         operators.Sketches.skHeavyHitters(spark, dir)),
       ("dc3_semantic_decontamination",
         "semantic contamination gate: bounded eval set broadcast across one train scan (whitelisted non-equi broadcast), max/argmax via one t_id window",
-        functions.Similarity.dc3SemanticDecontamination(spark, dir)))
+        functions.Similarity.dc3SemanticDecontamination(spark, dir)),
+      ("tp_pack_greedy",
+        "prefix-dependent fold as secondary sort: one shard exchange, in-partition sort, streaming mapPartitions emitting bins in-pass — no group materialization, no aggregation shuffle",
+        functions.TrainPrep.tpPackGreedy(spark, dir)),
+      ("ts_curriculum",
+        "schedule slots as pure expressions over per-source ranked windows; distinct-source index broadcasts — no corpus-wide sort or single-partition window",
+        functions.TrainPrep.tsCurriculum(spark, dir)))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

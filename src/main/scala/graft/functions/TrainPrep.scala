@@ -579,6 +579,12 @@ object TrainPrep {
   def tpPackGreedy(spark: SparkSession, dir: String, capacity: Int = 128,
       nShards: Int = 16): DataFrame = {
     import spark.implicits._
+    // the fold emits BINS, not per-doc assignments: a bin never spans
+    // partitions (the fold is what defines it), so aggregating inside
+    // the pass deletes the groupBy exchange a per-doc emission would
+    // need — object ops erase the known partitioning, so Catalyst
+    // could not elide it — and shrinks the fold's output from docs to
+    // bins. Still O(1) task memory: one open-bin accumulator.
     val packed = Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
@@ -587,17 +593,38 @@ object TrainPrep {
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .mapPartitions { it =>
-        var shard = Long.MinValue; var bin = 0L; var fill = 0L
-        it.map { case (docId, sh, tok) =>
-          if (sh != shard) { shard = sh; bin = 0L; fill = tok }
-          else if (fill + tok <= capacity) fill += tok
-          else { bin += 1; fill = tok }
-          (docId, sh, bin, tok)
+        new Iterator[(Long, Long, Long, Long)] {
+          private var out: Option[(Long, Long, Long, Long)] = None
+          private var shard = 0L; private var bin = 0L
+          private var fill = 0L; private var nDocs = 0L
+          private var open = false
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (_, sh, tok) = it.next()
+              if (!open) {
+                shard = sh; bin = 0L; fill = tok; nDocs = 1L; open = true
+              } else if (sh != shard) {
+                out = Some((shard, bin, nDocs, fill))
+                shard = sh; bin = 0L; fill = tok; nDocs = 1L
+              } else if (fill + tok <= capacity) {
+                fill += tok; nDocs += 1L
+              } else {
+                out = Some((shard, bin, nDocs, fill))
+                bin += 1L; fill = tok; nDocs = 1L
+              }
+            }
+            if (out.isEmpty && open) {
+              out = Some((shard, bin, nDocs, fill)); open = false
+            }
+          }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (Long, Long, Long, Long) = {
+            advance(); val r = out.get; out = None; r
+          }
         }
       }
-      .toDF("doc_id", "shard", "bin", "tok")
-    packed.groupBy("shard", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .toDF("shard", "bin", "n_docs", "n_tokens")
+    packed
       .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / lit(capacity.toDouble))
           .as("fill_frac"),
