@@ -592,37 +592,7 @@ object TrainPrep {
       .as[(Long, Long, Long)]
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")
-      .mapPartitions { it =>
-        new Iterator[(Long, Long, Long, Long)] {
-          private var out: Option[(Long, Long, Long, Long)] = None
-          private var shard = 0L; private var bin = 0L
-          private var fill = 0L; private var nDocs = 0L
-          private var open = false
-          private def advance(): Unit = {
-            while (out.isEmpty && it.hasNext) {
-              val (_, sh, tok) = it.next()
-              if (!open) {
-                shard = sh; bin = 0L; fill = tok; nDocs = 1L; open = true
-              } else if (sh != shard) {
-                out = Some((shard, bin, nDocs, fill))
-                shard = sh; bin = 0L; fill = tok; nDocs = 1L
-              } else if (fill + tok <= capacity) {
-                fill += tok; nDocs += 1L
-              } else {
-                out = Some((shard, bin, nDocs, fill))
-                bin += 1L; fill = tok; nDocs = 1L
-              }
-            }
-            if (out.isEmpty && open) {
-              out = Some((shard, bin, nDocs, fill)); open = false
-            }
-          }
-          def hasNext: Boolean = { advance(); out.nonEmpty }
-          def next(): (Long, Long, Long, Long) = {
-            advance(); val r = out.get; out = None; r
-          }
-        }
-      }
+      .mapPartitions(it => packFold(it, capacity))
       .toDF("shard", "bin", "n_docs", "n_tokens")
     packed
       .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
@@ -632,6 +602,42 @@ object TrainPrep {
           .as("fits_ok"))
       .orderBy("shard", "bin")
   }
+
+  /** The packer's sequential core, factored pure for property fuzzing:
+    * consumes (doc_id, shard, tok) rows sorted by (shard, doc_id) and
+    * emits one (shard, bin, n_docs, n_tokens) row per closed bin,
+    * lazily — O(1) state regardless of partition size. */
+  private[graft] def packFold(it: Iterator[(Long, Long, Long)],
+      capacity: Int): Iterator[(Long, Long, Long, Long)] =
+    new Iterator[(Long, Long, Long, Long)] {
+      private var out: Option[(Long, Long, Long, Long)] = None
+      private var shard = 0L; private var bin = 0L
+      private var fill = 0L; private var nDocs = 0L
+      private var open = false
+      private def advance(): Unit = {
+        while (out.isEmpty && it.hasNext) {
+          val (_, sh, tok) = it.next()
+          if (!open) {
+            shard = sh; bin = 0L; fill = tok; nDocs = 1L; open = true
+          } else if (sh != shard) {
+            out = Some((shard, bin, nDocs, fill))
+            shard = sh; bin = 0L; fill = tok; nDocs = 1L
+          } else if (fill + tok <= capacity) {
+            fill += tok; nDocs += 1L
+          } else {
+            out = Some((shard, bin, nDocs, fill))
+            bin += 1L; fill = tok; nDocs = 1L
+          }
+        }
+        if (out.isEmpty && open) {
+          out = Some((shard, bin, nDocs, fill)); open = false
+        }
+      }
+      def hasNext: Boolean = { advance(); out.nonEmpty }
+      def next(): (Long, Long, Long, Long) = {
+        advance(); val r = out.get; out = None; r
+      }
+    }
 
   def tpPackGreedySql(capacity: Int = 128, nShards: Int = 16): String =
     s"""WITH RECURSIVE sized AS (

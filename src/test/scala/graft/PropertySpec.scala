@@ -432,4 +432,37 @@ class PropertySpec extends SparkSpec {
       assert(x.getAs[Array[Byte]](4).toSeq === y.getAs[Array[Byte]](4).toSeq)
     }
   }
+
+  test("greedy packing fold: invariants hold for arbitrary corpora") {
+    import graft.functions.TrainPrep
+    val docsGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 7L), Gen.chooseNum(1L, 40L)))
+    forAll(docsGen, Gen.chooseNum(8, 64)) { (docs, cap) =>
+      whenever(docs.nonEmpty) {
+        val sorted = docs.zipWithIndex
+          .map { case ((sh, tok), i) => (i.toLong, sh, tok) }
+          .sortBy { case (id, sh, _) => (sh, id) }
+        val bins = TrainPrep.packFold(sorted.iterator, cap).toList
+        // every doc in exactly one bin; all tokens charged
+        assert(bins.map(_._3).sum === sorted.length.toLong)
+        assert(bins.map(_._4).sum === sorted.map(_._3).sum)
+        // capacity respected except singleton-oversize bins
+        bins.foreach { case (_, _, n, tok) =>
+          assert(tok <= cap || n === 1L)
+        }
+        bins.groupBy(_._1).foreach { case (sh, bs) =>
+          // bins contiguous from 0 within each shard
+          assert(bs.map(_._2) === (0L until bs.length.toLong).toList)
+          // greedy-maximality: a closed bin could not have absorbed
+          // the NEXT bin's first doc (recompute first docs from input)
+          val toks = sorted.filter(_._2 == sh).map(_._3)
+          val firstTok = bs.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+            .map(off => toks(off.toInt))
+          bs.map(_._4).zip(firstTok.drop(1)).foreach {
+            case (fill, nextFirst) => assert(fill + nextFirst > cap)
+          }
+        }
+      }
+    }
+  }
 }
