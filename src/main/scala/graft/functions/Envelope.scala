@@ -174,8 +174,10 @@ object Envelope {
     val distinctSchemas = versions.groupBy(_._2)
     val decoded =
       if (versions.isEmpty) // no registry state: assume current build
+        // lenient like the other branches: a well-formed frame with an
+        // undecodable payload drops, it doesn't kill the query
         when(ok, AvroCodec.decode(col("payload"), genericSchemaV1,
-          genericStructV1))
+          genericStructV1, lenient = true))
           .otherwise(lit(null).cast(genericStructV1))
       else if (distinctSchemas.size == 1 &&
           distinctSchemas.keysIterator.next() == genericSchemaV1)
@@ -190,7 +192,7 @@ object Envelope {
           .otherwise(lit(null).cast(genericStructV1))
       else
         when(ok,
-          versions.groupBy(_._2).toSeq.sortBy(_._2.head._1)
+          distinctSchemas.toSeq.sortBy(_._2.head._1)
             .foldLeft(lit(null).cast(genericStructV1)) {
               case (acc, (writerJson, idPairs)) =>
                 when(col("schema_id_decoded")

@@ -121,6 +121,14 @@ object Pca {
   def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val (mean, v, lambda) = topComponent(emb)
+    perLabelProjection(emb, mean, v, lambda)
+  }
+
+  /** Per-label projection profile for an already-trained component —
+    * split out so the gate can reuse one `topComponent` run instead of
+    * re-training (8 corpus passes) a bit-identical component. */
+  private def perLabelProjection(emb: DataFrame, mean: Array[Double],
+      v: Array[Double], lambda: Double): DataFrame = {
     val c = VectorFunctions.dot_product(
       transform(col("embedding"), _.cast("double")), litVec(v)) -
       lit(mean.zip(v).map { case (a, b) => a * b }.sum)
@@ -299,9 +307,10 @@ object Pca {
     * accumulation). Label counts come from the exact side. */
   def embPcaPowerGate(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val (_, v, lambda) = topComponent(emb)
+    val (mean, v, lambda) = topComponent(emb)
     val unitNorm = math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9
-    val per = embPcaPower(spark, dir)
+    val per = graft.util.Caches.persistOnce(
+      perLabelProjection(emb, mean, v, lambda))
     val ray = per.agg(
       ((abs(sum(col("mean_sq_proj") * col("n")) / sum(col("n"))
         - lit(lambda)) / lit(lambda)) < 0.05).as("rayleigh_ok"))

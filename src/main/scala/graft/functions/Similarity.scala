@@ -942,7 +942,11 @@ object Similarity {
     * ties break to the lowest eval id. */
   def semanticDecontamination(train: DataFrame, eval_ : DataFrame,
       tau: Double, maxBroadcastEval: Long = MaxBroadcastEval): DataFrame = {
-    val nEval = eval_.count()
+    // the routing decision only needs "empty / under cap / over cap" —
+    // limit(cap+1) bounds the probe's scan instead of counting a
+    // possibly-corpus-sized eval side in full
+    val nEval = eval_.limit(
+      math.min(maxBroadcastEval + 1, Int.MaxValue.toLong).toInt).count()
     // an empty eval set means "nothing to be contaminated BY" — every
     // train vector must come back clean, not vanish from the output
     // (the cross join would drop them all)

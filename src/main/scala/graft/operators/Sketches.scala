@@ -179,13 +179,18 @@ object Sketches {
     * gate-side verification cost, not operator cost: [[skHllUnion]]
     * itself stays sketch-only. */
   def skHllUnionGate(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("source"),
-        explode(graft.functions.TextAnalysis.wsTokens(col("text")))
-          .as("tok"))
-    val perSource = toks.groupBy("source")
-      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"),
-        countDistinct(col("tok")).as("exact_vocab"))
+    // tokenize once (the per-source and corpus aggs both read it) and
+    // keep the #sources-row sketch table hot (it feeds the union agg
+    // AND the final per-source projection)
+    val toks = graft.util.Caches.persistOnce(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+            .as("tok")))
+    val perSource = graft.util.Caches.persistOnce(
+      toks.groupBy("source")
+        .agg(expr("hll_sketch_agg(tok, 12)").as("sk"),
+          countDistinct(col("tok")).as("exact_vocab")))
     val corpus = toks.agg(
       expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))")
         .cast("long").as("direct_est"),

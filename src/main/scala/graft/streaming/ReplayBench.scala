@@ -115,18 +115,33 @@ object ReplayBench {
     */
   def latencyProbe(spark: SparkSession, logDir: String, outDir: String,
       linesPerTrigger: Long = 4096): (Int, Double, Double, Double) = {
+    // recentProgress is a ring capped by numRecentProgressUpdates —
+    // size it HERE from the drain we are about to run (batches ≈
+    // lines/cap, +headroom for segment-boundary splits), not in some
+    // caller: a silently overflowed ring would report tail-only,
+    // biased-low percentiles
+    val lines = spark.read.text(logDir).count()
+    val expected = (lines / math.max(1L, linesPerTrigger)) + 64
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(512L, 2L * expected).toString)
     val q = PipeAssembly.start(spark, Map(
       "source.path" -> logDir,
       "source.maxLinesPerTrigger" -> linesPerTrigger.toString,
       "sink.path" -> s"$outDir/data",
       "sink.checkpoint" -> s"$outDir/ckpt"), availableNow = true)
     q.awaitTermination()
-    val ds = q.recentProgress.toSeq
+    val progress = q.recentProgress.toSeq
+    val ds = progress
       .filter(_.numInputRows > 0)
       .map(_.durationMs.getOrDefault("triggerExecution", -1L).toLong)
       .filter(_ >= 0)
       .sorted
     require(ds.nonEmpty, "latency probe saw no non-empty micro-batches")
+    // loud, not biased: if the ring still overflowed (batchIds start
+    // past 0), the percentiles would describe only the tail
+    require(progress.map(_.batchId).min == 0L,
+      s"progress ring overflowed: ${progress.size} retained, " +
+        s"first batchId ${progress.map(_.batchId).min}")
     def pct(p: Double): Double =
       ds(math.max(0, math.min(ds.length - 1,
         math.ceil(p * ds.length).toInt - 1))).toDouble
