@@ -114,7 +114,26 @@ object ReplayBench {
     * Returns (batches, p50 ms, p95 ms, max ms) over non-empty batches.
     */
   def latencyProbe(spark: SparkSession, logDir: String, outDir: String,
-      linesPerTrigger: Long = 4096): (Int, Double, Double, Double) = {
+      linesPerTrigger: Long = 4096, shufflePartitions: Int = 8)
+      : (Int, Double, Double, Double) = {
+    // A tail-follow consumer sizes its state/shuffle partitioning to
+    // per-trigger volume, not to the batch-analytics default: every
+    // micro-batch pays (load + commit) per state partition, so 32-way
+    // state for a ~4k-row trigger is pure fixed cost. Measured at
+    // sf0.1: p50 756 ms at 32 partitions → 360 ms at 8, flat below
+    // that (the floor is offset-WAL + state + sink commit). Restored
+    // after the probe; the throughput drain above keeps the session
+    // default — its single catch-up batch wants the parallelism.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      shufflePartitions.toString)
+    try latencyProbeWith(spark, logDir, outDir, linesPerTrigger)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def latencyProbeWith(spark: SparkSession, logDir: String,
+      outDir: String, linesPerTrigger: Long)
+      : (Int, Double, Double, Double) = {
     // recentProgress is a ring capped by numRecentProgressUpdates —
     // size it HERE from the drain we are about to run (batches ≈
     // lines/cap, +headroom for segment-boundary splits), not in some
