@@ -679,16 +679,17 @@ object TrainPrep {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
-    val srcW = Window.partitionBy(pmod(length(col("source")), lit(1)))
-      .orderBy("source")
+    val srcPart = Window.partitionBy(pmod(length(col("source")), lit(1)))
+    val srcW = srcPart.orderBy("source")
+    // sidx and n_src share one bounded window pass (single-digit rows),
+    // so the schedule needs ONE broadcast hash join — no scalar BNLJ
     val sources = docs.select("source").distinct()
       .withColumn("sidx", row_number().over(srcW).cast("long") - 1L)
-    val nSrc = sources.select(count(lit(1)).as("n_src"))
+      .withColumn("n_src", count(lit(1)).over(srcPart).cast("long"))
     val rankW = Window.partitionBy("source").orderBy("n_tok", "doc_id")
     docs
       .withColumn("rank_in_source", row_number().over(rankW).cast("long"))
       .join(broadcast(sources), "source")
-      .crossJoin(broadcast(nSrc))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("rank_in_source"),
         ((col("rank_in_source") - 1L) * col("n_src") + col("sidx"))
