@@ -627,6 +627,89 @@ object Dedup {
   def ddMinhashGroups(spark: SparkSession, dir: String): DataFrame =
     minhashDuplicateGroups(Tables.documents(spark, dir), 0.2)
 
+  // ── LSH recall gate: brute-force truth on a bounded panel ───────────
+  /** Docs with `doc_id` below this bound form the LSH audit panel: the
+    * exact-truth computation is quadratic ONLY within the panel, so
+    * capping panel membership by a constant (not a corpus fraction)
+    * keeps the audit cost fixed while the corpus — and the LSH run
+    * being audited — grow without bound. */
+  val RecallPanelCap = 1000L
+
+  /** Driver-visible quality gate for the MinHash-LSH family — the
+    * `sim_ivf_recall` pattern applied to text dedup. The LSH pipeline's
+    * internals (xxhash64 band keys) are engine-specific, so the pair
+    * SETS stay rows-only; but its QUALITY contract is hash-verifiable:
+    * ground truth is the exact whole-panel bigram Jaccard ≥ t pair set
+    * (the same shingle definition the LSH verify stage uses, so LSH
+    * output restricted to the panel must be a SUBSET of truth — any
+    * extra pair means the verify stage broke), and banding theory puts
+    * candidate probability at `1−(1−j⁴)⁸` ≥ 0.999 for the j ≥ 0.9
+    * near-dups this corpus plants (observed recall 1.0 at sf0.01: 25
+    * of 25 truth pairs recovered), so the 0.8 recall floor trips only
+    * on a real collapse (broken banding, dropped buckets, signature
+    * drift). Truth-side enumeration is a gram hash join within the
+    * bounded panel — never all-pairs, never corpus-quadratic. */
+  def minhashRecallGate(docs: DataFrame, threshold: Double = 0.2,
+      panelCap: Long = RecallPanelCap): DataFrame = {
+    val panel = GramIndex.bigramSourceSets(docs)
+      .filter(col("doc_id") < panelCap)
+      .select(col("doc_id"), col("hs"), col("s"))
+    val grams = panel.select(col("doc_id"), explode(col("hs")).as("g"))
+    val cands = grams.alias("a").join(grams.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val truth = cands
+      .join(panel.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("s").as("s1")), "d1")
+      .join(panel.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("s").as("s2")), "d2")
+      .withColumn("n_common",
+        HashFunctions.sorted_intersect_count(col("h1"), col("h2")))
+      .filter(col("n_common").cast("double") /
+        (col("s1") + col("s2") - col("n_common")).cast("double")
+        >= threshold)
+      .select(col("d1"), col("d2"), lit(1L).as("in_truth"))
+    val lsh = minhashDuplicatePairs(docs, threshold)
+      .filter(col("d1") < panelCap && col("d2") < panelCap)
+      .select(col("d1"), col("d2"), lit(1L).as("in_lsh"))
+    truth.join(lsh, Seq("d1", "d2"), "full_outer").agg(
+      coalesce(sum("in_truth"), lit(0L)).as("n_true_pairs"),
+      (coalesce(sum("in_truth"), lit(0L)) === 0L ||
+        coalesce(sum(col("in_truth") * col("in_lsh")), lit(0L))
+          .cast("double") * lit(1.0) >=
+        lit(0.8) * coalesce(sum("in_truth"), lit(0L)).cast("double"))
+        .as("recall_ok"),
+      (coalesce(sum(when(col("in_truth").isNull, 1L)), lit(0L)) === 0L)
+        .as("subset_ok"))
+  }
+
+  def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame =
+    minhashRecallGate(Tables.documents(spark, dir))
+
+  val ddMinhashRecallSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, bigram FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(arr)),
+      |        i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+      |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+      |          FROM documents WHERE doc_id < 1000))),
+      |sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT d1, d2 FROM inter
+      |    JOIN sizes s1 ON inter.d1 = s1.doc_id
+      |    JOIN sizes s2 ON inter.d2 = s2.doc_id
+      |  WHERE CAST(n_common AS DOUBLE)
+      |      / CAST(s1.s + s2.s - n_common AS DOUBLE) >= 0.2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      |  TRUE AS recall_ok, TRUE AS subset_ok FROM truth""".stripMargin
+
   // ── incremental dedup: new batch vs existing corpus ─────────────────
   /** Near-dup matches for a NEW batch against an EXISTING corpus plus
     * within the batch itself — the daily-ingest shape at 100 TB: the
@@ -904,6 +987,7 @@ object Dedup {
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_groups" -> (ddMinhashGroups _),
+    "dd_minhash_recall" -> (ddMinhashRecall _),
     "dd_incremental_minhash" -> (ddIncrementalMinhash _),
     "dd_simhash" -> (ddSimhash _),
     "dd_span_dedup" -> ((s: SparkSession, d: String) => ddSpanDedup(s, d)))
@@ -913,6 +997,7 @@ object Dedup {
     "dd_survivorship" -> ddSurvivorshipSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
+    "dd_minhash_recall" -> ddMinhashRecallSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_span_dedup" -> ddSpanDedupSql())
 }

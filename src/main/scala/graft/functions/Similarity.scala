@@ -851,6 +851,38 @@ object Similarity {
       .orderBy("q_id", "round")
   }
 
+  /** Driver-visible gate for MMR — the `sim_ivf_recall` pattern on a
+    * greedy sequential operator. The pick SEQUENCE is order-dependent
+    * (rows-only), but round 1 is pure argmax relevance BEFORE any
+    * diversity penalty exists, so the first pick and its cosine are
+    * SQL-exact per query; the rest of the contract is invariant flags:
+    * exactly k picks, no repeats, and no pick more relevant than the
+    * first (round 1 IS the relevance argmax — a violation means the
+    * penalty arithmetic or the anti-join broke). */
+  def simMmrGate(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame =
+    simMmr(spark, dir).groupBy("q_id").agg(
+      max(when(col("round") === 1, col("c_id"))).as("first_pick"),
+      max(when(col("round") === 1, col("cos"))).as("first_cos"),
+      (count(lit(1)) === k).as("n_picks_ok"),
+      (countDistinct("c_id") === count(lit(1))).as("distinct_ok"),
+      (max("cos") <= max(when(col("round") === 1, col("cos"))))
+        .as("monotone_ok"))
+      .orderBy("q_id")
+
+  val simMmrGateSql: String =
+    s"""WITH ranked AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+       |        c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |SELECT q_id, c_id AS first_pick, cos AS first_cos,
+       |  TRUE AS n_picks_ok, TRUE AS distinct_ok, TRUE AS monotone_ok
+       |FROM ranked WHERE rn = 1 ORDER BY q_id""".stripMargin
+
   // ── triangle counting over the kNN graph ────────────────────────────
   /** Per-node triangle counts over the undirected [[knnGraph]] — the
     * local-clustering signal that separates genuinely clustered
@@ -1042,6 +1074,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dc3_semantic_decontamination" -> (dc3SemanticDecontamination _),
     "sim_mmr" -> ((s: SparkSession, d: String) => simMmr(s, d)),
+    "sim_mmr_gate" -> ((s: SparkSession, d: String) => simMmrGate(s, d)),
     "sim_lsh_recall" -> (simLshRecall _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) => simLshBuckets(s, d)),
     "sim_threshold_sweep" -> (simThresholdSweep _),
@@ -1059,6 +1092,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "dc3_semantic_decontamination" -> dc3Sql,
+    "sim_mmr_gate" -> simMmrGateSql,
     "sim_lsh_recall" -> simLshRecallSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
     "sim_threshold_sweep" -> simThresholdSweepSql,

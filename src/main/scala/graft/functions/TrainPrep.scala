@@ -1021,9 +1021,17 @@ object TrainPrep {
     * [[tcBpeMerges]] (iterated rewriting is not one SQL query). */
   def tcBpeEncode(spark: SparkSession, dir: String, merges: Int = 4)
       : DataFrame = {
-    import org.apache.spark.sql.Column
     val docs = Tables.documents(spark, dir)
     val (table, _) = bpeLearn(docs, merges)
+    bpeEncodeWith(docs, table).orderBy("doc_id")
+  }
+
+  /** Encode `docs` with an already-learned merge table — the reusable
+    * half of [[tcBpeEncode]] (the gate below audits the same encode
+    * without paying a second learn pass). */
+  def bpeEncodeWith(docs: DataFrame,
+      table: Seq[(String, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.Column
     var vocab = docs
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
@@ -1052,14 +1060,67 @@ object TrainPrep {
         sum("n_sym").cast("long").as("n_bpe_tokens"))
       .withColumn("compression", col("n_chars").cast("double") /
         col("n_bpe_tokens").cast("double"))
-      .orderBy("doc_id")
   }
+
+  /** Driver-visible gate for the BPE family — the `sim_ivf_recall`
+    * pattern: learning is inherently sequential (rows-only), but its
+    * FIRST merge is SQL-exact (the argmax adjacent character pair over
+    * the token frequency table — no rewritten sequences involved yet),
+    * and the encode obeys hash-verifiable invariants: every document's
+    * BPE token count sits between its whitespace token count and its
+    * character count (each token encodes to 1..len symbols), and four
+    * applied merges must strictly compress the corpus (merge #1 alone
+    * has positive count). A broken pair count, a drifted tie-break, a
+    * rewrite that loses or duplicates symbols — each flips an exact
+    * column or a flag and fails the driver hash. */
+  def tcBpeGate(spark: SparkSession, dir: String, merges: Int = 4)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (table, _) = bpeLearn(docs, merges)
+    val (fa, fb, fcnt) = table.head
+    bpeEncodeWith(docs, table).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(when(col("n_tokens") <= col("n_bpe_tokens") &&
+        col("n_bpe_tokens") <= col("n_chars"), 0L).otherwise(1L))
+        === 0L).as("encode_bounds_ok"),
+      (sum("n_bpe_tokens") < sum("n_chars")).as("compressed_ok"))
+      .withColumn("first_left", lit(fa))
+      .withColumn("first_right", lit(fb))
+      .withColumn("first_count", lit(fcnt))
+      .withColumn("merges_ok", lit(table.size == merges))
+  }
+
+  val tcBpeGateSql: String =
+    """WITH toks AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY tok),
+      |pairs AS (
+      |  SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
+      |    SUM(freq) AS cnt
+      |  FROM toks, UNNEST(range(1, len(tok))) AS t(i)
+      |  GROUP BY 1, 2),
+      |first AS (
+      |  SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+      |  FROM pairs ORDER BY cnt DESC, a, b LIMIT 1),
+      |docs_n AS (
+      |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |    FROM documents) WHERE len(tok) > 0)
+      |SELECT n_docs, TRUE AS encode_bounds_ok, TRUE AS compressed_ok,
+      |  a AS first_left, b AS first_right, cnt AS first_count,
+      |  TRUE AS merges_ok
+      |FROM first CROSS JOIN docs_n""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tc_bpe_merges" ->
       ((s: SparkSession, d: String) => tcBpeMerges(s, d)),
     "tc_bpe_encode" ->
       ((s: SparkSession, d: String) => tcBpeEncode(s, d)),
+    "tc_bpe_gate" ->
+      ((s: SparkSession, d: String) => tcBpeGate(s, d)),
     "tc_length_buckets" ->
       ((s: SparkSession, d: String) => tcLengthBuckets(s, d)),
     "tc_padding_sweep" ->
@@ -1089,6 +1150,7 @@ object TrainPrep {
     "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _))
 
   val oracles: Map[String, String] = Map(
+    "tc_bpe_gate" -> tcBpeGateSql,
     "tc_length_buckets" -> tcLengthBucketsSql(),
     "tc_padding_sweep" -> tcPaddingSweepSql(),
     "ts_reservoir_topk" -> tsReservoirTopkSql(),

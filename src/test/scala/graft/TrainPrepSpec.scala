@@ -223,6 +223,34 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("bpe gate: exact first merge from an independent fold, green flags") {
+    val row = TrainPrep.tcBpeGate(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"gate must emit one row, got ${other.length}")
+    }
+    // independent driver fold: argmax adjacent char pair over the
+    // token frequency table (tie-break: count desc, left, right)
+    val freq = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    freq.foreach { case (tok, f) =>
+      tok.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0).toString, p(1).toString)
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    val ((ea, eb), ec) = counts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head
+    assert(row.getAs[String]("first_left") === ea)
+    assert(row.getAs[String]("first_right") === eb)
+    assert(row.getAs[Long]("first_count") === ec)
+    assert(row.getAs[Long]("n_docs") > 0)
+    assert(row.getAs[Boolean]("encode_bounds_ok"))
+    assert(row.getAs[Boolean]("compressed_ok"))
+    assert(row.getAs[Boolean]("merges_ok"))
+  }
+
   test("quality calibration: deciles cover every doc; dup counts reconcile") {
     val rows = TrainPrep.tpQualityCalibration(spark, sf).collect()
     assert(rows.nonEmpty)
