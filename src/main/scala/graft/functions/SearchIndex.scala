@@ -258,13 +258,108 @@ object SearchIndex {
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  // ── positional phrase search ────────────────────────────────────────
+
+  /** POSITIONAL occurrence table: one row per bigram INSTANCE with its
+    * 1-based token position — the positional index layer that phrase
+    * queries need and the tf-aggregated [[occurrences]] deliberately
+    * discards. Never aggregated; at scale it is the term-partitioned
+    * positional posting store. */
+  private def positionalOccurrences(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
+          "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))")))
+      .select(col("doc_id"), col("col").as("t"),
+        (col("pos") + 1).as("pos"))
+
+  /** Top-k docs for an exact 3-word PHRASE, matched by positional
+    * intersection over the bigram index: the phrase "w1 w2 w3" holds
+    * at position p iff bigram "w1 w2" occurs at p and "w2 w3" at p+1
+    * — the standard positional-postings AND, which boolean
+    * conjunction ([[conjunctiveSearch]]) cannot express (it finds
+    * docs with both bigrams ANYWHERE). The query is self-derived so
+    * it is non-vacuous at every scale: the corpus' most frequent word
+    * trigram (ties by text), split into its two overlapping bigrams.
+    *
+    * Scale shape: the 1-row query broadcasts onto the positional
+    * table twice (each side filters to ONE term before any shuffle);
+    * the adjacency join keys on (doc_id, pos) over those two already
+    * candidate-sized streams; metadata joins after the winners are
+    * known; top-k is a TakeOrderedAndProject. The trigram derivation
+    * scan is the stand-in for a query log — it never joins the
+    * positional table, it only produces the 1-row query. */
+  def phraseSearch(docs: DataFrame, k: Int = 20): DataFrame = {
+    val pocc = positionalOccurrences(docs)
+    val top = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(slice(__toks, 1, size(__toks) - 2), (t, i) -> " +
+          "concat(t, ' ', element_at(__toks, i + 2), ' ', " +
+          "element_at(__toks, i + 3)))")).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("tri"))
+      .limit(1)
+    val q = top.select(
+      expr("concat(split(tri, ' ')[0], ' ', split(tri, ' ')[1])")
+        .as("t1"),
+      expr("concat(split(tri, ' ')[1], ' ', split(tri, ' ')[2])")
+        .as("t2"))
+    val m1 = pocc.join(broadcast(q), col("t") === col("t1"))
+      .select(col("doc_id"), col("pos"))
+    val m2 = pocc.join(broadcast(q), col("t") === col("t2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val hits = m1.join(m2, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("phrase_tf"))
+    hits.join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .select("doc_id", "lang", "n_chars", "phrase_tf")
+      .orderBy(desc("phrase_tf"), col("doc_id"))
+      .limit(k)
+  }
+
+  def ixPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir))
+
+  def ixPhraseSearchSql(k: Int = 20): String =
+    s"""WITH poc AS (
+       |  SELECT doc_id, a[i] || ' ' || a[i + 1] AS t, i AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS a
+       |        FROM documents),
+       |    UNNEST(range(1, len(a))) AS u(i)),
+       |tri AS (
+       |  SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tri
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS a
+       |        FROM documents),
+       |    UNNEST(range(1, len(a) - 1)) AS u(i)),
+       |top AS (
+       |  SELECT tri FROM tri GROUP BY tri
+       |  ORDER BY COUNT(*) DESC, tri LIMIT 1),
+       |q AS (
+       |  SELECT array_to_string((string_split(tri, ' '))[1:2], ' ')
+       |      AS t1,
+       |    array_to_string((string_split(tri, ' '))[2:3], ' ') AS t2
+       |  FROM top),
+       |hits AS (
+       |  SELECT p1.doc_id, COUNT(*) AS phrase_tf
+       |  FROM poc p1 JOIN q ON p1.t = q.t1
+       |    JOIN poc p2 ON p2.doc_id = p1.doc_id
+       |      AND p2.pos = p1.pos + 1 AND p2.t = q.t2
+       |  GROUP BY p1.doc_id)
+       |SELECT doc_id, lang, n_chars, CAST(phrase_tf AS BIGINT)
+       |    AS phrase_tf
+       |FROM hits JOIN documents USING (doc_id)
+       |ORDER BY phrase_tf DESC, doc_id LIMIT $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ix_postings" -> (ixPostings _),
     "ix_conj_search" -> (ixConjSearch _),
-    "ix_rank_search" -> (ixRankSearch _))
+    "ix_rank_search" -> (ixRankSearch _),
+    "ix_phrase_search" -> (ixPhraseSearch _))
 
   def oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql(),
     "ix_conj_search" -> ixConjSearchSql(),
-    "ix_rank_search" -> ixRankSearchSql())
+    "ix_rank_search" -> ixRankSearchSql(),
+    "ix_phrase_search" -> ixPhraseSearchSql())
 }

@@ -86,6 +86,32 @@ class SearchIndexSpec extends SparkSpec {
     assert(tfs.zip(tfs.tail).forall { case (x, y) => x >= y })
   }
 
+  // ── positional phrase search ──────────────────────────────────────
+
+  test("phrase search: positional AND, not boolean AND") {
+    // top trigram is "x y z" (3 occurrences). Doc 12 contains BOTH its
+    // bigrams ("x y", "y z") but never adjacent — boolean conjunction
+    // would match it; the positional phrase must not.
+    val fixture = Seq(
+      (11L, "x y z x y z", "en", "s0", 11L), // phrase ×2
+      (12L, "x y p y z", "en", "s0", 9L), // both bigrams, no phrase
+      (13L, "x y z", "en", "s0", 5L), // phrase ×1
+      (14L, "q r s", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = SearchIndex.phraseSearch(fixture)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("phrase_tf"))
+    assert(out.toSeq === Seq(11L -> 2L, 13L -> 1L))
+  }
+
+  test("phrase search on the corpus is non-vacuous and tf-ordered") {
+    val out = SearchIndex.phraseSearch(docs).collect()
+    assert(out.nonEmpty, "top-trigram phrase must match some doc")
+    assert(out.length <= 20)
+    val tfs = out.map(_.getAs[Long]("phrase_tf"))
+    assert(tfs.forall(_ >= 1))
+    assert(tfs.zip(tfs.tail).forall { case (x, y) => x >= y })
+  }
+
   // ── ranked disjunctive search ─────────────────────────────────────
 
   test("ranked search: scores equal a driver-side BM25 reference exactly") {
