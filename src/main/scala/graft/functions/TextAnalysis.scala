@@ -594,7 +594,120 @@ object TextAnalysis {
        |SELECT doc_id, term, tf, df, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
 
+  // ── Gopher-style quality-rule battery ───────────────────────────────
+  /** The MassiveWeb heuristic filter battery (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio, bullet-line / ellipsis-line shares,
+    * alpha-word share, and a required-stopword floor. Every ratio
+    * threshold is cross-multiplied into an exact integer comparison, so
+    * all nine counts and eight flags are hash-stable. One narrow
+    * projection over the scan — no shuffle, codegen'd end to end; at
+    * 100 TB `pass_gopher` is the first drop mask a curation pipeline
+    * applies (cheapest filter, biggest volume cut, runs at
+    * parquet-scan speed before any dedup shuffle).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** `stopFloor`: Gopher's published floor is 2 required stopwords;
+    * the synthetic corpus' vocabulary carries only one list member
+    * ('the'), so the instantiated query uses floor 1 to keep every
+    * flag discriminative (118/382 split) — the rule shape is
+    * unchanged. */
+  def taGopherFilters(spark: SparkSession, dir: String,
+      stopFloor: Int = 2): DataFrame =
+    gopherBattery(Tables.documents(spark, dir), stopFloor)
+
+  /** The battery over any (doc_id, text) frame — fixture-testable. */
+  def gopherBattery(docs: DataFrame, stopFloor: Int = 2): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks)
+    val wordChars = length(regexp_replace(col("text"), "\\s", ""))
+    // '#' occurrences + non-overlapping '...' occurrences (Gopher's
+    // "symbol" set); replace() scans left-to-right in both engines.
+    val nSym = (length(col("text")) - length(translate(col("text"), "#", ""))) +
+      expr("(length(text) - length(replace(text, '...'))) div 3")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ")))
+    val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    // distinct required-stopword hits: iterate the fixed 8-word list,
+    // not the document tokens (identical semantics in both engines,
+    // no dedup-behavior dependence)
+    val nStop = size(filter(array(GopherStops.map(lit): _*),
+      s => array_contains(toks, s)))
+    val base = docs.select(
+      col("doc_id"), nWords.as("n_words"), wordChars.as("word_chars"),
+      nSym.as("n_sym"), nLines.as("n_lines"), nBullet.as("n_bullet"),
+      nEllEnd.as("n_ell_end"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stop_hits"))
+    val rWc = col("n_words") >= 50 && col("n_words") <= 100000
+    val rWl = lit(3) * col("n_words") <= col("word_chars") &&
+      col("word_chars") <= lit(10) * col("n_words")
+    val rSym = lit(10) * col("n_sym") < col("n_words")
+    val rBul = lit(10) * col("n_bullet") <= lit(9) * col("n_lines")
+    val rEll = lit(10) * col("n_ell_end") <= lit(3) * col("n_lines")
+    val rAl = lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
+    val rSt = col("n_stop_hits") >= stopFloor
+    base.select(col("*"),
+      rWc.as("r_word_count"), rWl.as("r_word_len"), rSym.as("r_symbol"),
+      rBul.as("r_bullet"), rEll.as("r_ellipsis"), rAl.as("r_alpha"),
+      rSt.as("r_stop"),
+      (rWc && rWl && rSym && rBul && rEll && rAl && rSt).as("pass_gopher"))
+      .orderBy("doc_id")
+  }
+
+  def taGopherSql(stopFloor: Int = 2): String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(text, '\\s+') AS w,
+       |    regexp_split_to_array(text, '\\n') AS lines,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT)
+       |      AS word_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS INT)
+       |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |        AS INT) AS n_sym
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, word_chars, n_sym,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    CAST(len(lines) AS INT) AS n_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> x LIKE '- %' OR x LIKE '* %')) AS INT) AS n_bullet,
+       |    CAST(len(list_filter(lines, x -> x LIKE '%...')) AS INT)
+       |      AS n_ell_end,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |      AS INT) AS n_alpha_words,
+       |    CAST(len(list_filter($stops, s -> list_contains(w, s)))
+       |      AS INT) AS n_stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_words, word_chars, n_sym, n_lines, n_bullet,
+       |  n_ell_end, n_alpha_words, n_stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |  (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+       |    AS r_word_len,
+       |  (10 * n_sym < n_words) AS r_symbol,
+       |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       |  (10 * n_ell_end <= 3 * n_lines) AS r_ellipsis,
+       |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+       |  (n_stop_hits >= $stopFloor) AS r_stop,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |    AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+       |    AND (10 * n_sym < n_words)
+       |    AND (10 * n_bullet <= 9 * n_lines)
+       |    AND (10 * n_ell_end <= 3 * n_lines)
+       |    AND (5 * n_alpha_words >= 4 * n_words)
+       |    AND (n_stop_hits >= $stopFloor)) AS pass_gopher
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_gopher_filters" -> ((s: SparkSession, d: String) =>
+      taGopherFilters(s, d, stopFloor = 1)),
     "ta_tfidf" -> ((s: SparkSession, d: String) => taTfidf(s, d)),
     "ta_char_gini" -> (taCharGini _),
     "tc_oov_rate" -> ((s: SparkSession, d: String) => tcOovRate(s, d)),
@@ -609,6 +722,7 @@ object TextAnalysis {
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "ta_gopher_filters" -> taGopherSql(stopFloor = 1),
     "ta_tfidf" -> taTfidfSql(),
     "ta_char_gini" -> taCharGiniSql,
     "tc_oov_rate" -> tcOovRateSql(),

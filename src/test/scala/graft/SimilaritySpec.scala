@@ -355,4 +355,59 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(ivf.toSeq === exact.toSeq)
   }
+  test("sign-bit packing matches a plain-Scala reference") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    val vecs = Seq(
+      Array.tabulate(64)(i => if (i % 3 == 0) -1.0f else 0.5f),
+      Array.fill(64)(0.0f),               // 0 >= 0: all bits set
+      Array.tabulate(64)(i => (i - 32).toFloat),
+      Array.fill(64)(-0.0f))              // -0.0 >= 0 in IEEE: all set
+    def ref(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, j)) =>
+        if (x >= 0f) acc + (1L << j) else acc }
+    val got = vecs.toDF("embedding")
+      .select(Similarity.signWord("embedding", 0).as("sig"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === vecs.map(ref))
+  }
+
+  test("packed XOR+popcount hamming equals sign-disagreement count") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(40)
+      .withColumn("sig", Similarity.signWord("embedding", 0))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+      col("sig").as("a_s"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      col("sig").as("b_s"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("packed", expr("CAST(bit_count(a_s ^ b_s) AS INT)"))
+      .withColumn("naive", expr(
+        "CAST(aggregate(sequence(0, 63), 0, (acc, j) -> acc + " +
+          "IF((a_v[j] >= 0.0D) != (b_v[j] >= 0.0D), 1, 0)) AS INT)"))
+    assert(pairs.filter(col("packed") =!= col("naive")).count() === 0)
+    assert(pairs.agg(max(col("packed"))).head.getInt(0) > 0)
+  }
+
+  test("hamming ANN: 10 ranked rows per query, recall floor holds") {
+    import org.apache.spark.sql.functions._
+    val ann = Similarity.simHammingAnn(spark, sf)
+    val perQ = ann.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max(col("rank")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 10 || col("maxr") =!= 10).count() === 0)
+    val rec = Similarity.simHammingRecall(spark, sf)
+    assert(rec.count() === 10)
+    assert(rec.filter(!col("ok_floor")).count() === 0)
+    // the reranked list is drawn from the hamming candidate set: every
+    // reported cosine must match the exact cosine for that pair
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topKBruteForce(
+      emb.filter(col("vec_id") < 10), emb, k = 1000)
+      .select(col("q_id"), col("c_id"), col("cos").as("cos_exact"))
+    val joined = ann.join(exact, Seq("q_id", "c_id"))
+    assert(joined.count() === ann.count())
+    assert(joined.filter(col("cos") =!= col("cos_exact")).count() === 0)
+  }
+
 }

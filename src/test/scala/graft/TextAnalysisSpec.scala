@@ -205,4 +205,46 @@ class TextAnalysisSpec extends SparkSpec {
         === maxScore, s"doc $id top term is not the arg-max")
     }
   }
+  test("gopher battery: each rule trips on its crafted violator") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = (Seq.fill(12)("the flux and port with that grid have") :+
+      "be of it").mkString(" ")                  // 97 words, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and of short"),                           // word count < 50
+      (3L, Seq.fill(60)("a").mkString(" ") + " the of be"), // mean len < 3
+      (4L, good + " " + Seq.fill(15)("#").mkString(" ")),   // symbol ratio
+      (5L, (1 to 10).map(i => s"- item $i the of be and with have that more pad words here now").mkString("\n")), // all bullets
+      (6L, (1 to 10).map(_ => "the of be and trailing words something...").mkString("\n")), // ellipsis lines
+      (7L, good + " " + Seq.fill(40)("123").mkString(" ")), // alpha < 80%
+      (8L, Seq.fill(60)("zork gleep") .mkString(" "))       // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherBattery(docs, stopFloor = 2)
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (out(i).getAs[Boolean]("r_word_count"),
+      out(i).getAs[Boolean]("r_word_len"), out(i).getAs[Boolean]("r_symbol"),
+      out(i).getAs[Boolean]("r_bullet"), out(i).getAs[Boolean]("r_ellipsis"),
+      out(i).getAs[Boolean]("r_alpha"), out(i).getAs[Boolean]("r_stop"),
+      out(i).getAs[Boolean]("pass_gopher"))
+    assert(flags(0) === ((true, true, true, true, true, true, true, true)))
+    assert(!out(1).getAs[Boolean]("r_word_count"))
+    assert(!out(2).getAs[Boolean]("r_word_len"))
+    assert(!out(3).getAs[Boolean]("r_symbol"))
+    assert(!out(4).getAs[Boolean]("r_bullet"))
+    assert(!out(5).getAs[Boolean]("r_ellipsis"))
+    assert(!out(6).getAs[Boolean]("r_alpha"))
+    assert(!out(7).getAs[Boolean]("r_stop"))
+    assert(out.drop(1).forall(r => !r.getAs[Boolean]("pass_gopher")))
+  }
+
+  test("gopher battery is a narrow no-shuffle projection") {
+    val df = TextAnalysis.taGopherFilters(spark, sf, stopFloor = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"battery should not shuffle:\n$plan")
+    assert(df.count() > 0)
+  }
+
 }
