@@ -100,12 +100,53 @@ object WindowedAgg {
        |GROUP BY window_start_us, event_type
        |ORDER BY window_start_us, event_type""".stripMargin
 
+  /** Stream-stream interval join as a driver gate: every purchase
+    * paired with the same user's clicks in the preceding 30 minutes,
+    * aggregated per user. Runs [[StreamOps.intervalJoin]] — the exact
+    * operator the streaming spec drives with watermarks and
+    * MemoryStream batches — in batch mode (`withWatermark` is a no-op
+    * on a batch frame), so the driver hash covers the identical join
+    * predicate and column algebra the stream executes. At 100 TB the
+    * streaming form's state is bounded by watermark × per-user rate;
+    * the batch form is one shuffle on user_id with the interval
+    * predicate applied inside the join. */
+  def t14StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    StreamOps.intervalJoin(clicks, purchases, "user_id", "c_ts", "p_ts",
+      watermark = "1 hour", boundSeconds = 1800L)
+      .select(col("l.user_id").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  val t14Sql: String =
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  MIN(epoch_us(p_ts) - epoch_us(c_ts)) AS min_gap_us,
+      |  MAX(epoch_us(p_ts) - epoch_us(c_ts)) AS max_gap_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1800 SECOND
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_stream_join" -> (t14StreamJoin _),
     "t10_tumbling_window" -> (t10TumblingWindow _),
     "t11_session_window" -> (t11SessionWindow _),
     "t13_sliding_window" -> (t13SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t14_stream_join" -> t14Sql,
     "t10_tumbling_window" -> t10Sql,
     "t11_session_window" -> t11Sql,
     "t13_sliding_window" -> t13Sql)

@@ -273,4 +273,54 @@ class StreamOpsSpec extends SparkSpec {
       assert(all.length > first.length, "redelivered doc re-emits")
     } finally q.stop()
   }
+  test("t14 gate: event-ordered stream replay emits the batch pair set") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val ev = Tables.events(spark, sf)
+    val clickRows = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val buyRows = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamOps.intervalJoin(
+        clicks.toDS().toDF("user_id", "c_ts"),
+        buys.toDS().toDF("user_id", "p_ts"),
+        "user_id", "c_ts", "p_ts", "1 hour", 1800L)
+      .select(col("l.user_id").as("user_id"), col("c_ts"), col("p_ts"))
+      .writeStream.format("memory").queryName("t14replay")
+      .outputMode("append").start()
+    try {
+      // replay both sides in event-time order, three chunks each, so
+      // watermarks advance and earlier join state is eligible for
+      // cleanup while later pairs still form
+      val cChunks = clickRows.grouped(1 + clickRows.length / 3).toSeq
+      val bChunks = buyRows.grouped(1 + buyRows.length / 3).toSeq
+      cChunks.zipAll(bChunks, Array.empty[(Long, Timestamp)],
+        Array.empty[(Long, Timestamp)]).foreach { case (c, b) =>
+        if (c.nonEmpty) clicks.addData(c.toSeq)
+        if (b.nonEmpty) buys.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("t14replay").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      val want = StreamOps.intervalJoin(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("c_ts")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")),
+          "user_id", "c_ts", "p_ts", "1 hour", 1800L)
+        .select(col("l.user_id").as("user_id"), col("c_ts"), col("p_ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      assert(want.nonEmpty, "fixture should produce at least one pair")
+      assert(got === want,
+        "streamed pairs must equal the batch gate's pairs")
+    } finally q.stop()
+  }
+
 }
