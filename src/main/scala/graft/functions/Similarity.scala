@@ -1190,7 +1190,80 @@ object Similarity {
        |  hits >= 3 AS ok_floor
        |FROM overlap ORDER BY q_id""".stripMargin
 
+  // ── Matryoshka truncation sweep ─────────────────────────────────────
+  /** Recall@10 of prefix-truncated embeddings (Matryoshka-style: use
+    * only the first d dimensions) against the full-dimension exact
+    * ranking, for d ∈ {16, 32, 64}. This is the evaluation a pipeline
+    * runs before committing to a truncated index (4× cheaper storage
+    * and FLOPs at d=16): per (dim, query), the overlap of truncated
+    * top-10 with full top-10. The d=64 band doubles as a self-check
+    * (`ok_full_dim`: truncating to the full dimension must reproduce
+    * the exact set). Both rankings reuse the bit-identical cosine
+    * fold on the sliced arrays, so every row hash-verifies. At scale:
+    * O(Q·N·d) with the query panel broadcast — same shape as
+    * [[topKBruteForce]], with d-fold cheaper inner products. */
+  val MatryoshkaDims: Seq[Int] = Seq(16, 32, 64)
+
+  def simMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def topkAtDim(d: Int): DataFrame = {
+      val t = emb.withColumn("embedding", slice(col("embedding"), 1, d))
+      topKBruteForce(t.filter(col("vec_id") < 10), t, k = HammingK)
+        .select(lit(d).as("dim"), col("q_id"), col("c_id"))
+    }
+    val full = topkAtDim(Dim).select(col("q_id"), col("c_id"))
+    val truncated = MatryoshkaDims.map(topkAtDim).reduce(_ unionByName _)
+    val overlap = truncated.join(full, Seq("q_id", "c_id"))
+      .groupBy("dim", "q_id").agg(count(lit(1)).as("hits"))
+    val panel = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        explode(array(MatryoshkaDims.map(lit): _*)).as("dim"))
+    panel.join(overlap, Seq("dim", "q_id"), "left")
+      .select(col("dim"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).cast("int").as("n_overlap"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(HammingK.toDouble)).as("recall_at_10"),
+        (col("dim") =!= Dim ||
+          coalesce(col("hits"), lit(0L)) === HammingK).as("ok_full_dim"))
+      .orderBy("dim", "q_id")
+  }
+
+  val simMatryoshkaRecallSql: String = {
+    def block(d: Int): String =
+      s"""SELECT $d AS dim, q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql(s"(q_vec[1:$d])", s"(c_vec[1:$d])")} DESC,
+         |        c_id) AS r
+         |    FROM c CROSS JOIN q WHERE q_id <> c_id)
+         |  WHERE r <= $HammingK""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+       |truncated AS (
+       |  ${MatryoshkaDims.map(block).mkString("\n  UNION ALL\n  ")}),
+       |full_set AS (SELECT q_id, c_id FROM truncated WHERE dim = $Dim),
+       |overlap AS (
+       |  SELECT dim, t.q_id, COUNT(*) AS hits
+       |  FROM truncated t JOIN full_set f
+       |    ON t.q_id = f.q_id AND t.c_id = f.c_id
+       |  GROUP BY dim, t.q_id),
+       |panel AS (
+       |  SELECT dim, q_id FROM q
+       |  CROSS JOIN (SELECT unnest(${MatryoshkaDims.mkString("[", ", ", "]")})
+       |    AS dim) d)
+       |SELECT panel.dim, panel.q_id,
+       |  CAST(COALESCE(hits, 0) AS INT) AS n_overlap,
+       |  CAST(COALESCE(hits, 0) AS DOUBLE) / ${HammingK.toDouble}
+       |    AS recall_at_10,
+       |  (panel.dim <> $Dim OR COALESCE(hits, 0) = $HammingK)
+       |    AS ok_full_dim
+       |FROM panel LEFT JOIN overlap
+       |  ON panel.dim = overlap.dim AND panel.q_id = overlap.q_id
+       |ORDER BY panel.dim, panel.q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "sim_hamming_ann" -> (simHammingAnn _),
     "sim_hamming_recall" -> (simHammingRecall _),
     "dc3_semantic_decontamination" -> (dc3SemanticDecontamination _),
@@ -1212,6 +1285,7 @@ object Similarity {
     "sim_rank_metrics" -> (simRankMetrics _))
 
   def oracles: Map[String, String] = Map(
+    "sim_matryoshka_recall" -> simMatryoshkaRecallSql,
     "sim_hamming_ann" -> simHammingAnnSql,
     "sim_hamming_recall" -> simHammingRecallSql,
     "dc3_semantic_decontamination" -> dc3Sql,

@@ -307,7 +307,8 @@ class PlanAuditSpec extends SparkSpec {
       "sk_approx_percentiles", // 1-row percentile-estimates build
       "sim_rank_metrics", // broadcast query rows, non-equi self filter
       "emb_jl_recall", // broadcast query rows, non-equi self filter
-      "dc3_semantic_decontamination" // bounded eval-set broadcast
+      "dc3_semantic_decontamination", // bounded eval-set broadcast
+      "sim_hamming_ann" // broadcast query panel (non-equi) + corpus-count scalar row
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>

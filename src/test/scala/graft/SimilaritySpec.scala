@@ -410,4 +410,16 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("cos") =!= col("cos_exact")).count() === 0)
   }
 
+  test("matryoshka sweep: full-dim band reproduces the exact set") {
+    import org.apache.spark.sql.functions._
+    val m = Similarity.simMatryoshkaRecall(spark, sf)
+    val rows = m.collect()
+    assert(rows.length === Similarity.MatryoshkaDims.length * 10)
+    assert(rows.forall(_.getAs[Boolean]("ok_full_dim")))
+    val full = rows.filter(_.getAs[Int]("dim") === Similarity.Dim)
+    assert(full.forall(_.getAs[Int]("n_overlap") === Similarity.HammingK))
+    assert(rows.forall { r =>
+      val n = r.getAs[Int]("n_overlap"); n >= 0 && n <= 10 })
+  }
+
 }
