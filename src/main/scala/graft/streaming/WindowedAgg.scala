@@ -139,13 +139,47 @@ object WindowedAgg {
       |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1800 SECOND
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** Streaming ingest dedup as a driver gate: an at-least-once feed
+    * (every 5th event re-delivered) healed by
+    * [[StreamOps.dedupeByPosition]] — the watermarked
+    * `dropDuplicates` the redelivery spec drives — run in batch mode
+    * and aggregated per event type. Duplicates are byte-identical
+    * redeliveries, so keep-any semantics is deterministic and the
+    * DuckDB DISTINCT oracle is exact. State at scale is bounded by
+    * watermark × position arrival rate; value sums use integer cents
+    * for hash stability. */
+  def t16StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val feed = ev.unionAll(ev.filter(col("event_id") % 5 === 0))
+    StreamOps.dedupeByPosition(feed, "ts", "1 hour", Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.operators.QueryUtil.cents(col("value")).cast("long"))
+          .as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  val t16Sql: String =
+    """WITH feed AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE event_id % 5 = 0),
+      |healed AS (SELECT DISTINCT event_id, event_type, value FROM feed)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      |FROM healed GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_stream_dedup" -> (t16StreamDedup _),
     "t14_stream_join" -> (t14StreamJoin _),
     "t10_tumbling_window" -> (t10TumblingWindow _),
     "t11_session_window" -> (t11SessionWindow _),
     "t13_sliding_window" -> (t13SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t16_stream_dedup" -> t16Sql,
     "t14_stream_join" -> t14Sql,
     "t10_tumbling_window" -> t10Sql,
     "t11_session_window" -> t11Sql,

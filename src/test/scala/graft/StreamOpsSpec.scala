@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, WindowedAgg}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -321,6 +321,19 @@ class StreamOpsSpec extends SparkSpec {
       assert(got === want,
         "streamed pairs must equal the batch gate's pairs")
     } finally q.stop()
+  }
+
+  test("t16 gate: batch dedupe equals DISTINCT on a redelivered feed") {
+    import org.apache.spark.sql.functions._
+    val out = WindowedAgg.t16StreamDedup(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val want = ev.select("event_id", "event_type", "value").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      want.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "healed feed must collapse to the original distinct events")
   }
 
 }
