@@ -705,7 +705,54 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ── tokenizer fertility ─────────────────────────────────────────────
+  /** Per-language tokenizer fertility: subword-tokens-per-word and
+    * bytes-per-subword-token — the stats that decide whether a
+    * tokenizer is economical for a language before training on it
+    * (high fertility = more sequence positions per word = higher cost
+    * per document). Counts are exact integer sums; each ratio is one
+    * double division of two exact integers. One scan, one tiny
+    * per-lang aggregate — map-side combinable at any scale. */
+  def tcFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(wsTokens(col("text"))).cast("long").as("ws"),
+        size(bpeTokens(col("text"))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("n_chars"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("bytes_per_token"))
+      .orderBy("lang")
+
+  val tcFertilitySql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT)
+       |      AS bpe,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
+       |    SUM(bpe) AS bpe_tokens, SUM(chars) AS n_chars
+       |  FROM t GROUP BY lang)
+       |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+       |    AS fertility,
+       |  CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+       |    AS bytes_per_token
+       |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_fertility" -> (tcFertility _),
     "ta_gopher_filters" -> ((s: SparkSession, d: String) =>
       taGopherFilters(s, d, stopFloor = 1)),
     "ta_tfidf" -> ((s: SparkSession, d: String) => taTfidf(s, d)),
@@ -722,6 +769,7 @@ object TextAnalysis {
     "ta_fingerprint" -> (taFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "tc_fertility" -> tcFertilitySql,
     "ta_gopher_filters" -> taGopherSql(stopFloor = 1),
     "ta_tfidf" -> taTfidfSql(),
     "ta_char_gini" -> taCharGiniSql,

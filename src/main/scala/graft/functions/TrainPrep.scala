@@ -271,6 +271,73 @@ object TrainPrep {
        |    AS BIGINT) AS alloc
        |FROM ranked, lo ORDER BY source""".stripMargin
 
+  /** Data-constrained epoch planning (the Muennighoff et al. 2023
+    * regime: when the token budget exceeds the corpus, repeat data up
+    * to a max-epoch cap beyond which repetition stops helping). Given
+    * per-source available tokens A_s and a demand proportional to doc
+    * share of a budget B = 2W (self-scaled to force repetition), each
+    * source gets: desired = (B·n_docs_s) div N, effective =
+    * min(desired, cap·A_s), a deficit (unmet demand the run must
+    * reallocate or accept), and integer-scaled epochs
+    * (100·effective) div A_s. Every step is 64-bit integer
+    * arithmetic — bit-identical on any engine. Scale shape: one
+    * corpus agg to the #sources-row table; everything after runs on
+    * tens of rows with two 1-row scalar broadcasts. */
+  def epochPlan(docs: DataFrame, budgetNum: Int = 2, maxEpochs: Int = 4)
+      : DataFrame = {
+    val perSource = docs
+      .withColumn("__n_tok",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(sum("__n_tok").as("avail_tokens"),
+        count(lit(1)).as("n_docs"))
+    val tot = perSource.agg(sum("avail_tokens").as("W"),
+      sum("n_docs").as("N"))
+      .withColumn("B", expr(s"W * $budgetNum"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("desired_tokens", expr("(B * n_docs) div N"))
+      .withColumn("eff_tokens",
+        expr(s"least(desired_tokens, ${maxEpochs}L * avail_tokens)"))
+      .withColumn("deficit", col("desired_tokens") - col("eff_tokens"))
+      .withColumn("epochs_x100",
+        expr("(100 * eff_tokens) div avail_tokens"))
+      .select(col("source"), col("avail_tokens"), col("n_docs"),
+        col("desired_tokens"), col("eff_tokens"), col("deficit"),
+        col("epochs_x100"),
+        (col("eff_tokens") > col("avail_tokens")).as("repeated"))
+      .orderBy("source")
+  }
+
+  /** Instantiated with cap 2 (B = 2W demands ~2 epochs of an evenly
+    * demanded corpus, so a 2-epoch cap binds exactly for the
+    * below-average-size sources — deficit and cap both exercised;
+    * cap 4 on this corpus never binds and every deficit is zero). */
+  def tpEpochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlan(Tables.documents(spark, dir), maxEpochs = 2)
+
+  def tpEpochPlanSql(budgetNum: Int = 2, maxEpochs: Int = 4): String =
+    s"""WITH w AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+       |      AS avail_tokens,
+       |    COUNT(*) AS n_docs
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS W,
+       |    CAST(SUM(n_docs) AS BIGINT) AS N,
+       |    CAST(SUM(avail_tokens) AS BIGINT) * $budgetNum AS B FROM w),
+       |p AS (
+       |  SELECT source, avail_tokens, n_docs,
+       |    (B * n_docs) // N AS desired_tokens,
+       |    LEAST((B * n_docs) // N, $maxEpochs * avail_tokens)
+       |      AS eff_tokens
+       |  FROM w, tot)
+       |SELECT source, avail_tokens, n_docs, desired_tokens, eff_tokens,
+       |  desired_tokens - eff_tokens AS deficit,
+       |  (100 * eff_tokens) // avail_tokens AS epochs_x100,
+       |  eff_tokens > avail_tokens AS repeated
+       |FROM p ORDER BY source""".stripMargin
+
   /** Deterministic corpus shuffle for training order: every doc gets a
     * hash-derived (shard, ordkey) — readers consume shard files in
     * ordkey order and see a reproducible global permutation. This is
@@ -1140,6 +1207,7 @@ object TrainPrep {
     "ts_mixture" -> (tsMixture _),
     "ts_temperature" -> (tsTemperature _),
     "ts_budget_alloc" -> (tsBudgetAlloc _),
+    "tp_epoch_plan" -> (tpEpochPlan _),
     "ts_shuffle_shards" ->
       ((s: SparkSession, d: String) => tsShuffleShards(s, d)),
     "tp_corpus_stats" -> (tpCorpusStats _),
@@ -1164,6 +1232,7 @@ object TrainPrep {
     "ts_mixture" -> tsMixtureSql,
     "ts_temperature" -> tsTemperatureSql,
     "ts_budget_alloc" -> tsBudgetAllocSql(),
+    "tp_epoch_plan" -> tpEpochPlanSql(maxEpochs = 2),
     "ts_shuffle_shards" -> tsShuffleSql(),
     "tp_corpus_stats" -> tpCorpusStatsSql,
     "tp_curation" -> tpCurationSql,

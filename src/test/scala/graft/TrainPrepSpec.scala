@@ -406,4 +406,55 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("schedule_slot") < nSrc)
       .map(_.getAs[Long]("rank_in_source")).forall(_ == 1L))
   }
+  test("epoch plan: demand, cap, and deficit invariants") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val out = TrainPrep.tpEpochPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val avail = r.getAs[Long]("avail_tokens")
+      val desired = r.getAs[Long]("desired_tokens")
+      val eff = r.getAs[Long]("eff_tokens")
+      val deficit = r.getAs[Long]("deficit")
+      assert(eff <= desired && eff <= 2 * avail)
+      assert(deficit === desired - eff && deficit >= 0)
+      assert(r.getAs[Long]("epochs_x100") === (100 * eff) / avail)
+      assert(r.getAs[Boolean]("repeated") === (eff > avail))
+    }
+    // total demand equals the budget up to per-source floor rounding
+    val docs = Tables.documents(spark, sf)
+    val W = docs.select(sum(size(split(col("text"), "\\s+"))
+      .cast("long"))).head.getLong(0)
+    val desiredSum = out.map(_.getAs[Long]("desired_tokens")).sum
+    assert(desiredSum <= 2 * W && desiredSum > 2 * W - out.length)
+    // crafted fixture: tiny source is cap-bound, big one is not
+    val fix = (Seq.fill(9)((1L, "w " * 99 + "w", "s_big")) :+
+      (2L, "w w w w w w w w w w", "s_small"))
+      .toDF("doc_id", "text", "source")
+    val plan = TrainPrep.epochPlan(fix, budgetNum = 2,
+      maxEpochs = 2).collect().map(r =>
+        r.getAs[String]("source") -> r).toMap
+    assert(plan("s_small").getAs[Long]("deficit") > 0,
+      "10-token source demanded 2x corpus share must hit the 2-epoch cap")
+    assert(plan("s_big").getAs[Long]("deficit") === 0)
+  }
+
+  test("fertility: per-lang sums reconcile with the raw token counts") {
+    import org.apache.spark.sql.functions._
+    val f = graft.functions.TextAnalysis.tcFertility(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(f.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val wsTotal = docs.select(sum(
+      size(graft.functions.TextAnalysis.wsTokens(col("text"))).cast("long")))
+      .head.getLong(0)
+    assert(f.map(_.getAs[Long]("ws_tokens")).sum === wsTotal)
+    f.foreach { r =>
+      assert(r.getAs[Double]("fertility") >=
+        r.getAs[Long]("bpe_tokens").toDouble /
+          r.getAs[Long]("ws_tokens").toDouble - 1e-12)
+      assert(r.getAs[Double]("bytes_per_token") > 0)
+    }
+  }
+
 }
