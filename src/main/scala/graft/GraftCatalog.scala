@@ -11,7 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftCatalog {
 
+  /** Imperative twin of [[GraftExtensions]]'s `injectOptimizerRule`
+    * for sessions built without `spark.sql.extensions`. Idempotent. */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.operators.HoistInvariantNorms))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.operators.HoistInvariantNorms
+  }
+
   def install(spark: SparkSession, dir: String): Unit = {
+    installOptimizations(spark)
     Tables.names.foreach { t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.operators.HoistInvariantNorms)
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash",
         "rolling_hash(str) - polynomial rolling hash of the UTF-8 bytes"),

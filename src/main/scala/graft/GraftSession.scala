@@ -30,6 +30,7 @@ object GraftSession {
       : SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftCatalog.installOptimizations(s)
     s
   }
 }

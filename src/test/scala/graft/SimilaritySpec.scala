@@ -422,4 +422,26 @@ class SimilaritySpec extends SparkSpec {
       val n = r.getAs[Int]("n_overlap"); n >= 0 && n <= 10 })
   }
 
+  test("norm hoisting: dot(x,x) moves below the join, results unchanged") {
+    import org.apache.spark.sql.functions.col
+    val df = Similarity.simTopK(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_normsq"),
+      s"expected hoisted squared norms under the join:\n$opt")
+    // above the join only the pair dot survives; the per-side norms
+    // are referenced, not recomputed (pattern removed => idempotent)
+    val withRule = df.collect().map(_.toSeq).toSeq
+    val session = spark
+    val saved = session.experimental.extraOptimizations
+    try {
+      session.experimental.extraOptimizations =
+        saved.filterNot(_ eq graft.operators.HoistInvariantNorms)
+      val bare = Similarity.simTopK(spark, sf)
+      assert(!bare.queryExecution.optimizedPlan.toString
+        .contains("__graft_normsq"))
+      assert(bare.collect().map(_.toSeq).toSeq === withRule,
+        "rule must not change any value (identical IEEE arithmetic)")
+    } finally session.experimental.extraOptimizations = saved
+  }
+
 }

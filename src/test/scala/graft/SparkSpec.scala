@@ -16,6 +16,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftCatalog.installOptimizations(s)
     s
   }
 }
