@@ -444,4 +444,26 @@ class SimilaritySpec extends SparkSpec {
     } finally session.experimental.extraOptimizations = saved
   }
 
+  test("norm hoisting leaves outer joins and derived vectors alone") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val b = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "w")
+    // outer join: null-extended rows make hoisting a semantics change
+    // in general; the rule must not fire
+    val outer = a.join(b, Seq("id"), "left_outer")
+      .select(col("id"), Similarity.dot(col("v"), col("v")).as("n"))
+    assert(!outer.queryExecution.optimizedPlan.toString
+      .contains("__graft_normsq"))
+    assert(outer.head.getDouble(1) === 5.0)
+    // derived (non-attribute) operand: no hoist, still correct
+    val derived = a.crossJoin(b)
+      .select(Similarity.dot(slice(col("v"), 1, 1),
+        slice(col("v"), 1, 1)).as("n"))
+    assert(!derived.queryExecution.optimizedPlan.toString
+      .contains("__graft_normsq"))
+    assert(derived.head.getDouble(0) === 1.0)
+  }
+
 }
