@@ -1190,6 +1190,47 @@ object Similarity {
        |  hits >= 3 AS ok_floor
        |FROM overlap ORDER BY q_id""".stripMargin
 
+  /** Persisted two-tier Hamming index — the deployment artifact form
+    * of [[simHammingAnn]] (same pattern as the IVF/PQ/Gram artifacts):
+    * the signature store holds only (vec_id, sig) = 16 bytes/row, so
+    * the prefilter stage scans ~20× less than the embedding table,
+    * and full vectors are fetched by id ONLY for the top-C candidates
+    * (a hash join on vec_id, candidate-sized). At 1e9 vectors the
+    * signature store is ~16 GB while the vectors are ~260 GB — the
+    * prefilter never touches the big table. Spec asserts the persisted
+    * path reproduces [[simHammingAnn]] bit-for-bit and that the sig
+    * scan's ReadSchema carries exactly the two small columns. */
+  def saveSignatureIndex(corpus: DataFrame, idxDir: String): Unit =
+    corpus.select(col("vec_id"), signWord("embedding", 0).as("sig"))
+      .write.mode("overwrite").parquet(s"$idxDir/hamming_sigs")
+
+  def topKHammingPersisted(queries: DataFrame, corpus: DataFrame,
+      spark: SparkSession, idxDir: String, k: Int = HammingK): DataFrame = {
+    val sigs = spark.read.parquet(s"$idxDir/hamming_sigs")
+    val q = broadcast(queries
+      .withColumn("sig", signWord("embedding", 0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("sig").as("q_sig")))
+    val n = broadcast(sigs.agg(count(lit(1)).as("n_corpus")))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
+    val cand = sigs.select(col("vec_id").as("c_id"), col("sig").as("c_sig"))
+      .join(q, col("q_id") =!= col("c_id"))
+      .withColumn("hamming", expr("CAST(bit_count(q_sig ^ c_sig) AS INT)"))
+      .withColumn("hr", row_number().over(wH))
+      .crossJoin(n)
+      .filter(col("hr") <= expr("greatest(150, n_corpus div 20)"))
+    val fetched = cand.join(
+      corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec")), Seq("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    fetched.withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("hamming"), col("cos"),
+        col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   // ── Matryoshka truncation sweep ─────────────────────────────────────
   /** Recall@10 of prefix-truncated embeddings (Matryoshka-style: use
     * only the first d dimensions) against the full-dimension exact

@@ -466,4 +466,33 @@ class SimilaritySpec extends SparkSpec {
     assert(derived.head.getDouble(0) === 1.0)
   }
 
+  test("persisted hamming index reproduces the in-memory ANN exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("hamming_idx").toString
+    try {
+      Similarity.saveSignatureIndex(emb, idxDir)
+      val sigs = spark.read.parquet(s"$idxDir/hamming_sigs")
+      // 16-byte rows: the artifact carries ONLY (vec_id, sig)
+      assert(sigs.columns.sorted.toSeq === Seq("sig", "vec_id"))
+      val persisted = Similarity.topKHammingPersisted(
+        emb.filter(col("vec_id") < 10), emb, spark, idxDir)
+      val inMemory = Similarity.simHammingAnn(spark, sf)
+      assert(persisted.collect().map(_.toSeq).toSeq ===
+        inMemory.collect().map(_.toSeq).toSeq,
+        "artifact changes where signatures live, never what they hold")
+      // the prefilter scan reads just the two small columns
+      val plan = persisted.queryExecution.executedPlan.toString
+      val sigScan = plan.linesIterator
+        .find(l => l.contains("hamming_sigs") && l.contains("ReadSchema"))
+      assert(sigScan.exists(l =>
+        l.contains("ReadSchema: struct<vec_id:bigint,sig:bigint>")),
+        s"sig scan must be 2-column:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+    }
+  }
+
 }
