@@ -308,7 +308,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_rank_metrics", // broadcast query rows, non-equi self filter
       "emb_jl_recall", // broadcast query rows, non-equi self filter
       "dc3_semantic_decontamination", // bounded eval-set broadcast
-      "sim_hamming_ann" // broadcast query panel (non-equi) + corpus-count scalar row
+      "sim_hamming_ann", // broadcast query panel (non-equi) + corpus-count scalar row
+      "tp_epoch_plan", // 1-row corpus-totals build over the #sources table
+      "sim_matryoshka_recall" // broadcast query panel (non-equi self filter)
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
