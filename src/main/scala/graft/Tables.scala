@@ -32,12 +32,37 @@ object Tables {
     * above 2^53 ns) and TIMESTAMP(MICROS) without UTC adjustment (reads as
     * TIMESTAMP_NTZ; cast is value-preserving because the session TZ is UTC).
     * DuckDB equivalent either way: `CAST(ts AS TIMESTAMP)`.
+    *
+    * For integer layouts the epoch SCALE is detected from the data, not
+    * assumed (the round-7 lesson: the generator switched layouts and a
+    * hard-coded nanos divisor would have silently produced year-52970
+    * timestamps): one first-row probe per table path, cached for the
+    * JVM, classifies seconds/millis/micros/nanos by magnitude — the
+    * bands are 6 orders of magnitude apart, so any epoch between 2001
+    * and 2286 classifies unambiguously.
     */
+  private val tsProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** micros = ts * mult / div for the detected integer scale. */
+  private[graft] def microsScale(sample: Long): (Long, Long) =
+    math.abs(sample) match {
+      case v if v >= 5e16.toLong => (1L, 1000L)      // nanos → div 1000
+      case v if v >= 5e13.toLong => (1L, 1L)         // micros
+      case v if v >= 5e10.toLong => (1000L, 1L)      // millis
+      case _ => (1000000L, 1L)                       // seconds
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sample = tsProbeCache.computeIfAbsent(d, _ =>
+          df.select(col("ts")).filter(col("ts").isNotNull)
+            .head(1).headOption.map(_.getLong(0)).getOrElse(0L))
+        val (mult, div) = microsScale(sample)
+        df.withColumn("ts",
+          timestamp_micros(expr(s"ts * ${mult}L div ${div}L")))
       case org.apache.spark.sql.types.TimestampType => df
       case _ =>
         df.withColumn("ts",
