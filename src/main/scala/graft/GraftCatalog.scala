@@ -42,5 +42,10 @@ object GraftCatalog {
       exprs => NgramHashes(exprs.head,
         HashFunctions.constInt(exprs(1), "ngram_hashes", "n"),
         HashFunctions.DefaultBase), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, Dedup.MinHashAs,
+        Dedup.MinHashBs, Dedup.MinHashPrime), "scala_udf")
   }
 }

@@ -51,5 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramHashes(exprs.head,
           HashFunctions.constInt(exprs(1), "ngram_hashes", "n"),
           HashFunctions.DefaultBase)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a ∩ b| of two sorted arrays"),
+      (exprs: Seq[Expression]) =>
+        SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes) - 32-slot MinHash signature over " +
+          "the engine's default plane family"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, Dedup.MinHashAs, Dedup.MinHashBs,
+          Dedup.MinHashPrime)))
   }
 }

@@ -466,6 +466,11 @@ object Dedup {
   private def coefA(i: Int): Long = 2L * i + 1L + 104729L * i
   private def coefB(i: Int): Long = 7919L * (i + 1)
 
+  /** The engine's default signature family — public so the SQL
+    * catalog registers `minhash_signature` with the same planes. */
+  val MinHashAs: Seq[Long] = (0 until MinHashK).map(coefA)
+  val MinHashBs: Seq[Long] = (0 until MinHashK).map(coefB)
+
   /** Per-doc MinHash signature as an array column — one generated Java
     * loop per row ([[MinHashSignature]]): no explode, no shuffle,
     * signature width fixed regardless of doc size. */

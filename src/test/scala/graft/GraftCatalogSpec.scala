@@ -66,4 +66,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s2.catalog.functionExists("sq_l2"))
     assert(s2.catalog.functionExists("ngram_hashes"))
   }
+  test("sorted_intersect_count and minhash_signature reachable from SQL") {
+    GraftCatalog.install(spark, sf)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 2L, 5L),
+        |  array(2L, 3L, 5L)) AS n,
+        |  size(minhash_signature(bigram_shingle_hashes('a b c d'))) AS k
+        |""".stripMargin).head
+    assert(r.getLong(0) === 2L)
+    assert(r.getInt(1) === 32)
+    // SQL family equals the Scala-side signature builder
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      "SELECT minhash_signature(bigram_shingle_hashes(text)) AS s " +
+        "FROM documents ORDER BY doc_id LIMIT 3")
+      .collect().map(_.getSeq[Long](0))
+    val viaApi = graft.functions.Dedup.withSignature(
+      Tables.documents(spark, sf).withColumn("shingle_hashes",
+        graft.functions.ShingleFunctions
+          .bigram_shingle_hashes(col("text"))))
+      .orderBy("doc_id").limit(3)
+      .select("signature").collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
 }
