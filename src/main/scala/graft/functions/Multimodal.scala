@@ -210,13 +210,56 @@ object Multimodal {
       |  media_id = canonical_id AS is_canonical
       |FROM d JOIN g ON d.digest = g.digest ORDER BY media_id""".stripMargin
 
+  /** Standalone letterbox plan to a square target box — builds on
+    * [[withResizePlan]] (already oracled inside `mm_meta_extract`) and
+    * adds what a vision-ingest batcher needs BEFORE any decode:
+    * letterbox padding from the dim deficits, a byte estimate at
+    * 3 bytes/px, the upscale flag, and the visual-only filter. Pure
+    * integer arithmetic over metadata rows — at 100 TB the plan never
+    * touches content. */
+  def resizePlan(media: DataFrame, target: Int): DataFrame =
+    withResizePlan(media.filter(col("kind") =!= "audio"), target)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_width").as("out_w"), col("out_height").as("out_h"))
+      .withColumn("pad_x", lit(target) - col("out_w"))
+      .withColumn("pad_y", lit(target) - col("out_h"))
+      .withColumn("out_bytes",
+        (lit(target.toLong) * target * 3L).cast("long"))
+      .withColumn("upscaled",
+        greatest(col("width"), col("height")) < target)
+      .orderBy("media_id")
+
+  def mmResizePlan(spark: SparkSession, dir: String): DataFrame =
+    resizePlan(syntheticMedia(spark, dir), target = 224)
+
+  val mmResizePlanSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+      |      AS kind,
+      |    CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |    CAST(64 + (doc_id % 5) * 32 AS INT) AS height
+      |  FROM documents)
+      |SELECT media_id, kind, width, height,
+      |  CAST((width * 224) // greatest(width, height) AS INT) AS out_w,
+      |  CAST((height * 224) // greatest(width, height) AS INT) AS out_h,
+      |  224 - CAST((width * 224) // greatest(width, height) AS INT)
+      |    AS pad_x,
+      |  224 - CAST((height * 224) // greatest(width, height) AS INT)
+      |    AS pad_y,
+      |  CAST(224 * 224 * 3 AS BIGINT) AS out_bytes,
+      |  greatest(width, height) < 224 AS upscaled
+      |FROM m WHERE kind <> 'audio' ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize_plan" -> (mmResizePlan _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_clip_segments" -> (mmClipSegments _),
     "mm_content_dedup" -> (mmContentDedup _),
     "mm_decode_features" -> (mmDecodeFeatures _))
 
   def oracles: Map[String, String] = Map(
+    "mm_resize_plan" -> mmResizePlanSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_clip_segments" -> mmClipSegmentsSql,
     "mm_content_dedup" -> mmContentDedupSql)

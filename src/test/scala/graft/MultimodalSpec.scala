@@ -80,4 +80,22 @@ class MultimodalSpec extends SparkSpec {
       assert(rs.count(_.getAs[Boolean]("is_canonical")) === 1)
     }
   }
+  test("resize plan: long side maps to the target box, pads non-negative") {
+    import org.apache.spark.sql.functions._
+    val plan = functions.Multimodal.mmResizePlan(spark, sf)
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(math.max(ow, oh) === 224, "long side fills the box")
+      assert(r.getAs[Int]("pad_x") >= 0 && r.getAs[Int]("pad_y") >= 0)
+      // aspect preserved up to integer floor: cross products differ by
+      // less than one output pixel's worth
+      assert(math.abs(ow.toLong * h - oh.toLong * w) < math.max(w, h))
+      assert(r.getAs[Boolean]("upscaled") === (math.max(w, h) < 224))
+    }
+    assert(plan.filter(col("kind") === "audio").count() === 0)
+  }
+
 }
