@@ -751,7 +751,70 @@ object TextAnalysis {
        |    AS bytes_per_token
        |FROM g ORDER BY lang""".stripMargin
 
+  // ── Unicode normalization (NFC + invisible-codepoint strip) ────────
+  /** Canonical text cleanup — the step every curation pipeline runs
+    * BEFORE hashing/dedup/tokenization: NFC-compose canonically-
+    * equivalent sequences (via the codegen'd [[NfcNormalize]]
+    * expression, ASCII fast path) and strip the invisible codepoints
+    * that survive NFC (zero-width space U+200B, soft hyphen U+00AD) so
+    * `e`+combining-acute == U+00E9 and `foo<ZWSP>bar` == `foobar` for every
+    * downstream fingerprint.
+    *
+    * The synthetic corpus is pure ASCII, so the query deterministically
+    * injects the dirt it then cleans — identically on both sides
+    * (Spark and DuckDB apply the same two replaces): docs with
+    * `doc_id % 3 = 0` get a combining acute after every 'a' (NFC must
+    * compose it to U+00E1), docs with `doc_id % 5 = 0` get a zero-width
+    * space after every blank (the strip must remove it). The oracle's
+    * `nfc_normalize` is utf8proc; the engine's is the JDK — a green
+    * hash row proves the two agree codepoint-for-codepoint, and the
+    * char counts pin the composition arithmetic. Narrow projection over
+    * the scan: no shuffle, runs at parquet speed at 100 TB.
+    */
+  def taNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import NormalizeFunctions.nfc_normalize
+    val dirty0 = when(col("doc_id") % 3 === 0,
+      regexp_replace(col("text"), "a", "a\u0301")).otherwise(col("text"))
+    val dirty = when(col("doc_id") % 5 === 0,
+      regexp_replace(dirty0, " ", " \u200b")).otherwise(dirty0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), dirty.as("dirty"))
+      .withColumn("clean",
+        regexp_replace(nfc_normalize(col("dirty")), "[\u200b\u00ad]", ""))
+      .select(col("doc_id"), col("clean").as("text_norm"),
+        length(col("dirty")).as("n_chars_dirty"),
+        length(col("clean")).as("n_chars_norm"),
+        (col("clean") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** chr(769)=U+0301 combining acute, chr(8203)=U+200B ZWSP,
+    * chr(173)=U+00AD soft hyphen — spelled as chr() so the SQL file
+    * stays ASCII. */
+  val taNormalizeSql: String =
+    """WITH d1 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN replace(text, 'a', 'a' || chr(769)) ELSE text END AS d
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN replace(d, ' ', ' ' || chr(8203)) ELSE d END AS dirty
+      |  FROM d1),
+      |n AS (
+      |  SELECT doc_id, text, dirty,
+      |    regexp_replace(nfc_normalize(dirty),
+      |      '[' || chr(8203) || chr(173) || ']', '', 'g') AS clean
+      |  FROM d2)
+      |SELECT doc_id, clean AS text_norm,
+      |  CAST(length(dirty) AS INT) AS n_chars_dirty,
+      |  CAST(length(clean) AS INT) AS n_chars_norm,
+      |  (clean <> text) AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_normalize" -> (taNormalize _),
     "tc_fertility" -> (tcFertility _),
     "ta_gopher_filters" -> ((s: SparkSession, d: String) =>
       taGopherFilters(s, d, stopFloor = 1)),
@@ -770,6 +833,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "tc_fertility" -> tcFertilitySql,
+    "ta_normalize" -> taNormalizeSql,
     "ta_gopher_filters" -> taGopherSql(stopFloor = 1),
     "ta_tfidf" -> taTfidfSql(),
     "ta_char_gini" -> taCharGiniSql,

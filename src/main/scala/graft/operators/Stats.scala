@@ -522,7 +522,74 @@ object Stats {
       |SELECT node, r AS rank_ppm FROM r3
       |ORDER BY rank_ppm DESC, node""".stripMargin
 
+  // ── connected components, fully oracled ─────────────────────────────
+  /** Connected components over a sparse deterministic co-purchase
+    * graph: parts that appear in the same order among high-quantity
+    * lineitems (`l_quantity >= 48`) are connected; components are
+    * labeled by their minimum part id. The first fully-ORACLED
+    * iterative graph operator in the suite: the engine side runs the
+    * distributed min-label-propagation + pointer-jumping loop
+    * ([[graft.functions.Dedup.connectedComponents]] — the same kernel
+    * the MinHash dedup clusters use, there only rows-only-checkable
+    * because its edges come from engine-internal hashes), while the
+    * DuckDB side recomputes the fixpoint with a recursive CTE — so a
+    * green hash row proves the O(log diameter) distributed loop equals
+    * the textbook transitive closure node for node.
+    *
+    * Scale shape: filter-first (the quantity predicate lands on the
+    * parquet scan and cuts ~96% of lineitem before anything widens),
+    * then a self-join on `l_orderkey` whose fan-out is bounded by
+    * per-order width (≤ 7 items/order in TPC-H ⇒ ≤ 21 pairs), never
+    * corpus-quadratic; the CC loop shuffles only the distinct pair
+    * list (~0.7% of lineitem here). Singleton nodes never enter the
+    * loop — they take their own id as label in the final left join.
+    */
+  def grCc(spark: SparkSession, dir: String): DataFrame = {
+    val fl = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = fl.alias("a")
+      .join(fl.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("d1"), col("b.l_partkey").as("d2"))
+      .distinct()
+    val labels = graft.functions.Dedup.connectedComponents(pairs)
+    val nodes = fl.select(col("l_partkey").as("part_id")).distinct()
+    val comp = nodes
+      .join(labels.select(col("id").as("part_id"), col("label")),
+        Seq("part_id"), "left")
+      .select(col("part_id"),
+        coalesce(col("label"), col("part_id")).as("comp_id"))
+    val sizes = comp.groupBy("comp_id")
+      .agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "comp_id")
+      .select(col("part_id"), col("comp_id"), col("comp_size"))
+      .orderBy("part_id")
+  }
+
+  val grCcSql: String =
+    """WITH RECURSIVE fl AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+      |e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      |  FROM fl a JOIN fl b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+      |n AS (SELECT DISTINCT l_partkey AS node FROM fl),
+      |reach(node, lbl) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+      |comp AS (
+      |  SELECT node AS part_id, CAST(MIN(lbl) AS BIGINT) AS comp_id
+      |  FROM reach GROUP BY node)
+      |SELECT part_id, comp_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size
+      |FROM comp ORDER BY part_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_cc" -> (grCc _),
     "st1_linreg" -> (st1Linreg _),
     "st2_moments" -> (st2Moments _),
     "g6_mode" -> (g6Mode _),
@@ -534,6 +601,7 @@ object Stats {
     "gr_pagerank" -> (grPagerank _))
 
   val oracles: Map[String, String] = Map(
+    "gr_cc" -> grCcSql,
     "st1_linreg" -> st1Sql,
     "st2_moments" -> st2Sql,
     "g6_mode" -> g6Sql,

@@ -238,4 +238,42 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("gr_cc: components equal a union-find reference; singletons kept") {
+    val out = Stats.grCc(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the same graph driver-side and run textbook union-find
+    val fl = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = fl.map(_._2).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    fl.groupBy(_._1).values.foreach { items =>
+      val ps = items.map(_._2).distinct
+      ps.tail.foreach { p =>
+        val (a, b) = (find(ps.head), find(p))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+    }
+    // canonical label = min id per component (find compresses to it
+    // because unions always point the larger root at the smaller)
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(out.length === nodes.length)
+    out.foreach { r =>
+      val p = r.getAs[Long]("part_id")
+      assert(r.getAs[Long]("comp_id") === expected(p), s"part $p label")
+      assert(r.getAs[Long]("comp_size") === sizes(expected(p)).toLong,
+        s"part $p size")
+    }
+    // the graph is non-trivial: some multi-node components AND singletons
+    assert(sizes.values.exists(_ > 1) && sizes.values.exists(_ == 1))
+  }
 }
