@@ -447,6 +447,36 @@ object TrainPrep {
        |WHERE gr.doc_id % 97 <> 0
        |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[dcDecontamination]] behind a Bloom-filter runtime prune — the
+    * shape the exact check takes at 100 TB. The plain version shuffles
+    * EVERY train gram into the hash join against the eval set; here a
+    * bitset over the eval grams (16 KB–16 MB of model state, built once
+    * via [[graft.operators.RuntimeFilter]]) rides into the train-side
+    * scan as a literal, so non-colliding grams — the overwhelming
+    * majority of the corpus — die in the codegen'd scan stage and
+    * never reach the exchange. Bloom filters have NO false negatives
+    * and the exact join removes the false positives, so the result is
+    * bit-identical to the plain join: the oracle is deliberately THE
+    * SAME SQL as `dc_decontamination`, and the green hash row is the
+    * proof that the pruning is result-transparent (the `j3_bloom_semi`
+    * pattern, applied to the decontamination pipeline). */
+  def dc4BloomDecontamination(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    val bloom = graft.operators.RuntimeFilter
+      .buildBloomCached(evalGrams, "g")
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    graft.operators.RuntimeFilter.bloomFiltered(train, col("g"), bloom)
+      .join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** FUZZY decontamination — [[dcDecontamination]] catches verbatim
     * n-gram overlap; this catches near-duplicate paraphrases: every
     * train document whose 4-gram Jaccard against ANY eval document
@@ -1215,6 +1245,8 @@ object TrainPrep {
     "tp_quality_calibration" -> (tpQualityCalibration _),
     "dc_decontamination" ->
       ((s: SparkSession, d: String) => dcDecontamination(s, d)),
+    "dc4_bloom_decontamination" ->
+      ((s: SparkSession, d: String) => dc4BloomDecontamination(s, d)),
     "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _))
 
   val oracles: Map[String, String] = Map(
@@ -1238,5 +1270,6 @@ object TrainPrep {
     "tp_curation" -> tpCurationSql,
     "tp_quality_calibration" -> tpQualityCalibrationSql,
     "dc_decontamination" -> dcDecontaminationSql(),
+    "dc4_bloom_decontamination" -> dcDecontaminationSql(),
     "dc2_fuzzy_decontamination" -> dc2Sql)
 }

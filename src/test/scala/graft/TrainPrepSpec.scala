@@ -457,4 +457,33 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+
+  test("dc4: Bloom-pruned decontamination is bit-identical to the exact join") {
+    import graft.functions.TrainPrep
+    val exact = TrainPrep.dcDecontamination(spark, sf).collect()
+    val pruned = TrainPrep.dc4BloomDecontamination(spark, sf).collect()
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the prune must actually prune: grams surviving the Bloom are a
+    // small fraction of all train grams (FP rate ~0.4% + true matches)
+    val docs = Tables.documents(spark, sf)
+    val grams = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        TrainPrep.ngramHashes(
+          org.apache.spark.sql.functions.col("text"), 3)).as("g"))
+    val evalG = grams
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    val bloom = graft.operators.RuntimeFilter.buildBloomCached(evalG, "g")
+    assert(bloom.isDefined)
+    val train = grams
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0)
+    val total = train.count()
+    val passed = graft.operators.RuntimeFilter
+      .bloomFiltered(train, org.apache.spark.sql.functions.col("g"), bloom)
+      .count()
+    assert(passed < total / 2,
+      s"Bloom passed $passed of $total train grams - not pruning")
+  }
 }
