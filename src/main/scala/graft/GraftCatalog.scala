@@ -47,5 +47,9 @@ object GraftCatalog {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head, Dedup.MinHashAs,
         Dedup.MinHashBs, Dedup.MinHashPrime), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |a ∩ b| of two sorted arrays"),
       (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein " +
+          "edit distance (adjacent transposition = 1 edit)"),
+      (exprs: Seq[Expression]) =>
+        DamerauLevenshtein(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (prefix boost " +
+          "0.1, threshold 0.7)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(hashes) - 32-slot MinHash signature over " +

@@ -33,7 +33,8 @@ object SparkEntry {
       operators.Stats.queries ++ functions.LangModel.queries ++
       operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
       functions.Pca.queries ++ functions.CorpusOps.queries ++
-      functions.SearchIndex.queries ++ functions.Dsir.queries
+      functions.SearchIndex.queries ++ functions.Dsir.queries ++
+      functions.FuzzyMatch.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.RuntimeFilter.oracles ++ operators.ScaleOps.oracles ++
       functions.CorpusOps.oracles ++ functions.SearchIndex.oracles ++
       functions.Dsir.oracles ++ operators.Sketches.oracles ++
-      functions.Pca.oracles ++ functions.Ivf.oracles
+      functions.Pca.oracles ++ functions.Ivf.oracles ++
+      functions.FuzzyMatch.oracles
 }

@@ -1,0 +1,297 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Edit-distance and Jaro-Winkler string similarity as native Catalyst
+  * expressions — the entity-resolution scalar kernel the built-in
+  * `levenshtein` leaves incomplete. Spark ships plain Levenshtein only;
+  * real record-linkage stacks (and the reference's downstream
+  * dedup consumers) want transposition-aware distance (typos are
+  * overwhelmingly adjacent-character swaps, which Levenshtein bills as
+  * 2 edits) and a normalized similarity with prefix boost for ranked
+  * matching. Both kernels live in [[FuzzyRuntime]], a static class the
+  * generated Java calls directly, so the expressions stay inside
+  * whole-stage codegen (the [[ShingleRuntime]]/[[NormalizeRuntime]]
+  * pattern) — no UDF boxing on a blocked join's inner loop.
+  *
+  * Scale shape: these are SCALAR kernels. The join queries that use
+  * them ([[fj2DamerauJoin]], [[fj3JaroWinklerJoin]]) block on an
+  * equi-key first (hash join), so the O(|a|·|b|) DP runs only inside a
+  * block — the standard blocking discipline that keeps fuzzy matching
+  * off the n×m cliff at corpus scale.
+  */
+object FuzzyRuntime {
+  private def min4(a: Int, b: Int, c: Int, d: Int): Int =
+    math.min(math.min(a, b), math.min(c, d))
+
+  /** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner): edit
+    * distance where transposition of two adjacent characters counts as
+    * one operation, and edits may touch a transposed pair again (so
+    * "CA"→"ABC" = 2, unlike the restricted/OSA variant's 3 — this is
+    * the variant DuckDB's `damerau_levenshtein` implements, which the
+    * oracle leans on). Characters compare by UTF-16 code unit, matching
+    * both engines on the BMP.
+    */
+  def damerau(sa: UTF8String, sb: UTF8String): Int = {
+    val a = sa.toString
+    val b = sb.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // DP matrix with the Lowrance-Wagner sentinel border (row/col 0 =
+    // INF, row/col 1 = plain prefix distances).
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // Last row index (1-based) where each character occurred in `a`.
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      val ai = a.charAt(i - 1)
+      j = 1
+      while (j <= lb) {
+        val bj = b.charAt(j - 1)
+        val i1: Int = { val v = da.get(bj); if (v == null) 0 else v }
+        val j1 = db
+        var cost = 1
+        if (ai == bj) { cost = 0; db = j }
+        d((i + 1) * w + j + 1) = min4(
+          d(i * w + j) + cost, // substitute (or match)
+          d((i + 1) * w + j) + 1, // insert
+          d(i * w + j + 1) + 1, // delete
+          d(i1 * w + j1) + (i - i1 - 1) + 1 + (j - j1 - 1)) // transpose
+        j += 1
+      }
+      da.put(ai, i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+
+  /** Jaro-Winkler similarity, textbook form (match window
+    * ⌊max/2⌋−1, transpositions = out-of-order matches / 2, Winkler
+    * prefix boost scale 0.1 over ≤4 shared leading characters, applied
+    * only when Jaro > 0.7). Either side empty → 0.0, matching DuckDB's
+    * `jaro_winkler_similarity` (including the both-empty case).
+    */
+  def jaroWinkler(sa: UTF8String, sb: UTF8String): Double = {
+    val a = sa.toString
+    val b = sb.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var halfT = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = halfT / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** `damerau_levenshtein(a, b)` — unrestricted Damerau-Levenshtein
+  * distance as a codegen'd Catalyst expression.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FuzzyRuntime.damerau(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FuzzyRuntime.damerau($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `jaro_winkler(a, b)` — Jaro-Winkler similarity as a codegen'd
+  * Catalyst expression.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FuzzyRuntime.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FuzzyRuntime.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object FuzzyFunctions {
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Fuzzy-join queries over the new kernels. Both plant a deterministic
+  * typo into a sampled probe set and match it back against the full
+  * part table under first-token blocking — the fj1 shape, upgraded to
+  * the transposition-aware and ranked-similarity kernels.
+  */
+object FuzzyMatch {
+  import FuzzyFunctions._
+
+  /** Transposition-typo resolution: probes swap the LAST TWO characters
+    * of the part name (the classic fat-finger swap). Unrestricted
+    * Damerau-Levenshtein bills the swap 1 edit, so `dist ≤ 1` recovers
+    * the original part — plain Levenshtein would need ≤ 2 and drag in
+    * spurious in-block matches. Blocked on the first name token (the
+    * typo never touches it), so the DP runs only inside a hash-join
+    * block, never all-pairs.
+    */
+  def fj2DamerauJoin(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val ln = length(col("p_name"))
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        concat(
+          substring(col("p_name"), lit(1), ln - 2),
+          substring(col("p_name"), ln, lit(1)),
+          substring(col("p_name"), ln - 1, lit(1))).as("q"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"), col("p_name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    probes.join(targets, "blk")
+      .withColumn("dist", damerau_levenshtein(col("q"), col("p_name")))
+      .filter(col("dist") <= 1)
+      .select("probe_id", "match_key", "dist")
+      .orderBy("probe_id", "match_key")
+  }
+
+  val fj2Sql: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_id,
+      |    concat(substr(p_name, 1, length(p_name) - 2),
+      |           substr(p_name, length(p_name), 1),
+      |           substr(p_name, length(p_name) - 1, 1)) AS q,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part WHERE p_partkey % 400 = 0),
+      |targets AS (
+      |  SELECT p_partkey AS match_key, p_name,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part)
+      |SELECT probe_id, match_key,
+      |  CAST(damerau_levenshtein(q, p_name) AS INT) AS dist
+      |FROM probes JOIN targets USING (blk)
+      |WHERE damerau_levenshtein(q, p_name) <= 1
+      |ORDER BY probe_id, match_key""".stripMargin
+
+  /** Ranked fuzzy matching: probes drop the last character, targets are
+    * scored by Jaro-Winkler under the same blocking, and matches keep
+    * score ≥ 0.9. The score is emitted in integer ten-thousandths,
+    * ROUND-to-nearest (⌊jw·10⁴+½⌋), so the driver hash compares
+    * integers, not doubles — both engines implement the textbook
+    * algorithm but nothing pins their floating-point operation ORDER,
+    * so the last ulp is not contract. Round (not floor) because many
+    * real jw values are exact multiples of 10⁻⁴ (e.g. 19/20), which sit
+    * ON a floor boundary but in the MIDDLE of a round bin; a measured
+    * audit puts every blocked pair ≥ 1.8e-6 away from a round boundary
+    * and ≥ 1.7e-3 away from the 0.9 gate at sf0.1.
+    */
+  def fj3JaroWinklerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("q"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"), col("p_name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    probes.join(targets, "blk")
+      .withColumn("jw", jaro_winkler(col("q"), col("p_name")))
+      .filter(col("jw") >= 0.9)
+      .select(col("probe_id"), col("match_key"),
+        floor(col("jw") * 10000 + 0.5).cast("long").as("jw_e4"))
+      .orderBy("probe_id", "match_key")
+  }
+
+  val fj3Sql: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_id,
+      |    substr(p_name, 1, length(p_name) - 1) AS q,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part WHERE p_partkey % 400 = 0),
+      |targets AS (
+      |  SELECT p_partkey AS match_key, p_name,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part)
+      |SELECT probe_id, match_key,
+      |  CAST(FLOOR(jaro_winkler_similarity(q, p_name) * 10000 + 0.5)
+      |    AS BIGINT) AS jw_e4
+      |FROM probes JOIN targets USING (blk)
+      |WHERE jaro_winkler_similarity(q, p_name) >= 0.9
+      |ORDER BY probe_id, match_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fj2_damerau_join" -> (fj2DamerauJoin _),
+    "fj3_jw_join" -> (fj3JaroWinklerJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "fj2_damerau_join" -> fj2Sql,
+    "fj3_jw_join" -> fj3Sql)
+}

@@ -120,7 +120,10 @@ object ColumnTypes {
     case BIT => if (width <= 1) BooleanType else BinaryType
     case TINY_BLOB | MEDIUM_BLOB | LONG_BLOB | BLOB => BinaryType
     case GEOMETRY => BinaryType // opaque WKB
-    case UNKNOWN => StringType // stringified fallback, valueString rule
+    // UNKNOWN and any future/unlisted code: stringified fallback, the
+    // valueString rule (also satisfies the exhaustivity checker — the
+    // ColType constants are vals, not a sealed hierarchy).
+    case _ => StringType
   }
 
   /** Which generic-envelope typed map the reference serializer routes a

@@ -1,0 +1,144 @@
+package graft
+
+import graft.functions.{FuzzyFunctions, FuzzyMatch, FuzzyRuntime}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Damerau-Levenshtein / Jaro-Winkler kernels + the fj2/fj3 blocked
+  * fuzzy joins.
+  */
+class FuzzyMatchSpec extends SparkSpec {
+
+  private def dl(a: String, b: String): Int =
+    FuzzyRuntime.damerau(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private def jw(a: String, b: String): Double =
+    FuzzyRuntime.jaroWinkler(UTF8String.fromString(a),
+      UTF8String.fromString(b))
+
+  /** Plain Levenshtein, independent DP — an upper bound for DL. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("damerau kernel: textbook pins, incl. the unrestricted variant") {
+    assert(dl("", "") === 0)
+    assert(dl("", "abc") === 3)
+    assert(dl("abc", "") === 3)
+    assert(dl("abc", "abc") === 0)
+    // adjacent transposition is ONE edit (Levenshtein says two)
+    assert(dl("ab", "ba") === 1)
+    assert(lev("ab", "ba") === 2)
+    assert(dl("small ring", "small rign") === 1)
+    // unrestricted (Lowrance-Wagner), NOT the OSA restriction:
+    // CA → AC → ABC edits the transposed pair again. OSA would say 3.
+    // This is the variant DuckDB's damerau_levenshtein implements.
+    assert(dl("CA", "ABC") === 2)
+    assert(dl("a cat", "an act") === 2)
+    assert(dl("kitten", "sitting") === 3)
+  }
+
+  test("damerau kernel: metric + bound invariants under seeded fuzz") {
+    val rnd = new scala.util.Random(42)
+    def word(): String =
+      (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+    for (_ <- 1 to 2000) {
+      val (a, b, c) = (word(), word(), word())
+      val ab = dl(a, b)
+      assert(ab === dl(b, a), s"symmetry: '$a' '$b'")
+      assert(ab >= math.abs(a.length - b.length), s"lower bound: '$a' '$b'")
+      assert(ab <= lev(a, b), s"levenshtein upper bound: '$a' '$b'")
+      assert(ab <= dl(a, c) + dl(c, b), s"triangle: '$a' '$b' via '$c'")
+      assert((ab == 0) === (a == b), s"identity: '$a' '$b'")
+    }
+  }
+
+  test("jaro-winkler kernel: pins to DuckDB reference values") {
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    // values from duckdb jaro_winkler_similarity on the same pairs
+    assert(close(jw("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(jw("DWAYNE", "DUANE"), 0.84))
+    assert(close(jw("TRATE", "TRACE"), 0.9066666666666667))
+    assert(jw("abcdef", "abcdef") === 1.0)
+    // DuckDB convention: either side empty (incl. both) → 0.0
+    assert(jw("", "") === 0.0)
+    assert(jw("", "abc") === 0.0)
+    assert(jw("zzz", "qqq") === 0.0)
+    // boost applies only above jaro 0.7: this pair shares prefix "ab"
+    // but sits at jaro 0.5 — winkler must leave it untouched
+    assert(close(jw("abxxxxxx", "abyyyyyy"), 0.5))
+    // prefix boost caps at 4 shared characters
+    val j = jw("abcdexxxx", "abcdeyyyy")
+    val base = (2.0 * 5.0 / 9.0 + 1.0) / 3.0
+    assert(close(j, base + 4 * 0.1 * (1.0 - base)))
+  }
+
+  test("expressions: null-safe, fused into whole-stage codegen") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(("ab", "ba"), (null, "x"), ("small ring", "small rign"))
+      .toDF("a", "b")
+      .select(FuzzyFunctions.damerau_levenshtein(col("a"), col("b"))
+        .as("d"),
+        FuzzyFunctions.jaro_winkler(col("a"), col("b")).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) === 1)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getInt(0) === 1 && rows(2).getDouble(1) > 0.9)
+    val scan = Tables.part(spark, sf)
+      .select(FuzzyFunctions.damerau_levenshtein(col("p_name"),
+        col("p_brand")).as("d"),
+        FuzzyFunctions.jaro_winkler(col("p_name"), col("p_brand")).as("s"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [damerau_levenshtein"),
+      s"expected damerau_levenshtein fused into codegen:\n$plan")
+    assert(plan.contains("jaro_winkler"), s"expected jaro_winkler:\n$plan")
+  }
+
+  test("SQL catalog exposes both functions") {
+    GraftCatalog.install(spark, sf)
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('ab', 'ba') AS d, " +
+        "jaro_winkler('MARTHA', 'MARHTA') AS s").head()
+    assert(r.getInt(0) === 1)
+    assert(math.abs(r.getDouble(1) - 0.9611111111111111) < 1e-9)
+  }
+
+  test("fj2: every probe recovers its source part at distance ≤ 1") {
+    val out = FuzzyMatch.fj2DamerauJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    val probes = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 400 === 0).count()
+    val selfPairs = out.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfPairs.length === probes,
+      "each planted typo must match its own part")
+    assert(selfPairs.forall(_.getInt(2) <= 1))
+  }
+
+  test("fj3: self-match scores highest and clears the 0.9 gate") {
+    val rows = FuzzyMatch.fj3JaroWinklerJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (probe, ms) =>
+      val self = ms.find(_.getLong(1) == probe)
+      assert(self.isDefined, s"probe $probe lost its own part")
+      assert(ms.forall(_.getLong(2) <= self.get.getLong(2)),
+        s"probe $probe: a foreign part outscored the source")
+    }
+  }
+
+  test("fj2/fj3 plans: blocked hash joins, no cartesian fallback") {
+    for (q <- Seq(FuzzyMatch.fj2DamerauJoin _, FuzzyMatch.fj3JaroWinklerJoin _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"fuzzy join must stay blocked:\n$plan")
+    }
+  }
+}
