@@ -477,6 +477,66 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Doc-level contamination FRACTION with decision bands — the report
+    * behind the GPT-3-appendix-style "clean / partially contaminated /
+    * contaminated" triage. [[dcDecontamination]] answers "does this doc
+    * share ANY eval n-gram"; real curation wants the SHARE of a doc's
+    * distinct n-grams that collide, because a single common phrase is
+    * noise while 50 % overlap is a leaked eval document. Same
+    * hash-join-shaped plan (per-doc distinct gram totals are a map-side
+    * combinable aggregate; the eval set joins once), plus a LEFT join
+    * so zero-overlap docs surface as `clean` rather than vanishing.
+    * Bands compare by integer cross-multiplication (5·shared < total
+    * etc.), never by a float division, so the rows hash exactly.
+    */
+  def dc5OverlapFraction(spark: SparkSession, dir: String, n: Int = 3)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_total"))
+    val shared = train.join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+    val ns = coalesce(col("n_shared"), lit(0L))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"), ns.as("n_shared"),
+        when(ns === 0, "clean")
+          .when(ns * 5 < col("n_total"), "light")
+          .when(ns * 2 < col("n_total"), "medium")
+          .otherwise("heavy").as("band"))
+      .orderBy("doc_id")
+  }
+
+  def dc5OverlapFractionSql(n: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |    i -> array_to_string(a[i:i+$n-1], ' '))) AS g
+       |  FROM toks WHERE len(a) >= $n),
+       |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+       |tot AS (
+       |  SELECT doc_id, COUNT(DISTINCT g) AS n_total FROM grams
+       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |sh AS (
+       |  SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_shared
+       |  FROM grams gr JOIN eval_g USING (g)
+       |  WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id)
+       |SELECT t.doc_id, t.n_total,
+       |  COALESCE(s.n_shared, 0) AS n_shared,
+       |  CASE WHEN COALESCE(s.n_shared, 0) = 0 THEN 'clean'
+       |       WHEN s.n_shared * 5 < t.n_total THEN 'light'
+       |       WHEN s.n_shared * 2 < t.n_total THEN 'medium'
+       |       ELSE 'heavy' END AS band
+       |FROM tot t LEFT JOIN sh s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** FUZZY decontamination — [[dcDecontamination]] catches verbatim
     * n-gram overlap; this catches near-duplicate paraphrases: every
     * train document whose 4-gram Jaccard against ANY eval document
@@ -1247,7 +1307,9 @@ object TrainPrep {
       ((s: SparkSession, d: String) => dcDecontamination(s, d)),
     "dc4_bloom_decontamination" ->
       ((s: SparkSession, d: String) => dc4BloomDecontamination(s, d)),
-    "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _))
+    "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _),
+    "dc5_overlap_fraction" ->
+      ((s: SparkSession, d: String) => dc5OverlapFraction(s, d)))
 
   val oracles: Map[String, String] = Map(
     "tc_bpe_gate" -> tcBpeGateSql,
@@ -1271,5 +1333,6 @@ object TrainPrep {
     "tp_quality_calibration" -> tpQualityCalibrationSql,
     "dc_decontamination" -> dcDecontaminationSql(),
     "dc4_bloom_decontamination" -> dcDecontaminationSql(),
-    "dc2_fuzzy_decontamination" -> dc2Sql)
+    "dc2_fuzzy_decontamination" -> dc2Sql,
+    "dc5_overlap_fraction" -> dc5OverlapFractionSql())
 }

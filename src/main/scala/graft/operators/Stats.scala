@@ -149,6 +149,57 @@ object Stats {
       |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
       |FROM cm ORDER BY l_returnflag""".stripMargin
 
+  // ── robust (median/MAD) outlier statistics per group ────────────────
+  /** Per-language robust location/scale of document length plus the
+    * Hampel outlier count — the curation filter that survives the very
+    * outliers a mean/stddev gate is wrecked by (one 10 MB document
+    * drags a mean filter's threshold; it cannot move a median's). All
+    * arithmetic stays exact despite medians of even-sized groups:
+    * medians run over DOUBLED integers (2·x, then 2·d where
+    * d = |2x − med2|), so the 0.5-quantile midpoint interpolation
+    * always lands on an integer, and the Hampel test
+    * |x − med| > 3·1.4826·MAD cross-multiplies to the integer
+    * comparison 10000·d2 > 22239·mad4 — no float division anywhere, so
+    * every row hash-matches. Exact per-group percentiles buffer the
+    * group (the g5 caveat): strata are few; the wide-group scale path
+    * is the GK sketch in [[Sketches]], this is the exact complement.
+    */
+  def st3Robust(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+    val med = docs.groupBy("lang")
+      .agg(percentile(col("x") * 2, lit(0.5)).cast("long").as("med2"))
+    val d2s = docs.join(broadcast(med), "lang")
+      .withColumn("d2", abs(col("x") * 2 - col("med2")))
+    val mad = d2s.groupBy("lang")
+      .agg(percentile(col("d2") * 2, lit(0.5)).cast("long").as("mad4"))
+    d2s.join(broadcast(mad), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(col("d2") * 10000 > col("mad4") * 22239, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  val st3Sql: String =
+    """WITH base AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |med AS (
+      |  SELECT lang, CAST(quantile_cont(x * 2, 0.5) AS BIGINT) AS med2
+      |  FROM base GROUP BY lang),
+      |d AS (
+      |  SELECT base.lang, abs(x * 2 - med2) AS d2, med2
+      |  FROM base JOIN med USING (lang)),
+      |mad AS (
+      |  SELECT lang, CAST(quantile_cont(d2 * 2, 0.5) AS BIGINT) AS mad4
+      |  FROM d GROUP BY lang)
+      |SELECT d.lang, COUNT(*) AS n, MAX(med2) AS med2, MAX(mad4) AS mad4,
+      |  CAST(SUM(CASE WHEN d2 * 10000 > mad4 * 22239 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (lang)
+      |GROUP BY d.lang ORDER BY lang""".stripMargin
+
   // ── exact per-group mode ────────────────────────────────────────────
   /** Most frequent quantity per returnflag (smallest value on ties) —
     * the exact MODE aggregate. Two-level: fold to (group, value) counts
@@ -592,6 +643,7 @@ object Stats {
     "gr_cc" -> (grCc _),
     "st1_linreg" -> (st1Linreg _),
     "st2_moments" -> (st2Moments _),
+    "st3_robust" -> (st3Robust _),
     "g6_mode" -> (g6Mode _),
     "w5_rank_stats" -> (w5RankStats _),
     "w6_rolling_median" -> (w6RollingMedian _),
@@ -604,6 +656,7 @@ object Stats {
     "gr_cc" -> grCcSql,
     "st1_linreg" -> st1Sql,
     "st2_moments" -> st2Sql,
+    "st3_robust" -> st3Sql,
     "g6_mode" -> g6Sql,
     "w5_rank_stats" -> w5Sql,
     "w6_rolling_median" -> w6Sql,

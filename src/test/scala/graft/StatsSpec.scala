@@ -276,4 +276,36 @@ class StatsSpec extends SparkSpec {
     // the graph is non-trivial: some multi-node components AND singletons
     assert(sizes.values.exists(_ > 1) && sizes.values.exists(_ == 1))
   }
+
+  test("st3: robust stats equal a driver-side median/MAD reference") {
+    val out = Stats.st3Robust(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(out.length === byLang.size)
+    // exact doubled median: integral for both parities
+    def median2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    var sawOutlier = false
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val xs = byLang(lang)
+      val med2 = median2(xs)
+      val d2 = xs.map(x => math.abs(2 * x - med2))
+      val mad4 = median2(d2)
+      val nOut = d2.count(d => d * 10000 > mad4 * 22239).toLong
+      assert(r.getAs[Long]("n") === xs.length.toLong, s"$lang n")
+      assert(r.getAs[Long]("med2") === med2, s"$lang med2")
+      assert(r.getAs[Long]("mad4") === mad4, s"$lang mad4")
+      assert(r.getAs[Long]("n_outliers") === nOut, s"$lang outliers")
+      if (nOut > 0) sawOutlier = true
+      // Hampel count is a strict subset of the group
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+    }
+    assert(out.map(_.getAs[Long]("mad4")).forall(_ >= 0))
+  }
 }

@@ -486,4 +486,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(passed < total / 2,
       s"Bloom passed $passed of $total train grams - not pruning")
   }
+
+  test("dc5: bands partition the train set and reconcile with dc") {
+    val out = TrainPrep.dc5OverlapFraction(spark, sf).collect()
+    val trainDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    // LEFT join: every train doc surfaces exactly once, clean included
+    assert(out.length.toLong === trainDocs)
+    val dc = TrainPrep.dcDecontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val total = r.getAs[Long]("n_total")
+      val shared = r.getAs[Long]("n_shared")
+      val band = r.getAs[String]("band")
+      assert(shared >= 0 && shared <= total, s"doc $id counts")
+      val expect =
+        if (shared == 0) "clean"
+        else if (shared * 5 < total) "light"
+        else if (shared * 2 < total) "medium"
+        else "heavy"
+      assert(band === expect, s"doc $id band")
+      // the binary dc query is the n_shared > 0 slice of this one
+      assert(dc.getOrElse(id, 0L) === shared, s"doc $id vs dc")
+    }
+    assert(out.exists(_.getAs[String]("band") == "clean") &&
+      out.exists(_.getAs[String]("band") != "clean"),
+      "bands must be non-degenerate on the synthetic corpus")
+  }
 }
