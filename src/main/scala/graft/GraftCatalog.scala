@@ -47,6 +47,10 @@ object GraftCatalog {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head, Dedup.MinHashAs,
         Dedup.MinHashBs, Dedup.MinHashPrime), "scala_udf")
+    reg.createOrReplaceTempFunction("accent_fold",
+      exprs => AccentFold(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("damerau_levenshtein",
       exprs => DamerauLevenshtein(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",

@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |a ∩ b| of two sorted arrays"),
       (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("accent_fold"),
+      info("accent_fold",
+        "accent_fold(str) - diacritic removal (NFD, strip combining " +
+          "marks, NFC)"),
+      (exprs: Seq[Expression]) => AccentFold(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC composition"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     ext.injectFunction((FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein",
         "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein " +

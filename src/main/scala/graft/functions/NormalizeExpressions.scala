@@ -13,6 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NormalizeRuntime {
   private val NFC = java.text.Normalizer.Form.NFC
+  private val NFD = java.text.Normalizer.Form.NFD
 
   /** NFC-normalize. Two fast paths make this parquet-scan-speed on the
     * real distribution: (1) pure-ASCII input is NFC by definition — one
@@ -31,6 +32,38 @@ object NormalizeRuntime {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, NFC)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, NFC))
+  }
+
+  /** Accent folding: NFD-decompose, drop combining marks (category
+    * Mn), recompose to NFC. The final NFC pass is what makes this
+    * byte-equal to utf8proc's `strip_accents` (the DuckDB oracle) on
+    * scripts whose decomposition is not mark-based — Hangul NFD yields
+    * conjoining jamo that must re-compose to the syllable, while the
+    * jamo themselves are untouched (they are Lo, not Mn). Diacritics
+    * fold (é→e, ñ→n, combining sequences likewise); atomic letters
+    * without a decomposition (ø, ł) survive — accent folding is NOT
+    * transliteration. Same ASCII fast path as [[nfc]]: the 100 TB
+    * bulk pays one byte scan and returns by reference.
+    */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && (bytes(i) & 0x80) == 0) i += 1
+    if (i == bytes.length) return s
+    val nfd = java.text.Normalizer.normalize(s.toString, NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    var dropped = false
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) == Character.NON_SPACING_MARK)
+        dropped = true
+      else sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    val out = java.text.Normalizer.normalize(sb.toString, NFC)
+    if (!dropped && out == s.toString) s
+    else UTF8String.fromString(out)
   }
 }
 
@@ -59,7 +92,30 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `accent_fold(str)` — diacritic removal (NFD → strip Mn → NFC) as a
+  * codegen'd Catalyst expression: the dedup-key normalizer that makes
+  * `café`, `café` (decomposed) and `cafe` collide BEFORE hashing.
+  */
+case class AccentFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "accent_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeRuntime.foldAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeRuntime.foldAccents($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NormalizeFunctions {
   def nfc_normalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
+  def accent_fold(c: Column): Column =
+    ColumnBridge.column(AccentFold(ColumnBridge.expression(c)))
 }

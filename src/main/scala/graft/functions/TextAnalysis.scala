@@ -813,8 +813,68 @@ object TextAnalysis {
       |  (clean <> text) AS changed
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Accent folding over deterministically-injected diacritics — the
+    * dedup-key normalizer one step past [[taNormalize]] (NFC collapses
+    * equivalent BYTES; folding collapses accented and plain FORMS).
+    * Injection, mirrored identically in the oracle: docs `%3` compose
+    * every 'e' to é (U+00E9), docs `%5` attach a combining acute to
+    * every 'a' (decomposed input — proves form-invariance), docs `%7`
+    * turn every 'o' into ø, which has NO decomposition and must
+    * SURVIVE the fold (accent folding is not transliteration; those
+    * docs' `restored` flag is false). The engine folds via JDK
+    * NFD → strip-Mn → NFC ([[NormalizeRuntime.foldAccents]]); the
+    * oracle is utf8proc's `strip_accents` — a green hash row proves
+    * the two pipelines agree codepoint-for-codepoint, and the char
+    * counts pin the mark-drop arithmetic. Narrow projection over the
+    * scan: no shuffle, parquet speed at 100 TB.
+    */
+  def taAccentFold(spark: SparkSession, dir: String): DataFrame = {
+    import NormalizeFunctions.accent_fold
+    val d1 = when(col("doc_id") % 3 === 0,
+      regexp_replace(col("text"), "e", "\u00e9")).otherwise(col("text"))
+    val d2 = when(col("doc_id") % 5 === 0,
+      regexp_replace(d1, "a", "a\u0301")).otherwise(d1)
+    val dirty = when(col("doc_id") % 7 === 0,
+      regexp_replace(d2, "o", "\u00f8")).otherwise(d2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), dirty.as("dirty"))
+      .withColumn("folded", accent_fold(col("dirty")))
+      .select(col("doc_id"), col("folded").as("text_fold"),
+        length(col("dirty")).as("n_chars_dirty"),
+        length(col("folded")).as("n_chars_fold"),
+        (col("folded") === col("text")).as("restored"))
+      .orderBy("doc_id")
+  }
+
+  /** chr(233)=é, chr(769)=U+0301 combining acute, chr(248)=ø. */
+  val taAccentFoldSql: String =
+    """WITH d1 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN replace(text, 'e', chr(233)) ELSE text END AS d
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN replace(d, 'a', 'a' || chr(769)) ELSE d END AS d
+      |  FROM d1),
+      |d3 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN replace(d, 'o', chr(248)) ELSE d END AS dirty
+      |  FROM d2),
+      |f AS (
+      |  SELECT doc_id, text, dirty, strip_accents(dirty) AS folded
+      |  FROM d3)
+      |SELECT doc_id, folded AS text_fold,
+      |  CAST(length(dirty) AS INT) AS n_chars_dirty,
+      |  CAST(length(folded) AS INT) AS n_chars_fold,
+      |  (folded = text) AS restored
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_normalize" -> (taNormalize _),
+    "ta_accent_fold" -> (taAccentFold _),
     "tc_fertility" -> (tcFertility _),
     "ta_gopher_filters" -> ((s: SparkSession, d: String) =>
       taGopherFilters(s, d, stopFloor = 1)),
@@ -834,6 +894,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "tc_fertility" -> tcFertilitySql,
     "ta_normalize" -> taNormalizeSql,
+    "ta_accent_fold" -> taAccentFoldSql,
     "ta_gopher_filters" -> taGopherSql(stopFloor = 1),
     "ta_tfidf" -> taTfidfSql(),
     "ta_char_gini" -> taCharGiniSql,

@@ -46,6 +46,44 @@ class NormalizeSpec extends SparkSpec {
       s"expected nfc_normalize fused into codegen:\n$plan")
   }
 
+  test("accent-fold kernel: folds marks, keeps atomics, recomposes") {
+    import graft.functions.NormalizeRuntime.foldAccents
+    def f(s: String) =
+      foldAccents(UTF8String.fromString(s)).toString
+    assert(f("caf\u00e9") === "cafe") // composed
+    assert(f("cafe\u0301") === "cafe") // decomposed e + acute
+    assert(f("ni\u00f1o") === "nino")
+    assert(f("stra\u0301\u0301ca") === "straca") // stacked marks
+    // atomic letters without decompositions survive — not transliteration
+    assert(f("\u00f8l") === "\u00f8l")
+    assert(f("\u0142an") === "\u0142an")
+    // Hangul: NFD jamo must RE-compose (utf8proc parity)
+    assert(f("\uac00") === "\uac00")
+    // ASCII fast path returns the same object
+    val ascii = UTF8String.fromString("plain")
+    assert(foldAccents(ascii) eq ascii)
+  }
+
+  test("ta_accent_fold: injected diacritics fold back to the original") {
+    val out = TextAnalysis.taAccentFold(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dirtyN = r.getAs[Int]("n_chars_dirty")
+      val foldN = r.getAs[Int]("n_chars_fold")
+      val restored = r.getAs[Boolean]("restored")
+      assert(foldN <= dirtyN, s"doc $id fold cannot grow")
+      // é/á injections fold back; ø docs may keep the atomic letter
+      if (id % 7 != 0)
+        assert(restored, s"doc $id should fold back to the original")
+      assert(!r.getAs[String]("text_fold").exists(_ == '\u0301'),
+        s"doc $id still carries a combining mark")
+    }
+    // the ø branch is exercised and detectably NOT restored
+    assert(out.exists(r =>
+      r.getAs[Long]("doc_id") % 7 == 0 && !r.getAs[Boolean]("restored")))
+  }
+
   test("ta_normalize: composition round-trips the injected dirt") {
     val out = TextAnalysis.taNormalize(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"),
