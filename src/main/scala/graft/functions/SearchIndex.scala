@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Inverted-index construction and conjunctive phrase search — the IR
@@ -351,15 +351,187 @@ object SearchIndex {
        |FROM hits JOIN documents USING (doc_id)
        |ORDER BY phrase_tf DESC, doc_id LIMIT $k""".stripMargin
 
+  // ── hybrid retrieval: BM25 ⊕ embedding cosine via RRF ───────────────
+
+  private val HyTerms = 5 // rarest query-doc phrases carried to BM25
+  private val HyTopC = 20 // per-channel candidate depth
+  private val HyK = 10 // fused results per query
+
+  /** Hybrid more-like-this retrieval — THE canonical RAG/dedup-triage
+    * shape: for each query document, retrieve lexically (BM25 over its
+    * [[HyTerms]] rarest indexable phrases — the high-idf "what makes
+    * this doc distinctive" query) AND semantically (embedding cosine,
+    * `documents.doc_id` ↔ `embeddings.vec_id` are aligned), then fuse
+    * the two top-[[HyTopC]] lists by reciprocal-rank fusion. Channels
+    * catch what the other misses: paraphrases share no phrase but sit
+    * close in embedding space; rare-term matches can be cosine-distant.
+    *
+    * Hash-exactness: the BM25 channel reuses [[rankedSearch]]'s
+    * log-free idf + per-term 2²⁰-scaled integer fold; cosine is the
+    * oracled [[Similarity.cosine]]; each RRF contribution is one
+    * correctly-rounded division 1/(60+rank) and the fusion is one
+    * addition — the [[Similarity.rrfFusion]] device, so ranks compare
+    * bit-exactly cross-engine.
+    *
+    * Scale shape: the query panel is bounded (broadcasts); the text
+    * channel joins the panel's ≤ 5·|panel| terms against the
+    * occurrence table BY TERM (postings discipline — no doc×doc); the
+    * vector channel is the panel-broadcast linear scan of the oracled
+    * exact baseline (swap in [[Ivf]] cells at corpus scale — the fused
+    * SHAPE is unchanged); the fusion full-outer join touches only
+    * 2·[[HyTopC]] rows per query.
+    */
+  def hyHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val occ = occurrences(docs)
+    val dfc = occ.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val wT = Window.partitionBy("q_id").orderBy(col("df"), col("t"))
+    val qt = occ.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("t"))
+      .join(dfc, "t")
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= HyTerms)
+      .select("q_id", "t", "df")
+    val lens = docs.select(col("doc_id").as("c_id"),
+      (size(split(col("text"), " ")) - 1).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val idf = (col("n_docs") - col("df") + lit(0.5d)) /
+      (col("df") + lit(0.5d))
+    val tfd = col("tf").cast("double")
+    val scoreT = idf * (tfd * lit(RankK1 + 1.0d)) /
+      (tfd + lit(RankK1) * (lit(1.0d - RankB) +
+        lit(RankB) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val wRt = Window.partitionBy("q_id")
+      .orderBy(col("score20").desc, col("c_id"))
+    val textTop = broadcast(qt)
+      .join(occ.select(col("doc_id").as("c_id"), col("t"), col("tf")), "t")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(lens, "c_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s20",
+        floor(scoreT * lit(1048576.0d) + lit(0.5d)).cast("long"))
+      .groupBy("q_id", "c_id")
+      .agg(count(lit(1)).as("n_matched"), sum("s20").as("score20"))
+      .withColumn("rank_t", row_number().over(wRt))
+      .filter(col("rank_t") <= HyTopC)
+      .select("q_id", "c_id", "n_matched", "rank_t")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = broadcast(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val wRv = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    val vecTop = emb
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .join(qv, col("c_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank_v", row_number().over(wRv))
+      .filter(col("rank_v") <= HyTopC)
+      .select("q_id", "c_id", "rank_v")
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0d) / (lit(60.0d) + r.cast("double")), lit(0.0d))
+    val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+    textTop.join(vecTop, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf", contrib(col("rank_t")) + contrib(col("rank_v")))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= HyK)
+      .select(col("q_id"), col("c_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("rank_t").isNotNull.as("in_text"),
+        col("rank_v").isNotNull.as("in_vec"),
+        col("rrf"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  def hyHybridRrfSql: String = {
+    val k1 = RankK1; val b = RankB
+    s"""WITH $occSql,
+       |dfc AS (
+       |  SELECT t, COUNT(*) AS df FROM occ GROUP BY t
+       |  HAVING COUNT(*) >= 2),
+       |qt AS (
+       |  SELECT q_id, t, df FROM (
+       |    SELECT occ.doc_id AS q_id, occ.t, dfc.df,
+       |      ROW_NUMBER() OVER (PARTITION BY occ.doc_id
+       |        ORDER BY dfc.df, occ.t) AS rn
+       |    FROM occ JOIN dfc USING (t)
+       |    WHERE occ.doc_id % 100 = 0)
+       |  WHERE rn <= $HyTerms),
+       |lens AS (
+       |  SELECT doc_id AS c_id,
+       |    CAST(len(string_split(text, ' ')) - 1 AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl
+       |  FROM lens),
+       |th AS (
+       |  SELECT q_id, o.doc_id AS c_id, COUNT(*) AS n_matched,
+       |    CAST(SUM(CAST(FLOOR(
+       |      ((n_docs - df + 0.5) / (df + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${k1 + 1.0d})
+       |        / (CAST(tf AS DOUBLE) + $k1 * (${1.0d - b}
+       |          + $b * (dl / (sum_dl / n_docs))))
+       |      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS score20
+       |  FROM qt JOIN occ o USING (t)
+       |    JOIN lens ON lens.c_id = o.doc_id
+       |    CROSS JOIN stats
+       |  WHERE o.doc_id <> q_id
+       |  GROUP BY q_id, o.doc_id),
+       |tr AS (
+       |  SELECT q_id, c_id, n_matched, rank_t FROM (
+       |    SELECT q_id, c_id, n_matched,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY score20 DESC, c_id) AS rank_t
+       |    FROM th)
+       |  WHERE rank_t <= $HyTopC),
+       |vp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${Similarity.cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0),
+       |vr AS (
+       |  SELECT q_id, c_id, rank_v FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, c_id) AS rank_v
+       |    FROM vp)
+       |  WHERE rank_v <= $HyTopC),
+       |fused AS (
+       |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id,
+       |    COALESCE(tr.c_id, vr.c_id) AS c_id,
+       |    tr.n_matched, tr.rank_t, vr.rank_v,
+       |    (CASE WHEN tr.rank_t IS NULL THEN 0.0
+       |          ELSE 1.0 / (60.0 + CAST(tr.rank_t AS DOUBLE)) END) +
+       |    (CASE WHEN vr.rank_v IS NULL THEN 0.0
+       |          ELSE 1.0 / (60.0 + CAST(vr.rank_v AS DOUBLE)) END)
+       |      AS rrf
+       |  FROM tr FULL OUTER JOIN vr
+       |    ON tr.q_id = vr.q_id AND tr.c_id = vr.c_id)
+       |SELECT q_id, c_id, COALESCE(n_matched, 0) AS n_matched,
+       |  (rank_t IS NOT NULL) AS in_text,
+       |  (rank_v IS NOT NULL) AS in_vec, rrf,
+       |  CAST(rank AS INT) AS rank
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, c_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $HyK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ix_postings" -> (ixPostings _),
     "ix_conj_search" -> (ixConjSearch _),
     "ix_rank_search" -> (ixRankSearch _),
-    "ix_phrase_search" -> (ixPhraseSearch _))
+    "ix_phrase_search" -> (ixPhraseSearch _),
+    "hy_hybrid_rrf" -> (hyHybridRrf _))
 
   def oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql(),
     "ix_conj_search" -> ixConjSearchSql(),
     "ix_rank_search" -> ixRankSearchSql(),
-    "ix_phrase_search" -> ixPhraseSearchSql())
+    "ix_phrase_search" -> ixPhraseSearchSql(),
+    "hy_hybrid_rrf" -> hyHybridRrfSql)
 }

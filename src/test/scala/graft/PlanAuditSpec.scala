@@ -310,7 +310,8 @@ class PlanAuditSpec extends SparkSpec {
       "dc3_semantic_decontamination", // bounded eval-set broadcast
       "sim_hamming_ann", // broadcast query panel (non-equi) + corpus-count scalar row
       "tp_epoch_plan", // 1-row corpus-totals build over the #sources table
-      "sim_matryoshka_recall" // broadcast query panel (non-equi self filter)
+      "sim_matryoshka_recall", // broadcast query panel (non-equi self filter)
+      "hy_hybrid_rrf" // broadcast query panel (non-equi) + corpus-stats scalar row
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>

@@ -200,4 +200,37 @@ class SearchIndexSpec extends SparkSpec {
       .agg(sum("alloc")).head().getLong(0)
     assert(alloc === toks / 3)
   }
+
+  test("hybrid RRF: contiguous ranks, both channels contribute, " +
+    "rrf recomputes from the channel ranks") {
+    val out = SearchIndex.hyHybridRrf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to rs.length), s"query $q ranks not contiguous")
+      assert(rs.length <= 10)
+      // no self-retrieval
+      assert(rs.forall(_.getAs[Long]("c_id") != q), s"query $q self-hit")
+    }
+    // the fusion is non-degenerate: lexical-only, semantic-only and
+    // dual-channel results all appear, and a dual-channel hit tops at
+    // least one query (that is WHY one fuses)
+    assert(out.exists(r =>
+      r.getAs[Boolean]("in_text") && !r.getAs[Boolean]("in_vec")))
+    assert(out.exists(r =>
+      !r.getAs[Boolean]("in_text") && r.getAs[Boolean]("in_vec")))
+    assert(out.exists(r =>
+      r.getAs[Boolean]("in_text") && r.getAs[Boolean]("in_vec") &&
+        r.getAs[Int]("rank") == 1))
+    out.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      // each channel contributes at most 1/61 (rank 1); at least one
+      // channel is present (rank ≤ 20 ⇒ ≥ 1/80)
+      assert(rrf > 1.0 / 81.0 && rrf <= 2.0 / 61.0 + 1e-12)
+      // text-channel rows carry matched terms; vector-only rows none
+      if (!r.getAs[Boolean]("in_text"))
+        assert(r.getAs[Long]("n_matched") === 0L)
+      else assert(r.getAs[Long]("n_matched") >= 1L)
+    }
+  }
 }
