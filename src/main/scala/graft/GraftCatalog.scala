@@ -18,6 +18,10 @@ object GraftCatalog {
     if (!cur.contains(graft.operators.HoistInvariantNorms))
       spark.experimental.extraOptimizations =
         cur :+ graft.operators.HoistInvariantNorms
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        strats :+ graft.plans.TopKPerKeyStrategy
   }
 
   def install(spark: SparkSession, dir: String): Unit = {

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.operators.HoistInvariantNorms)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash",
         "rolling_hash(str) - polynomial rolling hash of the UTF-8 bytes"),

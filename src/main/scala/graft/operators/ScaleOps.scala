@@ -83,9 +83,39 @@ object ScaleOps {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Top-3 orders per customer through the native
+    * [[graft.plans.TopKPerKey]] operator — semantically identical to
+    * the window query `w2_top_orders` (deliberately the SAME oracle
+    * SQL), but the physical plan replaces WindowExec's per-partition
+    * full sort with one bounded heap per key: O(k) memory per key, no
+    * sort buffer, no spill path, same single hash exchange. At 100 TB
+    * this is the difference between sorting the fact table and
+    * streaming it. */
+  def w9NativeTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents")),
+        keys = Seq("o_custkey"),
+        orderBy = Seq(("price_cents", true), ("o_orderkey", false)),
+        k = 3)
+      .orderBy("o_custkey", "rk")
+
+  val w9Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, rk
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+      |             o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j4_salted_skew" -> (j4SaltedSkew _))
+    "j4_salted_skew" -> (j4SaltedSkew _),
+    "w9_native_topk" -> (w9NativeTopk _))
 
   val oracles: Map[String, String] = Map(
-    "j4_salted_skew" -> j4Sql)
+    "j4_salted_skew" -> j4Sql,
+    "w9_native_topk" -> w9Sql)
 }

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, AttributeSet, Descending, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+/** Per-key top-k as a first-class operator — logical node + strategy +
+  * physical exec, the (c)-tier extension point
+  * (`LogicalPlan`/`SparkStrategy`/`SparkPlan` via
+  * `SparkSessionExtensions`) that the rest of the engine deliberately
+  * avoids when built-ins suffice.
+  *
+  * Here the built-in CAN express the semantics —
+  * `row_number().over(Window.partitionBy(key).orderBy(ord)) ≤ k` — but
+  * its physical plan cannot express the RESOURCE bound: WindowExec
+  * sorts the ENTIRE key partition (every row of the 100 TB fact table
+  * flows through an UnsafeExternalSorter, spilling at scale) to then
+  * discard all but k rows per key. [[TopKPerKeyExec]] replaces the
+  * per-partition full sort with one bounded heap per key: O(k) memory
+  * per key instead of O(rows-per-key), no sort, no spill, same single
+  * hash shuffle on the key (`requiredChildDistribution` lets
+  * EnsureRequirements plan the exchange exactly as for the window).
+  * Rows stream through `compare + occasional heap replace` — the
+  * skew-resistant shape: a hot key costs O(n·log k) comparisons and
+  * k retained rows, where WindowExec pays an O(n·log n) sort and n
+  * buffered rows.
+  *
+  * Ties: the operator keeps the FIRST k rows in `order`; callers must
+  * make `order` a TOTAL order (append a unique tiebreak column, as
+  * every oracled query in this repo already does) or the retained set
+  * is nondeterministic — same contract as `row_number`.
+  */
+object TopKPerKey {
+  /** Append-rank per-key top-k over `df`. The result carries `df`'s
+    * columns plus `rankName` (1-based BIGINT rank within the key in
+    * the requested order). `orderBy` entries are (column, descending?).
+    * Columns are resolved by name against `df` directly (pre-project
+    * derived expressions) — the node is injected below the analyzer,
+    * so it works with already-resolved attributes only. Inter-key
+    * output order is unspecified, as with any aggregate — order the
+    * final result explicitly. */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int, rankName: String = "rk")
+      : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val child = PlanBridge.logicalPlan(df)
+    def attr(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not found in ${child.output.map(_.name)}"))
+    val keyExprs: Seq[Expression] = keys.map(attr)
+    val sortExprs = orderBy.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    PlanBridge.ofRows(df.sparkSession,
+      TopKPerKeyPlan(keyExprs, sortExprs, k, rankAttr, child))
+  }
+}
+
+/** Logical per-key top-k. `rankAttr` travels in the constructor so
+  * `copy()` under rule rewrites preserves the exprId parent plans
+  * reference. */
+case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, rankAttr: AttributeReference, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : TopKPerKeyPlan = copy(child = c)
+}
+
+/** Plans [[TopKPerKeyPlan]] to [[TopKPerKeyExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
+  * `spark.experimental.extraStrategies` (GraftCatalog). */
+object TopKPerKeyStrategy
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, rankAttr: AttributeReference, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  /** One hash shuffle on the key — the same distribution the window
+    * twin needs, so the exchange cost is identical; everything past
+    * the exchange is where the operator wins. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kLocal = k
+    child.execute().mapPartitions({ iter =>
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      // max-heap w.r.t. the output order: the root is the WORST row
+      // currently retained, so a better row replaces it in O(log k)
+      val worstFirst = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.LinkedHashMap[UnsafeRow,
+          java.util.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = toUnsafe(iter.next())
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        // drain the max-heap worst-first, fill from the back → the
+        // array is in output order; k is small, no sort needed
+        val arr = new Array[UnsafeRow](heap.size)
+        var i = arr.length - 1
+        while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+        arr.iterator.zipWithIndex.map { case (row, idx) =>
+          rankRow.setLong(0, idx + 1L)
+          outProj(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan)
+      : TopKPerKeyExec = copy(child = c)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{RelationalExt, ScaleOps}
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions._
+
+/** The native per-key top-k operator (logical node + strategy +
+  * physical exec) versus its window-function twin.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("w9 equals the w2 window twin row for row") {
+    val native = ScaleOps.w9NativeTopk(spark, sf).collect()
+    val window = RelationalExt.w2TopOrders(spark, sf).collect()
+    assert(native.length === window.length && native.nonEmpty)
+    native.zip(window).foreach { case (n, w) =>
+      assert(n.getLong(0) === w.getLong(0), "o_custkey")
+      assert(n.getLong(1) === w.getLong(1), "o_orderkey")
+      assert(n.getLong(2) === w.getLong(2), "price_cents")
+      assert(n.getLong(3) === w.getLong(3), "rk")
+    }
+  }
+
+  test("plan: native exec after one hash exchange, and NO sort") {
+    // strip the final presentation orderBy — the operator itself must
+    // plan sort-free (WindowExec's per-partition sort is the thing
+    // this operator exists to remove)
+    val df = TopKPerKey.topKPerKey(
+      Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+      keys = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", true), ("o_orderkey", false)),
+      k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"native exec missing:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"expected a key hash exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"), s"sort crept in:\n$plan")
+    // the window twin DOES sort — the contrast this operator removes
+    val twin = RelationalExt.w2TopOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(twin.contains("Sort"), "twin lost its sort? update this spec")
+  }
+
+  test("small groups, k=1, and null keys behave") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (Some(1L), 10L, 5L), (Some(1L), 11L, 9L), (Some(1L), 12L, 9L),
+      (Some(2L), 20L, 1L), // group smaller than k
+      (None: Option[Long], 30L, 3L), (None: Option[Long], 31L, 7L))
+      .toDF("g", "id", "v")
+    val top2 = TopKPerKey.topKPerKey(df, Seq("g"),
+        Seq(("v", true), ("id", false)), k = 2)
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(top2 === Set(
+      (Some(1L), 11L, 9L, 1L), (Some(1L), 12L, 9L, 2L), // tie → id order
+      (Some(2L), 20L, 1L, 1L), // short group fully ranked
+      (None, 31L, 7L, 1L), (None, 30L, 3L, 2L))) // null key is a group
+    val top1 = TopKPerKey.topKPerKey(df, Seq("g"),
+        Seq(("v", true), ("id", false)), k = 1)
+      .collect()
+    assert(top1.length === 3 && top1.forall(_.getLong(3) == 1L))
+  }
+
+  test("rank column name is caller-controlled and collision-checked") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq((1L, 2L)).toDF("g", "v")
+    val out = TopKPerKey.topKPerKey(df, Seq("g"), Seq(("v", false)),
+      k = 5, rankName = "position")
+    assert(out.columns.toSeq === Seq("g", "v", "position"))
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("missing"), Seq(("v", false)), 1)
+    }
+  }
+}
