@@ -421,14 +421,16 @@ object SearchIndex {
     val emb = Tables.embeddings(spark, dir)
     val qv = broadcast(emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
-    val wRv = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    val vecTop = emb
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      .join(qv, col("c_id") =!= col("q_id"))
-      .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank_v", row_number().over(wRv))
-      .filter(col("rank_v") <= HyTopC)
+    // native bounded-heap top-k (graft.plans.TopKPerKey): the vector
+    // channel's candidate stream is corpus-sized per query, exactly
+    // the shape whose per-partition window sort the operator removes
+    val vecTop = graft.plans.TopKPerKey.topKPerKey(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          .join(qv, col("c_id") =!= col("q_id"))
+          .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
+          .select("q_id", "c_id", "cos"),
+        Seq("q_id"), Seq(("cos", true), ("c_id", false)), HyTopC,
+        rankName = "rank_v")
       .select("q_id", "c_id", "rank_v")
     val contrib = (r: Column) =>
       coalesce(lit(1.0d) / (lit(60.0d) + r.cast("double")), lit(0.0d))

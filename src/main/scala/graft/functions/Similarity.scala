@@ -33,8 +33,13 @@ object Similarity {
 
   // ── brute-force top-k ───────────────────────────────────────────────
   /** Exact top-k cosine neighbors for each query vector. The query set
-    * is broadcast (small side); candidates never leave their partition
-    * until the final per-query top-k (TakeOrdered via window + filter). */
+    * is broadcast (small side); candidates score in their scan
+    * partition, then only (q_id, c_id, cos) triples — vectors pruned
+    * BEFORE the exchange — reach the per-query top-k, which runs on
+    * the native [[graft.plans.TopKPerKey]] operator: a bounded heap
+    * per query instead of WindowExec's corpus-sized per-partition
+    * sort. At 1e9 candidates per query the window form buffers (and
+    * spills) the corpus per query; the heap form retains k rows. */
   def topKBruteForce(queries: DataFrame, corpus: DataFrame, k: Int)
       : DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
@@ -43,11 +48,11 @@ object Similarity {
       col("embedding").as("c_vec"))
     val scored = c.join(q, col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+      .select("q_id", "c_id", "cos")
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq("q_id"), Seq(("cos", true), ("c_id", false)),
+        k, rankName = "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
