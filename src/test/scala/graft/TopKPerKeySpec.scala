@@ -67,6 +67,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top1.length === 3 && top1.forall(_.getLong(3) == 1L))
   }
 
+  test("fuzz: equals the window form on skewed random data") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // skewed keys (hot key 0), heavy value ties — the adversarial case
+    // for heap-vs-sort equivalence; id is the unique tiebreak
+    val rows = (0 until 2000).map { id =>
+      val g = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(20).toLong
+      (g, id.toLong, rnd.nextInt(8).toLong)
+    }
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    for (k <- Seq(1, 3, 16)) {
+      val native = TopKPerKey.topKPerKey(df, Seq("g"),
+          Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val window = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(native === window, s"k=$k diverged from the window form")
+    }
+  }
+
   test("rank column name is caller-controlled and collision-checked") {
     val sparkS = spark
     import sparkS.implicits._
