@@ -279,4 +279,58 @@ object StreamOps {
         col(s"r.$rightTs") <=
           col(s"l.$leftTs") + expr(s"INTERVAL $boundSeconds SECONDS"))
   }
+
+  // ── continuous per-key leaderboard ──────────────────────────────────
+
+  /** One scored item for the leaderboard (score in exact integer
+    * units — cents — per the repo's hash-stability rule). */
+  case class Scored(key: String, id: Long, score: Long)
+
+  /** One row of a leaderboard snapshot. */
+  case class BoardRow(key: String, id: Long, score: Long, rank: Int)
+
+  /** Bounded per-key state: the current top-k as parallel lists in
+    * (score desc, id asc) order — O(k) per live key, never O(stream),
+    * the streaming twin of [[graft.plans.TopKPerKey]]'s bounded heap. */
+  case class BoardState(scores: List[Long], ids: List[Long])
+
+  implicit private val boardRowEnc: Encoder[BoardRow] =
+    Encoders.product[BoardRow]
+  implicit private val boardStEnc: Encoder[BoardState] =
+    Encoders.product[BoardState]
+
+  /** Continuously-maintained top-k per key (the live leaderboard /
+    * "current worst offenders" view a CDC consumer keeps): each
+    * micro-batch folds its events into the per-key board and emits
+    * the FULL new board only when it changed — no-op batches emit
+    * nothing, so downstream sees exactly one snapshot per advance
+    * (the [[latestImageStream]] emission discipline applied to a
+    * ranked set). Re-delivered items fold away (at-least-once safe);
+    * ties break by id, so the board is deterministic under any
+    * arrival order.
+    */
+  def topKStream(events: Dataset[Scored], k: Int): Dataset[BoardRow] =
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BoardState, BoardRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Scored], gs: GroupState[BoardState]) =>
+          val before = gs.getOption
+            .map(s => s.scores.zip(s.ids)).getOrElse(Nil)
+          var board = before
+          it.foreach { e =>
+            val entry = (e.score, e.id)
+            if (!board.contains(entry)) {
+              val merged = (entry :: board)
+                .sortBy { case (s, i) => (-s, i) }.take(k)
+              if (merged != board) board = merged
+            }
+          }
+          if (board != before) {
+            gs.update(BoardState(board.map(_._1), board.map(_._2)))
+            board.zipWithIndex.iterator.map { case ((s, i), r) =>
+              BoardRow(key, i, s, r + 1)
+            }
+          } else Iterator.empty
+      }
 }

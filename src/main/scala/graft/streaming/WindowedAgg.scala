@@ -171,7 +171,43 @@ object WindowedAgg {
       |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
       |FROM healed GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The continuous leaderboard as a driver gate: run
+    * [[StreamOps.topKStream]] — the bounded-state
+    * flatMapGroupsWithState operator the streaming spec drives in
+    * event-chunks — in BATCH mode (one state fold per key) over the
+    * events table: top-3 events per type by integer-cents value. In
+    * batch the whole group folds in one invocation, exercising the
+    * identical insert/tiebreak/cap logic each micro-batch executes;
+    * the DuckDB oracle is the plain window form, so the green hash row
+    * proves the incremental fold equals the global ranking. State at
+    * scale: O(k) per live key. */
+  def t17StreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[StreamOps.Scored] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Scored]
+    val scored = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        col("event_id").cast("long").as("id"),
+        graft.operators.QueryUtil.cents(col("value")).cast("long")
+          .as("score"))
+      .as[StreamOps.Scored]
+    StreamOps.topKStream(scored, 3).toDF()
+      .select(col("key").as("event_type"), col("id").as("event_id"),
+        col("score").as("value_cents"), col("rank").cast("long").as("rk"))
+      .orderBy("event_type", "rk")
+  }
+
+  val t17Sql: String =
+    """SELECT event_type, event_id, value_cents, rk FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC,
+      |               event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_stream_topk" -> (t17StreamTopk _),
     "t16_stream_dedup" -> (t16StreamDedup _),
     "t14_stream_join" -> (t14StreamJoin _),
     "t10_tumbling_window" -> (t10TumblingWindow _),
@@ -179,6 +215,7 @@ object WindowedAgg {
     "t13_sliding_window" -> (t13SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t17_stream_topk" -> t17Sql,
     "t16_stream_dedup" -> t16Sql,
     "t14_stream_join" -> t14Sql,
     "t10_tumbling_window" -> t10Sql,

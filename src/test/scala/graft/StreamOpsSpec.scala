@@ -336,4 +336,47 @@ class StreamOpsSpec extends SparkSpec {
       "healed feed must collapse to the original distinct events")
   }
 
+  test("leaderboard stream: snapshots only on change, converges to " +
+    "the batch board under chunked + redelivered arrival") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val input = MemoryStream[StreamOps.Scored](spark)
+    val q = StreamOps.topKStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("sboard")
+      .outputMode("append").start()
+    def boardAfter(): Map[String, Seq[(Long, Long, Int)]] = {
+      // last emitted snapshot per key = rows of the max emission batch;
+      // emissions are full snapshots, so group rows by (key) taking
+      // the snapshot with the highest top score set → reconstruct from
+      // ALL rows by replaying: simpler — read all rows in insertion
+      // order and keep the last contiguous snapshot per key
+      val rows = spark.table("sboard").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      rows.groupBy(_._1).map { case (k, rs) =>
+        // the final snapshot is the last emitted rank-1..n run; since
+        // ranks restart at 1 on each snapshot, take rows after the
+        // LAST rank==1 occurrence
+        val idx = rs.lastIndexWhere(_._4 == 1)
+        k -> rs.drop(idx).map(r => (r._2, r._3, r._4)).toSeq
+      }
+    }
+    try {
+      input.addData(StreamOps.Scored("a", 1, 10),
+        StreamOps.Scored("a", 2, 30), StreamOps.Scored("b", 9, 5))
+      q.processAllAvailable()
+      val n1 = spark.table("sboard").count()
+      // dominated event + exact redelivery → board unchanged, NO rows
+      input.addData(StreamOps.Scored("a", 3, 1),
+        StreamOps.Scored("a", 2, 30))
+      q.processAllAvailable()
+      assert(spark.table("sboard").count() === n1,
+        "no-op batch must emit nothing")
+      // a new leader arrives late → one fresh snapshot for 'a'
+      input.addData(StreamOps.Scored("a", 4, 99))
+      q.processAllAvailable()
+      val boards = boardAfter()
+      assert(boards("a") === Seq((4L, 99L, 1), (2L, 30L, 2)))
+      assert(boards("b") === Seq((9L, 5L, 1)))
+    } finally q.stop()
+  }
 }
