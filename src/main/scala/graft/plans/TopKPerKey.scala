@@ -94,7 +94,20 @@ object TopKPerKeyStrategy
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, rankAttr: AttributeReference, child: SparkPlan)
     extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  /** The rank attribute is born here (it rides the constructor only so
+    * `copy()` preserves its exprId) — declare it produced or the plan
+    * printer flags the node `!` as missing input. */
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys"),
+    "numReplacements" -> SQLMetrics.createMetric(sparkContext,
+      "heap replacements (rows that displaced a retained row)"))
 
   /** One hash shuffle on the key — the same distribution the window
     * twin needs, so the exchange cost is identical; everything past
@@ -109,6 +122,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kLocal = k
+    val outRows = longMetric("numOutputRows")
+    val nKeys = longMetric("numKeys")
+    val nRepl = longMetric("numReplacements")
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -134,8 +150,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
+          nRepl += 1
         }
       }
+      nKeys += heaps.size()
       val outProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
@@ -148,6 +166,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
         arr.iterator.zipWithIndex.map { case (row, idx) =>
           rankRow.setLong(0, idx + 1L)
+          outRows += 1
           outProj(joined(row, rankRow))
         }
       }
