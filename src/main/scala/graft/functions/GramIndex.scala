@@ -42,6 +42,25 @@ object GramIndex {
       (build: => DataFrame): DataFrame =
     Caches.persistOnce(registry.get(source, shape)(build))
 
+  /** Per-(doc, word-bigram) term-frequency table — the shared map
+    * phase of the whole search-index family (postings build, boolean
+    * AND, BM25, positional phrase, hybrid retrieval): five queries
+    * each rebuilt this word-count-shaped aggregate from raw text per
+    * run. Terms stay STRINGS here because the DuckDB oracles compare
+    * them (at 100 TB the term rides as a 64-bit hash + dictionary
+    * side-table, as [[CorpusOps.surprisalScores]] does). */
+  def occurrenceCounts(docs: DataFrame): DataFrame =
+    cached(docs, "occ_bigram_tf") {
+      docs
+        .withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
+            "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))"))
+            .as("t"))
+        .groupBy("doc_id", "t")
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Sorted-distinct word n-gram hash sets: (doc_id, hs, s), empty
     * sets dropped. The shared input of [[Dedup.prefixJaccardPairs]],
     * [[Dedup.survivorshipBySource]] and

@@ -38,14 +38,7 @@ object SearchIndex {
     * xxhash64 with a dictionary side-table, exactly as
     * [[CorpusOps.surprisalScores]] does. */
   private def occurrences(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__toks", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
-          "(t, i) -> concat(t, ' ', element_at(__toks, i + 2)))"))
-          .as("t"))
-      .groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("tf"))
+    GramIndex.occurrenceCounts(docs)
 
   /** The occurrence CTE shared by both oracles (DuckDB side). */
   private val occSql: String =
