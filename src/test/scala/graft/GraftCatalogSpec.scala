@@ -65,6 +65,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s2.catalog.functionExists("simhash64"))
     assert(s2.catalog.functionExists("sq_l2"))
     assert(s2.catalog.functionExists("ngram_hashes"))
+    // round-8 additions ride the same injection path
+    assert(s2.catalog.functionExists("accent_fold"))
+    assert(s2.catalog.functionExists("nfc_normalize"))
+    assert(s2.catalog.functionExists("damerau_levenshtein"))
+    assert(s2.catalog.functionExists("jaro_winkler"))
+    assert(s2.sql("SELECT accent_fold('café') AS f").head.getString(0)
+      === "cafe")
+    // the custom top-k strategy is injected too: the plan node appears
+    import org.apache.spark.sql.functions.col
+    val topkPlan = graft.plans.TopKPerKey.topKPerKey(
+      s2.range(10).select(col("id") % 2 as "g", col("id") as "v"),
+      Seq("g"), Seq(("v", true)), 2)
+      .queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TopKPerKey"),
+      s"strategy not injected via extensions:\n$topkPlan")
   }
   test("sorted_intersect_count and minhash_signature reachable from SQL") {
     GraftCatalog.install(spark, sf)
