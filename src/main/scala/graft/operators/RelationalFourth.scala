@@ -309,6 +309,53 @@ object RelationalFourth {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // ── top user journeys ───────────────────────────────────────────────
+  /** The full-path complement of [[ev4Transitions]]'s pairwise matrix:
+    * each user's first `steps` events in (ts, event_id) order collapse
+    * to one `a>b>c` journey string, and the report is the top-`topN`
+    * journeys by user count — the "what do users actually do" view a
+    * funnel is a projection of. The first-K-steps selection runs on
+    * the native [[graft.plans.TopKPerKey]] operator (bounded heap per
+    * user) rather than a window: at stream scale a hot user's whole
+    * history would otherwise sort inside WindowExec just to keep 8
+    * rows. Path assembly sorts the ≤ `steps` collected structs per
+    * user — O(k log k) per user, no second big sort; journey
+    * cardinality is bounded by |event types|^steps in theory and tiny
+    * in practice; final top-N is a TakeOrdered with the path string as
+    * the deterministic tiebreak. */
+  def ev10TopPaths(spark: SparkSession, dir: String, steps: Int = 8,
+      topN: Int = 20): DataFrame = {
+    val first = graft.plans.TopKPerKey.topKPerKey(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id")),
+      keys = Seq("user_id"),
+      orderBy = Seq(("ts", false), ("event_id", false)),
+      k = steps, rankName = "rn")
+    first.groupBy("user_id")
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"), min("user_id").as("example_user"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(topN)
+  }
+
+  def ev10Sql(steps: Int = 8, topN: Int = 20): String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events),
+       |paths AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM ranked WHERE rn <= $steps GROUP BY user_id)
+       |SELECT path, COUNT(*) AS n_users, MIN(user_id) AS example_user
+       |FROM paths GROUP BY path
+       |ORDER BY n_users DESC, path LIMIT $topN""".stripMargin
+
   // ── event-volume anomaly scoring ────────────────────────────────────
   /** Expanding-window z-score of daily event volume per type — the
     * monitoring query behind "did clicks spike today?". Each day is
@@ -517,6 +564,8 @@ object RelationalFourth {
     "w4_order_navigation" -> (w4OrderNavigation _),
     "g4_grouping_sets" -> (g4GroupingSets _),
     "ev4_transitions" -> (ev4Transitions _),
+    "ev10_top_paths" ->
+      ((s: SparkSession, d: String) => ev10TopPaths(s, d)),
     "ev5_anomaly" -> ((s: SparkSession, d: String) => ev5Anomaly(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -529,5 +578,6 @@ object RelationalFourth {
     "w4_order_navigation" -> w4Sql,
     "g4_grouping_sets" -> g4Sql,
     "ev4_transitions" -> ev4Sql,
+    "ev10_top_paths" -> ev10Sql(),
     "ev5_anomaly" -> ev5Sql())
 }

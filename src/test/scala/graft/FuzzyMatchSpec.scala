@@ -79,6 +79,20 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(close(j, base + 4 * 0.1 * (1.0 - base)))
   }
 
+  test("jaro-winkler kernel: symmetry, range, identity under fuzz") {
+    val rnd = new scala.util.Random(7)
+    def word(): String =
+      (0 until rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    for (_ <- 1 to 2000) {
+      val (a, b) = (word(), word())
+      val s = jw(a, b)
+      assert(s === jw(b, a), s"symmetry: '$a' '$b'")
+      assert(s >= 0.0 && s <= 1.0, s"range: '$a' '$b' -> $s")
+      if (a.nonEmpty) assert(jw(a, a) === 1.0, s"identity: '$a'")
+    }
+  }
+
   test("expressions: null-safe, fused into whole-stage codegen") {
     val sparkS = spark
     import sparkS.implicits._

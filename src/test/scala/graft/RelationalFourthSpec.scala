@@ -186,4 +186,32 @@ class RelationalFourthSpec extends SparkSpec {
         "fact must never sort-merge against a dimension:\n" + p)
     }
   }
+
+  test("ev10: journeys equal a driver-side fold; native topk planned") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val out = RelationalFourth.ev10TopPaths(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // independent reference: fold the raw events on the driver
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._3, r._4)).take(8).map(_._2).mkString(">")
+    }
+    val hist = paths.groupBy(_._2).map { case (p, us) =>
+      p -> (us.size.toLong, us.keys.min)
+    }
+    val want = hist.toSeq
+      .sortBy { case (p, (n, _)) => (-n, p) }.take(20)
+    val got = out.map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2)))).toSeq
+    assert(got === want, "top journeys diverge from the reference fold")
+    // the first-K selection must plan on the native operator, sort-free
+    // below the path aggregation
+    val plan = RelationalFourth.ev10TopPaths(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"native topk missing:\n$plan")
+  }
 }
