@@ -67,6 +67,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top1.length === 3 && top1.forall(_.getLong(3) == 1L))
   }
 
+  test("null ORDER values rank like the window form (desc: nulls last)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10L, Some(5L)), (1L, 11L, None),
+      (1L, 12L, Some(9L)), (1L, 13L, None))
+      .toDF("g", "id", "v")
+    val native = TopKPerKey.topKPerKey(df, Seq("g"),
+        Seq(("v", true), ("id", false)), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val window = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(native === window)
+    // Spark's desc default is NULLS LAST: the two nulls trail 9 and 5
+    assert(native === Set((12L, 1L), (10L, 2L), (11L, 3L)))
+  }
+
   test("fuzz: equals the window form on skewed random data") {
     val sparkS = spark
     import sparkS.implicits._
