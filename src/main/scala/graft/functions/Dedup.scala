@@ -678,14 +678,27 @@ object Dedup {
     val lsh = minhashDuplicatePairs(docs, threshold)
       .filter(col("d1") < panelCap && col("d2") < panelCap)
       .select(col("d1"), col("d2"), lit(1L).as("in_lsh"))
-    truth.join(lsh, Seq("d1", "d2"), "full_outer").agg(
+    // pair-set comparison as union + hash aggregate, not a full-outer
+    // SortMergeJoin: tag each side's pairs with a channel flag, fold to
+    // one row per pair with max(), then aggregate globally. Same
+    // semantics (truth-only pairs get in_lsh = 0, lsh-only pairs get
+    // in_truth = 0 — exactly the null/0 roles the outer join encoded),
+    // one exchange on the panel-bounded pair sets, zero sorts.
+    val tagged = truth
+      .select(col("d1"), col("d2"),
+        lit(1L).as("in_truth"), lit(0L).as("in_lsh"))
+      .unionAll(lsh.select(col("d1"), col("d2"),
+        lit(0L).as("in_truth"), lit(1L).as("in_lsh")))
+      .groupBy("d1", "d2")
+      .agg(max("in_truth").as("in_truth"), max("in_lsh").as("in_lsh"))
+    tagged.agg(
       coalesce(sum("in_truth"), lit(0L)).as("n_true_pairs"),
       (coalesce(sum("in_truth"), lit(0L)) === 0L ||
         coalesce(sum(col("in_truth") * col("in_lsh")), lit(0L))
           .cast("double") * lit(1.0) >=
         lit(0.8) * coalesce(sum("in_truth"), lit(0L)).cast("double"))
         .as("recall_ok"),
-      (coalesce(sum(when(col("in_truth").isNull, 1L)), lit(0L)) === 0L)
+      (coalesce(sum(when(col("in_truth") === 0L, 1L)), lit(0L)) === 0L)
         .as("subset_ok"))
   }
 

@@ -39,6 +39,13 @@ object FuzzyRuntime {
     * oracle leans on). Characters compare by UTF-16 code unit, matching
     * both engines on the BMP.
     */
+  /** Guard for the O(|a|·|b|) DP matrix below: a pair of 100k-char
+    * documents would mean a multi-GB single allocation inside a join
+    * inner loop. Unbounded text does not belong in a quadratic edit
+    * distance — fail fast with the remedy instead of OOMing an
+    * executor. 8192² ints ≈ 256 MB worst case, still bounded. */
+  val MaxEditDistanceLen = 8192
+
   def damerau(sa: UTF8String, sb: UTF8String): Int = {
     val a = sa.toString
     val b = sb.toString
@@ -46,6 +53,11 @@ object FuzzyRuntime {
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
+    require(la <= MaxEditDistanceLen && lb <= MaxEditDistanceLen,
+      s"damerau_levenshtein input exceeds $MaxEditDistanceLen chars " +
+        s"($la, $lb): the O(n*m) DP matrix would allocate " +
+        s"gigabytes per row-pair — truncate or pre-filter long text " +
+        s"(use shingle/MinHash similarity for documents)")
     val inf = la + lb
     // DP matrix with the Lowrance-Wagner sentinel border (row/col 0 =
     // INF, row/col 1 = plain prefix distances).

@@ -338,13 +338,19 @@ object Ivf {
       .withColumn("cos",
         Similarity.cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= tau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-      .withColumn("__dropped", lit(true))
-    cells.join(killed, Seq("vec_id"), "left")
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n_vecs"),
-        count(when(col("__dropped").isNull, 1)).as("n_kept"),
-        count(col("__dropped")).as("n_dropped"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"))
+      .distinct()
+    // fold both sides to per-cid counts BEFORE fusing: the report join
+    // becomes k-row vs k-row (k = cluster count) on broadcast, instead
+    // of a corpus-sized row-level left join against the kill set (which
+    // planned as an exchange+sort SMJ). Every vec_id lives in exactly
+    // one cid, so counting drops per cid is equivalent to tagging rows.
+    val drops = killed.groupBy("cid").agg(count(lit(1)).as("__nd"))
+    cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(drops), Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs") - coalesce(col("__nd"), lit(0L))).as("n_kept"),
+        coalesce(col("__nd"), lit(0L)).as("n_dropped"))
       .orderBy("cid")
   }
 

@@ -254,9 +254,11 @@ object Pca {
       .withColumn("rank_f", row_number().over(wR))
       .filter(col("rank_f") <= k)
       .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    // both fused lists are |Q| x k rows — broadcast the pipeline's
+    // top-k so the recall intersection never plans as an SMJ
     ranked.filter(col("rank_d") <= k)
       .select(col("q_id"), col("c_id"))
-      .join(finalTopK, Seq("q_id", "c_id"), "left")
+      .join(broadcast(finalTopK), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("q_id"), col("n_hit"),

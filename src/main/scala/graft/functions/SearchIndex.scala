@@ -425,18 +425,33 @@ object SearchIndex {
         Seq("q_id"), Seq(("cos", true), ("c_id", false)), HyTopC,
         rankName = "rank_v")
       .select("q_id", "c_id", "rank_v")
-    val contrib = (r: Column) =>
-      coalesce(lit(1.0d) / (lit(60.0d) + r.cast("double")), lit(0.0d))
+    // RRF fusion as union + hash aggregate, NOT a full-outer join of
+    // the two ranked lists: each channel contributes (q_id, c_id,
+    // 1/(60+rank)) rows and the fused score is their per-(q,c) SUM —
+    // semantically identical (IEEE addition of ≤2 positive terms is
+    // order-independent; a single term + 0.0 is the term), but the
+    // full-outer form planned as a SortMergeJoin (exchange + two sorts
+    // over the candidate lists) where the union aggregates with one
+    // exchange and zero sorts. Scales as O(channels · |Q| · k) rows
+    // regardless of corpus size.
+    val tRows = textTop.select(col("q_id"), col("c_id"),
+      col("n_matched"), col("rank_t").cast("double").as("r"),
+      lit(1).as("ch"))
+    val vRows = vecTop.select(col("q_id"), col("c_id"),
+      lit(0L).as("n_matched"), col("rank_v").cast("double").as("r"),
+      lit(2).as("ch"))
     val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
-    textTop.join(vecTop, Seq("q_id", "c_id"), "full_outer")
-      .withColumn("rrf", contrib(col("rank_t")) + contrib(col("rank_v")))
+    tRows.unionAll(vRows)
+      .groupBy("q_id", "c_id")
+      .agg(sum(lit(1.0d) / (lit(60.0d) + col("r"))).as("rrf"),
+        max(when(col("ch") === 1, col("n_matched"))).as("__nm"),
+        max(col("ch") === 1).as("in_text"),
+        max(col("ch") === 2).as("in_vec"))
       .withColumn("rank", row_number().over(wF))
       .filter(col("rank") <= HyK)
       .select(col("q_id"), col("c_id"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        col("rank_t").isNotNull.as("in_text"),
-        col("rank_v").isNotNull.as("in_vec"),
-        col("rrf"), col("rank"))
+        coalesce(col("__nm"), lit(0L)).as("n_matched"),
+        col("in_text"), col("in_vec"), col("rrf"), col("rank"))
       .orderBy("q_id", "rank")
   }
 

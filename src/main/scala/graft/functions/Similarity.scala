@@ -1259,12 +1259,14 @@ object Similarity {
     }
     val full = topkAtDim(Dim).select(col("q_id"), col("c_id"))
     val truncated = MatryoshkaDims.map(topkAtDim).reduce(_ unionByName _)
-    val overlap = truncated.join(full, Seq("q_id", "c_id"))
+    // both fusion joins run over (dims x |Q| x k)-row lists — broadcast
+    // the smaller side so neither plans as an exchange+sort SMJ
+    val overlap = truncated.join(broadcast(full), Seq("q_id", "c_id"))
       .groupBy("dim", "q_id").agg(count(lit(1)).as("hits"))
     val panel = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         explode(array(MatryoshkaDims.map(lit): _*)).as("dim"))
-    panel.join(overlap, Seq("dim", "q_id"), "left")
+    panel.join(broadcast(overlap), Seq("dim", "q_id"), "left")
       .select(col("dim"), col("q_id"),
         coalesce(col("hits"), lit(0L)).cast("int").as("n_overlap"),
         (coalesce(col("hits"), lit(0L)).cast("double") /

@@ -741,8 +741,10 @@ object TextAnalysis {
        |    CAST(length(text) AS BIGINT) AS chars
        |  FROM documents),
        |g AS (
-       |  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
-       |    SUM(bpe) AS bpe_tokens, SUM(chars) AS n_chars
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       |    CAST(SUM(chars) AS BIGINT) AS n_chars
        |  FROM t GROUP BY lang)
        |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
        |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)

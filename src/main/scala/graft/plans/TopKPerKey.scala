@@ -53,11 +53,27 @@ object TopKPerKey {
       orderBy: Seq[(String, Boolean)], k: Int, rankName: String = "rk")
       : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains(rankName),
+      s"rank column '$rankName' collides with an existing column; " +
+        s"pass a distinct rankName")
     val child = PlanBridge.logicalPlan(df)
     def attr(n: String): Attribute = child.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$n' not found in ${child.output.map(_.name)}"))
-    val keyExprs: Seq[Expression] = keys.map(attr)
+    val keyExprs: Seq[Expression] = keys.map { n =>
+      val a = attr(n)
+      // Raw UnsafeProjection key bytes bypass the NormalizeFloatingNumbers
+      // treatment a logical groupBy gets: -0.0 vs 0.0 and NaN bit patterns
+      // would split float/double keys into distinct groups and silently
+      // diverge from the row_number window twin. Reject rather than
+      // normalize — no caller has a float key, and an explicit error beats
+      // a latent grouping divergence.
+      require(!a.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType]
+          && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType],
+        s"float/double key column '$n' not supported (raw-byte grouping " +
+          s"does not normalize -0.0/NaN); cast or hash the key first")
+      a: Expression
+    }
     val sortExprs = orderBy.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

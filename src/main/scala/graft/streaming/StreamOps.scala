@@ -305,8 +305,12 @@ object StreamOps {
     * the FULL new board only when it changed — no-op batches emit
     * nothing, so downstream sees exactly one snapshot per advance
     * (the [[latestImageStream]] emission discipline applied to a
-    * ranked set). Re-delivered items fold away (at-least-once safe);
-    * ties break by id, so the board is deterministic under any
+    * ranked set). Entries are keyed by `id`: a re-delivered item folds
+    * away (at-least-once safe) and a score UPDATE for an id already on
+    * the board upserts it (one slot per id, best score wins — an id's
+    * board score is monotone non-decreasing; an id evicted from the
+    * top-k is forgotten, the O(k)-state price every bounded leaderboard
+    * pays). Ties break by id, so the board is deterministic under any
     * arrival order.
     */
   def topKStream(events: Dataset[Scored], k: Int): Dataset[BoardRow] =
@@ -319,9 +323,12 @@ object StreamOps {
             .map(s => s.scores.zip(s.ids)).getOrElse(Nil)
           var board = before
           it.foreach { e =>
-            val entry = (e.score, e.id)
-            if (!board.contains(entry)) {
-              val merged = (entry :: board)
+            val held = board.collectFirst {
+              case (s, i) if i == e.id => s
+            }
+            if (!held.exists(_ >= e.score)) {
+              val merged = ((e.score, e.id) ::
+                  board.filterNot(_._2 == e.id))
                 .sortBy { case (s, i) => (-s, i) }.take(k)
               if (merged != board) board = merged
             }

@@ -168,7 +168,7 @@ object WindowedAgg {
       |  WHERE event_id % 5 = 0),
       |healed AS (SELECT DISTINCT event_id, event_type, value FROM feed)
       |SELECT event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM healed GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** The continuous leaderboard as a driver gate: run

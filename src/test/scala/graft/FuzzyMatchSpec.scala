@@ -41,6 +41,14 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(dl("CA", "ABC") === 2)
     assert(dl("a cat", "an act") === 2)
     assert(dl("kitten", "sitting") === 3)
+    // the O(n*m) DP matrix is guarded: document-length inputs must
+    // fail fast with the remedy, not allocate gigabytes per row-pair
+    val big = "x" * (graft.functions.FuzzyRuntime.MaxEditDistanceLen + 1)
+    val ex = intercept[IllegalArgumentException] { dl(big, "abc") }
+    assert(ex.getMessage.contains("MinHash"),
+      "guard message should point at the scale-appropriate alternative")
+    assert(dl("y" * graft.functions.FuzzyRuntime.MaxEditDistanceLen
+      take 64, "abc") > 0) // at/under the bound still computes
   }
 
   test("damerau kernel: metric + bound invariants under seeded fuzz") {

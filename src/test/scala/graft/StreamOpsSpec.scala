@@ -377,6 +377,16 @@ class StreamOpsSpec extends SparkSpec {
       val boards = boardAfter()
       assert(boards("a") === Seq((4L, 99L, 1), (2L, 30L, 2)))
       assert(boards("b") === Seq((9L, 5L, 1)))
+      // score UPDATE for an id already on the board: upsert, never two
+      // slots for one id; a worse score for a held id is a no-op
+      input.addData(StreamOps.Scored("b", 9, 3))
+      q.processAllAvailable()
+      assert(boardAfter()("b") === Seq((9L, 5L, 1)),
+        "worse score for a held id must not change the board")
+      input.addData(StreamOps.Scored("b", 9, 50))
+      q.processAllAvailable()
+      assert(boardAfter()("b") === Seq((9L, 50L, 1)),
+        "better score must upsert the id's single slot")
     } finally q.stop()
   }
 }

@@ -122,5 +122,27 @@ class TopKPerKeySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TopKPerKey.topKPerKey(df, Seq("missing"), Seq(("v", false)), 1)
     }
+    // a rankName equal to an existing column would duplicate the
+    // attribute name in the output schema → ambiguous references
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("g"), Seq(("v", false)), 1,
+        rankName = "v")
+    }
+  }
+
+  test("float/double key columns are rejected (raw-byte grouping)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // raw UnsafeProjection key bytes would split -0.0 vs 0.0 (and NaN
+    // bit patterns) into separate groups, diverging from the window
+    // twin's normalized grouping — the operator must refuse, not drift
+    val df = Seq((0.0, 1L), (-0.0, 2L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("g"), Seq(("v", false)), 1)
+    }
+    val dfF = df.select(col("g").cast("float").as("g"), col("v"))
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(dfF, Seq("g"), Seq(("v", false)), 1)
+    }
   }
 }

@@ -40,6 +40,18 @@ def main(sfdir, outdir):
             fail += 1; continue
         if len(exp) != len(got):
             print(f"[ROWS] {name}: oracle={len(exp)} spark={len(got)}"); fail += 1; continue
+        # dtype-kind parity first: the driver hashes typed values, so a
+        # DuckDB HUGEINT (-> float64/object in pandas) vs Spark int64
+        # hash-diverges even when every value is numerically identical.
+        # Python's == hides that (10195100 == 10195100.0), so catch the
+        # representation mismatch explicitly.
+        kindbad = [c for c in exp.columns
+                   if got[c].dtype.kind in "iu" and exp[c].dtype.kind not in "iu"]
+        if kindbad:
+            print(f"[DTYPE] {name}: spark integral but oracle "
+                  f"{[(c, str(exp[c].dtype)) for c in kindbad]} — wrap the "
+                  f"oracle aggregate in CAST(... AS BIGINT)")
+            fail += 1; continue
         # exact value compare, column by column
         bad = []
         for c in exp.columns:
