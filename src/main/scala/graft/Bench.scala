@@ -38,6 +38,12 @@ object Bench {
     // falls out of memory at bench scale is a scale bug — surface it
     // in the bench JSON so rounds can regress against zero
     val spills = scala.collection.mutable.Map.empty[String, Long]
+    // cold-run times per query (the run that pays shared-index builds
+    // and codegen): mirrored to BENCH_LAST.json as "queries_cold" so a
+    // reported (warm) time that regresses can be attributed — a cold
+    // jump with a stable warm means the query landed an index build,
+    // not a plan regression
+    val colds = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
@@ -60,6 +66,11 @@ object Bench {
           }
         }
         val cold = once(); val warm = once()
+        colds(name) = cold
+        // stderr diagnostic (driver parses stdout only): the cold/warm
+        // split attributes shared-index build cost vs steady-state
+        System.err.println(
+          f"[bench] $name cold=$cold%.3f warm=$warm%.3f")
         // release this query's persisted intermediates (signature
         // tables, prefix indexes, PQ codes, localCheckpoint blocks ...)
         // before the next query runs: caches legitimately persist
@@ -119,8 +130,11 @@ object Bench {
         spills.toSeq.sortBy(-_._2)
           .map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")}"""
+    val coldQs = colds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + "%.3f".format(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$streamReplay$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs$streamReplay$spillJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // JSON lines found there (rounds 1-2: the full per-query line grew
     // past 2000 chars, was truncated mid-line, and recorded parsed:null).

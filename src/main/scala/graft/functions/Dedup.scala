@@ -262,10 +262,15 @@ object Dedup {
     // session-shared bigram index: feeds grams, dfreq and both verify
     // joins (hs sorted for the merge-count verify)
     val sets = GramIndex.bigramSourceSets(docs)
+    // dedupCandidates = true: measured at sf0.1 the low-threshold
+    // bigram instantiation surfaces each pair 2.3x (829k candidate
+    // rows, 358k distinct), and the verify stage drags both full hash
+    // arrays (~400 B/row) through its joins — a 16-byte pair-shuffle
+    // dedup before verify beats re-verifying duplicates 1.5x warm
+    // (and the gap widens with multiplicity at scale)
     val cands = prefixFilteredCandidates(sets, tNum, tDen, Seq("source"),
-      spreadEnumeration = true, dedupCandidates = false)
+      spreadEnumeration = true)
     verifiedJaccardPairs(cands, sets, tNum.toDouble / tDen.toDouble)
-      .distinct() // candidates arrive multiplicity-k; survivors are few
   }
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
