@@ -263,9 +263,11 @@ object Similarity {
     * graph-based dedup audits, label propagation, and diversity-aware
     * sampling. Candidate edges come from the same bucket hash join as
     * [[nearDupPairs]] (never an all-pairs scan); the per-source top-k
-    * is a row_number window that Spark plans with a WindowGroupLimit
-    * partial pass, so each partition forwards at most k candidates per
-    * source before the shuffle. Cosines are the bit-exact codegen'd
+    * runs on the native [[graft.plans.TopKPerKey]] heap operator —
+    * its partial phase forwards at most k candidates per (source,
+    * partition) into the exchange (the WindowGroupLimit shape, minus
+    * the per-partition sorts), and the final heap assigns ranks with
+    * O(k) memory per source. Cosines are the bit-exact codegen'd
     * fold, so the ranking (ties broken by neighbor id) is engine-exact
     * and the whole graph hash-matches the oracle. */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits,
@@ -274,8 +276,6 @@ object Similarity {
     val v = graft.util.Caches.persistOnce(
       withLshKey(corpus.select(col("vec_id"), col("embedding")),
         "embedding", bits))
-    val w = Window.partitionBy("src_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
     // hot-bucket-capped candidate join; each UNORDERED pair surfaces
     // once, its cosine evaluates once (the float fold commutes
     // bit-exactly, so cos(a,b) ≡ cos(b,a)), and both graph directions
@@ -291,9 +291,8 @@ object Similarity {
           col("cos")))).as("e"))
       .select(col("e.src_id").as("src_id"), col("e.nbr_id").as("nbr_id"),
         col("e.cos").as("cos"))
-    paired
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    graft.plans.TopKPerKey.topKPerKey(paired, Seq("src_id"),
+      Seq(("cos", true), ("nbr_id", false)), k, rankName = "rnk")
   }
 
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame =

@@ -973,26 +973,22 @@ object TrainPrep {
     * replacement sample of exactly min(k, |stratum|) rows, fully
     * deterministic (no RNG state, engine-independent). Smallest-k is
     * mergeable (the top-k of a union is the top-k of the per-part
-    * top-ks), and the plan exploits that TWO-LEVEL: a pre-top-k within
-    * (stratum, id-shard) cuts each stratum to ≤ shards·k rows before
-    * the stratum-level rank — a handful of strata never funnel the
-    * whole corpus through a handful of window partitions. Salt 71
-    * keeps the sample independent of the split/mixture/shuffle
-    * hashes. */
-  def tsReservoirTopk(spark: SparkSession, dir: String, k: Int = 20,
-      preShards: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * top-ks), and the native [[graft.plans.TopKPerKey]] operator
+    * exploits that in its PARTIAL phase: each input partition's heap
+    * emits ≤ k rows per stratum into the exchange, so the shuffle
+    * carries ≤ strata·k·partitions rows, never the corpus — the
+    * two-level window form this replaces achieved the same bound with
+    * an extra explicit shard column, one more exchange and two
+    * partition sorts. Salt 71 keeps the sample independent of the
+    * split/mixture/shuffle hashes. */
+  def tsReservoirTopk(spark: SparkSession, dir: String, k: Int = 20)
+      : DataFrame = {
     val h = s"pmod(pmod(doc_id + 71, $SplitPrime) * 2654435761, $SplitPrime)"
-    val pre = Window
-      .partitionBy(col("lang"), pmod(col("doc_id"), lit(preShards.toLong)))
-      .orderBy(col("h"), col("doc_id"))
-    val fin = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), expr(h).as("h"))
-      .withColumn("pr", row_number().over(pre))
-      .filter(col("pr") <= k) // survivors: ≤ preShards·k per stratum
-      .withColumn("rk", row_number().over(fin))
-      .filter(col("rk") <= k)
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), expr(h).as("h")),
+        Seq("lang"), Seq(("h", false), ("doc_id", false)), k,
+        rankName = "rk")
       .select("lang", "rk", "doc_id", "h")
       .orderBy("lang", "rk")
   }

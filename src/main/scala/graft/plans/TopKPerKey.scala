@@ -95,29 +95,47 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
       : TopKPerKeyPlan = copy(child = c)
 }
 
-/** Plans [[TopKPerKeyPlan]] to [[TopKPerKeyExec]]; injected via
+/** Plans [[TopKPerKeyPlan]] to a PARTIAL + FINAL [[TopKPerKeyExec]]
+  * pair — the same two-phase shape as hash aggregation: the partial
+  * node runs the bounded heap over each INPUT partition with no
+  * distribution requirement, so at most k rows per (key, partition)
+  * reach the exchange (at 100 TB the shuffle carries keys·k·partitions
+  * rows, not the fact table); the final node re-heaps after the
+  * key shuffle and assigns ranks. Top-k is mergeable (the top-k of a
+  * union is the top-k of the per-part top-ks), which is what makes the
+  * partial pass lossless. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * `spark.experimental.extraStrategies` (GraftCatalog). */
 object TopKPerKeyStrategy
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        TopKPerKeyExec(keys, order, k, rankAttr, planLater(child),
+          partial = true)) :: Nil
     case _ => Nil
   }
 }
 
+/** Bounded-heap per-key top-k. `partial = true` is the map-side phase:
+  * no required distribution, emits the retained rows UNRANKED (child
+  * schema) — ranks can only be assigned once all of a key's rows are
+  * co-located. `partial = false` (final) requires the key cluster,
+  * re-heaps the survivors and appends the 1-based rank. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, rankAttr: AttributeReference, child: SparkPlan)
+    k: Int, rankAttr: AttributeReference, child: SparkPlan,
+    partial: Boolean = false)
     extends UnaryExecNode {
   import org.apache.spark.sql.execution.metric.SQLMetrics
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
   /** The rank attribute is born here (it rides the constructor only so
     * `copy()` preserves its exprId) — declare it produced or the plan
     * printer flags the node `!` as missing input. */
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
@@ -125,11 +143,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     "numReplacements" -> SQLMetrics.createMetric(sparkContext,
       "heap replacements (rows that displaced a retained row)"))
 
-  /** One hash shuffle on the key — the same distribution the window
-    * twin needs, so the exchange cost is identical; everything past
-    * the exchange is where the operator wins. */
+  /** Final phase: one hash shuffle on the key — the same distribution
+    * the window twin needs, so the exchange cost is identical;
+    * everything past the exchange is where the operator wins. Partial
+    * phase: none — it folds whatever partitioning arrives, emitting
+    * ≤ k rows per (key, partition) into the exchange. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -138,6 +159,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kLocal = k
+    val partialLocal = partial
     val outRows = longMetric("numOutputRows")
     val nKeys = longMetric("numKeys")
     val nRepl = longMetric("numReplacements")
@@ -170,20 +192,28 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       }
       nKeys += heaps.size()
-      val outProj = UnsafeProjection.create(output, output)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        // drain the max-heap worst-first, fill from the back → the
-        // array is in output order; k is small, no sort needed
-        val arr = new Array[UnsafeRow](heap.size)
-        var i = arr.length - 1
-        while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
-        arr.iterator.zipWithIndex.map { case (row, idx) =>
-          rankRow.setLong(0, idx + 1L)
-          outRows += 1
-          outProj(joined(row, rankRow))
+      if (partialLocal) {
+        // map-side phase: emit the retained rows as-is (order within
+        // the key is irrelevant — the final heap re-ranks)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          heap.iterator().asScala.map { row => outRows += 1; row }
+        }
+      } else {
+        val outProj = UnsafeProjection.create(output, output)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          // drain the max-heap worst-first, fill from the back → the
+          // array is in output order; k is small, no sort needed
+          val arr = new Array[UnsafeRow](heap.size)
+          var i = arr.length - 1
+          while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+          arr.iterator.zipWithIndex.map { case (row, idx) =>
+            rankRow.setLong(0, idx + 1L)
+            outRows += 1
+            outProj(joined(row, rankRow))
+          }
         }
       }
     }, preservesPartitioning = true)

@@ -206,11 +206,16 @@ class PlanAuditSpec extends SparkSpec {
       "query side must broadcast:\n" + p)
   }
 
-  test("ts_reservoir_topk: pre-top-k shards the strata before the final rank") {
+  test("ts_reservoir_topk: native partial heap prunes before the one shuffle") {
     val p = plan(graft.functions.TrainPrep.tsReservoirTopk(spark, sf))
+    // partial + final TopKPerKey around exactly one stratum shuffle —
+    // the map-side heap bounds what the exchange carries, replacing
+    // the old two-level (shard + stratum) window form's second pass
+    assert("TopKPerKey".r.findAllIn(p).length >= 2,
+      s"expected partial+final TopKPerKey:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 2,
-      s"two-level top-k = shard pass + stratum pass, got $shuffles:\n$p")
+    assert(shuffles == 1,
+      s"one stratum shuffle between the heap phases, got $shuffles:\n$p")
   }
 
   test("ta_bm25: corpus stats are one broadcast row; tf side never shuffles") {
@@ -242,8 +247,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sim_knn_graph: per-source top-k prunes partially before the shuffle") {
     val p = plan(graft.functions.Similarity.simKnnGraph(spark, sf))
-    assert(p.contains("WindowGroupLimit"),
-      "row_number<=k must plan a WindowGroupLimit:\n" + p)
+    // native heap operator, partial (pre-shuffle) + final phases
+    assert("TopKPerKey".r.findAllIn(p).length >= 2,
+      "per-source top-k runs on the partial+final TopKPerKey heap:\n" + p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"),
       "candidates come from the bucket hash join:\n" + p)

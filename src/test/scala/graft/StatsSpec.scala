@@ -99,10 +99,10 @@ class StatsSpec extends SparkSpec {
     assert(g.nonEmpty)
     g.groupBy(_.getAs[Long]("src_id")).foreach { case (_, es) =>
       assert(es.length <= 3)
-      val ranks = es.map(_.getAs[Int]("rnk")).sorted
-      assert(ranks === (1 to es.length).toArray)
+      val ranks = es.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks === (1L to es.length.toLong).toArray)
       // descending cosine along ranks
-      val byRank = es.sortBy(_.getAs[Int]("rnk"))
+      val byRank = es.sortBy(_.getAs[Long]("rnk"))
         .map(_.getAs[Double]("cos"))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }

@@ -144,8 +144,9 @@ class TrainPrepSpec extends SparkSpec {
     byLang.foreach { case (lang, rows) =>
       assert(rows.length === math.min(k.toLong, strata(lang)).toInt)
       // ranks are 1..n and hashes ascend with rank (smallest-k sample)
-      val sorted = rows.sortBy(_.getAs[Int]("rk"))
-      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to rows.length))
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ===
+        (1L to rows.length.toLong))
       val hs = sorted.map(_.getAs[Long]("h")).toSeq
       assert(hs === hs.sorted)
     }
