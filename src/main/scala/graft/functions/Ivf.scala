@@ -300,6 +300,39 @@ object Ivf {
       |  TRUE AS mean_recall_ok, TRUE AS hit_frac_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** PER-QUERY gate rows for the IVF ANN set (one step past the
+    * aggregate [[simIvfRecallGate]]): the ranked set itself is k-means-
+    * dependent, but three row-level invariants are engine-independent
+    * and hash-verifiable per query — (a) the result set is full
+    * (n_returned = k), (b) rank 1 is the query itself (the standard
+    * index self-retrieval sanity check, deliberate here per IvfSpec:
+    * it fails exactly when cell routing stops probing the query's own
+    * cell), and (c) the best NON-self hit's cosine is dominated by the
+    * exact top-1 cosine (probed cells ⊆ corpus and both paths share
+    * the bit-stable cosine fold, so a flipped flag means cosine drift
+    * between the ANN and exact paths, not data). Any single query's
+    * collapse flips its own row — the aggregate gate only catches
+    * population-level drops. */
+  def simIvfTop1Gate(spark: SparkSession, dir: String): DataFrame = {
+    val exact1 = Similarity.simTopK(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("__exact_cos"))
+    simIvf(spark, dir).groupBy("q_id")
+      .agg(count(lit(1)).as("n_returned"),
+        max(when(col("rank") === 1, col("c_id"))).as("__top1"),
+        max(when(col("rank") === 2, col("cos"))).as("__cos2"))
+      .join(broadcast(exact1), "q_id")
+      .select(col("q_id"), col("n_returned"),
+        (col("__top1") === col("q_id")).as("self_top1_ok"),
+        (col("__cos2") <= col("__exact_cos")).as("dominance_ok"))
+      .orderBy("q_id")
+  }
+
+  val simIvfTop1GateSql: String =
+    """SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+      |  TRUE AS self_top1_ok, TRUE AS dominance_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin
+
   // ── SemDeDup: semantic dedup inside k-means cells ───────────────────
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
@@ -388,9 +421,11 @@ object Ivf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_ann" -> (simIvf _),
     "sim_ivf_recall" -> (simIvfRecallGate _),
+    "sim_ivf_top1" -> (simIvfTop1Gate _),
     "sim_semdedup" -> (simSemDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_recall" -> simIvfRecallGateSql,
+    "sim_ivf_top1" -> simIvfTop1GateSql,
     "sim_semdedup" -> simSemDedupGateSql)
 }

@@ -313,10 +313,39 @@ object Pq {
       |  TRUE AS mean_recall_ok, TRUE AS hit_frac_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** PER-QUERY gate rows for the PQ/ADC ANN set — same invariants and
+    * rationale as [[Ivf.simIvfTop1Gate]]: full result set, rank 1 is
+    * the query itself (the self-ADC code is the minimum of every
+    * lookup table, so self always survives the shortlist and wins the
+    * exact re-rank — PqSpec pins it), and the best non-self hit is
+    * cosine-dominated by the exact top-1 (shortlist ⊆ corpus, shared
+    * bit-stable cosine). */
+  def simPqTop1Gate(spark: SparkSession, dir: String): DataFrame = {
+    val exact1 = graft.functions.Similarity.simTopK(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("__exact_cos"))
+    simPq(spark, dir).groupBy("q_id")
+      .agg(count(lit(1)).as("n_returned"),
+        max(when(col("rank") === 1, col("c_id"))).as("__top1"),
+        max(when(col("rank") === 2, col("cos"))).as("__cos2"))
+      .join(broadcast(exact1), "q_id")
+      .select(col("q_id"), col("n_returned"),
+        (col("__top1") === col("q_id")).as("self_top1_ok"),
+        (col("__cos2") <= col("__exact_cos")).as("dominance_ok"))
+      .orderBy("q_id")
+  }
+
+  val simPqTop1GateSql: String =
+    """SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned,
+      |  TRUE AS self_top1_ok, TRUE AS dominance_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_ann" -> (simPq _),
-    "sim_pq_recall" -> (simPqRecallGate _))
+    "sim_pq_recall" -> (simPqRecallGate _),
+    "sim_pq_top1" -> (simPqTop1Gate _))
 
   val oracles: Map[String, String] = Map(
-    "sim_pq_recall" -> simPqRecallGateSql)
+    "sim_pq_recall" -> simPqRecallGateSql,
+    "sim_pq_top1" -> simPqTop1GateSql)
 }

@@ -114,16 +114,23 @@ object ReplayBench {
     * Returns (batches, p50 ms, p95 ms, max ms) over non-empty batches.
     */
   def latencyProbe(spark: SparkSession, logDir: String, outDir: String,
-      linesPerTrigger: Long = 4096, shufflePartitions: Int = 8)
+      linesPerTrigger: Long = 4096, shufflePartitions: Int = 4)
       : (Int, Double, Double, Double) = {
     // A tail-follow consumer sizes its state/shuffle partitioning to
     // per-trigger volume, not to the batch-analytics default: every
     // micro-batch pays (load + commit) per state partition, so 32-way
     // state for a ~4k-row trigger is pure fixed cost. Measured at
-    // sf0.1: p50 756 ms at 32 partitions → 360 ms at 8, flat below
-    // that (the floor is offset-WAL + state + sink commit). Restored
-    // after the probe; the throughput drain above keeps the session
-    // default — its single catch-up batch wants the parallelism.
+    // sf0.1: p50 756 ms at 32 partitions → ~450 at 8 → ~410 at 4,
+    // flat below that. The remaining floor is the batch JOB itself
+    // (addBatch ≈ 270-300 ms: task launch + state commit + parquet
+    // commit); the durable-sink commit is ~100 ms of it (console
+    // delivery measures p50 ≈ 357), and async progress tracking
+    // trims the p95 tail (~650-830 → ~460-550) by taking offset/
+    // commit WAL writes off the critical path at the cost of
+    // exactly-once offsets — the frontier is recorded in SURVEY §16.
+    // Restored after the probe; the throughput drain above keeps the
+    // session default — its single catch-up batch wants the
+    // parallelism.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       shufflePartitions.toString)

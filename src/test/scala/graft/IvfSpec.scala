@@ -50,6 +50,16 @@ class IvfSpec extends SparkSpec {
       "query's own cell is always probed (nearest centroid = assigned)")
   }
 
+  test("ivf top-1 gate: full sets, self at rank 1, non-self dominated") {
+    val rows = Ivf.simIvfTop1Gate(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") >= 2L)
+      assert(r.getAs[Boolean]("self_top1_ok"), s"self not rank-1: $r")
+      assert(r.getAs[Boolean]("dominance_ok"), s"cosine drift: $r")
+    }
+  }
+
   test("IVF recall vs brute force is substantial at nprobe=2/8") {
     val sparkS = spark
     import sparkS.implicits._

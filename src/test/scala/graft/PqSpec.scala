@@ -8,6 +8,16 @@ class PqSpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sf).cache()
   private lazy val books = Pq.trainCodebooks(emb, m = 4, k = 16, iters = 2)
 
+  test("pq top-1 gate: full sets, self at rank 1, non-self dominated") {
+    val rows = Pq.simPqTop1Gate(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") >= 2L)
+      assert(r.getAs[Boolean]("self_top1_ok"), s"self not rank-1: $r")
+      assert(r.getAs[Boolean]("dominance_ok"), s"cosine drift: $r")
+    }
+  }
+
   test("codebooks have the right shape and finite codewords") {
     assert(books.length === 4)
     assert(books.forall(_.length === 16))
