@@ -122,6 +122,16 @@ object TopKPerKeyStrategy
   * schema) — ranks can only be assigned once all of a key's rows are
   * co-located. `partial = false` (final) requires the key cluster,
   * re-heaps the survivors and appends the 1-based rank. */
+object TopKPerKeyExec {
+  /** Partial-phase flush bound (retained rows per partition before the
+    * heap map is emitted and cleared): ~1M rows ≈ low hundreds of MB
+    * at typical row widths, far below executor memory, while still
+    * giving the map-side reduction plenty of keys to fold. Override
+    * per session with `graft.topk.partialFlushRows` (specs set it to a
+    * handful to exercise the flush path). */
+  val DefaultPartialFlushRows: Int = 1 << 20
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, rankAttr: AttributeReference, child: SparkPlan,
     partial: Boolean = false)
@@ -163,6 +173,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val outRows = longMetric("numOutputRows")
     val nKeys = longMetric("numKeys")
     val nRepl = longMetric("numReplacements")
+    val flushRows =
+      if (partial)
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.topk.partialFlushRows",
+            TopKPerKeyExec.DefaultPartialFlushRows.toString).toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -176,7 +192,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val heaps =
         new java.util.LinkedHashMap[UnsafeRow,
           java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
+      var retained = 0
+      def foldInput(): Unit = while (iter.hasNext && retained < flushRows) {
         val row = toUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -184,22 +201,51 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kLocal) heap.add(row.copy())
+        if (heap.size < kLocal) { heap.add(row.copy()); retained += 1 }
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
           nRepl += 1
         }
       }
-      nKeys += heaps.size()
       import scala.jdk.CollectionConverters._
       if (partialLocal) {
-        // map-side phase: emit the retained rows as-is (order within
-        // the key is irrelevant — the final heap re-ranks)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          heap.iterator().asScala.map { row => outRows += 1; row }
+        // Map-side phase: emit retained rows as-is (the final heap
+        // re-ranks). The heap map is O(keys-seen × k) — with high-
+        // cardinality keys that approaches the whole partition, so the
+        // partial phase FLUSHES at `flushRows` retained rows and
+        // starts over: lossless (emitting extra rows per key is fine,
+        // the final phase re-reduces them; a key's per-chunk top-k
+        // union is a superset of its partition top-k), and it bounds
+        // partial memory independently of key cardinality — the
+        // property hash aggregation gets from sort-based fallback,
+        // bought here with plain re-emission instead of a sort.
+        new Iterator[InternalRow] {
+          private var emit: java.util.Iterator[UnsafeRow] =
+            java.util.Collections.emptyIterator()
+          private def drain(): Unit = {
+            val all = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+            heaps.values().iterator().asScala
+              .foreach(h => all ++= h.iterator().asScala)
+            nKeys += heaps.size()
+            heaps.clear()
+            retained = 0
+            emit = all.iterator.asJava
+          }
+          private def advance(): Boolean =
+            emit.hasNext || {
+              if (iter.hasNext) { foldInput(); drain(); advance() }
+              else if (!heaps.isEmpty) { drain(); emit.hasNext }
+              else false
+            }
+          override def hasNext: Boolean = advance()
+          override def next(): InternalRow = {
+            advance(); outRows += 1; emit.next()
+          }
         }
       } else {
+        foldInput()
+        nKeys += heaps.size()
         val outProj = UnsafeProjection.create(output, output)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)

@@ -130,6 +130,38 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("partial-phase flush: bounded memory stays lossless vs the " +
+    "window twin at a tiny flush threshold") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // high key cardinality (every other row a fresh key) forces the
+    // partial heap map toward partition size — exactly the shape the
+    // flush bound exists for; a 4-row threshold makes every partition
+    // flush many times
+    val rows = (1L to 5000L).map(i =>
+      (i % 1000, i, (i * 2654435761L) % 100003L))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val prev = spark.conf.getOption("graft.topk.partialFlushRows")
+    spark.conf.set("graft.topk.partialFlushRows", "4")
+    try {
+      val native = TopKPerKey.topKPerKey(df, Seq("g"),
+          Seq(("v", true), ("id", false)), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val window = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(native === window,
+        "flushing partial phase must not change the result")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.topk.partialFlushRows", v)
+      case None => spark.conf.unset("graft.topk.partialFlushRows")
+    }
+  }
+
   test("float/double key columns are rejected (raw-byte grouping)") {
     val sparkS = spark
     import sparkS.implicits._
