@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# One-JVM-per-SF scale sweep -> SCALE.json
+#
+# Runs graft.Bench once per scale factor (fresh JVM each, so no cache
+# or codegen bleed between SFs), collects each run's BENCH_LAST.json,
+# and merges them into SCALE.json:
+#   {"generated_by": ..., "cpus": N,
+#    "totals": {"sf0.001": s, ...},
+#    "queries": {"<name>": {"sf0.001": s, "sf0.01": s, "sf0.1": s,
+#                           "slope_001_01": r, "slope_01_1": r}, ...}}
+# slope_* are the wall-clock ratios across each 10x data step — the
+# regressable form of the "would this survive 100x" argument.
+#
+# Usage: scripts/scale_sweep.sh [cpus]   (default 8)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CPUS="${1:-8}"
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+for SF in 0.001 0.01 0.1; do
+  echo "[scale] sf$SF ..." >&2
+  SPARK_GRAFT_SF_DIR="/root/testdata/sf$SF" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch 'runMain graft.Bench' >"$TMP/bench_$SF.out" 2>&1 || {
+      echo "[scale] bench failed at sf$SF; tail:" >&2
+      tail -5 "$TMP/bench_$SF.out" >&2
+      exit 1
+    }
+  cp BENCH_LAST.json "$TMP/last_$SF.json"
+done
+python3 - "$TMP" "$CPUS" <<'EOF'
+import json, sys
+tmp, cpus = sys.argv[1], int(sys.argv[2])
+runs = {sf: json.load(open(f"{tmp}/last_{sf}.json"))
+        for sf in ("0.001", "0.01", "0.1")}
+names = sorted(set().union(*[r["queries"].keys() for r in runs.values()]))
+def ratio(a, b):
+    return round(b / a, 2) if a and a > 0 and b and b > 0 else None
+queries = {}
+for n in names:
+    t = {f"sf{sf}": runs[sf]["queries"].get(n) for sf in runs}
+    t["slope_001_01"] = ratio(t["sf0.001"], t["sf0.01"])
+    t["slope_01_1"] = ratio(t["sf0.01"], t["sf0.1"])
+    queries[n] = t
+out = {
+    "generated_by": "scripts/scale_sweep.sh (one JVM per SF)",
+    "cpus": cpus,
+    "totals": {f"sf{sf}": runs[sf]["value"] for sf in runs},
+    "queries": queries,
+}
+json.dump(out, open("SCALE.json", "w"), indent=1, sort_keys=True)
+print("[scale] wrote SCALE.json:", out["totals"])
+EOF

@@ -545,19 +545,34 @@ object Similarity {
     val cn = sqrt(idot(col("c_qv"), col("c_qv")).cast("double"))
     val qcos = when(qn === 0d || cn === 0d, lit(-2.0d)).otherwise(
       idot(col("q_qv"), col("c_qv")).cast("double") / (qn * cn))
-    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    val wQ = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id"))
+    // Contributions are zero past topK, so each ranking runs as a
+    // native TopKPerKey pass (partial heaps bound what the exchange
+    // carries to ≤ |Q|·topK per input partition — the dual-window form
+    // shuffled and triple-sorted the whole |Q|×corpus pair stream) and
+    // the RRF sum fuses the two k-deep lists by union + hash aggregate,
+    // the same no-join fusion as the hybrid retrieval path. IEEE
+    // addition of ≤2 positive terms is order-independent and x+0.0 = x,
+    // so the fused scores are bit-identical to the window form's.
+    val scored = graft.util.Caches.persistOnce(
+      c.join(q, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("qcos", qcos)
+        .select("q_id", "c_id", "cos", "qcos"))
+    val topD = graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "cos"),
+        Seq("q_id"), Seq(("cos", true), ("c_id", false)), topK,
+        rankName = "rank_d")
+      .select(col("q_id"), col("c_id"), col("rank_d").as("r"))
+    val topQ = graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "qcos"),
+        Seq("q_id"), Seq(("qcos", true), ("c_id", false)), topK,
+        rankName = "rank_q")
+      .select(col("q_id"), col("c_id"), col("rank_q").as("r"))
     val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
-    val contrib = (r: Column) =>
-      when(r <= topK, lit(1.0d) / (lit(60.0d) + r.cast("double")))
-        .otherwise(lit(0.0d))
-    c.join(q, col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("qcos", qcos)
-      .withColumn("rank_d", row_number().over(wD))
-      .withColumn("rank_q", row_number().over(wQ))
-      .withColumn("rrf", contrib(col("rank_d")) + contrib(col("rank_q")))
-      .filter(col("rrf") > 0d)
+    topD.unionAll(topQ)
+      .groupBy("q_id", "c_id")
+      .agg(sum(lit(1.0d) / (lit(60.0d) + col("r").cast("double")))
+        .as("rrf"))
       .withColumn("rank", row_number().over(wF))
       .filter(col("rank") <= finalK)
       .select("q_id", "c_id", "rrf", "rank")
@@ -648,9 +663,15 @@ object Similarity {
     * precision@k, MRR@k (reciprocal rank of the first relevant run
     * position), and nDCG@k with the shared-constant discounts above.
     *
-    * ONE broadcast pass scores both rankings; the two row_number
-    * windows and the final agg share the q_id partitioning, so the
-    * whole eval is a single shuffle. The aggregate output is |Q| rows —
+    * Both ranks only MATTER inside their top-k (grade is 0 past the
+    * truth's k; the run keeps rank_q ≤ k rows), so each ranking runs
+    * as a native [[graft.plans.TopKPerKey]] pass over the broadcast-
+    * scored pairs and the metrics fuse by joining the two k-deep lists
+    * — the exchange carries only partial-heap survivors (≤ |Q|·k per
+    * input partition), never the |Q|×corpus pair stream the previous
+    * dual-window form shuffled and sorted twice. Column pruning keeps
+    * each pass computing only its own cosine family, so the map-side
+    * scoring work is unchanged. The aggregate output is |Q| rows —
     * model-sized at any corpus scale. All metric divisions are single
     * IEEE ops on integer-valued operands → hash-exact oracle. */
   def rankMetrics(queries: DataFrame, corpus: DataFrame,
@@ -674,18 +695,32 @@ object Similarity {
     val cn = sqrt(idot(col("c_qv"), col("c_qv")).cast("double"))
     val qcos = when(qn === 0d || cn === 0d, lit(-2.0d)).otherwise(
       idot(col("q_qv"), col("c_qv")).cast("double") / (qn * cn))
-    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    val wQ = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id"))
     val disc = element_at(array(Disc20.map(lit).toIndexedSeq: _*),
       col("rank_q").cast("int"))
-    val run = c.join(q, col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("qcos", qcos)
-      .withColumn("rank_d", row_number().over(wD))
-      .withColumn("rank_q", row_number().over(wQ))
-      .filter(col("rank_q") <= k)
+    // score once (both cosine families, one pass over the broadcast
+    // join), persist the slim 4-column pair table, then run both
+    // k-deep rankings as heap passes over the cache — the scored table
+    // is exactly the data the old dual-window form pushed through its
+    // exchange, but here it is materialized once and never shuffled
+    // or sorted: each TopKPerKey partial bounds its exchange to
+    // ≤ |Q|·k rows per input partition
+    val scored = graft.util.Caches.persistOnce(
+      c.join(q, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("qcos", qcos)
+        .select("q_id", "c_id", "cos", "qcos"))
+    val truthTop = graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "cos"),
+        Seq("q_id"), Seq(("cos", true), ("c_id", false)), k,
+        rankName = "rank_d")
+      .select("q_id", "c_id", "rank_d")
+    val run = graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "qcos"),
+        Seq("q_id"), Seq(("qcos", true), ("c_id", false)), k,
+        rankName = "rank_q")
+      .join(broadcast(truthTop), Seq("q_id", "c_id"), "left")
       .withColumn("grade",
-        when(col("rank_d") <= k, lit(k + 1) - col("rank_d"))
+        when(col("rank_d").isNotNull, lit(k + 1) - col("rank_d"))
           .otherwise(lit(0)).cast("long"))
     run.groupBy("q_id")
       .agg(

@@ -196,11 +196,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "merge must not plan a join:\n" + p)
   }
 
-  test("sim_rrf_fusion: both rankings and the fusion share one q_id shuffle") {
+  test("sim_rrf_fusion: heap rankings over one cached scoring pass; " +
+    "every exchange carries survivor-sized data") {
     val p = plan(graft.functions.Similarity.simRrfFusion(spark, sf))
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 1,
-      s"three windows on q_id must reuse one partitioning, got $shuffles:\n$p")
+    // two partial+final TopKPerKey pairs over the persisted scored
+    // pairs (InMemoryTableScan), fused by union + hash aggregate —
+    // the shuffles that remain carry <= |Q| x 2 x topK rows (the heap
+    // survivors, the fusion groups, the final window), never the
+    // |Q| x corpus pair stream the old triple-window form exchanged
+    assert("TopKPerKey".r.findAllIn(p).length >= 4,
+      "both rankings run partial+final heaps:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "pairs are scored once through the cache:\n" + p)
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"),
       "query side must broadcast:\n" + p)
