@@ -397,19 +397,22 @@ object SearchIndex {
     val scoreT = idf * (tfd * lit(RankK1 + 1.0d)) /
       (tfd + lit(RankK1) * (lit(1.0d - RankB) +
         lit(RankB) * (col("dl") / (col("sum_dl") / col("n_docs")))))
-    val wRt = Window.partitionBy("q_id")
-      .orderBy(col("score20").desc, col("c_id"))
-    val textTop = broadcast(qt)
-      .join(occ.select(col("doc_id").as("c_id"), col("t"), col("tf")), "t")
-      .filter(col("c_id") =!= col("q_id"))
-      .join(lens, "c_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("s20",
-        floor(scoreT * lit(1048576.0d) + lit(0.5d)).cast("long"))
-      .groupBy("q_id", "c_id")
-      .agg(count(lit(1)).as("n_matched"), sum("s20").as("score20"))
-      .withColumn("rank_t", row_number().over(wRt))
-      .filter(col("rank_t") <= HyTopC)
+    // per-query BM25 ranking on the native heap (partial phase bounds
+    // the rank exchange to ≤ |Q|·HyTopC per partition), replacing the
+    // WindowGroupLimit + sort form
+    val textTop = graft.plans.TopKPerKey.topKPerKey(
+        broadcast(qt)
+          .join(occ.select(col("doc_id").as("c_id"), col("t"), col("tf")),
+            "t")
+          .filter(col("c_id") =!= col("q_id"))
+          .join(lens, "c_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("s20",
+            floor(scoreT * lit(1048576.0d) + lit(0.5d)).cast("long"))
+          .groupBy("q_id", "c_id")
+          .agg(count(lit(1)).as("n_matched"), sum("s20").as("score20")),
+        Seq("q_id"), Seq(("score20", true), ("c_id", false)), HyTopC,
+        rankName = "rank_t")
       .select("q_id", "c_id", "n_matched", "rank_t")
     val emb = Tables.embeddings(spark, dir)
     val qv = broadcast(emb.filter(col("vec_id") % 100 === 0)
