@@ -241,22 +241,32 @@ object Pca {
         col("p").as("q_p")))
     val c = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"), col("p").as("c_p"))
-    val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    val wJ = Window.partitionBy("q_id").orderBy(col("jcos").desc, col("c_id"))
-    val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    val ranked = c.join(q, col("q_id") =!= col("c_id"))
-      .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("jcos", Similarity.cosine(col("q_p"), col("c_p")))
-      .withColumn("rank_d", row_number().over(wD))
-      .withColumn("rank_j", row_number().over(wJ))
-    // exact re-rank of the projected shortlist → the pipeline's top-k
-    val finalTopK = ranked.filter(col("rank_j") <= short)
-      .withColumn("rank_f", row_number().over(wR))
-      .filter(col("rank_f") <= k)
+    // score once (full + projected cosine), persist the slim pair
+    // table, then run all three rankings as TopKPerKey heap passes —
+    // the same cached-scored shape as sim_rank_metrics/sim_rrf_fusion:
+    // nothing corpus-sized is ever exchanged or sorted
+    val scored = graft.util.Caches.persistOnce(
+      c.join(q, col("q_id") =!= col("c_id"))
+        .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
+        .withColumn("jcos", Similarity.cosine(col("q_p"), col("c_p")))
+        .select("q_id", "c_id", "cos", "jcos"))
+    // projected-space shortlist (cos rides through as payload), then
+    // exact re-rank of the shortlist → the pipeline's top-k
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "cos", "jcos"),
+        Seq("q_id"), Seq(("jcos", true), ("c_id", false)), short,
+        rankName = "rank_j")
+    val finalTopK = graft.plans.TopKPerKey.topKPerKey(
+        shortlist.select("q_id", "c_id", "cos"),
+        Seq("q_id"), Seq(("cos", true), ("c_id", false)), k,
+        rankName = "rank_f")
       .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
     // both fused lists are |Q| x k rows — broadcast the pipeline's
     // top-k so the recall intersection never plans as an SMJ
-    ranked.filter(col("rank_d") <= k)
+    graft.plans.TopKPerKey.topKPerKey(
+        scored.select("q_id", "c_id", "cos"),
+        Seq("q_id"), Seq(("cos", true), ("c_id", false)), k,
+        rankName = "rank_d")
       .select(col("q_id"), col("c_id"))
       .join(broadcast(finalTopK), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
