@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietKnownNoise()
     GraftCatalog.installOptimizations(spark)
     // untimed warm-up: JVM/codegen/file-listing costs land here, not on
     // whichever query happens to run first

@@ -30,7 +30,19 @@ object GraftSession {
       : SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietKnownNoise()
     GraftCatalog.installOptimizations(s)
     s
   }
+
+  /** Silences the one benign WARN class the engine triggers by design:
+    * unpersisting a localCheckpoint (the iterative kernels checkpoint
+    * per round and `Caches.releaseAll` frees the blocks between bench
+    * queries) logs "lineage has been truncated and cannot be recomputed"
+    * per RDD — correct and intended, but it buries real warnings in a
+    * full-suite log. Scoped to the exact logger, not a blanket filter. */
+  def quietKnownNoise(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -19,6 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietKnownNoise()
     GraftCatalog.installOptimizations(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

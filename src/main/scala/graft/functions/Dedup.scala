@@ -566,24 +566,37 @@ object Dedup {
     // with persist() alone (persist caches data, not the plan).
     // Checkpointing resets the plan to a leaf so every round costs the
     // same few small shuffles.
+    // The edge table is the loop's biggest operand and never changes:
+    // hash-partition it by the join side ONCE and checkpoint —
+    // localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD leaf, so every round's edges⋈labels join shuffles only
+    // the (smaller) label side instead of re-exchanging edges per round.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(col("b"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && iter < maxIters) {
-      // one hop: take the min of the own label and all neighbor labels
-      val nbrMin = edges
+      val t0 = System.nanoTime()
+      // one hop as union + min-aggregate, not join + left-join: each
+      // node's new label is min(own, neighbors'), so emit one self row
+      // (id, label, old=label) plus one row (a, bl, old=null) per
+      // directed edge and fold with a single map-side-partial min —
+      // two exchanges (labels by b, union by id) where the former
+      // join/left-join shape paid five. `max(old)` recovers the
+      // previous label: exactly one self row per id carries non-null.
+      val self = labels.select(col("id"), col("label").as("contrib"),
+        col("label").as("prev"))
+      val nbr = edges
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
-        .groupBy("a").agg(min("bl").as("nbl"))
-      val stepped = labels
-        .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"),
-          "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbl"), col("label")))
-            .as("lmin"))
+        .select(col("a").as("id"), col("bl").as("contrib"),
+          lit(null).cast(self.schema("prev").dataType).as("prev"))
+      val stepped = self.union(nbr).groupBy("id")
+        .agg(min("contrib").as("lmin"), max("prev").as("old"))
       // pointer jump: follow the fresh label one more hop (the label of
       // the node it points to). Composing the two mappings roughly
       // halves the remaining distance to the component minimum each
@@ -591,7 +604,8 @@ object Dedup {
       // jump only ever lowers labels within the component, so the
       // fixed-point argument is unchanged: a full no-op round means
       // label(a) ≤ label(b) across every (doubled) edge, i.e. labels
-      // are constant per component.
+      // are constant per component. The probe side (jid = id) reuses
+      // the aggregate's hash partitioning; only the lmin side shuffles.
       val jumped = stepped.alias("s")
         .join(stepped.select(col("id").as("jid"), col("lmin").as("jl"))
             .alias("j"),
@@ -606,6 +620,9 @@ object Dedup {
       converged = jumped.filter(col("label") =!= col("old")).isEmpty
       labels = jumped.select("id", "label")
       iter += 1
+      if (debug) System.err.println(
+        f"[cc] round $iter%d ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" converged=$converged")
     }
     // a component needing more than maxIters rounds (diameter beyond
     // ~2^maxIters with jumping) would return partially-propagated

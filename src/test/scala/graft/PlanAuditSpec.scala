@@ -344,6 +344,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
   }
 
+  test("suite-wide: SortMergeJoin only on the gr_triangles edge-closing joins") {
+    // Round 9 removed every sort-merge join from the headline plans
+    // except the O(E) edge-closing joins in gr_triangles (both sides
+    // are the derived directed-edge table — too big to broadcast by
+    // contract, bounded by E, and AQE may still demote them). An SMJ
+    // anywhere else means a fusion/report join lost its broadcast or
+    // union-aggregate shape — a sort+exchange regression at corpus
+    // scale, so the claim is enforced rather than prose.
+    val smjWhitelist = Set("gr_triangles")
+    val offenders = graft.Plans.sections(spark, sf).flatMap {
+      case (name, _, df) =>
+        val p = plan(df)
+        val smj = "SortMergeJoin".r.findAllIn(p).length
+        if (smj > 0 && !smjWhitelist.exists(name.startsWith))
+          Some(s"$name ($smj SMJ)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"sort-merge joins outside the gr_triangles whitelist: $offenders")
+  }
+
   test("suite-wide: no headline query spills memory when executed") {
     // Executes every headline plan and reads the spill SQL metrics off
     // the executed tree (SpillAudit) — the class of silent-degradation
