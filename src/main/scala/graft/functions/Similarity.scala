@@ -838,55 +838,83 @@ object Similarity {
     *
     * Scale shape: the per-query shortlist here is brute-force cosine
     * (queries broadcast, one corpus scan — fine for small Q); at 100 TB
-    * the shortlist comes from the ANN paths ([[Ivf]]/[[simLsh]]) and
-    * the MMR rounds are unchanged: each round joins the O(|Q|·short)
-    * candidate pool to the O(|Q|·k) selected set — both bounded model
-    * state, localCheckpointed so the iterative plan never deepens —
-    * and reduces with one max-aggregate; the corpus is never rescanned
-    * after the shortlist. */
+    * the shortlist comes from the ANN paths ([[Ivf]]/[[simLsh]]). The
+    * greedy selection itself is SINGLE-PASS, not a k-round driver
+    * loop: all candidate-candidate cosines inside a query's shortlist
+    * (short² per query, bounded) are precomputed with the same native
+    * cosine expression the rounds used, folded into one per-query map,
+    * and the k-step greedy argmax runs as a higher-order `aggregate`
+    * over ONE row per query — embarrassingly parallel across queries,
+    * zero driver synchronization, two tiny shuffles total where the
+    * round formulation paid ~4 exchanges × k rounds. The corpus is
+    * never rescanned after the shortlist. */
   def simMmr(spark: SparkSession, dir: String, k: Int = 5,
       shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= shortlist, "need 1 <= k <= shortlist")
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cand = emb
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    val pool0 = broadcast(q).join(cand, col("q_id") =!= col("c_id"))
+    val scored0 = broadcast(q).join(cand, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("c_vec"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= shortlist)
-      .drop("rnk")
+    val pool0 = graft.plans.TopKPerKey.topKPerKey(scored0, Seq("q_id"),
+        Seq(("cos", true), ("c_id", false)), shortlist)
+      .drop("rk")
       .localCheckpoint()
-    var selected = pool0.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("q_id"), col("c_id"), col("c_vec"), col("cos"),
-        lit(1).as("round"))
-      .localCheckpoint()
-    for (r <- 2 to k) {
-      val pool = pool0.join(selected.select("q_id", "c_id"),
-        Seq("q_id", "c_id"), "left_anti")
-      val sel = selected.select(col("q_id"), col("c_vec").as("s_vec"))
-      val scored = pool.join(sel, "q_id")
-        .select(col("q_id"), col("c_id"), col("cos"),
-          cosine(col("c_vec"), col("s_vec")).as("sim_s"))
-        .groupBy("q_id", "c_id", "cos")
-        .agg(max(col("sim_s")).as("max_sim"))
-        .withColumn("score",
-          lit(lambda) * col("cos") - lit(1.0d - lambda) * col("max_sim"))
-      val wS = Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("c_id"))
-      val pick = scored.withColumn("rnk", row_number().over(wS))
-        .filter(col("rnk") === 1)
-        .select(col("q_id"), col("c_id"), lit(r).as("round"))
-      selected = selected.unionByName(
-          pick.join(pool0, Seq("q_id", "c_id"))
-            .select(col("q_id"), col("c_id"), col("c_vec"), col("cos"),
-              col("round")))
-        .localCheckpoint()
-    }
-    selected.select(col("q_id"), col("c_id"), col("round"), col("cos"))
+    // per-query candidate list (c_id-sorted for deterministic fold
+    // order) and the full shortlist×shortlist sim map, keyed "a#b"
+    val pa = pool0.select(col("q_id"), col("c_id").as("a_id"),
+      col("c_vec").as("a_vec"))
+    val pb = pool0.select(col("q_id"), col("c_id").as("b_id"),
+      col("c_vec").as("b_vec"))
+    val pairSims = pa.join(pb, Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"),
+        concat(col("a_id"), lit("#"), col("b_id")).as("pk"),
+        cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .groupBy("q_id")
+      .agg(map_from_arrays(collect_list(col("pk")),
+        collect_list(col("sim"))).as("sims"))
+    val cands = pool0.groupBy("q_id")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cos"))))
+        .as("cands"))
+    // round 1 is the pure relevance argmax (score desc, c_id asc),
+    // exactly the old window's row_number() = 1 pick
+    val r1 =
+      """reduce(cands, cast(null as struct<c_id:bigint,cos:double>),
+        |  (best, c) -> CASE WHEN best IS NULL OR c.cos > best.cos
+        |    OR (c.cos = best.cos AND c.c_id < best.c_id)
+        |  THEN c ELSE best END)""".stripMargin
+    // rounds 2..k: argmax of λ·cos − (1−λ)·max_{s∈sel} sim(c, s) over
+    // the not-yet-selected candidates; `transform(array(reduce(…)))`
+    // re-projects the scored winner back to the accumulator's
+    // struct<c_id,cos> element type without repeating the reduce
+    val lam = s"${lambda}D"
+    val oneMinus = s"${1.0d - lambda}D"
+    val selExpr =
+      if (k == 1) s"array($r1)"
+      else
+        s"""aggregate(sequence(2, $k), array($r1),
+           |  (sel, r) -> sel || transform(array(reduce(
+           |    transform(
+           |      filter(cands, c -> NOT exists(sel, s -> s.c_id = c.c_id)),
+           |      c -> named_struct('c_id', c.c_id, 'cos', c.cos,
+           |        'score', $lam * c.cos - $oneMinus *
+           |          reduce(sel, cast('-Infinity' as double),
+           |            (m, s) -> greatest(m, element_at(sims,
+           |              concat(c.c_id, '#', s.c_id)))))),
+           |    cast(null as struct<c_id:bigint,cos:double,score:double>),
+           |    (best, c) -> CASE WHEN best IS NULL OR c.score > best.score
+           |      OR (c.score = best.score AND c.c_id < best.c_id)
+           |    THEN c ELSE best END)),
+           |    p -> named_struct('c_id', p.c_id, 'cos', p.cos)))""".stripMargin
+    cands.join(pairSims, Seq("q_id"))
+      .select(col("q_id"), posexplode(expr(selExpr)))
+      .select(col("q_id"), col("col.c_id").as("c_id"),
+        (col("pos") + 1).cast("int").as("round"),
+        col("col.cos").as("cos"))
       .orderBy("q_id", "round")
   }
 
