@@ -299,9 +299,19 @@ object SearchIndex {
         .as("t1"),
       expr("concat(split(tri, ' ')[1], ' ', split(tri, ' ')[2])")
         .as("t2"))
-    val m1 = pocc.join(broadcast(q), col("t") === col("t1"))
-      .select(col("doc_id"), col("pos"))
-    val m2 = pocc.join(broadcast(q), col("t") === col("t2"))
+    // ONE pass over the positional stream for both query bigrams: the
+    // 2-row (term, slot) query broadcasts onto the stream, and the
+    // slot-tagged matches (candidate-sized) are checkpointed so the
+    // adjacency self-join reads them twice without re-exploding the
+    // corpus — the former two-join form paid the full posexplode scan
+    // per bigram.
+    val qTagged = q.select(posexplode(array(col("t1"), col("t2"))))
+      .select(col("col").as("qt"), col("pos").as("slot"))
+    val m = pocc.join(broadcast(qTagged), col("t") === col("qt"))
+      .select(col("doc_id"), col("pos"), col("slot"))
+      .localCheckpoint()
+    val m1 = m.filter(col("slot") === 0).select(col("doc_id"), col("pos"))
+    val m2 = m.filter(col("slot") === 1)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))
     val hits = m1.join(m2, Seq("doc_id", "pos"))
       .groupBy("doc_id").agg(count(lit(1)).as("phrase_tf"))
