@@ -1179,10 +1179,11 @@ object TrainPrep {
     bpeEncodeWith(docs, table).orderBy("doc_id")
   }
 
-  /** Encode `docs` with an already-learned merge table — the reusable
-    * half of [[tcBpeEncode]] (the gate below audits the same encode
-    * without paying a second learn pass). */
-  def bpeEncodeWith(docs: DataFrame,
+  /** The encoded distinct-token vocabulary (tok, syms): each merge is
+    * the same codegen'd left-greedy fold used during learning, applied
+    * to the vocab-cardinality table, checkpointed per merge so the
+    * iterative plan never deepens. */
+  def bpeEncodeVocab(docs: DataFrame,
       table: Seq[(String, String, Long)]): DataFrame = {
     import org.apache.spark.sql.Column
     var vocab = docs
@@ -1201,6 +1202,18 @@ object TrainPrep {
       vocab = vocab.select(col("tok"), merged.as("syms"))
         .localCheckpoint()
     }
+    vocab
+  }
+
+  /** Encode `docs` with an already-learned merge table — the reusable
+    * half of [[tcBpeEncode]] (the gate below audits the same encode
+    * without paying a second learn pass). */
+  def bpeEncodeWith(docs: DataFrame,
+      table: Seq[(String, String, Long)]): DataFrame =
+    bpeEncodeFrom(docs, bpeEncodeVocab(docs, table))
+
+  private def bpeEncodeFrom(docs: DataFrame, vocab: DataFrame)
+      : DataFrame = {
     val enc = vocab.select(col("tok"), size(col("syms")).as("n_sym"),
       length(col("tok")).as("n_chr"))
     docs.select(col("doc_id"),
@@ -1221,22 +1234,31 @@ object TrainPrep {
     * the token frequency table — no rewritten sequences involved yet),
     * and the encode obeys hash-verifiable invariants: every document's
     * BPE token count sits between its whitespace token count and its
-    * character count (each token encodes to 1..len symbols), and four
+    * character count (each token encodes to 1..len symbols), four
     * applied merges must strictly compress the corpus (merge #1 alone
-    * has positive count). A broken pair count, a drifted tie-break, a
-    * rewrite that loses or duplicates symbols — each flips an exact
-    * column or a flag and fails the driver hash. */
+    * has positive count), and DECODE round-trips — concatenating every
+    * vocab entry's symbols reproduces the token byte-for-byte, the
+    * content-level check the count bounds alone cannot see (a rewrite
+    * that drops one symbol and duplicates another passes the counts).
+    * A broken pair count, a drifted tie-break, a rewrite that loses or
+    * duplicates symbols — each flips an exact column or a flag and
+    * fails the driver hash. */
   def tcBpeGate(spark: SparkSession, dir: String, merges: Int = 4)
       : DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (table, _) = bpeLearn(docs, merges)
     val (fa, fb, fcnt) = table.head
-    bpeEncodeWith(docs, table).agg(
+    val vocab = bpeEncodeVocab(docs, table)
+    val roundtrip = vocab.agg(
+      (sum(when(concat_ws("", col("syms")) === col("tok"), 0L)
+        .otherwise(1L)) === 0L).as("decode_roundtrip_ok"))
+    bpeEncodeFrom(docs, vocab).agg(
       count(lit(1)).as("n_docs"),
       (sum(when(col("n_tokens") <= col("n_bpe_tokens") &&
         col("n_bpe_tokens") <= col("n_chars"), 0L).otherwise(1L))
         === 0L).as("encode_bounds_ok"),
       (sum("n_bpe_tokens") < sum("n_chars")).as("compressed_ok"))
+      .crossJoin(roundtrip)
       .withColumn("first_left", lit(fa))
       .withColumn("first_right", lit(fb))
       .withColumn("first_count", lit(fcnt))
@@ -1263,6 +1285,7 @@ object TrainPrep {
       |      unnest(regexp_split_to_array(text, '\s+')) AS tok
       |    FROM documents) WHERE len(tok) > 0)
       |SELECT n_docs, TRUE AS encode_bounds_ok, TRUE AS compressed_ok,
+      |  TRUE AS decode_roundtrip_ok,
       |  a AS first_left, b AS first_right, cnt AS first_count,
       |  TRUE AS merges_ok
       |FROM first CROSS JOIN docs_n""".stripMargin

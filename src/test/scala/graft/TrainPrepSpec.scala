@@ -249,6 +249,7 @@ class TrainPrepSpec extends SparkSpec {
     assert(row.getAs[Long]("n_docs") > 0)
     assert(row.getAs[Boolean]("encode_bounds_ok"))
     assert(row.getAs[Boolean]("compressed_ok"))
+    assert(row.getAs[Boolean]("decode_roundtrip_ok"))
     assert(row.getAs[Boolean]("merges_ok"))
   }
 
