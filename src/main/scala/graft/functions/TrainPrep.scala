@@ -1290,7 +1290,65 @@ object TrainPrep {
       |  TRUE AS merges_ok
       |FROM first CROSS JOIN docs_n""".stripMargin
 
+  // ── per-source quota enforcement ────────────────────────────────────
+  /** Per-source document caps — the RefinedWeb/CCNet-style curation
+    * step that stops any one domain from dominating the mixture: each
+    * source keeps its `cap` best documents by the corpus' shared
+    * quality score ([[TextAnalysis.qualityScoreCol]], ties to the
+    * lower doc_id) and the report accounts what the cap admitted and
+    * dropped, plus the admission threshold (the lowest kept score —
+    * what a NEW document must beat to displace into the quota).
+    *
+    * Scale shape: selection runs on the native [[graft.plans.TopKPerKey]]
+    * heap — partial per-partition heaps bound the exchange at
+    * cap rows per (source, partition) and memory at O(cap), where the
+    * row_number window twin sorts every source's full document list.
+    * The twin stays the oracle: DuckDB recomputes the kept set with
+    * the window form. */
+  def tpSourceQuota(spark: SparkSession, dir: String, cap: Int = 10)
+      : DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      TextAnalysis.qualityScoreCol(col("text")).as("score"))
+    val kept = graft.plans.TopKPerKey.topKPerKey(scored, Seq("source"),
+      Seq(("score", true), ("doc_id", false)), cap)
+    val totals = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val keptAgg = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("chars_kept"),
+        min("score").as("admit_score"))
+    totals.join(keptAgg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("chars_kept"), col("admit_score"))
+      .orderBy("source")
+  }
+
+  def tpSourceQuotaSql(cap: Int = 10): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ${TextAnalysis.qualitySqlExpr("text")} AS score
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number()
+       |    OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored),
+       |tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM scored GROUP BY source),
+       |ka AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       |    MIN(score) AS admit_score
+       |  FROM r WHERE rk <= $cap GROUP BY source)
+       |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+       |  chars_kept, admit_score
+       |FROM tot JOIN ka USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_source_quota" ->
+      ((s: SparkSession, d: String) => tpSourceQuota(s, d)),
     "tc_bpe_merges" ->
       ((s: SparkSession, d: String) => tcBpeMerges(s, d)),
     "tc_bpe_encode" ->
@@ -1331,6 +1389,7 @@ object TrainPrep {
       ((s: SparkSession, d: String) => dc5OverlapFraction(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "tp_source_quota" -> tpSourceQuotaSql(),
     "tc_bpe_gate" -> tcBpeGateSql,
     "tc_length_buckets" -> tcLengthBucketsSql(),
     "tc_padding_sweep" -> tcPaddingSweepSql(),

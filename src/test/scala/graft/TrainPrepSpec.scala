@@ -516,4 +516,37 @@ class TrainPrepSpec extends SparkSpec {
       out.exists(_.getAs[String]("band") != "clean"),
       "bands must be non-degenerate on the synthetic corpus")
   }
+
+  test("source quota: native heap selection equals the window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 10
+    val scored = Tables.documents(spark, sf).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      graft.functions.TextAnalysis.qualityScoreCol(col("text"))
+        .as("score"))
+    val twin = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("chars_kept"),
+        min("score").as("admit_score"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept"),
+          r.getAs[Double]("admit_score")))).toMap
+    val got = TrainPrep.tpSourceQuota(spark, sf, cap).collect()
+    assert(got.length === twin.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nk, ck, as_) = twin(src)
+      assert(r.getAs[Long]("n_kept") === nk, s"$src n_kept")
+      assert(r.getAs[Long]("chars_kept") === ck, s"$src chars_kept")
+      assert(r.getAs[Double]("admit_score") === as_, s"$src admit_score")
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped"), src)
+      assert(r.getAs[Long]("n_kept") <= cap.toLong, src)
+    }
+  }
 }
