@@ -537,6 +537,86 @@ object TrainPrep {
        |FROM tot t LEFT JOIN sh s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Contamination SEVERITY by longest shared span — the ladder
+    * complement to [[dc5OverlapFraction]]'s fraction bands: a train
+    * doc sharing one 3-gram holds a common phrase; one sharing a
+    * 24-gram verbatim holds a leaked eval passage, whatever its
+    * overlap FRACTION. Each train doc reports the largest rung
+    * n ∈ {3,6,12,24} at which it still shares an n-token-gram with
+    * the eval slice, banded clean/phrase/passage/section/document —
+    * the Lee-et-al-style span-length triage.
+    *
+    * Scale shape: sharing an n-gram implies sharing all its
+    * constituent subgrams with the SAME eval doc, so rung membership
+    * is monotone — each rung semi-joins ONLY the docs flagged at the
+    * previous rung (checkpointed id sets, candidate-sized), and the
+    * full-corpus gram explode happens once at the base rung. Eval
+    * gram sets are per-rung distinct hash sets (1/97 of the corpus);
+    * every join is a hash semi-join on an 8-byte gram hash. */
+  def dc6SpanLadder(spark: SparkSession, dir: String): DataFrame = {
+    val rungs = Seq(3, 6, 12, 24)
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 97 === 0
+    var candidates = docs.filter(!isEval).select("doc_id", "text")
+    val flagged = rungs.map { n =>
+      val evalG = docs.filter(isEval)
+        .select(explode(ngramHashes(col("text"), n)).as("g")).distinct()
+      val ids = candidates
+        .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+        .join(evalG, "g")
+        .select("doc_id").distinct()
+        .localCheckpoint()
+      candidates = candidates.join(ids, "doc_id")
+      n -> ids
+    }
+    var rep = docs.filter(!isEval).select(col("doc_id"))
+    for ((n, ids) <- flagged)
+      rep = rep.join(ids.withColumn(s"r$n", lit(n)), Seq("doc_id"), "left")
+    val maxRung = coalesce(
+      greatest(rungs.map(n => col(s"r$n")): _*), lit(0)).as("max_rung")
+    rep.select(col("doc_id"), maxRung)
+      .withColumn("band",
+        when(col("max_rung") === 0, "clean")
+          .when(col("max_rung") === 3, "phrase")
+          .when(col("max_rung") === 6, "passage")
+          .when(col("max_rung") === 12, "section")
+          .otherwise("document"))
+      .orderBy("doc_id")
+  }
+
+  val dc6SpanLadderSql: String = {
+    def gramCte(n: Int) =
+      s"""g$n AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+         |    i -> array_to_string(a[i:i+$n-1], ' '))) AS g
+         |  FROM toks WHERE len(a) >= $n),
+         |e$n AS (SELECT DISTINCT g FROM g$n WHERE doc_id % 97 = 0),
+         |f$n AS (
+         |  SELECT DISTINCT doc_id FROM g$n JOIN e$n USING (g)
+         |  WHERE doc_id % 97 <> 0)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM documents),
+       |${Seq(3, 6, 12, 24).map(gramCte).mkString(",\n")}
+       |SELECT d.doc_id,
+       |  CASE WHEN f24.doc_id IS NOT NULL THEN 24
+       |       WHEN f12.doc_id IS NOT NULL THEN 12
+       |       WHEN f6.doc_id IS NOT NULL THEN 6
+       |       WHEN f3.doc_id IS NOT NULL THEN 3
+       |       ELSE 0 END AS max_rung,
+       |  CASE WHEN f24.doc_id IS NOT NULL THEN 'document'
+       |       WHEN f12.doc_id IS NOT NULL THEN 'section'
+       |       WHEN f6.doc_id IS NOT NULL THEN 'passage'
+       |       WHEN f3.doc_id IS NOT NULL THEN 'phrase'
+       |       ELSE 'clean' END AS band
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN f3 ON d.doc_id = f3.doc_id
+       |LEFT JOIN f6 ON d.doc_id = f6.doc_id
+       |LEFT JOIN f12 ON d.doc_id = f12.doc_id
+       |LEFT JOIN f24 ON d.doc_id = f24.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** FUZZY decontamination — [[dcDecontamination]] catches verbatim
     * n-gram overlap; this catches near-duplicate paraphrases: every
     * train document whose 4-gram Jaccard against ANY eval document
@@ -1386,7 +1466,9 @@ object TrainPrep {
       ((s: SparkSession, d: String) => dc4BloomDecontamination(s, d)),
     "dc2_fuzzy_decontamination" -> (dc2FuzzyDecontamination _),
     "dc5_overlap_fraction" ->
-      ((s: SparkSession, d: String) => dc5OverlapFraction(s, d)))
+      ((s: SparkSession, d: String) => dc5OverlapFraction(s, d)),
+    "dc6_span_ladder" ->
+      ((s: SparkSession, d: String) => dc6SpanLadder(s, d)))
 
   val oracles: Map[String, String] = Map(
     "tp_source_quota" -> tpSourceQuotaSql(),
@@ -1412,5 +1494,6 @@ object TrainPrep {
     "dc_decontamination" -> dcDecontaminationSql(),
     "dc4_bloom_decontamination" -> dcDecontaminationSql(),
     "dc2_fuzzy_decontamination" -> dc2Sql,
-    "dc5_overlap_fraction" -> dc5OverlapFractionSql())
+    "dc5_overlap_fraction" -> dc5OverlapFractionSql(),
+    "dc6_span_ladder" -> dc6SpanLadderSql)
 }

@@ -517,6 +517,29 @@ class TrainPrepSpec extends SparkSpec {
       "bands must be non-degenerate on the synthetic corpus")
   }
 
+  test("span ladder: cascade flags equal direct per-rung recomputation") {
+    import graft.functions.TrainPrep
+    val docs = Tables.documents(spark, sf)
+    val out = TrainPrep.dc6SpanLadder(spark, sf).collect()
+    val nonEval = docs.filter(col("doc_id") % 97 =!= 0).count()
+    assert(out.length.toLong === nonEval, "one row per train doc")
+    assert(out.forall(r => Set(0, 3, 6, 12, 24)(r.getAs[Int]("max_rung"))))
+    // direct (cascade-free) per-rung membership must agree — checks the
+    // monotone-prune optimization never drops a legitimately flagged doc
+    for (n <- Seq(3, 24)) {
+      val grams = docs.select(col("doc_id"),
+        explode(TrainPrep.ngramHashes(col("text"), n)).as("g"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0)
+        .select("g").distinct()
+      val direct = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(evalG, "g").select("doc_id").distinct().collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val ladder = out.filter(_.getAs[Int]("max_rung") >= n)
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ladder === direct, s"rung $n membership")
+    }
+  }
+
   test("source quota: native heap selection equals the window twin") {
     import org.apache.spark.sql.expressions.Window
     val cap = 10
