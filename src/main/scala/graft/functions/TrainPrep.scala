@@ -555,26 +555,36 @@ object TrainPrep {
     * every join is a hash semi-join on an 8-byte gram hash. */
   def dc6SpanLadder(spark: SparkSession, dir: String): DataFrame = {
     val rungs = Seq(3, 6, 12, 24)
+    val upper = rungs.tail
     val docs = Tables.documents(spark, dir)
     val isEval = col("doc_id") % 97 === 0
-    var candidates = docs.filter(!isEval).select("doc_id", "text")
-    val flagged = rungs.map { n =>
-      val evalG = docs.filter(isEval)
-        .select(explode(ngramHashes(col("text"), n)).as("g")).distinct()
-      val ids = candidates
-        .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
-        .join(evalG, "g")
-        .select("doc_id").distinct()
-        .localCheckpoint()
-      candidates = candidates.join(ids, "doc_id")
-      n -> ids
-    }
-    var rep = docs.filter(!isEval).select(col("doc_id"))
-    for ((n, ids) <- flagged)
-      rep = rep.join(ids.withColumn(s"r$n", lit(n)), Seq("doc_id"), "left")
-    val maxRung = coalesce(
-      greatest(rungs.map(n => col(s"r$n")): _*), lit(0)).as("max_rung")
-    rep.select(col("doc_id"), maxRung)
+    // all rungs' grams from one pass, tagged (rung, hash)
+    def tagged(rs: Seq[Int]) = explode(concat(rs.map(n =>
+      transform(ngramHashes(col("text"), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)).as("t")
+    // every rung's eval gram set in ONE scan of the 1/97 eval slice
+    val evalG = docs.filter(isEval).select(tagged(rungs))
+      .select(col("t.n").as("n"), col("t.g").as("g")).distinct()
+      .localCheckpoint()
+    // base rung: the only full-train-corpus gram join
+    val flagged3 = docs.filter(!isEval)
+      .select(col("doc_id"), explode(ngramHashes(col("text"), 3)).as("g"))
+      .join(evalG.filter(col("n") === 3).select("g"), "g")
+      .select("doc_id").distinct()
+      .localCheckpoint()
+    // upper rungs in one pass over the base-flagged (contamination-
+    // sized) docs: monotonicity says nothing outside flagged3 can hold
+    // a longer shared span, so 6/12/24 never rescan the corpus
+    val upperMax = docs.filter(!isEval).join(flagged3, "doc_id")
+      .select(col("doc_id"), tagged(upper))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .join(evalG.filter(col("n").isin(upper: _*)), Seq("n", "g"))
+      .groupBy("doc_id").agg(max("n").as("upper_rung"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(flagged3.withColumn("r3", lit(3)), Seq("doc_id"), "left")
+      .join(upperMax, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("upper_rung"), col("r3"), lit(0)).as("max_rung"))
       .withColumn("band",
         when(col("max_rung") === 0, "clean")
           .when(col("max_rung") === 3, "phrase")
