@@ -51,11 +51,16 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
-            df.count()
+            // same plan Dataset.count() compiles, but kept as a handle:
+            // the spill audit must read the QueryExecution that RAN —
+            // df.count() executes a derived query and leaves df's own
+            // metrics untouched (zero), which made the audit vacuous
+            val counted = df.groupBy().count()
+            counted.collect()
             val el = (System.nanoTime() - t0) / 1e9
             // max over the cold/warm runs, not sum — the metric is
             // "bytes one execution spills", parallel to min() timing
-            val sp = graft.util.SpillAudit.spillBytes(df)
+            val sp = graft.util.SpillAudit.spillBytes(counted)
             if (sp > 0)
               spills(name) = math.max(spills.getOrElse(name, 0L), sp)
             el

@@ -34,8 +34,20 @@ object SpillAudit {
     (p +: inner) ++ subs
   }
 
+  /** Executes `df`'s OWN QueryExecution — NOT a derived plan the way
+    * `df.count()` does (count compiles a new `groupBy().count()` query,
+    * leaving the original tree unexecuted, its metrics zero and its
+    * adaptive plan non-final). Use before reading [[spillBytes]] or
+    * rendering the AQE-final plan of the exact query. */
+  def executeOwnPlan(df: DataFrame): Unit = {
+    df.queryExecution.toRdd.count()
+    ()
+  }
+
   /** Total bytes spilled (memory + disk) across every node of the last
-    * execution of `df`. Call AFTER an action has run the plan. */
+    * execution of `df`. Call AFTER an action has run THIS dataframe's
+    * own plan (see [[executeOwnPlan]]; a bare `df.count()` runs a
+    * different QueryExecution and leaves these metrics untouched). */
   def spillBytes(df: DataFrame): Long =
     allNodes(df.queryExecution.executedPlan,
       new java.util.IdentityHashMap[SparkPlan, AnyRef]())

@@ -324,7 +324,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_hamming_ann", // broadcast query panel (non-equi) + corpus-count scalar row
       "tp_epoch_plan", // 1-row corpus-totals build over the #sources table
       "sim_matryoshka_recall", // broadcast query panel (non-equi self filter)
-      "hy_hybrid_rrf" // broadcast query panel (non-equi) + corpus-stats scalar row
+      "hy_hybrid_rrf", // broadcast query panel (non-equi) + corpus-stats scalar row
+      "sim_mmr" // broadcast query panel (non-equi self filter)
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
@@ -352,10 +353,15 @@ class PlanAuditSpec extends SparkSpec {
     // anywhere else means a fusion/report join lost its broadcast or
     // union-aggregate shape — a sort+exchange regression at corpus
     // scale, so the claim is enforced rather than prose.
+    // judged on the EXECUTED plan (AQE-final): checkpoint-leaf inputs
+    // carry default (huge) stats, so a static render shows SMJs the
+    // runtime demotes to broadcast the moment real sizes are known —
+    // the claim is about what actually runs
     val smjWhitelist = Set("gr_triangles")
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
-        val p = plan(df)
+        graft.util.SpillAudit.executeOwnPlan(df)
+        val p = graft.Plans.finalPlanOnly(plan(df))
         val smj = "SortMergeJoin".r.findAllIn(p).length
         if (smj > 0 && !smjWhitelist.exists(name.startsWith))
           Some(s"$name ($smj SMJ)")
@@ -374,8 +380,11 @@ class PlanAuditSpec extends SparkSpec {
     // unbounded sort buffer), which is a scale defect.
     val spilled = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
-        df.count()
-        val sp = graft.util.SpillAudit.spillBytes(df)
+        // read metrics off the QueryExecution that ran (df.count()
+        // would execute a derived plan and leave df's metrics zero)
+        val counted = df.groupBy().count()
+        counted.collect()
+        val sp = graft.util.SpillAudit.spillBytes(counted)
         if (sp > 0) Some(s"$name ($sp B)") else None
     }
     assert(spilled.isEmpty, s"headline queries spilled: $spilled")
