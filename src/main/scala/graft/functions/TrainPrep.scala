@@ -1276,23 +1276,25 @@ object TrainPrep {
   def bpeEncodeVocab(docs: DataFrame,
       table: Seq[(String, String, Long)]): DataFrame = {
     import org.apache.spark.sql.Column
-    var vocab = docs
+    // unlike learning (which must COUNT pairs between rewrites), encode
+    // needs no intermediate state: the ordered merge folds compose into
+    // ONE nested projection, so the vocab is rewritten in a single pass
+    // with no per-merge checkpoint round-trips
+    val merged: Column = table.foldLeft(split(col("tok"), "")) {
+      case (syms, (a, b, _)) =>
+        aggregate(
+          syms, array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+    }
+    docs
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
-      .select(col("tok"), split(col("tok"), "").as("syms"))
+      .select(col("tok"), merged.as("syms"))
       .localCheckpoint()
-    for ((a, b, _) <- table) {
-      val merged: Column = aggregate(
-        col("syms"), array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
-      vocab = vocab.select(col("tok"), merged.as("syms"))
-        .localCheckpoint()
-    }
-    vocab
   }
 
   /** Encode `docs` with an already-learned merge table — the reusable
