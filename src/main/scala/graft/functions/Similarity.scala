@@ -1167,20 +1167,20 @@ object Similarity {
         col("sig").as("q_sig")))
     val c = sigged.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"), col("sig").as("c_sig"))
-    // candidate width scales with the corpus (1-row scalar broadcast)
-    val n = broadcast(emb.agg(count(lit(1)).as("n_corpus")))
+    // candidate width scales with the corpus; a bounded driver count
+    // (model state, like the IVF centroid pulls) so the prefilter can
+    // run on the native heap with a plan-time k — the former
+    // row_number window sorted the FULL corpus per query, exactly the
+    // shape TopKPerKey's partial heaps exist to remove at 1e9 vectors
+    val candK = math.max(150L, emb.count() / 20L).toInt
     val scored = c.join(q, col("q_id") =!= col("c_id"))
       .withColumn("hamming", expr("CAST(bit_count(q_sig ^ c_sig) AS INT)"))
-    val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
-    val cand = scored.withColumn("hr", row_number().over(wH))
-      .crossJoin(n)
-      .filter(col("hr") <= expr("greatest(150, n_corpus div 20)"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("q_id"),
+        Seq(("hamming", false), ("c_id", false)), candK, rankName = "hr")
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    cand.withColumn("rank", row_number().over(wC))
-      .filter(col("rank") <= HammingK)
-      .select(col("q_id"), col("c_id"), col("hamming"), col("cos"),
-        col("rank"))
+      .select(col("q_id"), col("c_id"), col("hamming"), col("cos"))
+    graft.plans.TopKPerKey.topKPerKey(cand, Seq("q_id"),
+        Seq(("cos", true), ("c_id", false)), HammingK, rankName = "rank")
       .orderBy("q_id", "rank")
   }
 
@@ -1201,7 +1201,7 @@ object Similarity {
        |  WHERE hr <= (SELECT greatest(150, count(*) // 20)
        |               FROM embeddings)),
        |ham AS (
-       |  SELECT q_id, c_id, hamming, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT q_id, c_id, hamming, cos, CAST(rank AS BIGINT) AS rank FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, c_id) AS rank
        |    FROM cand)
@@ -1278,23 +1278,21 @@ object Similarity {
       .withColumn("sig", signWord("embedding", 0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("sig").as("q_sig")))
-    val n = broadcast(sigs.agg(count(lit(1)).as("n_corpus")))
-    val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
-    val cand = sigs.select(col("vec_id").as("c_id"), col("sig").as("c_sig"))
-      .join(q, col("q_id") =!= col("c_id"))
-      .withColumn("hamming", expr("CAST(bit_count(q_sig ^ c_sig) AS INT)"))
-      .withColumn("hr", row_number().over(wH))
-      .crossJoin(n)
-      .filter(col("hr") <= expr("greatest(150, n_corpus div 20)"))
+    val candK = math.max(150L, sigs.count() / 20L).toInt
+    val cand = graft.plans.TopKPerKey.topKPerKey(
+        sigs.select(col("vec_id").as("c_id"), col("sig").as("c_sig"))
+          .join(q, col("q_id") =!= col("c_id"))
+          .withColumn("hamming",
+            expr("CAST(bit_count(q_sig ^ c_sig) AS INT)")),
+        Seq("q_id"), Seq(("hamming", false), ("c_id", false)), candK,
+        rankName = "hr")
     val fetched = cand.join(
       corpus.select(col("vec_id").as("c_id"),
         col("embedding").as("c_vec")), Seq("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    fetched.withColumn("rank", row_number().over(wC))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("hamming"), col("cos"),
-        col("rank"))
+      .select(col("q_id"), col("c_id"), col("hamming"), col("cos"))
+    graft.plans.TopKPerKey.topKPerKey(fetched, Seq("q_id"),
+        Seq(("cos", true), ("c_id", false)), k, rankName = "rank")
       .orderBy("q_id", "rank")
   }
 
