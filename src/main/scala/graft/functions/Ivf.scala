@@ -205,13 +205,13 @@ object Ivf {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(col("__probe")).as("p"))
       .select(col("q_id"), col("q_vec"), col("p.cid").as("cid"))
-    val rankW = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    probes.join(cells, Seq("cid"))
+    val scored = probes.join(cells, Seq("cid"))
       .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+      .select("q_id", "c_id", "cos")
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq("q_id"), Seq(("cos", true), ("c_id", false)),
+        k, rankName = "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   // ── persisted index: the inverted file as partition pruning ─────────

@@ -196,21 +196,21 @@ object Pq {
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col("codes")(j) + 1))
       .reduce(_ + _)
-    val shortW = Window.partitionBy("q_id")
-      .orderBy(col("adc_d"), col("c_id"))
-    val rankW = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    encoded
+    // ADC shortlist + exact rerank both on the native heap: the ADC
+    // pass formerly window-sorted the full corpus per query
+    val adcScored = encoded
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("codes"))
       .crossJoin(broadcast(q))
       .withColumn("adc_d", adc)
-      .withColumn("sr", row_number().over(shortW))
-      .filter(col("sr") <= shortlist)
+    val short = graft.plans.TopKPerKey.topKPerKey(adcScored, Seq("q_id"),
+        Seq(("adc_d", false), ("c_id", false)), shortlist,
+        rankName = "sr")
       .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+      .select("q_id", "c_id", "cos")
+    graft.plans.TopKPerKey.topKPerKey(short, Seq("q_id"),
+        Seq(("cos", true), ("c_id", false)), k, rankName = "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   // ── persisted index: codebooks + codes as the stored artifact ───────

@@ -99,13 +99,14 @@ object Similarity {
     val c = withLshKey(corpus, "embedding")
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("lsh_key"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    c.join(q, Seq("lsh_key")).filter(col("q_id") =!= col("c_id"))
+    val scored = c.join(q, Seq("lsh_key"))
+      .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+      .select("q_id", "c_id", "cos")
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq("q_id"), Seq(("cos", true), ("c_id", false)),
+        k, rankName = "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -797,12 +798,11 @@ object Similarity {
       col("embedding").as("a_vec"), col("label").as("a_label")))
     val c = corpus.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"), col("label").as("c_label"))
-    val w = Window.partitionBy("a_id")
-      .orderBy(col("cos").desc, col("c_id"))
-    c.join(a, col("a_label") =!= col("c_label"))
+    val scored = c.join(a, col("a_label") =!= col("c_label"))
       .withColumn("cos", cosine(col("a_vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, Seq("a_id"), Seq(("cos", true), ("c_id", false)),
+        k = 1, rankName = "rn")
       .select(col("a_id"), col("a_label"), col("c_id").as("neg_id"),
         col("c_label").as("neg_label"), col("cos"))
   }
@@ -1055,12 +1055,11 @@ object Similarity {
         lit(null).cast("double").as("max_cos"),
         lit(false).as("contaminated"))
     else if (nEval <= maxBroadcastEval) {
-      val w = Window.partitionBy("t_id")
-        .orderBy(col("cos").desc, col("e_id"))
-      train.crossJoin(broadcast(eval_))
+      val scored = train.crossJoin(broadcast(eval_))
         .withColumn("cos", cosine(col("t_vec"), col("e_vec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.plans.TopKPerKey
+        .topKPerKey(scored, Seq("t_id"),
+          Seq(("cos", true), ("e_id", false)), k = 1, rankName = "rn")
         .select(col("t_id").as("vec_id"), col("e_id").as("nearest_eval"),
           col("cos").as("max_cos"),
           (col("cos") >= lit(tau)).as("contaminated"))
