@@ -172,10 +172,28 @@ object Ivf {
       .drop(cents.map { case (cid, _) => s"__d$cid" }.toSeq: _*)
   }
 
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    (1 to iters).foldLeft(seedCentroids(corpus, k)) {
-      (c, _) => lloydStep(corpus, c)
-    }
+  /** Trained-model memo — the "train once, query many" deployment
+    * shape applied in-session: the IVF family's queries (`sim_ivf_ann`
+    * / `_recall` / `_top1`, semantic dedup, dc3's cell probe) quantize
+    * the SAME corpus, so the Lloyd result is keyed by (corpus plan, k,
+    * iters) and trained once. The value is a DRIVER-side array (k·d
+    * doubles of model state, no Spark blocks), so it stays valid
+    * across `Caches.releaseAll` sweeps — the same contract as the
+    * persisted centroid-model artifact, minus the filesystem. */
+  private val centroidMemo =
+    new graft.util.Caches.PlanMemo[(Int, Int), Seq[(Int, Seq[Double])]](
+      maxEntries = 8)
+
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    centroidMemo.get(corpus, (k, iters)) {
+      (1 to iters).foldLeft(seedCentroids(corpus, k)) {
+        (c, _) => lloydStep(corpus, c)
+      }.select(col("cid").cast("int"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    }.toDF("cid", "centroid")
+  }
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact
     * cosine rank within the probed cells. Probe selection is narrow:

@@ -50,8 +50,22 @@ object Pq {
     * bounded sample at 100 TB, as any PQ deployment does). PqSpec
     * asserts identical codebooks and identical ANN output across
     * different data layouts and shuffle parallelisms. */
+  /** Trained-model memo, as [[Ivf.trainCentroids]]': the PQ family's
+    * queries encode the same corpus, so the codebooks are keyed by
+    * (corpus plan, m, k, iters) and trained once per session. The
+    * value is a driver-side array of model state — valid across
+    * `Caches.releaseAll` sweeps, like the persisted artifact form. */
+  private val codebookMemo = new graft.util.Caches.PlanMemo[
+    (Int, Int, Int), Array[Array[Array[Double]]]](maxEntries = 8)
+
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int)
-      : Array[Array[Array[Double]]] = {
+      : Array[Array[Array[Double]]] =
+    codebookMemo.get(corpus, (m, k, iters)) {
+      trainCodebooksUncached(corpus, m, k, iters)
+    }
+
+  private def trainCodebooksUncached(corpus: DataFrame, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
