@@ -164,4 +164,28 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       "cell scan is not dynamically pruned:\n" + plan)
   }
+
+  test("model memo: distinct corpora never share a trained model") {
+    // the session memo keys on the canonicalized source plan — a key
+    // collision would silently serve one corpus's centroids for
+    // another's queries, so pin that two different corpora (and the
+    // same corpus re-read, which MUST hit) behave correctly
+    val sparkS = spark
+    import sparkS.implicits._
+    def corpus(shift: Double) = (0L until 32L)
+      .map(i => (i, Array.tabulate(64)(j =>
+        (math.sin(i * 64 + j + shift) * 10).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = corpus(0.0)
+    val b = corpus(100.0)
+    def cents(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
+      Ivf.trainCentroids(df, k = 4, iters = 1)
+        .orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq
+    val ca = cents(a)
+    val cb = cents(b)
+    assert(ca !== cb, "different corpora must train different models")
+    // same logical source again → memo hit must reproduce exactly
+    assert(cents(corpus(0.0)) === ca, "re-read of the same corpus " +
+      "must return the identical trained model")
+  }
 }
