@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode,
+  UnsafeExternalRowSorter}
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.types.LongType
 
@@ -130,6 +131,17 @@ object TopKPerKeyExec {
     * per session with `graft.topk.partialFlushRows` (specs set it to a
     * handful to exercise the flush path). */
   val DefaultPartialFlushRows: Int = 1 << 20
+
+  /** Final-phase retained-rows bound before the exec abandons the
+    * all-keys-in-one-heap-map fast path and falls back to a
+    * spill-capable external sort (sort by key then order, stream ranks
+    * group-at-a-time) — the HashAggregateExec sort-fallback shape. The
+    * fast path is O(keys-in-partition × k) with no spill; with
+    * low partition counts × high key cardinality × large k that is an
+    * executor OOM, and this operator is the ranking backbone for ~20
+    * queries. 4M rows ≈ several hundred MB at typical row widths.
+    * Override with `graft.topk.finalRetainedRows`. */
+  val DefaultFinalRetainedRows: Int = 1 << 22
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
@@ -147,11 +159,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def producedAttributes: AttributeSet =
     if (partial) AttributeSet.empty else AttributeSet(rankAttr)
 
-  override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
-    "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys"),
-    "numReplacements" -> SQLMetrics.createMetric(sparkContext,
-      "heap replacements (rows that displaced a retained row)"))
+  override lazy val metrics =
+    if (partial) Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+        "output rows"),
+      // NOT distinct keys: a key spanning multiple flush chunks folds
+      // once per chunk, so this counts heap-map groups folded
+      "numHeapGroups" -> SQLMetrics.createMetric(sparkContext,
+        "heap groups folded (once per key per flush chunk)"),
+      "numReplacements" -> SQLMetrics.createMetric(sparkContext,
+        "heap replacements (rows that displaced a retained row)"))
+    else Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+        "output rows"),
+      "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys"),
+      "numReplacements" -> SQLMetrics.createMetric(sparkContext,
+        "heap replacements (rows that displaced a retained row)"),
+      "numFallbackSorts" -> SQLMetrics.createMetric(sparkContext,
+        "partitions that fell back to external sort (exceeded " +
+          "graft.topk.finalRetainedRows)"))
 
   /** Final phase: one hash shuffle on the key — the same distribution
     * the window twin needs, so the exchange cost is identical;
@@ -171,14 +197,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val kLocal = k
     val partialLocal = partial
     val outRows = longMetric("numOutputRows")
-    val nKeys = longMetric("numKeys")
+    val nKeys =
+      if (partial) longMetric("numHeapGroups") else longMetric("numKeys")
     val nRepl = longMetric("numReplacements")
+    val nFallback =
+      if (partial) None else Some(longMetric("numFallbackSorts"))
     val flushRows =
       if (partial)
         org.apache.spark.sql.internal.SQLConf.get
           .getConfString("graft.topk.partialFlushRows",
             TopKPerKeyExec.DefaultPartialFlushRows.toString).toInt
-      else Int.MaxValue
+      else
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.topk.finalRetainedRows",
+            TopKPerKeyExec.DefaultFinalRetainedRows.toString).toInt
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -245,20 +277,89 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       } else {
         foldInput()
-        nKeys += heaps.size()
         val outProj = UnsafeProjection.create(output, output)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          // drain the max-heap worst-first, fill from the back → the
-          // array is in output order; k is small, no sort needed
-          val arr = new Array[UnsafeRow](heap.size)
-          var i = arr.length - 1
-          while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
-          arr.iterator.zipWithIndex.map { case (row, idx) =>
-            rankRow.setLong(0, idx + 1L)
-            outRows += 1
-            outProj(joined(row, rankRow))
+        if (!iter.hasNext) {
+          // Fast path: the whole partition's survivors fit under
+          // `graft.topk.finalRetainedRows` — drain the heaps directly.
+          nKeys += heaps.size()
+          heaps.values().iterator().asScala.flatMap { heap =>
+            // drain the max-heap worst-first, fill from the back → the
+            // array is in output order; k is small, no sort needed
+            val arr = new Array[UnsafeRow](heap.size)
+            var i = arr.length - 1
+            while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+            arr.iterator.zipWithIndex.map { case (row, idx) =>
+              rankRow.setLong(0, idx + 1L)
+              outRows += 1
+              outProj(joined(row, rankRow))
+            }
+          }
+        } else {
+          // Sort fallback: retained rows hit the bound with input left —
+          // low partition count × high key cardinality × large k would
+          // otherwise grow the heap map toward partition size with no
+          // spill path. Hand everything (heap survivors + the rest of
+          // the input) to a spill-capable external sort on
+          // (key, order) and stream ranks one key group at a time — the
+          // same degradation HashAggregateExec makes to sort-based
+          // aggregation. Lossless: rows a heap already discarded were
+          // provably outside their key's top-k (all of a key's rows are
+          // in this partition).
+          nFallback.foreach(_ += 1)
+          val unorderable = keyExprs.filterNot(e =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(e.dataType))
+          if (unorderable.nonEmpty) throw new IllegalStateException(
+            s"TopKPerKey final phase exceeded graft.topk.finalRetainedRows" +
+              s"=$flushRows retained rows in one partition, and key " +
+              s"type(s) ${unorderable.map(_.dataType.simpleString)} are " +
+              s"not sort-orderable, so the external-sort fallback cannot " +
+              s"run. Raise graft.topk.finalRetainedRows, repartition the " +
+              s"input wider, or map the key to an orderable type.")
+          val schema = org.apache.spark.sql.types.StructType(
+            childOutput.map(a => org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable)))
+          val fullOrd = GenerateOrdering.generate(
+            keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder, childOutput)
+          val prefixComputer =
+            new UnsafeExternalRowSorter.PrefixComputer {
+              private val p =
+                new UnsafeExternalRowSorter.PrefixComputer.Prefix
+              override def computePrefix(row: InternalRow)
+                  : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+                // zero prefix → comparator always falls through to the
+                // full generated ordering; correctness over the radix
+                // micro-optimization (keys are compound and arbitrary)
+                p.value = 0L; p.isNull = false; p
+              }
+            }
+          val sorter = UnsafeExternalRowSorter.create(
+            schema, fullOrd,
+            org.apache.spark.util.collection.unsafe.sort
+              .PrefixComparators.LONG,
+            prefixComputer, 4L * 1024 * 1024, false)
+          org.apache.spark.TaskContext.get()
+            .addTaskCompletionListener[Unit](_ => sorter.cleanupResources())
+          heaps.values().iterator().asScala
+            .foreach(h => h.iterator().asScala.foreach(sorter.insertRow))
+          heaps.clear()
+          while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+          var curKey: UnsafeRow = null
+          var rank = 0L
+          sorter.sort().flatMap { r =>
+            val row = r.asInstanceOf[UnsafeRow]
+            val key = keyProj(row)
+            if (curKey == null || key != curKey) {
+              curKey = key.copy(); rank = 0L; nKeys += 1
+            }
+            rank += 1
+            if (rank <= kLocal) {
+              rankRow.setLong(0, rank)
+              outRows += 1
+              Some(outProj(joined(row, rankRow)))
+            } else None
           }
         }
       }

@@ -162,6 +162,69 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("final-phase sort fallback: exceeding the retained-rows bound " +
+    "spills to external sort and still matches the window twin") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // high key cardinality + k larger than most groups drives the final
+    // phase's retained count past a tiny bound on every partition, so
+    // every task takes the sort-fallback path (the partial phase also
+    // flushes, stacking both degradations)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map { id =>
+      val g = if (rnd.nextInt(5) == 0) 0L else rnd.nextInt(1500).toLong
+      (g, id.toLong, rnd.nextInt(6).toLong)
+    }
+    val df = rows.toDF("g", "id", "v").repartition(5)
+    val prevF = spark.conf.getOption("graft.topk.finalRetainedRows")
+    val prevP = spark.conf.getOption("graft.topk.partialFlushRows")
+    spark.conf.set("graft.topk.finalRetainedRows", "8")
+    spark.conf.set("graft.topk.partialFlushRows", "16")
+    try {
+      for (k <- Seq(1, 3, 16)) {
+        val nativeDf = TopKPerKey.topKPerKey(df, Seq("g"),
+          Seq(("v", true), ("id", false)), k)
+        val native = nativeDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+        val window = df.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(native === window,
+          s"k=$k diverged from the window form under the sort fallback")
+        // prove the fallback actually ran: the final exec's metric
+        // (AQE wraps the executed tree — descend through it)
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+          case q: QueryStageExec => p +: nodes(q.plan)
+          case o => p +: o.children.flatMap(nodes)
+        }
+        val fallbacks =
+          nodes(nativeDf.queryExecution.executedPlan).collect {
+            case e: graft.plans.TopKPerKeyExec if !e.partial =>
+              e.metrics("numFallbackSorts").value
+          }.sum
+        assert(fallbacks > 0,
+          s"k=$k: expected at least one partition on the sort fallback")
+      }
+    } finally {
+      prevF match {
+        case Some(v) => spark.conf.set("graft.topk.finalRetainedRows", v)
+        case None => spark.conf.unset("graft.topk.finalRetainedRows")
+      }
+      prevP match {
+        case Some(v) => spark.conf.set("graft.topk.partialFlushRows", v)
+        case None => spark.conf.unset("graft.topk.partialFlushRows")
+      }
+    }
+  }
+
   test("float/double key columns are rejected (raw-byte grouping)") {
     val sparkS = spark
     import sparkS.implicits._
