@@ -35,6 +35,40 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // host-steal telemetry (VERDICT r9 item 2): two rounds running, a
+    // CPU-steal spike on one query's two runs forged a 2.8× phantom
+    // "regression" that cost judge/builder attention. Record the
+    // /proc/stat steal delta (all-CPU jiffies / USER_HZ=100 → seconds)
+    // per query and for the whole run, so an outlier time arrives with
+    // its own attribution.
+    def stealJiffies(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().find(_.startsWith("cpu "))
+          .getOrElse("").trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+    // committed per-query reference (the repo's BENCH_LAST.json, read
+    // BEFORE this run overwrites it): any query whose best time lands
+    // past 3× its reference gets up to two extra runs — a steal spike
+    // self-heals, a genuine regression survives and is flagged
+    val committedRef: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + "\"queries\":{".length,
+          txt.indexOf('}', qStart))
+        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val runSteal0 = stealJiffies()
+    val steals = scala.collection.mutable.Map.empty[String, Double]
+    val noiseSuspect = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rerunsTotal = 0
     // per-query spill audit (VERDICT r6 item 8): a query that silently
     // falls out of memory at bench scale is a scale bug — surface it
     // in the bench JSON so rounds can regress against zero
@@ -71,12 +105,33 @@ object Bench {
               -1.0
           }
         }
+        val qSteal0 = stealJiffies()
         val cold = once(); val warm = once()
         colds(name) = cold
+        var best = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
+        // outlier self-heal: past 3× the committed reference (and past
+        // an absolute floor so sub-second jitter never triggers it),
+        // retry up to twice — min(cold, warm) of exactly two runs lets
+        // one steal spike spanning both forge a regression
+        val refT = committedRef.get(name).filter(_ > 0)
+        def isOutlier = best > 0.5 &&
+          refT.exists(r => best > 3 * r)
+        var reruns = 0
+        while (best >= 0 && isOutlier && reruns < 2) {
+          val t = once()
+          if (t >= 0 && t < best) best = t
+          reruns += 1
+          rerunsTotal += 1
+        }
+        if (best >= 0 && isOutlier) noiseSuspect += name
+        val qSteal = (stealJiffies() - qSteal0) / 100.0
+        if (qSteal > 0) steals(name) = qSteal
         // stderr diagnostic (driver parses stdout only): the cold/warm
         // split attributes shared-index build cost vs steady-state
         System.err.println(
-          f"[bench] $name cold=$cold%.3f warm=$warm%.3f")
+          f"[bench] $name cold=$cold%.3f warm=$warm%.3f" +
+            (if (reruns > 0) f" reruns=$reruns best=$best%.3f" else "") +
+            (if (qSteal > 0) f" steal=$qSteal%.2fs" else ""))
         // release this query's persisted intermediates (signature
         // tables, prefix indexes, PQ codes, localCheckpoint blocks ...)
         // before the next query runs: caches legitimately persist
@@ -86,7 +141,7 @@ object Bench {
         // alone left localCheckpoint RDD blocks registered — see
         // graft.util.Caches)
         graft.util.Caches.releaseAll(spark)
-        name -> (if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm))
+        name -> best
     }.toMap
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
@@ -98,8 +153,14 @@ object Bench {
       val skip = only.isDefined // dev allow-list → query iteration only
       if (skip) "" else try {
         val replayDir = "/tmp/graft_bench_replay"
-        val (lines, out, sec, eps) = streaming.ReplayBench.run(
+        // best-of-2 drains over one generated log (VERDICT r9 item 7):
+        // single-drain replay throughput swung 2.3× run-to-run under
+        // host steal — not a regressable number
+        val rSteal0 = stealJiffies()
+        val (lines, out, sec, eps) = streaming.ReplayBench.runBestOf(
           spark, sfDir, replayDir)
+        val rSteal = (stealJiffies() - rSteal0) / 100.0
+        if (rSteal > 0) steals("stream_replay") = rSteal
         // micro-batch latency percentiles over the same log, capped
         // admission (the steady-state tailing shape) — the analog of
         // the reference's <10 ms insert→consumer latency bound. Its
@@ -139,8 +200,25 @@ object Bench {
     val coldQs = colds.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
+    // steal + outlier attribution: steal_sec carries only the queries
+    // whose window saw nonzero steal; noise_suspect lists queries still
+    // past 3× their committed reference after the extra runs (either a
+    // genuine regression or a steal-saturated window — the steal fields
+    // say which)
+    val runStealSec = (stealJiffies() - runSteal0) / 100.0
+    val stealJson = {
+      val per = steals.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
+        .mkString("{", ",", "}")
+      s""","steal_total_sec":${"%.2f".format(runStealSec)},"steal_sec":$per"""
+    }
+    val noiseJson =
+      if (noiseSuspect.isEmpty && rerunsTotal == 0) ""
+      else s""","reruns":$rerunsTotal,"noise_suspect":${
+        noiseSuspect.sorted.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs$streamReplay$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs$streamReplay$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // JSON lines found there (rounds 1-2: the full per-query line grew
     // past 2000 chars, was truncated mid-line, and recorded parsed:null).
@@ -152,9 +230,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":{"""
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    // compact steal/noise summary for the stdout line (full per-query
+    // steal map lives in BENCH_LAST.json)
+    val stealStdout =
+      s""","steal_total_sec":${"%.2f".format(runStealSec)}""" + noiseJson
     // reserve room for closing + omitted note + stream_replay object
     // + the ,"spill_bytes":<up-to-19-digits> suffix
-    var len = head.length + 100 + streamReplay.length
+    var len = head.length + 100 + streamReplay.length + stealStdout.length
     var omitted = 0
     bySlowest.foreach { case (k, v) =>
       val p = s"\"" + k + "\":" + fmt(v)
@@ -164,13 +246,17 @@ object Bench {
     val note =
       if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
     val stdoutJson = head + parts.mkString(",") + "}" + note +
-      streamReplay + s""","spill_bytes":${spills.values.sum}""" + "}"
+      streamReplay + stealStdout +
+      s""","spill_bytes":${spills.values.sum}""" + "}"
     spark.stop()
     System.err.flush()
     println()
     println(stdoutJson)
     System.out.flush()
-    try {
+    // full-suite runs only: a partial SPARK_GRAFT_ONLY dev run must not
+    // overwrite the committed full-suite reference (VERDICT r9 item 8 —
+    // a partial overwrite also poisons the 3× outlier reference above)
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_LAST.json")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }

@@ -184,4 +184,27 @@ object ReplayBench {
     val (out, sec) = replay(spark, s"$workDir/log", s"$workDir/sink")
     (lines, out, sec, lines / sec)
   }
+
+  /** [[run]] with the drain repeated `attempts` times over the SAME
+    * generated log, keeping the fastest — replay throughput on a shared
+    * host swings >2× run-to-run under CPU steal (rounds 8-9 re-diagnosed
+    * identical code at 16k-50k events/s), so a single drain is not a
+    * regressable number. Each attempt gets a fresh sink + checkpoint dir
+    * (a reused checkpoint would see the log already committed and
+    * no-op). */
+  def runBestOf(spark: SparkSession, sfDir: String, workDir: String,
+      attempts: Int = 2): (Long, Long, Double, Double) = {
+    val fs = new Path(workDir).getFileSystem(new Configuration())
+    fs.delete(new Path(workDir), true)
+    val lines = generateLog(spark, sfDir, s"$workDir/log")
+    var bestOut = 0L
+    var bestSec = Double.MaxValue
+    var i = 0
+    while (i < attempts) {
+      val (out, sec) = replay(spark, s"$workDir/log", s"$workDir/sink$i")
+      if (sec < bestSec) { bestOut = out; bestSec = sec }
+      i += 1
+    }
+    (lines, bestOut, bestSec, lines / bestSec)
+  }
 }
