@@ -893,10 +893,18 @@ object Similarity {
     // struct<c_id,cos> element type without repeating the reduce
     val lam = s"${lambda}D"
     val oneMinus = s"${1.0d - lambda}D"
+    // rounds clamp to the pool: sequence(2, k) past pool exhaustion
+    // would reduce over an empty filtered array and append null picks
+    // the sequential greedy loop never produced (and sequence(2, 1)
+    // counts DOWN, so a 1-candidate pool needs the empty-array guard,
+    // not just least())
     val selExpr =
       if (k == 1) s"array($r1)"
       else
-        s"""aggregate(sequence(2, $k), array($r1),
+        s"""aggregate(
+           |  CASE WHEN size(cands) < 2 THEN array()
+           |       ELSE sequence(2, least($k, size(cands))) END,
+           |  array($r1),
            |  (sel, r) -> sel || transform(array(reduce(
            |    transform(
            |      filter(cands, c -> NOT exists(sel, s -> s.c_id = c.c_id)),
@@ -910,7 +918,11 @@ object Similarity {
            |      OR (c.score = best.score AND c.c_id < best.c_id)
            |    THEN c ELSE best END)),
            |    p -> named_struct('c_id', p.c_id, 'cos', p.cos)))""".stripMargin
-    cands.join(pairSims, Seq("q_id"))
+    // left join: a 1-candidate pool has no candidate-candidate pairs →
+    // no pairSims row; an inner join would drop the query outright
+    // (sims is only read in rounds ≥ 2, which the clamp above
+    // guarantees exist only when the pool has ≥ 2 candidates)
+    cands.join(pairSims, Seq("q_id"), "left")
       .select(col("q_id"), posexplode(expr(selExpr)))
       .select(col("q_id"), col("col.c_id").as("c_id"),
         (col("pos") + 1).cast("int").as("round"),

@@ -264,6 +264,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR: a pool smaller than k stops at pool exhaustion with no " +
+    "null picks (and a 1-candidate pool keeps its query)") {
+    // 3 vectors → every query's pool is 2 candidates < k=5; the round
+    // sequence must clamp to the pool (rounds past exhaustion used to
+    // reduce over an empty array and emit null c_id rows), and with 2
+    // vectors a query's pool is a single candidate — no candidate-pair
+    // sims row exists, which an inner join would drop
+    val sparkS = spark
+    import sparkS.implicits._
+    for (n <- Seq(3, 2)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mmr_short_$n").toString
+      (0 until n).map(i =>
+          (i.toLong, Array.tabulate(8)(j => (i + j + 1).toFloat), "a"))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = functions.Similarity.simMmr(spark, dir).collect()
+      val perQ = got.groupBy(_.getAs[Long]("q_id"))
+      assert(perQ.keySet === (0L until n.toLong).toSet)
+      perQ.foreach { case (q, rows) =>
+        assert(rows.length === n - 1,
+          s"n=$n q=$q: expected pool-sized pick list")
+        assert(rows.forall(r => !r.isNullAt(r.fieldIndex("c_id"))),
+          s"n=$n q=$q: null pick leaked past pool exhaustion")
+        assert(rows.map(_.getAs[Int]("round")).sorted
+          === (1 to (n - 1)).toArray, s"n=$n q=$q: round numbering")
+      }
+    }
+  }
+
   test("MMR gate: first pick is the cosine argmax and flags are green") {
     val all = emb.collect()
       .map(r => (r.getAs[Long]("vec_id"),
