@@ -43,8 +43,23 @@ object FuzzyRuntime {
     * documents would mean a multi-GB single allocation inside a join
     * inner loop. Unbounded text does not belong in a quadratic edit
     * distance — fail fast with the remedy instead of OOMing an
-    * executor. 8192² ints ≈ 256 MB worst case, still bounded. */
+    * executor. 8192² ints ≈ 256 MB worst case, still bounded. Tunable
+    * per session via `graft.fuzzy.maxEditDistanceLen` (a previously-
+    * completing long-text workload can buy itself back in rather than
+    * hitting a hard-coded wall). */
   val MaxEditDistanceLen = 8192
+
+  /** Conf-resolved bound. Only consulted when an input is longer than
+    * the always-safe fast-path threshold below, so short-string hot
+    * loops never pay the SQLConf lookup. */
+  def configuredMaxLen: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.fuzzy.maxEditDistanceLen",
+        MaxEditDistanceLen.toString).toInt
+
+  /** Inputs at or under this length skip the conf read entirely — a
+    * 64×64 DP is ~4k cells, always safe. */
+  private val AlwaysSafeLen = 64
 
   def damerau(sa: UTF8String, sb: UTF8String): Int = {
     val a = sa.toString
@@ -53,11 +68,15 @@ object FuzzyRuntime {
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
-    require(la <= MaxEditDistanceLen && lb <= MaxEditDistanceLen,
-      s"damerau_levenshtein input exceeds $MaxEditDistanceLen chars " +
-        s"($la, $lb): the O(n*m) DP matrix would allocate " +
-        s"gigabytes per row-pair — truncate or pre-filter long text " +
-        s"(use shingle/MinHash similarity for documents)")
+    if (la > AlwaysSafeLen || lb > AlwaysSafeLen) {
+      val bound = configuredMaxLen
+      require(la <= bound && lb <= bound,
+        s"damerau_levenshtein input exceeds $bound chars " +
+          s"($la, $lb): the O(n*m) DP matrix would allocate " +
+          s"gigabytes per row-pair — truncate or pre-filter long text " +
+          s"(use shingle/MinHash similarity for documents), or raise " +
+          s"graft.fuzzy.maxEditDistanceLen")
+    }
     val inf = la + lb
     // DP matrix with the Lowrance-Wagner sentinel border (row/col 0 =
     // INF, row/col 1 = plain prefix distances).

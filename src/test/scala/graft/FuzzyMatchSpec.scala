@@ -51,6 +51,28 @@ class FuzzyMatchSpec extends SparkSpec {
       take 64, "abc") > 0) // at/under the bound still computes
   }
 
+  test("damerau bound is session-configurable and exact at the boundary") {
+    def dl(a: String, b: String): Int = graft.functions.FuzzyRuntime
+      .damerau(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val prev = spark.conf.getOption("graft.fuzzy.maxEditDistanceLen")
+    spark.conf.set("graft.fuzzy.maxEditDistanceLen", "128")
+    try {
+      // exactly AT the configured bound computes ...
+      assert(dl("x" * 128, "x" * 127 + "y") === 1)
+      // ... one past it fails fast, naming the conf to raise
+      val ex = intercept[IllegalArgumentException] { dl("x" * 129, "ab") }
+      assert(ex.getMessage.contains("graft.fuzzy.maxEditDistanceLen"))
+      assert(ex.getMessage.contains("128"))
+      // raising the conf buys the same input back in
+      spark.conf.set("graft.fuzzy.maxEditDistanceLen", "200")
+      assert(dl("x" * 129, "x" * 129) === 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.fuzzy.maxEditDistanceLen", v)
+      case None => spark.conf.unset("graft.fuzzy.maxEditDistanceLen")
+    }
+  }
+
   test("damerau kernel: metric + bound invariants under seeded fuzz") {
     val rnd = new scala.util.Random(42)
     def word(): String =
