@@ -35,14 +35,44 @@ object GraftSession {
     s
   }
 
-  /** Silences the one benign WARN class the engine triggers by design:
+  /** Silences the one benign WARN the engine triggers by design:
     * unpersisting a localCheckpoint (the iterative kernels checkpoint
     * per round and `Caches.releaseAll` frees the blocks between bench
     * queries) logs "lineage has been truncated and cannot be recomputed"
     * per RDD — correct and intended, but it buries real warnings in a
-    * full-suite log. Scoped to the exact logger, not a blanket filter. */
-  def quietKnownNoise(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    * full-suite log. Scoped to the exact MESSAGE via a RegexFilter on
+    * the exact logger (an earlier level-based mute silenced every WARN
+    * that logger class could emit, not just this one); any other
+    * warning from MapPartitionsRDD still surfaces. */
+  def quietKnownNoise(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    try {
+      val ctx = LogManager.getContext(false) match {
+        case c: LoggerContext => c
+        case _ => return // non-core log4j binding: leave logging alone
+      }
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val lc = conf.getLoggerConfig(name) match {
+        case l if l.getName == name => l
+        case _ =>
+          // additive config inheriting the parent level, so the logger
+          // keeps its normal behavior except for the filtered message
+          val nl = new LoggerConfig(name, null, true)
+          conf.addLogger(name, nl)
+          nl
+      }
+      val already = lc.getFilter match {
+        case r: RegexFilter => r.toString.contains("lineage")
+        case _ => false
+      }
+      if (!already) lc.addFilter(RegexFilter.createFilter(
+        ".*lineage has been truncated.*", null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    } catch { case _: Throwable => } // logging hygiene must never fail a run
+  }
 }
