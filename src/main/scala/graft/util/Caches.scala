@@ -68,12 +68,21 @@ object Caches {
   final class PlanMemo[K, V](maxEntries: Int,
       onEvict: V => Unit = (_: V) => ()) {
     private val map = new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, LogicalPlan, K), V]()
+      (SparkSession, LogicalPlan, Long, K), V]()
 
     def get(source: DataFrame, key: K)(build: => V): V = {
       if (map.size >= maxEntries) invalidate()
+      // the data fingerprint (file listing + size of every file-backed
+      // leaf) joins the canonicalized plan in the key: a canonicalized
+      // file scan is just the path, so a parquet dir rewritten
+      // mid-session would otherwise serve a stale memoized model. A
+      // caller must still RE-READ the path after a rewrite (a held
+      // DataFrame pins the old file listing — and those files are
+      // gone); the fingerprint makes the fresh read miss the memo.
       map.computeIfAbsent((source.sparkSession,
-        source.queryExecution.analyzed.canonicalized, key), _ => build)
+        source.queryExecution.analyzed.canonicalized,
+        org.apache.spark.sql.graft.FingerprintBridge
+          .dataFingerprint(source), key), _ => build)
     }
 
     def invalidate(): Unit = {

@@ -15,6 +15,37 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Cheap data fingerprint over a plan's file-backed leaves, for
+  * staleness-safe memo keys (graft.util.Caches.PlanMemo): a
+  * canonicalized file-scan plan is just the path, so a parquet dir
+  * REWRITTEN mid-session would silently serve a stale memoized model.
+  * The fingerprint folds every leaf's cached file listing (paths —
+  * Spark writers embed a fresh job UUID in part-file names, so any
+  * rewrite changes them) plus total size; it reads the FileIndex's
+  * already-materialized listing, no filesystem round-trip. Non-file
+  * leaves (in-memory locals, streaming sources) contribute nothing —
+  * for those the canonicalized plan already IS the identity. */
+object FingerprintBridge {
+  def dataFingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+    var h = 1125899906842597L
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            val files = fs.location.inputFiles
+            java.util.Arrays.sort(files,
+              java.util.Comparator.naturalOrder[String]())
+            files.foreach(f => h = h * 31 + f.hashCode)
+            h = h * 31 + fs.location.sizeInBytes
+          case _ =>
+        }
+      case _ =>
+    }
+    h
+  }
+}
+
 /** Same bridge, one level up: build a DataFrame from a raw
   * LogicalPlan (for custom operators like graft.plans.TopKPerKey) and
   * read a DataFrame's analyzed plan back. */

@@ -188,4 +188,31 @@ class IvfSpec extends SparkSpec {
     assert(cents(corpus(0.0)) === ca, "re-read of the same corpus " +
       "must return the identical trained model")
   }
+
+  test("model memo: rewriting a file-backed corpus in place invalidates " +
+    "the memoized model on the next read") {
+    // the canonicalized plan of a file scan is just the path — without
+    // the data fingerprint in the memo key, a parquet dir rewritten
+    // mid-session silently serves the PREVIOUS corpus's centroids
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_rewrite").toString + "/emb.parquet"
+    def write(shift: Double): Unit = (0L until 32L)
+      .map(i => (i, Array.tabulate(64)(j =>
+        (math.sin(i * 64 + j + shift) * 10).toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    def cents(): Seq[Seq[Double]] =
+      Ivf.trainCentroids(spark.read.parquet(dir), k = 4, iters = 1)
+        .orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq
+    write(0.0)
+    val before = cents()
+    // same path, same data, fresh read → must still HIT (part-file
+    // names unchanged since nothing was rewritten)
+    assert(cents() === before, "unchanged files must stay a memo hit")
+    write(100.0) // same path, different data, new part-file names
+    assert(cents() !== before,
+      "a rewritten corpus must retrain, not serve the stale model")
+  }
 }
