@@ -1020,6 +1020,177 @@ object Dedup {
        |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ── exact-substring span EXCISION (the Lee et al. cleaned corpus) ──
+  /** [[spanDuplication]] reports; this REMOVES — the operator a real
+    * training pipeline runs (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": excise every ≥n-token span shared
+    * verbatim across documents). Duplicated fixed-width windows
+    * (64-bit rolling hashes from the single-pass [[NgramHashes]] scan,
+    * position-tagged) merge into MAXIMAL token spans per doc — two
+    * windows overlap-or-touch iff the next start is within n of the
+    * previous — then map to character offsets in the single-space-
+    * joined text and excise, leaving the kept tokens re-joined.
+    *
+    * Scale shape: both shuffles carry 8-byte gram hashes (the grouped
+    * duplicate classification and the join back); the merge fold,
+    * offset arithmetic and residual build are per-doc higher-order
+    * functions over doc-bounded arrays — no corpus-sized window, no
+    * driver-side state. Returns (doc_id, a = tokens, spans =
+    * array<struct<s,e>> inclusive token intervals, ascending,
+    * non-overlapping; empty for clean docs). */
+  def spanExcision(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(TrainPrep.ngramHashes(col("text"), n)).as(Seq("pos", "g")))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("g")
+    val flagged = grams.join(dup, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+    val merged = flagged.select(col("doc_id"), expr(s"""
+      aggregate(poss, cast(array() as array<struct<s:int,e:int>>),
+        (acc, p) -> CASE
+          WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1 THEN
+            concat(slice(acc, 1, size(acc) - 1),
+              array(named_struct('s', element_at(acc, -1).s,
+                'e', p + ${n - 1})))
+          ELSE concat(acc, array(named_struct('s', p, 'e', p + ${n - 1})))
+        END)""").as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .join(merged, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("cast(array() as array<struct<s:int,e:int>>)")))
+  }
+
+  /** Char offset of a span's first token in the single-space text (a
+    * kept leading space belongs to the PRECEDING kept region). */
+  private def startCharSql = """CASE WHEN sp.s = 0 THEN 0
+    ELSE length(concat_ws(' ', slice(a, 1, sp.s))) + 1 END"""
+  /** Exclusive char end: length of the join of tokens 0..e. */
+  private def endCharSql =
+    "length(concat_ws(' ', slice(a, 1, sp.e + 1)))"
+
+  /** Per-doc cleaned-corpus summary: spans removed, tokens/chars
+    * excised, and the residual text's length + MD5 (the driver-
+    * hashable stand-in for shipping the cleaned text itself). */
+  def ddSpanExcise(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame =
+    ddSpanExciseFrom(Tables.documents(spark, dir), n)
+
+  def ddSpanExciseFrom(docs: DataFrame, n: Int = 8): DataFrame =
+    spanExcision(docs, n)
+      .withColumn("residual", expr(
+        """concat_ws(' ', filter(a, (t, i) ->
+          |  NOT exists(spans, sp -> i >= sp.s AND i <= sp.e)))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        expr("aggregate(spans, 0L, (acc, sp) -> acc + sp.e - sp.s + 1)")
+          .as("removed_tokens"),
+        expr(s"""aggregate(spans, 0L,
+          (acc, sp) -> acc + $endCharSql - ($startCharSql))""")
+          .as("removed_chars"),
+        length(col("residual")).cast("long").as("residual_len"),
+        md5(col("residual")).as("residual_hash"))
+      .orderBy("doc_id")
+
+  /** The excised spans themselves — token and character offsets per
+    * removed region (what a pipeline logs for audit / applies to the
+    * raw bytes). Clean docs contribute no rows. */
+  def ddSpanExciseSpans(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame =
+    ddSpanExciseSpansFrom(Tables.documents(spark, dir), n)
+
+  def ddSpanExciseSpansFrom(docs: DataFrame, n: Int = 8): DataFrame =
+    spanExcision(docs, n)
+      .select(col("doc_id"), col("a"),
+        posexplode(col("spans")).as(Seq("idx", "sp")))
+      .select(col("doc_id"),
+        (col("idx") + 1).cast("long").as("span_idx"),
+        col("sp.s").cast("long").as("s_tok"),
+        col("sp.e").cast("long").as("e_tok"),
+        expr(startCharSql).cast("long").as("start_char"),
+        expr(endCharSql).cast("long").as("end_char"))
+      .orderBy("doc_id", "span_idx")
+
+  /** Shared oracle CTEs: the same span algebra on gram STRINGS (the
+    * hash-vs-string caveat of [[spanDuplication]] applies), islands by
+    * the same touch rule, offsets by the same prefix-join lengths. */
+  private def spanExciseCtes(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |g2 AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |      i -> struct_pack(pos := i - 1,
+       |        g := array_to_string(a[i:i+${n - 1}], ' ')))) AS u
+       |    FROM toks WHERE len(a) >= $n)),
+       |nd AS (SELECT g FROM g2 GROUP BY g
+       |       HAVING COUNT(DISTINCT doc_id) > 1),
+       |flagged AS (SELECT doc_id, pos FROM g2 JOIN nd USING (g)),
+       |w AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |          ORDER BY pos) <= $n THEN 0 ELSE 1 END AS brk
+       |      FROM flagged),
+       |isl AS (SELECT doc_id, pos,
+       |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+       |            AS island
+       |        FROM w),
+       |spans AS (SELECT doc_id, island, MIN(pos) AS s_tok,
+       |            MAX(pos) + $n - 1 AS e_tok
+       |          FROM isl GROUP BY doc_id, island),
+       |spanc AS (
+       |  SELECT s.doc_id, s.s_tok, s.e_tok,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.s_tok)
+       |      AS span_idx,
+       |    CASE WHEN s.s_tok = 0 THEN 0
+       |         ELSE len(array_to_string(t.a[1:s.s_tok], ' ')) + 1
+       |    END AS start_char,
+       |    len(array_to_string(t.a[1:s.e_tok + 1], ' ')) AS end_char
+       |  FROM spans s JOIN toks t ON s.doc_id = t.doc_id)""".stripMargin
+
+  def ddSpanExciseSql(n: Int = 8): String =
+    spanExciseCtes(n) +
+      s""",
+       |covered AS (SELECT doc_id, unnest(range(s_tok, e_tok + 1)) AS p
+       |            FROM spans),
+       |alltoks AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
+       |    i -> struct_pack(p := i - 1, tok := a[i]))) AS u FROM toks)),
+       |resid AS (
+       |  SELECT at.doc_id,
+       |    coalesce(string_agg(at.tok, ' ' ORDER BY at.p), '')
+       |      AS residual
+       |  FROM alltoks at
+       |  LEFT JOIN covered c ON at.doc_id = c.doc_id AND at.p = c.p
+       |  WHERE c.p IS NULL
+       |  GROUP BY at.doc_id),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(e_tok - s_tok + 1) AS BIGINT) AS removed_tokens,
+       |    CAST(SUM(end_char - start_char) AS BIGINT) AS removed_chars
+       |  FROM spanc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_spans, 0) AS n_spans,
+       |  COALESCE(p.removed_tokens, 0) AS removed_tokens,
+       |  COALESCE(p.removed_chars, 0) AS removed_chars,
+       |  CAST(len(COALESCE(r.residual, '')) AS BIGINT) AS residual_len,
+       |  md5(COALESCE(r.residual, '')) AS residual_hash
+       |FROM documents d
+       |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |LEFT JOIN resid r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def ddSpanExciseSpansSql(n: Int = 8): String =
+    spanExciseCtes(n) +
+      s"""
+       |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+       |  CAST(s_tok AS BIGINT) AS s_tok, CAST(e_tok AS BIGINT) AS e_tok,
+       |  CAST(start_char AS BIGINT) AS start_char,
+       |  CAST(end_char AS BIGINT) AS end_char
+       |FROM spanc ORDER BY doc_id, span_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_survivorship" -> (ddSurvivorship _),
@@ -1030,7 +1201,10 @@ object Dedup {
     "dd_minhash_recall" -> (ddMinhashRecall _),
     "dd_incremental_minhash" -> (ddIncrementalMinhash _),
     "dd_simhash" -> (ddSimhash _),
-    "dd_span_dedup" -> ((s: SparkSession, d: String) => ddSpanDedup(s, d)))
+    "dd_span_dedup" -> ((s: SparkSession, d: String) => ddSpanDedup(s, d)),
+    "dd_span_excise" -> ((s: SparkSession, d: String) => ddSpanExcise(s, d)),
+    "dd_span_excise_spans" ->
+      ((s: SparkSession, d: String) => ddSpanExciseSpans(s, d)))
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1039,5 +1213,7 @@ object Dedup {
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
     "dd_simhash" -> ddSimhashSql,
-    "dd_span_dedup" -> ddSpanDedupSql())
+    "dd_span_dedup" -> ddSpanDedupSql(),
+    "dd_span_excise" -> ddSpanExciseSql(),
+    "dd_span_excise_spans" -> ddSpanExciseSpansSql())
 }

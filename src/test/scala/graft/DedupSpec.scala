@@ -186,6 +186,77 @@ class DedupSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("span excision: planted passages are excised at exact token and " +
+    "char offsets, maximal merge, residual reproduced") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // P: exactly n=8 shared tokens; Q: 12 shared tokens (5 consecutive
+    // dup windows must MERGE into one maximal span); all filler tokens
+    // globally unique so nothing else matches
+    val P = (0 until 8).map(i => s"p$i").mkString(" ")
+    val Q = (0 until 12).map(i => s"q$i").mkString(" ")
+    def uniq(prefix: String, k: Int) =
+      (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${uniq("u", 5)} $P ${uniq("v", 5)}"), // P at tokens [5,12]
+      (1L, s"${uniq("w", 3)} $P ${uniq("x", 7)}"), // P at tokens [3,10]
+      // TWO separate spans: P at [3,10], Q at [21,32] (gap 11 > n=8)
+      (2L, s"${uniq("y", 3)} $P ${uniq("z", 10)} $Q ${uniq("t", 2)}"),
+      (3L, s"m0 $Q ${uniq("r", 6)}"), // Q at tokens [1,12]
+      (4L, uniq("only", 20))) // clean doc → zero spans, full residual
+      .toDF("doc_id", "text")
+    // independent reference on plain strings (same definitions, no
+    // Spark HOFs): char start/end of an inclusive token range
+    def toks(t: String) = t.split(" ")
+    def startChar(t: String, s: Int) =
+      if (s == 0) 0 else toks(t).take(s).mkString(" ").length + 1
+    def endChar(t: String, e: Int) =
+      toks(t).take(e + 1).mkString(" ").length
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = Dedup.spanExcision(docs, 8)
+    val spans = base.select(col("doc_id"), expr("spans")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(spans(0L) === Seq((5, 12)))
+    assert(spans(1L) === Seq((3, 10)))
+    assert(spans(2L) === Seq((3, 10), (21, 32)),
+      "merge must be maximal and the far passage a separate span")
+    assert(spans(3L) === Seq((1, 12)))
+    assert(spans(4L) === Seq())
+    // char offsets through the query surface
+    val offs = Dedup.ddSpanExciseSpansFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((d, ss) <- spans; ((s, e), i) <- ss.zipWithIndex) {
+      val (sTok, eTok, sCh, eCh) = offs((d, i + 1L))
+      assert((sTok, eTok) === (s.toLong, e.toLong))
+      assert(sCh === startChar(texts(d), s).toLong, s"doc $d span $i")
+      assert(eCh === endChar(texts(d), e).toLong, s"doc $d span $i")
+      // the char slice really is the planted passage
+      val cut = texts(d).substring(sCh.toInt, eCh.toInt)
+      assert(cut === toks(texts(d)).slice(s, e + 1).mkString(" "))
+    }
+    // per-doc summary: residual equals manual excision, hash included
+    val sums = Dedup.ddSpanExciseFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- 0L to 4L) {
+      val kept = toks(texts(d)).zipWithIndex
+        .filterNot { case (_, i) =>
+          spans(d).exists { case (s, e) => i >= s && i <= e } }
+        .map(_._1).mkString(" ")
+      val r = sums(d)
+      assert(r.getAs[Long]("n_spans") === spans(d).length.toLong)
+      assert(r.getAs[Long]("removed_tokens") ===
+        spans(d).map { case (s, e) => e - s + 1 }.sum.toLong)
+      assert(r.getAs[Long]("residual_len") === kept.length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("residual_hash") === md, s"doc $d residual")
+    }
+  }
+
   test("hot bucket: capped LSH join equals the uncapped pair set, blocks bounded") {
     val sparkS = spark
     import sparkS.implicits._
