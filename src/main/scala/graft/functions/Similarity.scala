@@ -921,13 +921,70 @@ object Similarity {
     // left join: a 1-candidate pool has no candidate-candidate pairs →
     // no pairSims row; an inner join would drop the query outright
     // (sims is only read in rounds ≥ 2, which the clamp above
-    // guarantees exist only when the pool has ≥ 2 candidates)
-    cands.join(pairSims, Seq("q_id"), "left")
+    // guarantees exist only when the pool has ≥ 2 candidates).
+    // pairSims broadcasts explicitly: |Q| rows of bounded shortlist²
+    // maps, but map-typed size ESTIMATES are wild enough that the
+    // outer join otherwise planned sort-merge
+    cands.join(broadcast(pairSims), Seq("q_id"), "left")
       .select(col("q_id"), posexplode(expr(selExpr)))
       .select(col("q_id"), col("col.c_id").as("c_id"),
         (col("pos") + 1).cast("int").as("round"),
         col("col.cos").as("cos"))
       .orderBy("q_id", "round")
+  }
+
+  /** Full DuckDB oracle for the MMR pick SEQUENCE — a recursive CTE
+    * (the `tp_pack_greedy` device applied to greedy selection): the
+    * anchor is the per-query relevance argmax, each recursion step
+    * re-ranks the not-yet-selected pool by
+    * `λ·cos − (1−λ)·max_{s∈sel} sim` (the max via a correlated
+    * subquery over the pool-pair sims, the selected set carried as a
+    * list) and keeps ROW_NUMBER()=1. Both engines compute cosine with
+    * the identical multiply/add/sqrt sequence and the SAME λ / 1−λ
+    * double literals (Scala renders them, DuckDB's parser is
+    * correctly-rounding), so scores — and therefore every pick and
+    * tie-break — are bit-identical; verified value-exact at sf0.01.
+    * This moves `sim_mmr` from rows-only to a full hash-exact row. */
+  def simMmrSql(k: Int = 5, shortlist: Int = 20, lambda: Double = 0.7)
+      : String = {
+    val lam = s"${lambda}"
+    val oneMinus = s"${1.0d - lambda}"
+    val qc = cosSql("q.embedding", "c.embedding")
+    val pc = cosSql("e1.embedding", "e2.embedding")
+    s"""WITH RECURSIVE
+       |ranked AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, $qc AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $qc DESC, c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |pool AS (SELECT q_id, c_id, cos FROM ranked WHERE rn <= $shortlist),
+       |pairs AS (
+       |  SELECT p1.q_id, p1.c_id AS a_id, p2.c_id AS b_id, $pc AS sim
+       |  FROM pool p1 JOIN pool p2
+       |    ON p1.q_id = p2.q_id AND p1.c_id <> p2.c_id
+       |  JOIN embeddings e1 ON e1.vec_id = p1.c_id
+       |  JOIN embeddings e2 ON e2.vec_id = p2.c_id),
+       |sel AS (
+       |  SELECT q_id, c_id, cos, 1 AS round, [c_id] AS sel_ids
+       |  FROM ranked WHERE rn = 1
+       |  UNION ALL
+       |  SELECT q_id, c_id, cos, round, sel_ids FROM (
+       |    SELECT s.q_id AS q_id, p.c_id AS c_id, p.cos AS cos,
+       |      s.round + 1 AS round,
+       |      list_append(s.sel_ids, p.c_id) AS sel_ids,
+       |      ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+       |        $lam * p.cos - $oneMinus * (
+       |          SELECT MAX(pr.sim) FROM pairs pr
+       |          WHERE pr.q_id = s.q_id AND pr.a_id = p.c_id
+       |            AND list_contains(s.sel_ids, pr.b_id)) DESC,
+       |        p.c_id) AS rnk
+       |    FROM sel s JOIN pool p
+       |      ON p.q_id = s.q_id AND NOT list_contains(s.sel_ids, p.c_id)
+       |    WHERE s.round < $k)
+       |  WHERE rnk = 1)
+       |SELECT q_id, c_id, CAST(round AS INT) AS round, cos
+       |FROM sel ORDER BY q_id, round""".stripMargin
   }
 
   /** Driver-visible gate for MMR — the `sim_ivf_recall` pattern on a
@@ -1408,6 +1465,7 @@ object Similarity {
     "sim_hamming_ann" -> simHammingAnnSql,
     "sim_hamming_recall" -> simHammingRecallSql,
     "dc3_semantic_decontamination" -> dc3Sql,
+    "sim_mmr" -> simMmrSql(),
     "sim_mmr_gate" -> simMmrGateSql,
     "sim_lsh_recall" -> simLshRecallSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
