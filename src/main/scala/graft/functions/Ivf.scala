@@ -152,7 +152,14 @@ object Ivf {
     * when-chain tests cids in ascending order). For k beyond a few
     * hundred, switch the unrolled chain to an aggregate() fold over one
     * literal array of struct(cid, centroid). */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignWithDist(corpus, centroids).drop("__d")
+
+  /** [[assign]] keeping the winning squared distance as `__d` — the
+    * per-row quantization error, which is the staleness signal
+    * incremental maintenance regresses on ([[indexStaleness]]). */
+  def assignWithDist(corpus: DataFrame, centroids: DataFrame)
+      : DataFrame = {
     val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "assign: empty centroid set")
     val distCols = cents.map { case (cid, c) =>
@@ -168,7 +175,7 @@ object Ivf {
       case ((cid, _), acc) =>
         when(col(s"__d$cid") === minD, lit(cid)).otherwise(acc)
     }
-    withDists.withColumn("cid", cidCol)
+    withDists.withColumn("cid", cidCol).withColumn("__d", minD)
       .drop(cents.map { case (cid, _) => s"__d$cid" }.toSeq: _*)
   }
 
@@ -245,7 +252,87 @@ object Ivf {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assign(corpus, centroids).write.mode("overwrite")
       .partitionBy("cid").parquet(s"$dir/cells")
+    // training-distribution baseline for incremental maintenance: the
+    // per-cell count and summed quantization error AT TRAIN TIME — the
+    // reference [[indexStaleness]] measures appended data against. One
+    // extra corpus-pass aggregate at build time, k rows on disk.
+    assignWithDist(corpus, centroids)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("sum_d"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  // ── incremental maintenance: append without retrain ─────────────────
+  /** Append a micro-batch into a persisted index WITHOUT retraining:
+    * new vectors are assigned to the EXISTING centroids (the
+    * zero-shuffle literal argmin) and appended into the cell layout —
+    * partitioned-parquet append touches only the cid directories the
+    * batch lands in; existing files are never rewritten, and the
+    * centroid model is untouched, so open readers keep serving. This
+    * is the standard IVF deployment shape (FAISS `add` vs `train`):
+    * assignment is cheap and incremental, training is the expensive
+    * rare event — [[indexStaleness]] tells you when it is due. */
+  def appendToIndex(newVecs: DataFrame, spark: SparkSession, dir: String)
+      : Unit =
+    assign(newVecs, loadCentroids(spark, dir)).write.mode("append")
+      .partitionBy("cid").parquet(s"$dir/cells")
+
+  /** Staleness of a (possibly appended-to) persisted index: the mean
+    * per-row quantization error of everything NOW in the index versus
+    * the training-time baseline written by [[saveIndex]]. Appends drawn
+    * from the training distribution keep the ratio ≈ 1; a distribution
+    * shift (new domain, new embedding model) inflates assignment
+    * distances and trips `retrain_suggested` at `threshold`. One
+    * zero-shuffle pass over the cells plus a k-row stats read — cheap
+    * enough to run after every append. */
+  def indexStaleness(spark: SparkSession, dir: String,
+      threshold: Double = 1.5): DataFrame = {
+    val centroids = loadCentroids(spark, dir)
+    val cur = assignWithDist(
+        spark.read.parquet(s"$dir/cells")
+          .select(col("vec_id"), col("embedding")), centroids)
+      .agg(count(lit(1)).as("n_indexed"),
+        (sum(col("__d")) / count(lit(1))).as("cur_mean_d"))
+    val base = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n_trained"),
+        (sum(col("sum_d")) / sum(col("n"))).as("train_mean_d"))
+    cur.crossJoin(broadcast(base))
+      .select(col("n_indexed"), col("n_trained"),
+        col("train_mean_d"), col("cur_mean_d"),
+        (col("cur_mean_d") / col("train_mean_d")).as("drift_ratio"),
+        (col("cur_mean_d") / col("train_mean_d") > threshold)
+          .as("retrain_suggested"))
+  }
+
+  /** Driver-visible gate for incremental maintenance (`sim_ivf_drift`):
+    * build an index on 90% of the corpus, append the held-out 10%
+    * through [[appendToIndex]], and report the staleness row. Counts
+    * are oracle-exact (the split is a pure vec_id rule); the drift
+    * flags are bounds rows — a same-distribution append must stay near
+    * ratio 1, so `drift_ok` (ratio within [0.5, 2]) and
+    * `no_retrain_ok` flip only if assignment, the stats baseline, or
+    * the append path breaks. */
+  def simIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    val centroids = trainCentroids(base, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    saveIndex(base, centroids, tmp)
+    appendToIndex(batch, spark, tmp)
+    indexStaleness(spark, tmp)
+      .select(col("n_indexed"), col("n_trained"),
+        (col("drift_ratio") >= 0.5 && col("drift_ratio") <= 2.0)
+          .as("drift_ok"),
+        (!col("retrain_suggested")).as("no_retrain_ok"))
+  }
+
+  val simIvfDriftSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+      |  CAST(SUM(CASE WHEN vec_id % 10 <> 9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_trained,
+      |  TRUE AS drift_ok, TRUE AS no_retrain_ok
+      |FROM embeddings""".stripMargin
 
   def loadCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
@@ -440,10 +527,12 @@ object Ivf {
     "sim_ivf_ann" -> (simIvf _),
     "sim_ivf_recall" -> (simIvfRecallGate _),
     "sim_ivf_top1" -> (simIvfTop1Gate _),
+    "sim_ivf_drift" -> (simIvfDrift _),
     "sim_semdedup" -> (simSemDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_recall" -> simIvfRecallGateSql,
     "sim_ivf_top1" -> simIvfTop1GateSql,
+    "sim_ivf_drift" -> simIvfDriftSql,
     "sim_semdedup" -> simSemDedupGateSql)
 }

@@ -189,6 +189,51 @@ class IvfSpec extends SparkSpec {
       "must return the identical trained model")
   }
 
+  test("incremental append: grown index serves exactly the full-corpus " +
+    "ranking; same-distribution drift stays flat; a shifted batch " +
+    "trips the retrain trigger") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    val centroids = Ivf.trainCentroids(base, k = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_append").toString
+    Ivf.saveIndex(base, centroids, dir)
+    Ivf.appendToIndex(batch, spark, dir)
+    // the grown persisted index must answer EXACTLY like an in-memory
+    // index over the full corpus with the same (unretrained) centroids
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("c_id")).toMap
+    val grown = key(Ivf.topKPersisted(queries, spark, dir, 5, 2))
+    val mem = key(Ivf.topKIvf(queries, emb, centroids, 5, 2))
+    assert(grown === mem,
+      "append must make the persisted index equal the full-corpus index")
+    // same-distribution append: drift ≈ 1, no retrain
+    val flat = Ivf.indexStaleness(spark, dir).collect().head
+    assert(flat.getAs[Long]("n_indexed") ===
+      flat.getAs[Long]("n_trained") + batch.count())
+    val ratio = flat.getAs[Double]("drift_ratio")
+    assert(ratio > 0.5 && ratio < 2.0, s"flat-append drift ratio $ratio")
+    assert(!flat.getAs[Boolean]("retrain_suggested"))
+    // distribution shift: scale+shift the held-out vectors far outside
+    // the trained cells — quantization error inflates, trigger trips
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("ivf_append2").toString
+    Ivf.saveIndex(base, centroids, dir2)
+    val shifted = batch.select(col("vec_id") + 1000000L as "vec_id",
+      transform(col("embedding"), x => x * lit(5.0f) + lit(7.0f))
+        .as("embedding"))
+    Ivf.appendToIndex(shifted, spark, dir2)
+    val drift = Ivf.indexStaleness(spark, dir2).collect().head
+    assert(drift.getAs[Double]("drift_ratio") > 1.5,
+      s"shifted batch should inflate drift, got $drift")
+    assert(drift.getAs[Boolean]("retrain_suggested"))
+  }
+
   test("model memo: rewriting a file-backed corpus in place invalidates " +
     "the memoized model on the next read") {
     // the canonicalized plan of a file scan is just the path — without
