@@ -40,6 +40,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                             placeholders (reference KafkaUtil
   *                             topic naming, e.g. db_table_generic)
   *   sink.bootstrapServers     kafka bootstrap servers
+  *   profile                   named knob bundle; `low-latency` applies
+  *                             [[PipeAssembly.LowLatencyProfile]]
+  *                             (explicit keys still win)
+  *   session.shufflePartitions shuffle/state partition count set on the
+  *                             session at [[PipeAssembly.start]]
+  *   sink.kafkaAsyncProgress   `true` → asyncProgressTrackingEnabled on
+  *                             the kafka writer (non-exactly-once)
   */
 object PipeAssembly {
 
@@ -52,9 +59,42 @@ object PipeAssembly {
     "sink.topicTemplate" -> "changelog_${conn}_generic",
     "sink.bootstrapServers" -> "localhost:9092")
 
+  /** `profile = low-latency`: the measured SURVEY §16 latency frontier
+    * packaged as config, for tail-follow consumers where
+    * trigger-to-commit beats throughput. Applies the probe-default
+    * knobs: 4k-line admission cap (steady tailing batches, not one
+    * giant catch-up), zero trigger interval (next batch fires
+    * immediately), 4 shuffle/state partitions (every micro-batch pays
+    * load+commit PER state partition — 32-way state for a 4k-row
+    * trigger measured p50 756 ms vs ~410 at 4), and async progress
+    * tracking on the KAFKA sink only (takes offset/commit WAL writes
+    * off the critical path, p95 ~650-830 → ~460-550, at the cost of
+    * exactly-once offsets → possible replay on failure; Spark forbids
+    * it for the durable parquet path and stateful-only sinks, which
+    * keep synchronous exactly-once offsets). Explicit config keys win
+    * over profile values. */
+  val LowLatencyProfile: Map[String, String] = Map(
+    "source.maxLinesPerTrigger" -> "4096",
+    "sink.triggerSeconds" -> "0",
+    "session.shufflePartitions" -> "4",
+    "sink.kafkaAsyncProgress" -> "true")
+
+  /** Defaults ++ named profile ++ explicit config (rightmost wins). */
+  def effectiveConfig(config: Map[String, String])
+      : Map[String, String] = {
+    val prof = config.get("profile") match {
+      case Some("low-latency") => LowLatencyProfile
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unknown profile: $other (supported: low-latency)")
+      case None => Map.empty[String, String]
+    }
+    Defaults ++ prof ++ config
+  }
+
   def events(spark: SparkSession, config: Map[String, String])
       : Dataset[ChangeEvent] = {
-    val conf = Defaults ++ config
+    val conf = effectiveConfig(config)
     import TxPipeline.eventEnc
     val base = spark.readStream
       .format(classOf[ChangeLogSourceProvider].getName)
@@ -96,7 +136,7 @@ object PipeAssembly {
     * format). */
   def mutations(spark: SparkSession, config: Map[String, String])
       : org.apache.spark.sql.Dataset[TxPipeline.TxMutation] = {
-    val conf = Defaults ++ config
+    val conf = effectiveConfig(config)
     TxPipeline.groupByTransaction(
       events(spark, config), conf("tx.timeoutMs").toLong)
   }
@@ -115,10 +155,18 @@ object PipeAssembly {
       availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
-    val conf = Defaults ++ config
-    CdcStream.toKafkaSink(mutations(spark, config), registry,
+    val conf = effectiveConfig(config)
+    val w = CdcStream.toKafkaSink(mutations(spark, config), registry,
       conf("sink.topicTemplate"), conf("sink.bootstrapServers"),
       conf("sink.checkpoint"), trigger(conf, availableNow))
+    // async progress tracking (low-latency profile): offset/commit WAL
+    // writes leave the critical path — Spark supports this for the
+    // kafka sink only, and the trade is exactly-once offsets (replay
+    // possible on failure); the durable parquet path keeps synchronous
+    // offsets deliberately
+    if (conf.get("sink.kafkaAsyncProgress").contains("true"))
+      w.option("asyncProgressTrackingEnabled", "true")
+    else w
   }
 
   /** Assemble and start the full pipe: source → skip-filter → tx-group
@@ -128,7 +176,13 @@ object PipeAssembly {
       availableNow: Boolean = false,
       registry: graft.avro.SchemaRepo = new graft.avro.SchemaRegistry)
       : StreamingQuery = {
-    val conf = Defaults ++ config
+    val conf = effectiveConfig(config)
+    // profile-driven state sizing must land BEFORE the query starts:
+    // the stateful operator's partition count pins at the first batch
+    // and lives in the checkpoint from then on (a later conf change
+    // does not re-shard existing state)
+    conf.get("session.shufflePartitions")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     val ms = mutations(spark, config)
     val trg = trigger(conf, availableNow)
     conf("sink.format") match {

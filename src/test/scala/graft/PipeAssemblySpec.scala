@@ -154,6 +154,48 @@ class PipeAssemblySpec extends SparkSpec {
       .getAs[Long]("commitTsUs") === 77L, "commit-ts rewrite applied")
   }
 
+  test("low-latency profile: knobs land in the effective config, " +
+    "explicit keys win, the pipe runs, unknown profile rejected") {
+    // the packaged SURVEY §16 frontier: admission cap, zero trigger
+    // interval, 4-way state, kafka-only async progress
+    val eff = PipeAssembly.effectiveConfig(Map("profile" -> "low-latency"))
+    assert(eff("source.maxLinesPerTrigger") === "4096")
+    assert(eff("sink.triggerSeconds") === "0")
+    assert(eff("session.shufflePartitions") === "4")
+    assert(eff("sink.kafkaAsyncProgress") === "true")
+    // explicit config beats the profile, profile beats defaults
+    val over = PipeAssembly.effectiveConfig(Map(
+      "profile" -> "low-latency", "source.maxLinesPerTrigger" -> "128"))
+    assert(over("source.maxLinesPerTrigger") === "128")
+    assert(over("sink.triggerSeconds") === "0")
+    intercept[IllegalArgumentException] {
+      PipeAssembly.effectiveConfig(Map("profile" -> "turbo"))
+    }
+    // the profiled pipe actually drains, and start() applied the state
+    // sizing to the session before the first batch
+    val log = Files.createTempFile("pipelat", ".tsv")
+    Files.write(log, Seq(
+      ChangeLogSource.renderLine(1, 1, "begin", "", "", 0, ""),
+      ChangeLogSource.renderLine(1, 2, "mutation", "insert", "a", 5, "x"),
+      ChangeLogSource.renderLine(1, 3, "commit", "", "", 77, ""))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("pipelatout").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val q = PipeAssembly.start(spark, Map(
+        "profile" -> "low-latency",
+        "source.path" -> log.toString,
+        "sink.path" -> s"$out/data",
+        "sink.checkpoint" -> s"$out/chk"), availableNow = true)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "4",
+        "profile must size the session state before the query starts")
+      q.awaitTermination(60000); q.stop()
+      val pks = spark.read.parquet(s"$out/data")
+        .select("pk").collect().map(_.getString(0)).toSeq
+      assert(pks === Seq("a"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("E2: materialize sink maintains the latest image per pk") {
     val log = Files.createTempFile("pipemat", ".tsv")
     Files.write(log, Seq(
