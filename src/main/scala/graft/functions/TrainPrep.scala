@@ -1190,9 +1190,9 @@ object TrainPrep {
     * (model state, like IVF centroids), and the rewrite is a
     * codegen'd `aggregate` fold over each symbol array (no UDF).
     * Training cost is corpus-scan + merges × vocab-sized rounds, the
-    * exact shape tokenizer training has at 100 TB. Like the sketch
-    * ops this is spec-verified, not SQL-oracled: the iterated rewrite
-    * isn't expressible in one DuckDB query. */
+    * exact shape tokenizer training has at 100 TB. Fully SQL-oracled
+    * via [[tcBpeMergesSql]]: the rounds unroll into chained CTEs and
+    * the left-greedy rewrite is one string `replace()` per round. */
   def bpeLearn(docs: DataFrame, merges: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.Column
@@ -1260,8 +1260,8 @@ object TrainPrep {
     * learning) and the per-doc totals come from joining the token
     * stream back to that encoded vocabulary — at 100 TB the corpus is
     * scanned for token occurrences only; the iterative rewriting
-    * touches a vocab-cardinality table. Spec-verified like
-    * [[tcBpeMerges]] (iterated rewriting is not one SQL query). */
+    * touches a vocab-cardinality table. SQL-oracled via
+    * [[tcBpeEncodeSql]] (the unrolled-replace device). */
   def tcBpeEncode(spark: SparkSession, dir: String, merges: Int = 4)
       : DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1320,8 +1320,9 @@ object TrainPrep {
         col("n_bpe_tokens").cast("double"))
   }
 
-  /** Driver-visible gate for the BPE family — the `sim_ivf_recall`
-    * pattern: learning is inherently sequential (rows-only), but its
+  /** Driver-visible gate for the BPE family — kept alongside the now
+    * fully-SQL-oracled `tc_bpe_merges`/`tc_bpe_encode` because its
+    * flags check INTERNAL state the output tables don't expose: its
     * FIRST merge is SQL-exact (the argmax adjacent character pair over
     * the token frequency table — no rewritten sequences involved yet),
     * and the encode obeys hash-verifiable invariants: every document's
@@ -1356,6 +1357,88 @@ object TrainPrep {
       .withColumn("first_count", lit(fcnt))
       .withColumn("merges_ok", lit(table.size == merges))
   }
+
+  // ── full BPE oracle: unrolled merge rounds in plain SQL ─────────────
+  /** DuckDB CTE chain reproducing [[bpeLearn]] exactly — the device
+    * that moved `tc_bpe_merges`/`tc_bpe_encode` out of rows-only.
+    * `merges` is a compile-time constant, so the "iterative" learn
+    * UNROLLS into `merges` chained (pairs → argmax → rewrite) CTE
+    * rounds, and the left-greedy rewrite — the part that looks like it
+    * needs a sequential fold — is ONE `replace()` call per round: each
+    * token's symbol sequence rides as a string with a ``
+    * boundary between symbols (and as sentinels), so the merge of
+    * (a, b) is `replace(s, SEP·a·SEP·SEP·b·SEP, SEP·a·b·SEP)`. SQL
+    * replace scans left-to-right and continues AFTER the replacement —
+    * exactly left-greedy: each match consumes one boundary char on
+    * each side and the replacement restores it, so the double-boundary
+    * invariant holds and adjacent occurrences still match; for a = b,
+    * a run of n merges ⌊n/2⌋ times from the left, same as the fold.
+    * Tie-breaks (count desc, then pair lexicographic) are binary
+    * string comparison in both engines; counts are exact integers.
+    * Verified value-exact against the Spark output at sf0.01.
+    * Testdata contains no  (probed); a corpus that used it would
+    * need a different boundary byte. */
+  private def bpeRoundCtes(r: Int, carryTok: Boolean): String = {
+    val tok = if (carryTok) "tok, " else ""
+    s"""p$r AS (
+       |  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT list_filter(string_split(s, chr(1)), x -> x <> '')
+       |          AS l, freq FROM v${r - 1}) t,
+       |       unnest(generate_series(1, len(l) - 1)) AS u(i)
+       |  GROUP BY a, b),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |v$r AS (
+       |  SELECT ${tok}replace(s, chr(1)||a||chr(1)||chr(1)||b||chr(1),
+       |    chr(1)||a||b||chr(1)) AS s, freq FROM v${r - 1}, b$r)""".stripMargin
+  }
+
+  private def bpeCommonCtes(merges: Int, carryTok: Boolean): String = {
+    val tok = if (carryTok) "tok, " else ""
+    s"""WITH toks AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |    FROM documents) t
+       |  WHERE len(tok) > 0 GROUP BY tok),
+       |v0 AS (
+       |  SELECT ${tok}chr(1)||chr(1) ||
+       |    array_to_string(string_split(tok, ''), chr(1)||chr(1)) ||
+       |    chr(1)||chr(1) AS s, freq FROM toks),
+       |""".stripMargin +
+      (1 to merges).map(bpeRoundCtes(_, carryTok)).mkString(",\n")
+  }
+
+  def tcBpeMergesSql(merges: Int = 4): String =
+    bpeCommonCtes(merges, carryTok = false) + s""",
+       |totals AS (
+       |  SELECT (SELECT CAST(SUM(len(tok) * freq) AS BIGINT) FROM toks)
+       |      AS symbols_before,
+       |    CAST(SUM(((len(s) - len(replace(s, chr(1), ''))) // 2 - 1)
+       |      * freq) AS BIGINT) AS symbols_after
+       |  FROM v$merges)
+       |SELECT CAST(r AS INT) AS rank, a AS "left", b AS "right",
+       |  cnt AS pair_count, symbols_before, symbols_after
+       |FROM (${(1 to merges)
+        .map(r => s"SELECT $r AS r, * FROM b$r")
+        .mkString(" UNION ALL ")}) m
+       |CROSS JOIN totals ORDER BY rank""".stripMargin
+
+  def tcBpeEncodeSql(merges: Int = 4): String =
+    bpeCommonCtes(merges, carryTok = true) + s""",
+       |enc AS (
+       |  SELECT tok, len(tok) AS n_chr,
+       |    (len(s) - len(replace(s, chr(1), ''))) // 2 - 1 AS n_sym
+       |  FROM v$merges),
+       |doc_toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+'))
+       |      AS tok FROM documents) t WHERE len(tok) > 0)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(e.n_chr) AS BIGINT) AS n_chars,
+       |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(CAST(SUM(e.n_chr) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(e.n_sym) AS BIGINT) AS DOUBLE) AS compression
+       |FROM doc_toks d JOIN enc e USING (tok)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val tcBpeGateSql: String =
     """WITH toks AS (
@@ -1484,6 +1567,8 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "tp_source_quota" -> tpSourceQuotaSql(),
+    "tc_bpe_merges" -> tcBpeMergesSql(),
+    "tc_bpe_encode" -> tcBpeEncodeSql(),
     "tc_bpe_gate" -> tcBpeGateSql,
     "tc_length_buckets" -> tcLengthBucketsSql(),
     "tc_padding_sweep" -> tcPaddingSweepSql(),
