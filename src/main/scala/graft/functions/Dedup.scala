@@ -663,9 +663,9 @@ object Dedup {
   val RecallPanelCap = 1000L
 
   /** Driver-visible quality gate for the MinHash-LSH family — the
-    * `sim_ivf_recall` pattern applied to text dedup. The LSH pipeline's
-    * internals (xxhash64 band keys) are engine-specific, so the pair
-    * SETS stay rows-only; but its QUALITY contract is hash-verifiable:
+    * `sim_ivf_recall` pattern applied to text dedup. Kept alongside the
+    * now fully-SQL-oracled pair/group/incremental rows because it
+    * checks the QUALITY contract rather than the output values:
     * ground truth is the exact whole-panel bigram Jaccard ≥ t pair set
     * (the same shingle definition the LSH verify stage uses, so LSH
     * output restricted to the panel must be a SUBSET of truth — any
@@ -807,8 +807,9 @@ object Dedup {
   /** Declared query: docs with doc_id % 10 == 0 play the incoming
     * slice, the rest the standing corpus. Per batch doc: match count,
     * best match, and the keep/drop verdict an ingest pipeline acts on.
-    * Rows-only (LSH bucketing isn't SQL-expressible); DedupSpec plants
-    * cross-set and in-batch dups and asserts the verdicts. */
+    * Fully oracled ([[ddIncrementalMinhashSql]] — the HUGEINT rolling-
+    * hash device); DedupSpec additionally plants cross-set and in-batch
+    * dups and asserts the verdicts. */
   def ddIncrementalVerdicts(corpus: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     val matches = incrementalMinhashMatches(corpus, batch, threshold)
@@ -1191,6 +1192,166 @@ object Dedup {
        |  CAST(end_char AS BIGINT) AS end_char
        |FROM spanc ORDER BY doc_id, span_idx""".stripMargin
 
+  // ── full MinHash-LSH oracle: the pipeline re-expressed in SQL ───────
+  /** DuckDB reproduction of the whole MinHash-LSH pipeline, moving
+    * `dd_minhash_lsh`/`dd_minhash_groups`/`dd_incremental_minhash`
+    * from rows-only to hash-exact oracle rows. Three devices:
+    *
+    *  1. The wrapping-Long rolling hash ([[graft.functions.RollingHash]])
+    *     is exact modular arithmetic in HUGEINT: each fold step is
+    *     `(acc·base + byte) mod 2⁶⁴` (int128 never overflows at
+    *     ≤ 2⁸⁴), re-signed at the end. Bytes come from `ord()` over
+    *     single chars — byte-exact because the testdata corpus is pure
+    *     ASCII (probed; a non-ASCII corpus would need a blob fold).
+    *  2. The MinHash slots are plain BIGINT modular arithmetic (the
+    *     expression keeps products under 2⁵³ by construction), and the
+    *     xxhash64 BAND key is replaced by band-slice EQUALITY — same
+    *     candidate set modulo a 2⁻⁶⁴ xxhash collision (which would
+    *     surface as a driver hash mismatch, not silently).
+    *  3. Connected components — iterative in Spark — is a recursive-CTE
+    *     transitive closure (bounded: closure size is Σ component², and
+    *     verified duplicate clusters are tiny at oracle scale).
+    *
+    * The hot-bucket triangle split ([[cappedBucketSelfJoin]]) is a
+    * physical no-op below `LshBucketCap` rows per bucket, which holds
+    * at every oracle SF; the oracle therefore joins plain buckets. */
+  private def minhashCommonCtes: String = {
+    val slotVals = (0 until MinHashK)
+      .map(i => s"(${i}, ${coefA(i)}, ${coefB(i)})").mkString(", ")
+    val rows = MinHashK / LshBands
+    s"""doc_bigrams AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |        FROM documents) t,
+       |       unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+       |doc_hashes AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+       |      THEN hv - 18446744073709551616::HUGEINT ELSE hv END
+       |      AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_reduce(
+       |        list_prepend(0::HUGEINT,
+       |          list_transform(string_split(bg, ''),
+       |            ch -> ord(ch)::HUGEINT)),
+       |        (acc, x) -> (acc * ${HashFunctions.DefaultBase} + x)
+       |          % 18446744073709551616::HUGEINT) AS hv
+       |    FROM doc_bigrams) t),
+       |slots AS (SELECT * FROM (VALUES $slotVals) s(slot, a, b)),
+       |sigs AS (
+       |  SELECT doc_id, slot,
+       |    MIN(((((h % $MinHashPrime) + $MinHashPrime) % $MinHashPrime)
+       |      * a + b) % $MinHashPrime) AS minv
+       |  FROM doc_hashes, slots GROUP BY doc_id, slot),
+       |bandkeys AS (
+       |  SELECT doc_id, slot // $rows AS band,
+       |    array_to_string(list(minv ORDER BY slot), ',') AS key
+       |  FROM sigs GROUP BY doc_id, band),
+       |sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM doc_hashes GROUP BY doc_id)"""
+      .stripMargin
+  }
+
+  /** LSH pair CTEs on top of [[minhashCommonCtes]]: bucket self-join →
+    * distinct candidates → exact-Jaccard verify at `threshold`. */
+  private def minhashPairCtes(threshold: Double): String =
+    s"""cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.key = b.key
+       |      AND a.doc_id < b.doc_id),
+       |common_cnt AS (
+       |  SELECT c.d1, c.d2, COUNT(y.h) AS n_common
+       |  FROM cands c
+       |  LEFT JOIN doc_hashes x ON x.doc_id = c.d1
+       |  LEFT JOIN doc_hashes y ON y.doc_id = c.d2 AND y.h = x.h
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT cc.d1, cc.d2,
+       |    CAST(cc.n_common AS DOUBLE)
+       |      / CAST(s1.n + s2.n - cc.n_common AS DOUBLE) AS jaccard
+       |  FROM common_cnt cc
+       |  JOIN sizes s1 ON s1.doc_id = cc.d1
+       |  JOIN sizes s2 ON s2.doc_id = cc.d2
+       |  WHERE CAST(cc.n_common AS DOUBLE)
+       |      / CAST(s1.n + s2.n - cc.n_common AS DOUBLE) >= $threshold)"""
+      .stripMargin
+
+  def ddMinhashLshSql(threshold: Double = 0.2): String =
+    s"""WITH
+       |$minhashCommonCtes,
+       |${minhashPairCtes(threshold)}
+       |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  def ddMinhashGroupsSql(threshold: Double = 0.2): String =
+    s"""WITH RECURSIVE
+       |$minhashCommonCtes,
+       |${minhashPairCtes(threshold)},
+       |edges AS (
+       |  SELECT d1 AS n1, d2 AS n2 FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT n1 AS node, n1 AS lbl FROM edges
+       |  UNION
+       |  SELECT e.n2 AS node, r.lbl FROM reach r
+       |    JOIN edges e ON e.n1 = r.node),
+       |labels AS (SELECT node, MIN(lbl) AS label FROM reach GROUP BY node)
+       |SELECT label AS keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+       |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
+
+  /** Oracle for [[ddIncrementalMinhash]]: batch = doc_id % 10 = 0, the
+    * rest the standing corpus; candidates are batch×corpus (asymmetric)
+    * plus batch×batch with the LARGER id carrying the pair (matching
+    * [[incrementalMinhashMatches]]'s keeper convention); the best-match
+    * struct max is a (jaccard, match_id, matched_in) DESC row_number. */
+  def ddIncrementalMinhashSql(threshold: Double = 0.2): String =
+    s"""WITH
+       |$minhashCommonCtes,
+       |cross_cands AS (
+       |  SELECT DISTINCT n.doc_id AS d1, o.doc_id AS d2,
+       |    'corpus' AS matched_in
+       |  FROM bandkeys n JOIN bandkeys o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+       |self_cands AS (
+       |  SELECT DISTINCT b.doc_id AS d1, a.doc_id AS d2,
+       |    'batch' AS matched_in
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+       |all_cands AS (
+       |  SELECT * FROM cross_cands UNION ALL SELECT * FROM self_cands),
+       |common_cnt AS (
+       |  SELECT c.d1, c.d2, c.matched_in, COUNT(y.h) AS n_common
+       |  FROM all_cands c
+       |  LEFT JOIN doc_hashes x ON x.doc_id = c.d1
+       |  LEFT JOIN doc_hashes y ON y.doc_id = c.d2 AND y.h = x.h
+       |  GROUP BY c.d1, c.d2, c.matched_in),
+       |matches AS (
+       |  SELECT cc.d1 AS batch_id, cc.d2 AS match_id, cc.matched_in,
+       |    CAST(cc.n_common AS DOUBLE)
+       |      / CAST(s1.n + s2.n - cc.n_common AS DOUBLE) AS jaccard
+       |  FROM common_cnt cc
+       |  JOIN sizes s1 ON s1.doc_id = cc.d1
+       |  JOIN sizes s2 ON s2.doc_id = cc.d2
+       |  WHERE CAST(cc.n_common AS DOUBLE)
+       |      / CAST(s1.n + s2.n - cc.n_common AS DOUBLE) >= $threshold),
+       |batch_ids AS (
+       |  SELECT doc_id AS batch_id FROM documents WHERE doc_id % 10 = 0),
+       |ranked AS (
+       |  SELECT b.batch_id, m.match_id, m.matched_in, m.jaccard,
+       |    COUNT(m.match_id) OVER (PARTITION BY b.batch_id) AS n_matches,
+       |    ROW_NUMBER() OVER (PARTITION BY b.batch_id
+       |      ORDER BY m.jaccard DESC NULLS LAST, m.match_id DESC NULLS LAST,
+       |        m.matched_in DESC NULLS LAST) AS rk
+       |  FROM batch_ids b LEFT JOIN matches m USING (batch_id))
+       |SELECT batch_id, CAST(n_matches AS BIGINT) AS n_matches,
+       |  match_id AS best_match, matched_in AS best_side,
+       |  jaccard AS best_jaccard, n_matches = 0 AS keep
+       |FROM ranked WHERE rk = 1 ORDER BY batch_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_survivorship" -> (ddSurvivorship _),
@@ -1211,6 +1372,9 @@ object Dedup {
     "dd_survivorship" -> ddSurvivorshipSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
+    "dd_minhash_lsh" -> ddMinhashLshSql(),
+    "dd_minhash_groups" -> ddMinhashGroupsSql(),
+    "dd_incremental_minhash" -> ddIncrementalMinhashSql(),
     "dd_minhash_recall" -> ddMinhashRecallSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_span_dedup" -> ddSpanDedupSql(),
