@@ -361,11 +361,93 @@ object Ivf {
       .orderBy("q_id", "rank")
   }
 
+  // ── full SQL oracle: Lloyd's algorithm unrolled in DuckDB ───────────
+  /** DuckDB oracle reproducing [[simIvf]] END TO END — k-means training
+    * included — which moves `sim_ivf_ann` from rows-only to a
+    * hash-exact row. The key realization: the trained model is
+    * bit-DETERMINISTIC by design ([[lloydStep]]'s layout-stable
+    * scaled-long folds), so training is just arithmetic a second engine
+    * can repeat. Per Lloyd round (a fixed `iters` unrolls like the BPE
+    * oracle): assignment = row_number over (vec, centroid) distances
+    * with the ascending-dimension float fold (`(0 + d₀²) + d₁²…` —
+    * list_reduce's first-element init equals Spark's `s = 0.0; s += d²`
+    * because 0 + x = x in IEEE), ties to the lowest cid exactly like
+    * the strict-less scan; the mean = integer SUM of the same
+    * `floor(x·2³² + 0.5)` longs (order-free, exact) re-divided in the
+    * same `sum/count/scale` order; empty cells COALESCE to the previous
+    * centroid. Probe selection and the cosine re-rank reuse the proven
+    * bit-stable fold devices ([[Similarity.cosSql]] shape). */
+  def simIvfSql(k: Int = 8, iters: Int = 2, topK: Int = 5,
+      nprobe: Int = 2): String = {
+    def sqd(x: String, c: String): String =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> (CAST($x[i] AS DOUBLE) - $c[i])
+         |         * (CAST($x[i] AS DOUBLE) - $c[i])), (a, b) -> a + b)"""
+        .stripMargin
+    def dotS(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(a, b) -> a + b)"
+    def cosS(a: String, b: String): String =
+      s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
+    val scale = "4294967296.0"
+    def lloyd(r: Int): String =
+      s"""asg$r AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqd("e.embedding", "c.centroid")} ASC,
+         |          c.cid ASC) AS rn
+         |    FROM embeddings e, c${r - 1} c) t WHERE rn = 1),
+         |sums$r AS (
+         |  SELECT cid, dim,
+         |    CAST(SUM(CAST(floor(CAST(embedding[dim] AS DOUBLE) * $scale
+         |      + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM asg$r, unnest(generate_series(1, len(embedding))) AS u(dim)
+         |  GROUP BY cid, dim),
+         |c$r AS (
+         |  SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)
+         |      / $scale ORDER BY dim) AS centroid
+         |    FROM sums$r GROUP BY cid) n USING (cid))""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) s),
+       |${(1 to iters).map(lloyd).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id AS c_id, embedding AS c_vec, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqd("e.embedding", "c.centroid")} ASC,
+       |          c.cid ASC) AS rn
+       |    FROM embeddings e, c$iters c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_vec, cid FROM (
+       |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqd("q.embedding", "c.centroid")} ASC,
+       |          c.cid ASC) AS rn
+       |    FROM embeddings q, c$iters c WHERE q.vec_id < 10) t
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.q_id, s.c_id, ${cosS("p.q_vec", "s.c_vec")} AS cos
+       |  FROM probes p JOIN cells s USING (cid))
+       |SELECT q_id, c_id, cos, CAST(rk AS INT) AS rank FROM (
+       |  SELECT q_id, c_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id ASC) AS rk
+       |  FROM scored) t WHERE rk <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Recall@k of the IVF index vs the exact ranking — the same
     * index-quality gate as [[Similarity.simLshRecall]], for the
     * coarse-quantizer path: how much does nprobe=2 of 8 cells give
-    * up? No SQL oracle (the k-means cells aren't SQL-expressible);
-    * IvfSpec pins the recall to the exact/approx set intersection. */
+    * up? Kept as a bounds gate (the full set is oracled by
+    * [[simIvfSql]]); IvfSpec pins the recall to the exact/approx set
+    * intersection. */
   def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.simTopK(spark, dir)
       .select(col("q_id"), col("c_id"))
@@ -531,6 +613,7 @@ object Ivf {
     "sim_semdedup" -> (simSemDedupGate _))
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_ann" -> simIvfSql(),
     "sim_ivf_recall" -> simIvfRecallGateSql,
     "sim_ivf_top1" -> simIvfTop1GateSql,
     "sim_ivf_drift" -> simIvfDriftSql,

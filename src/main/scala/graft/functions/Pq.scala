@@ -273,9 +273,9 @@ object Pq {
 
   /** Declared query: PQ(m=4, k=16) over the embeddings table, ADC
     * shortlist 32 → exact top-5 for the first 10 vectors as queries.
-    * No SQL oracle (k-means + ADC aren't DuckDB-expressible);
-    * PqSpec verifies encode-argmin exactness, ADC = sum of subspace
-    * distances, and recall against the brute-force ranking. */
+    * Fully SQL-oracled ([[simPqSql]] — training included); PqSpec
+    * additionally verifies encode-argmin exactness, ADC = sum of
+    * subspace distances, and recall against the brute-force ranking. */
   def simPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val books = trainCodebooks(emb, m = 4, k = 16, iters = 2)
@@ -292,8 +292,8 @@ object Pq {
   /** Recall@k of the PQ/ADC path vs the exact ranking — closes the
     * recall-eval trio ([[Similarity.simLshRecall]], [[Ivf.simIvfRecall]]):
     * how much does 32×-compressed ADC scanning with a 32-deep exact
-    * re-rank give up? Rows-only like [[simPq]]; PqSpec pins the
-    * intersection arithmetic. */
+    * re-rank give up? A bounds gate (the full set is oracled by
+    * [[simPqSql]]); PqSpec pins the intersection arithmetic. */
   def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.simTopK(spark, dir)
       .select(col("q_id"), col("c_id"))
@@ -354,12 +354,108 @@ object Pq {
       |  TRUE AS self_top1_ok, TRUE AS dominance_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin
 
+  // ── full SQL oracle: per-subspace Lloyd + ADC unrolled in DuckDB ────
+  /** DuckDB oracle reproducing [[simPq]] END TO END — subspace k-means
+    * training, encoding, ADC scoring, and the exact re-rank — moving
+    * `sim_pq_ann` from rows-only to a hash-exact row. Same devices as
+    * [[Ivf.simIvfSql]] (bit-deterministic scaled-long Lloyd, unrolled
+    * rounds, ascending-dim IEEE folds) with two PQ-specific points:
+    * codebook state is (subspace, code) ROWS carrying codeword lists,
+    * and the ADC sum folds the m per-subspace table lookups in
+    * ascending-subspace order (`list_reduce` over `list(d ORDER BY j)`
+    * = Scala's left-assoc `reduce(_ + _)`), because float addition
+    * order is part of the contract. */
+  def simPqSql(m: Int = 4, k: Int = 16, iters: Int = 2, topK: Int = 5,
+      shortlist: Int = 32): String = {
+    // the sub-dimension count is derived at oracle runtime as
+    // len(embedding) // m — the same d/m derivation the Spark side
+    // makes — so the oracle needs no literal embedding width
+    def sqdSub(tbl: String, cw: String): String =
+      s"""list_reduce(list_transform(generate_series(1, len($tbl.embedding) // $m),
+         |      i -> (CAST($tbl.embedding[b.j * (len($tbl.embedding) // $m) + i] AS DOUBLE) - $cw[i])
+         |         * (CAST($tbl.embedding[b.j * (len($tbl.embedding) // $m) + i] AS DOUBLE) - $cw[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    def dotS(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(a, b) -> a + b)"
+    def cosS(a: String, b: String): String =
+      s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
+    val scale = "4294967296.0"
+    def lloyd(r: Int): String =
+      s"""asg$r AS (
+         |  SELECT vec_id, embedding, j, c FROM (
+         |    SELECT e.vec_id, e.embedding, b.j AS j, b.c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
+         |        ORDER BY ${sqdSub("e", "b.codeword")} ASC, b.c ASC) AS rn
+         |    FROM embeddings e, bk${r - 1} b) t WHERE rn = 1),
+         |sums$r AS (
+         |  SELECT j, c, dim,
+         |    CAST(SUM(CAST(floor(CAST(embedding[j * (len(embedding) // $m)
+         |      + dim] AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM asg$r,
+         |    unnest(generate_series(1, len(embedding) // $m)) AS u(dim)
+         |  GROUP BY j, c, dim),
+         |bk$r AS (
+         |  SELECT p.j, p.c, COALESCE(n.codeword, p.codeword) AS codeword
+         |  FROM bk${r - 1} p LEFT JOIN (
+         |    SELECT j, c, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)
+         |      / $scale ORDER BY dim) AS codeword
+         |    FROM sums$r GROUP BY j, c) n ON n.j = p.j AND n.c = p.c)"""
+        .stripMargin
+    s"""WITH bk0 AS (
+       |  SELECT j.j, s.c,
+       |    list_transform(generate_series(1, len(s.embedding) // $m),
+       |      i -> CAST(s.embedding[j.j * (len(s.embedding) // $m) + i]
+       |        AS DOUBLE)) AS codeword
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+       |          embedding
+       |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) t) s,
+       |       (SELECT unnest(generate_series(0, ${m - 1})) AS j) j),
+       |${(1 to iters).map(lloyd).mkString(",\n")},
+       |codes AS (
+       |  SELECT vec_id, embedding, j, c FROM (
+       |    SELECT e.vec_id, e.embedding, b.j AS j, b.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
+       |        ORDER BY ${sqdSub("e", "b.codeword")} ASC, b.c ASC) AS rn
+       |    FROM embeddings e, bk$iters b) t WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec,
+       |    cd.vec_id AS c_id, cd.embedding AS c_vec,
+       |    list_reduce(
+       |      list(list_reduce(list_transform(
+       |          generate_series(1, len(q.embedding) // $m),
+       |          i -> (CAST(q.embedding[cd.j * (len(q.embedding) // $m)
+       |                 + i] AS DOUBLE) - b.codeword[i])
+       |             * (CAST(q.embedding[cd.j * (len(q.embedding) // $m)
+       |                 + i] AS DOUBLE) - b.codeword[i])),
+       |          (x, y) -> x + y) ORDER BY cd.j),
+       |      (x, y) -> x + y) AS adc_d
+       |  FROM embeddings q
+       |  JOIN codes cd ON q.vec_id < 10
+       |  JOIN bk$iters b ON b.j = cd.j AND b.c = cd.c
+       |  GROUP BY q.vec_id, q.embedding, cd.vec_id, cd.embedding),
+       |short AS (
+       |  SELECT q_id, c_id, ${cosS("q_vec", "c_vec")} AS cos FROM (
+       |    SELECT q_id, q_vec, c_id, c_vec,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc_d ASC, c_id ASC) AS sr
+       |    FROM adc) t WHERE sr <= $shortlist)
+       |SELECT q_id, c_id, cos, CAST(rk AS INT) AS rank FROM (
+       |  SELECT q_id, c_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id ASC) AS rk
+       |  FROM short) t WHERE rk <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_ann" -> (simPq _),
     "sim_pq_recall" -> (simPqRecallGate _),
     "sim_pq_top1" -> (simPqTop1Gate _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_ann" -> simPqSql(),
     "sim_pq_recall" -> simPqRecallGateSql,
     "sim_pq_top1" -> simPqTop1GateSql)
 }
