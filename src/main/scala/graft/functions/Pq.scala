@@ -236,6 +236,23 @@ object Pq {
     * session reloads both tables and pays only the ADC scan. At 100 TB
     * the codes table is ~32× smaller than the corpus — THE artifact a
     * PQ deployment ships. */
+  /** [[encode]] keeping the total quantization error as `__d` — the
+    * sum of each subspace's winning squared distance, the PQ analog of
+    * [[Ivf.assignWithDist]]'s staleness signal. */
+  def encodeWithDist(corpus: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val distCols = (0 until m).map { j =>
+      val entries = books(j).zipWithIndex.map { case (cw, c) =>
+        struct(VectorFunctions.sq_l2(subCol(j, sub), litVec(cw)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(entries.toSeq: _*)).getField("d")
+    }
+    encode(corpus, books).withColumn("__d", distCols.reduce(_ + _))
+  }
+
   def saveIndex(corpus: DataFrame, books: Array[Array[Array[Double]]],
       dir: String): Unit = {
     val sp = corpus.sparkSession
@@ -247,7 +264,77 @@ object Pq {
     encode(corpus, books)
       .select(col("vec_id"), col("codes"), col("embedding"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    // train-time reconstruction-error baseline for incremental
+    // maintenance, like [[Ivf.saveIndex]]'s per-cell stats: one row of
+    // (count, summed quantization error) the staleness probe compares
+    // appended data against.
+    encodeWithDist(corpus, books)
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("sum_d"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  // ── incremental maintenance: append without retrain ─────────────────
+  /** Append a micro-batch into a persisted PQ index WITHOUT
+    * retraining: new vectors are ENCODED against the existing
+    * codebooks (the plan-literal argmin — cheap, zero-shuffle) and
+    * appended to the codes table; the codebook tensor is untouched.
+    * The FAISS `add`-vs-`train` split, same deployment shape as
+    * [[Ivf.appendToIndex]]. */
+  def appendToIndex(newVecs: DataFrame, spark: SparkSession,
+      dir: String): Unit =
+    encode(newVecs, loadCodebooks(spark, dir))
+      .select(col("vec_id"), col("codes"), col("embedding"))
+      .write.mode("append").parquet(s"$dir/codes")
+
+  /** Staleness of a (possibly appended-to) persisted PQ index: mean
+    * reconstruction error of everything NOW in the codes table versus
+    * the train-time baseline — the signal that the codebooks no longer
+    * quantize the corpus well (domain shift, new embedding model) and
+    * a retrain is due. */
+  def indexStaleness(spark: SparkSession, dir: String,
+      threshold: Double = 1.5): DataFrame = {
+    val books = loadCodebooks(spark, dir)
+    val cur = encodeWithDist(
+        spark.read.parquet(s"$dir/codes")
+          .select(col("vec_id"), col("embedding")), books)
+      .agg(count(lit(1)).as("n_indexed"),
+        (sum(col("__d")) / count(lit(1))).as("cur_mean_d"))
+    val base = spark.read.parquet(s"$dir/stats")
+      .select(col("n").as("n_trained"),
+        (col("sum_d") / col("n").cast("double")).as("train_mean_d"))
+    cur.crossJoin(broadcast(base))
+      .select(col("n_indexed"), col("n_trained"),
+        col("train_mean_d"), col("cur_mean_d"),
+        (col("cur_mean_d") / col("train_mean_d")).as("drift_ratio"),
+        (col("cur_mean_d") / col("train_mean_d") > threshold)
+          .as("retrain_suggested"))
+  }
+
+  /** Driver-visible gate for PQ incremental maintenance
+    * (`sim_pq_drift`) — the [[Ivf.simIvfDrift]] contract on the PQ
+    * artifact: index 90% of the corpus, append the held-out 10%,
+    * report counts (oracle-exact) and drift bounds flags. */
+  def simPqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    val books = trainCodebooks(base, m = 4, k = 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_inc").toString
+    saveIndex(base, books, tmp)
+    appendToIndex(batch, spark, tmp)
+    indexStaleness(spark, tmp)
+      .select(col("n_indexed"), col("n_trained"),
+        (col("drift_ratio") >= 0.5 && col("drift_ratio") <= 2.0)
+          .as("drift_ok"),
+        (!col("retrain_suggested")).as("no_retrain_ok"))
+  }
+
+  val simPqDriftSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+      |  CAST(SUM(CASE WHEN vec_id % 10 <> 9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_trained,
+      |  TRUE AS drift_ok, TRUE AS no_retrain_ok
+      |FROM embeddings""".stripMargin
 
   /** Reload the codebook tensor exactly as trained (ordered by
     * (subspace, code) — the layout [[encode]]/[[adcTopK]] index by). */
@@ -452,10 +539,12 @@ object Pq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_ann" -> (simPq _),
     "sim_pq_recall" -> (simPqRecallGate _),
-    "sim_pq_top1" -> (simPqTop1Gate _))
+    "sim_pq_top1" -> (simPqTop1Gate _),
+    "sim_pq_drift" -> (simPqDrift _))
 
   val oracles: Map[String, String] = Map(
     "sim_pq_ann" -> simPqSql(),
     "sim_pq_recall" -> simPqRecallGateSql,
-    "sim_pq_top1" -> simPqTop1GateSql)
+    "sim_pq_top1" -> simPqTop1GateSql,
+    "sim_pq_drift" -> simPqDriftSql)
 }

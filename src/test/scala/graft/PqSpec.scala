@@ -166,4 +166,45 @@ class PqSpec extends SparkSpec {
       inMemory.orderBy("q_id", "rank").collect().toSeq,
       "persistence changed retrieval results")
   }
+
+  test("incremental append: grown index equals the full-corpus index; " +
+    "flat drift on same-distribution appends; shifted batch trips " +
+    "the retrain trigger") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    val books = Pq.trainCodebooks(base, m = 4, k = 16, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_append").toString
+    Pq.saveIndex(base, books, dir)
+    Pq.appendToIndex(batch, spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val grown = Pq.topKPersisted(queries, spark, dir,
+      k = 5, shortlist = 32)
+    val mem = Pq.adcTopK(queries,
+      Pq.encode(emb, books).localCheckpoint(), books,
+      k = 5, shortlist = 32)
+    assert(grown.orderBy("q_id", "rank").collect().toSeq ===
+      mem.orderBy("q_id", "rank").collect().toSeq,
+      "append must make the persisted index equal the full-corpus index")
+    val flat = Pq.indexStaleness(spark, dir).collect().head
+    assert(flat.getAs[Long]("n_indexed") ===
+      flat.getAs[Long]("n_trained") + batch.count())
+    val ratio = flat.getAs[Double]("drift_ratio")
+    assert(ratio > 0.5 && ratio < 2.0, s"flat-append drift ratio $ratio")
+    assert(!flat.getAs[Boolean]("retrain_suggested"))
+    // a scaled+shifted batch inflates reconstruction error → trigger
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("pq_append2").toString
+    Pq.saveIndex(base, books, dir2)
+    val shifted = batch.select(col("vec_id") + 1000000L as "vec_id",
+      transform(col("embedding"), x => x * lit(5.0f) + lit(7.0f))
+        .as("embedding"))
+    Pq.appendToIndex(shifted, spark, dir2)
+    val drift = Pq.indexStaleness(spark, dir2).collect().head
+    assert(drift.getAs[Double]("drift_ratio") > 1.5,
+      s"shifted batch should inflate drift, got $drift")
+    assert(drift.getAs[Boolean]("retrain_suggested"))
+  }
 }
