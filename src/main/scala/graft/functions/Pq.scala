@@ -261,15 +261,16 @@ object Pq {
       book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
     }.toSeq.toDF("subspace", "code", "codeword")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    encode(corpus, books)
-      .select(col("vec_id"), col("codes"), col("embedding"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    // train-time reconstruction-error baseline for incremental
-    // maintenance, like [[Ivf.saveIndex]]'s per-cell stats: one row of
-    // (count, summed quantization error) the staleness probe compares
-    // appended data against.
+    // ONE encode pass: the codes table stores the per-row
+    // reconstruction error (`q_err`), so staleness probes are a column
+    // aggregate and the train-time baseline is a read-back of the
+    // just-written table, not a second encode.
     encodeWithDist(corpus, books)
-      .agg(count(lit(1)).as("n"), sum(col("__d")).as("sum_d"))
+      .select(col("vec_id"), col("codes"), col("embedding"),
+        col("__d").as("q_err"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    sp.read.parquet(s"$dir/codes")
+      .agg(count(lit(1)).as("n"), sum(col("q_err")).as("sum_d"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -282,8 +283,9 @@ object Pq {
     * [[Ivf.appendToIndex]]. */
   def appendToIndex(newVecs: DataFrame, spark: SparkSession,
       dir: String): Unit =
-    encode(newVecs, loadCodebooks(spark, dir))
-      .select(col("vec_id"), col("codes"), col("embedding"))
+    encodeWithDist(newVecs, loadCodebooks(spark, dir))
+      .select(col("vec_id"), col("codes"), col("embedding"),
+        col("__d").as("q_err"))
       .write.mode("append").parquet(s"$dir/codes")
 
   /** Staleness of a (possibly appended-to) persisted PQ index: mean
@@ -293,12 +295,9 @@ object Pq {
     * a retrain is due. */
   def indexStaleness(spark: SparkSession, dir: String,
       threshold: Double = 1.5): DataFrame = {
-    val books = loadCodebooks(spark, dir)
-    val cur = encodeWithDist(
-        spark.read.parquet(s"$dir/codes")
-          .select(col("vec_id"), col("embedding")), books)
+    val cur = spark.read.parquet(s"$dir/codes")
       .agg(count(lit(1)).as("n_indexed"),
-        (sum(col("__d")) / count(lit(1))).as("cur_mean_d"))
+        (sum(col("q_err")) / count(lit(1))).as("cur_mean_d"))
     val base = spark.read.parquet(s"$dir/stats")
       .select(col("n").as("n_trained"),
         (col("sum_d") / col("n").cast("double")).as("train_mean_d"))
@@ -314,14 +313,22 @@ object Pq {
     * (`sim_pq_drift`) — the [[Ivf.simIvfDrift]] contract on the PQ
     * artifact: index 90% of the corpus, append the held-out 10%,
     * report counts (oracle-exact) and drift bounds flags. */
+  /** Built+appended index directory, session-memoized like
+    * [[Ivf.simIvfDrift]]'s — write once, probe per call. */
+  private val driftIndexMemo =
+    new graft.util.Caches.PlanMemo[(Int, Int, Int), String](maxEntries = 4)
+
   def simPqDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
-    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
-    val books = trainCodebooks(base, m = 4, k = 16, iters = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("pq_inc").toString
-    saveIndex(base, books, tmp)
-    appendToIndex(batch, spark, tmp)
+    val tmp = driftIndexMemo.get(emb, (4, 16, 2)) {
+      val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+      val books = trainCodebooks(base, m = 4, k = 16, iters = 2)
+      val t = java.nio.file.Files.createTempDirectory("pq_inc").toString
+      saveIndex(base, books, t)
+      appendToIndex(batch, spark, t)
+      t
+    }
     indexStaleness(spark, tmp)
       .select(col("n_indexed"), col("n_trained"),
         (col("drift_ratio") >= 0.5 && col("drift_ratio") <= 2.0)
