@@ -401,26 +401,35 @@ object Ivf {
     * same `sum/count/scale` order; empty cells COALESCE to the previous
     * centroid. Probe selection and the cosine re-rank reuse the proven
     * bit-stable fold devices ([[Similarity.cosSql]] shape). */
-  def simIvfSql(k: Int = 8, iters: Int = 2, topK: Int = 5,
-      nprobe: Int = 2): String = {
-    def sqd(x: String, c: String): String =
-      s"""list_reduce(list_transform(range(1, len($x) + 1),
-         |      i -> (CAST($x[i] AS DOUBLE) - $c[i])
-         |         * (CAST($x[i] AS DOUBLE) - $c[i])), (a, b) -> a + b)"""
-        .stripMargin
-    def dotS(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, len($a) + 1), " +
-        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
-        "(a, b) -> a + b)"
-    def cosS(a: String, b: String): String =
-      s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
+  private def sqdSql(x: String, c: String): String =
+    s"""list_reduce(list_transform(range(1, len($x) + 1),
+       |      i -> (CAST($x[i] AS DOUBLE) - $c[i])
+       |         * (CAST($x[i] AS DOUBLE) - $c[i])), (a, b) -> a + b)"""
+      .stripMargin
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+      "(a, b) -> a + b)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** The shared WITH-body that repeats [[trainCentroids]] +
+    * [[assign]] in DuckDB: seeds `c0`, `iters` unrolled Lloyd rounds
+    * (assignment → exact scaled-long integer means → COALESCE for
+    * empty cells), ending in two reusable CTEs — `centroids` (the
+    * trained model, cid → centroid) and `cells` (the corpus
+    * assignment, vec_id/embedding/cid). Every oracle over the trained
+    * cell structure ([[simIvfSql]], [[clusterBalanceSql]]) composes on
+    * top of this prefix, so the training arithmetic is written (and
+    * audited for bit-stability) exactly once. */
+  private def trainedCellsCtes(k: Int, iters: Int): String = {
     val scale = "4294967296.0"
     def lloyd(r: Int): String =
       s"""asg$r AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqd("e.embedding", "c.centroid")} ASC,
+         |        ORDER BY ${sqdSql("e.embedding", "c.centroid")} ASC,
          |          c.cid ASC) AS rn
          |    FROM embeddings e, c${r - 1} c) t WHERE rn = 1),
          |sums$r AS (
@@ -436,35 +445,41 @@ object Ivf {
          |    SELECT cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)
          |      / $scale ORDER BY dim) AS centroid
          |    FROM sums$r GROUP BY cid) n USING (cid))""".stripMargin
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) s),
        |${(1 to iters).map(lloyd).mkString(",\n")},
+       |centroids AS (SELECT cid, centroid FROM c$iters),
        |cells AS (
-       |  SELECT vec_id AS c_id, embedding AS c_vec, cid FROM (
+       |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${sqd("e.embedding", "c.centroid")} ASC,
+       |        ORDER BY ${sqdSql("e.embedding", "c.centroid")} ASC,
        |          c.cid ASC) AS rn
-       |    FROM embeddings e, c$iters c) t WHERE rn = 1),
+       |    FROM embeddings e, centroids c) t WHERE rn = 1)""".stripMargin
+  }
+
+  def simIvfSql(k: Int = 8, iters: Int = 2, topK: Int = 5,
+      nprobe: Int = 2): String =
+    s"""WITH ${trainedCellsCtes(k, iters)},
        |probes AS (
        |  SELECT q_id, q_vec, cid FROM (
        |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${sqd("q.embedding", "c.centroid")} ASC,
+       |        ORDER BY ${sqdSql("q.embedding", "c.centroid")} ASC,
        |          c.cid ASC) AS rn
-       |    FROM embeddings q, c$iters c WHERE q.vec_id < 10) t
+       |    FROM embeddings q, centroids c WHERE q.vec_id < 10) t
        |  WHERE rn <= $nprobe),
        |scored AS (
-       |  SELECT p.q_id, s.c_id, ${cosS("p.q_vec", "s.c_vec")} AS cos
+       |  SELECT p.q_id, s.vec_id AS c_id,
+       |    ${cosSql("p.q_vec", "s.embedding")} AS cos
        |  FROM probes p JOIN cells s USING (cid))
        |SELECT q_id, c_id, cos, CAST(rk AS INT) AS rank FROM (
        |  SELECT q_id, c_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, c_id ASC) AS rk
        |  FROM scored) t WHERE rk <= $topK ORDER BY q_id, rank""".stripMargin
-  }
 
   /** Recall@k of the IVF index vs the exact ranking — the same
     * index-quality gate as [[Similarity.simLshRecall]], for the
@@ -629,17 +644,119 @@ object Ivf {
       |  TRUE AS drop_frac_ok
       |FROM embeddings""".stripMargin
 
+  // ── cluster-balanced curation: temperature quotas over LEARNED cells ─
+  /** Cluster-balanced corpus curation — the semantic analogue of
+    * [[TrainPrep.tsTemperature]]: rebalance the corpus by LEARNED
+    * embedding-space domain (k-means cell) instead of a metadata
+    * `source` column. This is the cluster-quota step of
+    * SSL-prototype / DoReMi-shaped pipelines: web-scale corpora are
+    * dominated by a few dense semantic basins (boilerplate, templated
+    * pages), and flattening by √cell-mass keeps tail domains from
+    * being drowned without any hand-written source taxonomy.
+    *
+    * Recipe: train the bit-stable coarse quantizer
+    * ([[trainCentroids]], memoized per corpus), assign every vector
+    * ([[assign]], zero-shuffle literal-centroid argmin), weight each
+    * cell by √n (sqrt is correctly-rounded IEEE — hash-comparable
+    * across engines, unlike `pow`), apportion a budget of
+    * `n_total div 2` by the tsTemperature rounding rule, then keep
+    * each vector by a salted deterministic id-hash threshold (the
+    * [[TrainPrep.splitCol]] device, salt 53 so the keep decision is
+    * independent of the split/mixture coins). Selection is a NARROW
+    * broadcast-joined filter — no shuffle touches the corpus until
+    * the k-row summary — and a row's keep decision never changes as
+    * the corpus grows, so incremental rebuilds stay stable.
+    *
+    * Output: one row per cell — occupancy, weight, integer target,
+    * integer keep-rate (percent), realized kept count and the kept-id
+    * checksum (Σ vec_id, an order-free integer that pins the SELECTED
+    * SET, not just its size, across engines). */
+  def clusterBalance(emb: DataFrame, k: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    val centroids = trainCentroids(emb, k, iters)
+    val cells = assign(emb, centroids).select("vec_id", "cid")
+    val counts = cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("weight", sqrt(col("n_vecs").cast("double")))
+    // normalizer folds the k per-cell weights in cid order — engine-
+    // exact for the same reason as tsTemperature's source-ordered fold
+    val z = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("cid"), col("weight")))),
+        lit(0.0d), (a, x) => a + x.getField("weight")).as("z"),
+      sum("n_vecs").as("n_total"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .withColumn("target_docs",
+        floor(col("weight") / col("z") *
+          expr("n_total div 2").cast("double") + lit(0.5d)).cast("long"))
+      .withColumn("rate",
+        least(lit(100L), expr("(100 * target_docs) div n_vecs")))
+      .select("cid", "n_vecs", "weight", "target_docs", "rate")
+    cells.join(broadcast(quotas), "cid")
+      .withColumn("__h",
+        expr("pmod(pmod(vec_id + 53, 1000003) * 2654435761, 100)"))
+      .groupBy("cid", "n_vecs", "weight", "target_docs", "rate")
+      .agg(
+        count(when(col("__h") < col("rate"), 1)).as("n_kept"),
+        coalesce(sum(when(col("__h") < col("rate"), col("vec_id"))),
+          lit(0L)).as("kept_id_sum"))
+      .orderBy("cid")
+  }
+
+  def tsClusterBalance(spark: SparkSession, dir: String): DataFrame =
+    clusterBalance(Tables.embeddings(spark, dir))
+
+  /** Full oracle: the [[trainedCellsCtes]] prefix replays training +
+    * assignment, then the quota arithmetic is the same ordered-fold /
+    * integer-division / salted-hash devices as the engine side. */
+  def clusterBalanceSql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${trainedCellsCtes(k, iters)},
+       |counts AS (
+       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS weight
+       |  FROM cells GROUP BY cid),
+       |z AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(weight ORDER BY cid)), (x, y) -> x + y) AS z,
+       |    CAST(SUM(n_vecs) AS BIGINT) AS n_total
+       |  FROM counts),
+       |quotas AS (
+       |  SELECT cid, n_vecs, weight,
+       |    CAST(FLOOR(weight / z.z
+       |      * CAST(n_total // 2 AS DOUBLE) + 0.5) AS BIGINT)
+       |      AS target_docs
+       |  FROM counts, z),
+       |rated AS (
+       |  SELECT cid, n_vecs, weight, target_docs,
+       |    LEAST(CAST(100 AS BIGINT), (100 * target_docs) // n_vecs)
+       |      AS rate
+       |  FROM quotas),
+       |hashed AS (
+       |  SELECT cid, vec_id,
+       |    ((((vec_id + 53) % 1000003) + 1000003) % 1000003
+       |      * 2654435761) % 100 AS h
+       |  FROM cells)
+       |SELECT r.cid, r.n_vecs, r.weight, r.target_docs, r.rate,
+       |  CAST(COUNT(CASE WHEN h.h < r.rate THEN 1 END) AS BIGINT)
+       |    AS n_kept,
+       |  COALESCE(CAST(SUM(CASE WHEN h.h < r.rate THEN h.vec_id END)
+       |    AS BIGINT), 0) AS kept_id_sum
+       |FROM rated r JOIN hashed h USING (cid)
+       |GROUP BY r.cid, r.n_vecs, r.weight, r.target_docs, r.rate
+       |ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_ann" -> (simIvf _),
     "sim_ivf_recall" -> (simIvfRecallGate _),
     "sim_ivf_top1" -> (simIvfTop1Gate _),
     "sim_ivf_drift" -> (simIvfDrift _),
-    "sim_semdedup" -> (simSemDedupGate _))
+    "sim_semdedup" -> (simSemDedupGate _),
+    "ts_cluster_balance" -> (tsClusterBalance _))
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_ann" -> simIvfSql(),
     "sim_ivf_recall" -> simIvfRecallGateSql,
     "sim_ivf_top1" -> simIvfTop1GateSql,
     "sim_ivf_drift" -> simIvfDriftSql,
-    "sim_semdedup" -> simSemDedupGateSql)
+    "sim_semdedup" -> simSemDedupGateSql,
+    "ts_cluster_balance" -> clusterBalanceSql())
 }

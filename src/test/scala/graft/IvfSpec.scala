@@ -260,4 +260,33 @@ class IvfSpec extends SparkSpec {
     assert(cents() !== before,
       "a rewritten corpus must retrain, not serve the stale model")
   }
+
+  test("cluster balance: charge-back, budget apportionment, flattening, " +
+    "layout-stable selection") {
+    val out = Ivf.clusterBalance(emb).collect()
+    val n = emb.count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n,
+      "cell occupancies charge back to the corpus")
+    // targets apportion the B = n div 2 budget to within one rounding
+    // step per cell (tsTemperature-style independent floor(x + 0.5))
+    val tgt = out.map(_.getAs[Long]("target_docs")).sum
+    assert(math.abs(tgt - n / 2) <= out.length.toLong,
+      s"sum(target)=$tgt vs budget=${n / 2}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("rate") >= 0L && r.getAs[Long]("rate") <= 100L)
+      assert(r.getAs[Long]("kept_id_sum") >= 0L)
+    }
+    // the point of the operator: √-mass quotas FLATTEN the cell
+    // distribution — the densest basin keeps a smaller fraction than
+    // the thinnest (rate ∝ 1/√n is weakly monotone through the floors)
+    val byN = out.sortBy(_.getAs[Long]("n_vecs"))
+    assert(byN.last.getAs[Long]("rate") <= byN.head.getAs[Long]("rate"),
+      "largest cell must not out-keep the smallest")
+    // selection is a pure function of (vec_id, trained cells): a
+    // different partition layout must produce byte-identical rows
+    val re = Ivf.clusterBalance(emb.repartition(7)).collect()
+    assert(out.map(_.toSeq.toList).toList === re.map(_.toSeq.toList).toList,
+      "cluster balance must be layout-stable")
+  }
 }
