@@ -401,6 +401,186 @@ object TextAnalysis {
       |FROM tok_stats t LEFT JOIN bi_stats b ON t.doc_id = b.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ── Gopher repetition-removal battery ──────────────────────────────
+  /** The full Gopher repetition-removal rules (Rae et al. 2021,
+    * appendix A1.1): duplicate-line fraction and char fraction, top
+    * 2/3/4-gram char mass, duplicated 5..10-gram char coverage — all
+    * integer statistics from the single-pass native kernel
+    * ([[RepetitionRuntime.repetitionStats]]), so the whole battery is
+    * a zero-shuffle map-only projection (the alternative — explode
+    * grams + groupBy(doc_id, gram) — shuffles ~n x corpus tokens).
+    * Fractions are single IEEE divisions of exact integers; pass
+    * flags are integer cross-multiplications. Thresholds are the
+    * published Gopher cut-offs: dup_line <= 0.30, dup_line_char <=
+    * 0.20, top{2,3,4}-gram <= {0.20, 0.18, 0.16}, dup{5..10}-gram <=
+    * {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}. */
+  def taGopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionBattery(Tables.documents(spark, dir))
+
+  /** The battery over any (doc_id, text) frame — fixture-testable. */
+  def repetitionBattery(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        RepetitionFunctions.repetition_stats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.*"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0d))
+        .otherwise(num.cast("double") / den.cast("double"))
+    val wc = col("word_chars")
+    // (numerator multiplier, denominator multiplier) per threshold —
+    // flag = mul*stat <= den*denominator, all in exact Long arithmetic
+    val rDupLine = lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines")
+    val rDupLineChar =
+      lit(5L) * col("dup_line_chars") <= col("line_chars")
+    val rTop2 = lit(5L) * col("top2_chars") <= wc
+    val rTop3 = lit(50L) * col("top3_chars") <= lit(9L) * wc
+    val rTop4 = lit(25L) * col("top4_chars") <= lit(4L) * wc
+    val rDup5 = lit(20L) * col("dup5_chars") <= lit(3L) * wc
+    val rDup6 = lit(50L) * col("dup6_chars") <= lit(7L) * wc
+    val rDup7 = lit(100L) * col("dup7_chars") <= lit(13L) * wc
+    val rDup8 = lit(25L) * col("dup8_chars") <= lit(3L) * wc
+    val rDup9 = lit(100L) * col("dup9_chars") <= lit(11L) * wc
+    val rDup10 = lit(10L) * col("dup10_chars") <= wc
+    base.select(col("*"),
+      frac(col("dup_lines"), col("n_lines")).as("dup_line_frac"),
+      frac(col("dup_line_chars"), col("line_chars"))
+        .as("dup_line_char_frac"),
+      frac(col("top2_chars"), wc).as("top2_frac"),
+      frac(col("top3_chars"), wc).as("top3_frac"),
+      frac(col("top4_chars"), wc).as("top4_frac"),
+      frac(col("dup5_chars"), wc).as("dup5_frac"),
+      frac(col("dup10_chars"), wc).as("dup10_frac"),
+      rDupLine.as("r_dup_line"), rDupLineChar.as("r_dup_line_char"),
+      rTop2.as("r_top2"), rTop3.as("r_top3"), rTop4.as("r_top4"),
+      rDup5.as("r_dup5"), rDup6.as("r_dup6"), rDup7.as("r_dup7"),
+      rDup8.as("r_dup8"), rDup9.as("r_dup9"), rDup10.as("r_dup10"),
+      (rDupLine && rDupLineChar && rTop2 && rTop3 && rTop4 && rDup5 &&
+        rDup6 && rDup7 && rDup8 && rDup9 && rDup10)
+        .as("pass_repetition"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[taGopherRepetition]]: reproduces the kernel's
+    * integer statistics with UNNEST + GROUP BY (grams keyed on the
+    * exact space-joined string; top gram via ORDER BY cnt DESC, gram
+    * ASC — the kernel's binary-smallest tie-break; dup coverage as a
+    * DISTINCT position union), then the same divisions and integer
+    * flag comparisons. */
+  val taGopherRepetitionSql: String = {
+    def topCte(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, array_to_string(a[i:i+${n - 1}], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(a) - ${n - 2})) AS t(i)
+         |  WHERE len(a) >= $n),
+         |top$n AS (
+         |  SELECT doc_id, c * (length(g) - ${n - 1}) AS top${n}_chars
+         |  FROM (SELECT doc_id, g, c, ROW_NUMBER() OVER (
+         |          PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         |        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g$n
+         |              GROUP BY doc_id, g))
+         |  WHERE rn = 1)""".stripMargin
+    def dupCte(n: Int): String =
+      s"""o$n AS (
+         |  SELECT doc_id, i, array_to_string(a[i:i+${n - 1}], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(a) - ${n - 2})) AS t(i)
+         |  WHERE len(a) >= $n),
+         |d$n AS (SELECT doc_id, g FROM o$n GROUP BY doc_id, g
+         |        HAVING COUNT(*) >= 2),
+         |cov$n AS (
+         |  SELECT cp.doc_id, SUM(length(tk.a[cp.p])) AS dup${n}_chars
+         |  FROM (SELECT DISTINCT o$n.doc_id, p
+         |        FROM o$n JOIN d$n USING (doc_id, g),
+         |          UNNEST(range(i, i + $n)) AS r(p)) cp
+         |  JOIN toks tk ON cp.doc_id = tk.doc_id
+         |  GROUP BY cp.doc_id)""".stripMargin
+    val ctes = (RepetitionRuntime.TopNs.map(topCte) ++
+      RepetitionRuntime.DupNs.map(dupCte)).mkString(",\n")
+    val topCols = RepetitionRuntime.TopNs.map(n =>
+      s"  CAST(COALESCE(top$n.top${n}_chars, 0) AS BIGINT) AS top${n}_chars")
+    val dupCols = RepetitionRuntime.DupNs.map(n =>
+      s"  CAST(COALESCE(cov$n.dup${n}_chars, 0) AS BIGINT) AS dup${n}_chars")
+    val joins = (RepetitionRuntime.TopNs.map(n =>
+      s"LEFT JOIN top$n USING (doc_id)") ++
+      RepetitionRuntime.DupNs.map(n =>
+        s"LEFT JOIN cov$n USING (doc_id)")).mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |lc AS (
+       |  SELECT doc_id, line, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(ls) AS line FROM toks)
+       |  GROUP BY doc_id, line),
+       |lstats AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+       |      AS dup_lines,
+       |    CAST(SUM(c * length(line)) AS BIGINT) AS line_chars,
+       |    CAST(COALESCE(SUM(c * length(line)) FILTER (WHERE c >= 2), 0)
+       |      AS BIGINT) AS dup_line_chars
+       |  FROM lc GROUP BY doc_id),
+       |wc AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(a, x -> length(x))), 0)
+       |      AS BIGINT) AS word_chars
+       |  FROM toks),
+       |$ctes,
+       |ints AS (
+       |  SELECT lstats.doc_id, n_lines, dup_lines, line_chars,
+       |    dup_line_chars, word_chars,
+       |${(topCols ++ dupCols).mkString(",\n")}
+       |  FROM lstats JOIN wc USING (doc_id)
+       |$joins)
+       |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+       |  word_chars, top2_chars, top3_chars, top4_chars, dup5_chars,
+       |  dup6_chars, dup7_chars, dup8_chars, dup9_chars, dup10_chars,
+       |  CASE WHEN n_lines = 0 THEN 0.0 ELSE
+       |    CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END
+       |    AS dup_line_frac,
+       |  CASE WHEN line_chars = 0 THEN 0.0 ELSE
+       |    CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) END
+       |    AS dup_line_char_frac,
+       |  CASE WHEN word_chars = 0 THEN 0.0 ELSE
+       |    CAST(top2_chars AS DOUBLE) / CAST(word_chars AS DOUBLE) END
+       |    AS top2_frac,
+       |  CASE WHEN word_chars = 0 THEN 0.0 ELSE
+       |    CAST(top3_chars AS DOUBLE) / CAST(word_chars AS DOUBLE) END
+       |    AS top3_frac,
+       |  CASE WHEN word_chars = 0 THEN 0.0 ELSE
+       |    CAST(top4_chars AS DOUBLE) / CAST(word_chars AS DOUBLE) END
+       |    AS top4_frac,
+       |  CASE WHEN word_chars = 0 THEN 0.0 ELSE
+       |    CAST(dup5_chars AS DOUBLE) / CAST(word_chars AS DOUBLE) END
+       |    AS dup5_frac,
+       |  CASE WHEN word_chars = 0 THEN 0.0 ELSE
+       |    CAST(dup10_chars AS DOUBLE) / CAST(word_chars AS DOUBLE) END
+       |    AS dup10_frac,
+       |  (10 * dup_lines <= 3 * n_lines) AS r_dup_line,
+       |  (5 * dup_line_chars <= line_chars) AS r_dup_line_char,
+       |  (5 * top2_chars <= word_chars) AS r_top2,
+       |  (50 * top3_chars <= 9 * word_chars) AS r_top3,
+       |  (25 * top4_chars <= 4 * word_chars) AS r_top4,
+       |  (20 * dup5_chars <= 3 * word_chars) AS r_dup5,
+       |  (50 * dup6_chars <= 7 * word_chars) AS r_dup6,
+       |  (100 * dup7_chars <= 13 * word_chars) AS r_dup7,
+       |  (25 * dup8_chars <= 3 * word_chars) AS r_dup8,
+       |  (100 * dup9_chars <= 11 * word_chars) AS r_dup9,
+       |  (10 * dup10_chars <= word_chars) AS r_dup10,
+       |  ((10 * dup_lines <= 3 * n_lines)
+       |    AND (5 * dup_line_chars <= line_chars)
+       |    AND (5 * top2_chars <= word_chars)
+       |    AND (50 * top3_chars <= 9 * word_chars)
+       |    AND (25 * top4_chars <= 4 * word_chars)
+       |    AND (20 * dup5_chars <= 3 * word_chars)
+       |    AND (50 * dup6_chars <= 7 * word_chars)
+       |    AND (100 * dup7_chars <= 13 * word_chars)
+       |    AND (25 * dup8_chars <= 3 * word_chars)
+       |    AND (100 * dup9_chars <= 11 * word_chars)
+       |    AND (10 * dup10_chars <= word_chars)) AS pass_repetition
+       |FROM ints ORDER BY doc_id""".stripMargin
+  }
+
   // ── document fingerprinting ─────────────────────────────────────────
   /** Rolling-hash fingerprint of the full text plus a coarse 64-bucket
     * shard id — the custom codegen expression ([[RollingHash]]). The
@@ -889,6 +1069,7 @@ object TextAnalysis {
     "ta_redact" -> (taRedact _),
     "ta_vocab" -> ((s: SparkSession, d: String) => taVocab(s, d)),
     "ta_repetition" -> (taRepetition _),
+    "ta_gopher_repetition" -> (taGopherRepetition _),
     "ta_bm25" -> (taBm25 _),
     "ta_rare_bigrams" -> (taRareBigrams _),
     "ta_fingerprint" -> (taFingerprint _))
@@ -907,6 +1088,7 @@ object TextAnalysis {
     "ta_redact" -> taRedactSql,
     "ta_vocab" -> taVocabSql(),
     "ta_repetition" -> taRepetitionSql,
+    "ta_gopher_repetition" -> taGopherRepetitionSql,
     "ta_bm25" -> taBm25Sql,
     "ta_rare_bigrams" -> taRareBigramsSql,
     "ta_fingerprint" -> taFingerprintSql)

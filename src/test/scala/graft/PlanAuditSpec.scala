@@ -325,7 +325,9 @@ class PlanAuditSpec extends SparkSpec {
       "tp_epoch_plan", // 1-row corpus-totals build over the #sources table
       "sim_matryoshka_recall", // broadcast query panel (non-equi self filter)
       "hy_hybrid_rrf", // broadcast query panel (non-equi) + corpus-stats scalar row
-      "sim_mmr" // broadcast query panel (non-equi self filter)
+      "sim_mmr", // broadcast query panel (non-equi self filter)
+      "ts_cluster_balance", // quota normalizer row (Σweight, n_total)
+      "ql_lm_buckets" // vocab-size scalar row (the add-one smoothing V)
     )
     val offenders = graft.Plans.sections(spark, sf).flatMap {
       case (name, _, df) =>
