@@ -168,17 +168,55 @@ object Multimodal {
       |    THEN CAST((n_frames + 6) // 7 AS BIGINT) ELSE 0 END AS n_sampled
       |FROM media ORDER BY media_id""".stripMargin
 
-  /** Batched stub decode → features (rows-only; exact values asserted
-    * in ScalaTest against the reference fold). */
+  /** Batched stub decode → features, ORACLED: the deterministic fake
+    * fold is plain IEEE float32 arithmetic, so DuckDB can repeat it
+    * exactly — per-lane `CAST(a + x AS FLOAT)` folds in byte order
+    * reproduce the `out(i % 8) += b/255.0f` accumulation bit-for-bit
+    * (additions hitting one lane happen in ascending `i` in both), and
+    * the cross-lane summary promotes each float32 lane to double
+    * exactly before a lane-ordered double fold. The sum ships as an
+    * integral milli value (`floor(s·1000 + 0.5)` on the identical
+    * double in both engines) so the comparator sees BIGINT, not a
+    * decimal-rounding contract. This closes the last rows-only row:
+    * the stub's plumbing — schema, batching, the fold itself — is now
+    * hash-gated end-to-end, and swapping [[FakeDecoder]] for a real
+    * codec invalidates only this oracle, nothing else. */
   def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMedia(spark, dir))
       .select(col("media_id"), col("kind"),
         col("features")(0).as("f0"),
-        round(aggregate(col("features"),
-          lit(0.0d), (a, x) => a + x), 3).as("feature_sum"))
+        floor(aggregate(col("features"),
+          lit(0.0d), (a, x) => a + x) * 1000 + lit(0.5))
+          .as("f_sum_milli"))
       .orderBy("media_id")
   }
+
+  val mmDecodeFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, i,
+      |    CAST(ord(text[CAST(i + 1 AS INT)]) AS FLOAT) AS byte,
+      |    CAST(i % 8 AS INT) AS lane
+      |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+      |        FROM documents)),
+      |lanes AS (
+      |  SELECT media_id, lane,
+      |    list_reduce(list_prepend(CAST(0 AS FLOAT),
+      |      list(CAST(byte / CAST(255 AS FLOAT) AS FLOAT) ORDER BY i)),
+      |      (a, x) -> CAST(a + x AS FLOAT)) AS v
+      |  FROM b GROUP BY media_id, lane),
+      |feats AS (
+      |  SELECT media_id,
+      |    COALESCE(MAX(CASE WHEN lane = 0 THEN v END), CAST(0 AS FLOAT))
+      |      AS f0,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(v AS DOUBLE) ORDER BY lane)), (a, x) -> a + x) AS s
+      |  FROM lanes GROUP BY media_id)
+      |SELECT media_id,
+      |  ['image','audio','video'][CAST(media_id % 3 + 1 AS INT)] AS kind,
+      |  f0,
+      |  CAST(FLOOR(s * 1000 + 0.5) AS BIGINT) AS f_sum_milli
+      |FROM feats ORDER BY media_id""".stripMargin
 
   /** Exact binary-asset dedup by content digest — the first pass of any
     * media pipeline (an asset stored under N ids decodes N times unless
@@ -262,5 +300,6 @@ object Multimodal {
     "mm_resize_plan" -> mmResizePlanSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_clip_segments" -> mmClipSegmentsSql,
-    "mm_content_dedup" -> mmContentDedupSql)
+    "mm_content_dedup" -> mmContentDedupSql,
+    "mm_decode_features" -> mmDecodeFeaturesSql)
 }

@@ -6,18 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * round-10 "complete oracle surface" property true by construction. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  /** The brief-mandated media-decode stub is the ONLY declared query
-    * allowed to lack a DuckDB oracle (no codecs in this container —
-    * the decode output is a documented deterministic fake, so an
-    * oracle would be theater). Anything else slipping into rows-only
-    * is a regression of the complete-oracle milestone. */
-  private val RowsOnlyAllowed = Set("mm_decode_features")
-
-  test("every declared query except the decode stub carries an oracle") {
+  /** Round-10 end state: EVERY declared query carries a DuckDB oracle
+    * — including the brief-mandated media-decode stub, whose
+    * deterministic fake fold turned out to be exactly reproducible
+    * IEEE float32 arithmetic (Multimodal.mmDecodeFeaturesSql). An
+    * empty rows-only set is the milestone; anything appearing here is
+    * a regression of it. */
+  test("every declared query carries an oracle (zero rows-only)") {
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === RowsOnlyAllowed,
-      s"rows-only set drifted: $missing (allowed: $RowsOnlyAllowed)")
+    assert(missing.isEmpty, s"rows-only set drifted: $missing")
   }
 
   test("no orphaned oracles: every oracle names a declared query") {
