@@ -1521,6 +1521,202 @@ object TrainPrep {
        |  chars_kept, admit_score
        |FROM tot JOIN ka USING (source) ORDER BY source""".stripMargin
 
+  // ── staged curation funnel ──────────────────────────────────────────
+  /** Filter-funnel accounting — the ablation report a curation run
+    * ships with its dataset: each gate applied IN SEQUENCE (Gopher
+    * battery → repetition battery → eval-decontamination → stopword
+    * quality floor), with per-stage in/dropped/out counts and a
+    * survivor-set checksum (sum/min/max of surviving ids) so two
+    * pipeline builds can be diffed stage-by-stage without comparing
+    * row sets. Flags are computed once per doc in one pass each (the
+    * same single-scan batteries the standalone ta_* queries run), the
+    * funnel is a cumulative AND, and the report aggregates a ×4
+    * explode of (id, 4 booleans) — map-side combinable, nothing
+    * corpus-sized shuffles beyond the decontamination hash semi-join
+    * (the dc4 Bloom prune applies unchanged at 100 TB). The quality
+    * floor compares by integer cross-multiplication (20·stops ≥
+    * tokens), never a float ratio, so rows hash exactly. */
+  def tpFilterFunnel(spark: SparkSession, dir: String, n: Int = 3)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gopher = TextAnalysis.gopherBattery(docs, stopFloor = 1)
+      .select(col("doc_id"), col("pass_gopher"))
+    val rep = TextAnalysis.repetitionBattery(docs)
+      .select(col("doc_id"), col("pass_repetition"))
+    val grams = docs.select(col("doc_id"),
+      explode(ngramHashes(col("text"), n)).as("g"))
+    val evalG = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    val cont = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalG, "g").select("doc_id").distinct()
+      .withColumn("__hit", lit(true))
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val quality = docs.select(col("doc_id"),
+      (org.apache.spark.sql.functions.size(filter(toks,
+        t => t.isInCollection(TextAnalysis.Stopwords))) * 20 >=
+        org.apache.spark.sql.functions.size(toks)).as("pass_q"))
+    val flags = docs.select(col("doc_id"))
+      .join(gopher, "doc_id").join(rep, "doc_id")
+      .join(cont, Seq("doc_id"), "left").join(quality, "doc_id")
+      .select(col("doc_id"),
+        col("pass_gopher").as("c1"),
+        (col("pass_gopher") && col("pass_repetition")).as("c2"),
+        (col("pass_gopher") && col("pass_repetition") &&
+          col("doc_id") % 97 =!= 0 && col("__hit").isNull).as("c3"),
+        (col("pass_gopher") && col("pass_repetition") &&
+          col("doc_id") % 97 =!= 0 && col("__hit").isNull &&
+          col("pass_q")).as("c4"))
+    val staged = flags.select(col("doc_id"), posexplode(array(
+      struct(lit("gopher").as("stage"), lit(true).as("entering"),
+        col("c1").as("kept")),
+      struct(lit("repetition").as("stage"), col("c1").as("entering"),
+        col("c2").as("kept")),
+      struct(lit("decontaminate").as("stage"), col("c2").as("entering"),
+        col("c3").as("kept")),
+      struct(lit("quality").as("stage"), col("c3").as("entering"),
+        col("c4").as("kept")))))
+    staged.filter(col("col.entering"))
+      .groupBy((col("pos") + 1).cast("int").as("stage_idx"),
+        col("col.stage").as("stage"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_out"),
+        sum(when(col("col.kept"), col("doc_id"))).as("surv_id_sum"),
+        min(when(col("col.kept"), col("doc_id"))).as("surv_id_min"),
+        max(when(col("col.kept"), col("doc_id"))).as("surv_id_max"))
+      .select(col("stage_idx"), col("stage"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"),
+        col("surv_id_sum"), col("surv_id_min"), col("surv_id_max"))
+      .orderBy("stage_idx")
+  }
+
+  def tpFilterFunnelSql(n: Int = 3): String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH g AS (
+       |  SELECT doc_id, pass_gopher FROM (${TextAnalysis.taGopherSql(1)})),
+       |r AS (
+       |  SELECT doc_id, pass_repetition
+       |  FROM (${TextAnalysis.taGopherRepetitionSql})),
+       |toksf AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM documents),
+       |gramsf AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |    i -> array_to_string(a[i:i+$n-1], ' '))) AS gg
+       |  FROM toksf WHERE len(a) >= $n),
+       |eval_gf AS (SELECT DISTINCT gg FROM gramsf WHERE doc_id % 97 = 0),
+       |contf AS (
+       |  SELECT DISTINCT gr.doc_id FROM gramsf gr JOIN eval_gf USING (gg)
+       |  WHERE gr.doc_id % 97 <> 0),
+       |q AS (
+       |  SELECT doc_id,
+       |    20 * len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x IN ($stops)))
+       |      >= len(regexp_split_to_array(text, '\\s+')) AS pass_q
+       |  FROM documents),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |    g.pass_gopher AS c1,
+       |    g.pass_gopher AND r.pass_repetition AS c2,
+       |    g.pass_gopher AND r.pass_repetition
+       |      AND d.doc_id % 97 <> 0 AND contf.doc_id IS NULL AS c3,
+       |    g.pass_gopher AND r.pass_repetition
+       |      AND d.doc_id % 97 <> 0 AND contf.doc_id IS NULL
+       |      AND q.pass_q AS c4
+       |  FROM documents d
+       |  JOIN g USING (doc_id) JOIN r USING (doc_id)
+       |  LEFT JOIN contf ON contf.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS stage_idx, 'gopher' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_in,
+       |    CAST(COUNT(*) - COUNT(*) FILTER (c1) AS BIGINT) AS n_dropped,
+       |    CAST(COUNT(*) FILTER (c1) AS BIGINT) AS n_out,
+       |    CAST(SUM(doc_id) FILTER (c1) AS BIGINT) AS surv_id_sum,
+       |    MIN(doc_id) FILTER (c1) AS surv_id_min,
+       |    MAX(doc_id) FILTER (c1) AS surv_id_max FROM flags
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'repetition',
+       |    CAST(COUNT(*) FILTER (c1) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c1) - COUNT(*) FILTER (c2) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c2) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c2) AS BIGINT),
+       |    MIN(doc_id) FILTER (c2), MAX(doc_id) FILTER (c2) FROM flags
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT), 'decontaminate',
+       |    CAST(COUNT(*) FILTER (c2) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c2) - COUNT(*) FILTER (c3) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c3) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c3) AS BIGINT),
+       |    MIN(doc_id) FILTER (c3), MAX(doc_id) FILTER (c3) FROM flags
+       |  UNION ALL
+       |  SELECT CAST(4 AS INT), 'quality',
+       |    CAST(COUNT(*) FILTER (c3) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c3) - COUNT(*) FILTER (c4) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (c4) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c4) AS BIGINT),
+       |    MIN(doc_id) FILTER (c4), MAX(doc_id) FILTER (c4) FROM flags)
+       |ORDER BY stage_idx""".stripMargin
+  }
+
+  // ── leakage-free split ──────────────────────────────────────────────
+  /** Hash split + decontamination composed: assign train/val/test by
+    * the deterministic id hash, then drop from TRAIN every doc sharing
+    * a word n-gram with ANY test doc — the leakage guard a benchmark-
+    * grade split runs (a train near-copy of a test doc inflates eval).
+    * Both sides reduce to 64-bit n-gram hashes ([[ngramHashes]], one
+    * scan, no gram strings shuffled); the test side is the small
+    * distinct set (≈10 % of docs), so the check is a broadcastable
+    * hash semi-join, never doc×doc, and the dc4 Bloom prune applies
+    * unchanged at 100 TB. Same hash-vs-string collision caveat as
+    * [[dcDecontamination]] (needs ~2³² grams per doc to matter).
+    * n = 5 on the synthetic corpus: long enough that only genuine
+    * shared passages leak (5/400 train docs at sf0.01), short enough
+    * to be non-vacuous. */
+  def tsSplitDecontaminated(spark: SparkSession, dir: String, n: Int = 5)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+    val grams = docs.select(col("doc_id"), col("split"),
+      explode(ngramHashes(col("text"), n)).as("g"))
+    val testG = grams.filter(col("split") === "test")
+      .select("g").distinct()
+    val leaked = grams.filter(col("split") === "train")
+      .join(testG, "g").groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+    docs.join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (col("split") =!= "train" || col("n_shared").isNull).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def tsSplitDecontaminatedSql(n: Int = 5): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+       |                * 2654435761) % 100 < 80 THEN 'train'
+       |         WHEN ((((doc_id % 1000003) + 1000003) % 1000003)
+       |                * 2654435761) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, split, regexp_split_to_array(text, '\\s+') AS a
+       |  FROM s),
+       |grams AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(range(1, len(a) - $n + 2),
+       |      i -> array_to_string(a[i:i+$n-1], ' '))) AS g
+       |  FROM toks WHERE len(a) >= $n),
+       |test_g AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+       |leak AS (
+       |  SELECT doc_id, COUNT(DISTINCT g) AS n_shared
+       |  FROM grams JOIN test_g USING (g)
+       |  WHERE split = 'train' GROUP BY doc_id)
+       |SELECT s.doc_id, s.split,
+       |  CAST(COALESCE(leak.n_shared, 0) AS BIGINT) AS n_shared,
+       |  (s.split <> 'train' OR leak.doc_id IS NULL) AS kept
+       |FROM s LEFT JOIN leak USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tp_source_quota" ->
       ((s: SparkSession, d: String) => tpSourceQuota(s, d)),
@@ -1563,7 +1759,11 @@ object TrainPrep {
     "dc5_overlap_fraction" ->
       ((s: SparkSession, d: String) => dc5OverlapFraction(s, d)),
     "dc6_span_ladder" ->
-      ((s: SparkSession, d: String) => dc6SpanLadder(s, d)))
+      ((s: SparkSession, d: String) => dc6SpanLadder(s, d)),
+    "tp_filter_funnel" ->
+      ((s: SparkSession, d: String) => tpFilterFunnel(s, d)),
+    "ts_split_decontaminated" ->
+      ((s: SparkSession, d: String) => tsSplitDecontaminated(s, d)))
 
   val oracles: Map[String, String] = Map(
     "tp_source_quota" -> tpSourceQuotaSql(),
@@ -1592,5 +1792,7 @@ object TrainPrep {
     "dc4_bloom_decontamination" -> dcDecontaminationSql(),
     "dc2_fuzzy_decontamination" -> dc2Sql,
     "dc5_overlap_fraction" -> dc5OverlapFractionSql(),
-    "dc6_span_ladder" -> dc6SpanLadderSql)
+    "dc6_span_ladder" -> dc6SpanLadderSql,
+    "tp_filter_funnel" -> tpFilterFunnelSql(),
+    "ts_split_decontaminated" -> tsSplitDecontaminatedSql())
 }

@@ -572,4 +572,64 @@ class TrainPrepSpec extends SparkSpec {
       assert(r.getAs[Long]("n_kept") <= cap.toLong, src)
     }
   }
+
+  test("filter funnel: stages chain, counts reconcile, gates discriminate") {
+    val rows = TrainPrep.tpFilterFunnel(spark, sf).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("gopher", "repetition", "decontaminate", "quality"))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_in") === total, "stage 1 sees the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") ===
+        r.getAs[Long]("n_dropped") + r.getAs[Long]("n_out"),
+        s"${r.getAs[String]("stage")} counts reconcile")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"),
+        s"${b.getAs[String]("stage")} n_in continues ${a.getAs[String]("stage")} n_out")
+    }
+    // the funnel must neither pass everything nor kill everything
+    assert(rows.last.getAs[Long]("n_out") > 0, "survivors exist")
+    assert(rows.head.getAs[Long]("n_dropped") > 0, "gopher gate is live")
+    // survivor checksum sanity: min ≤ max, sum within [min·n, max·n]
+    val last = rows.last
+    val (n, s, mn, mx) = (last.getAs[Long]("n_out"),
+      last.getAs[Long]("surv_id_sum"), last.getAs[Long]("surv_id_min"),
+      last.getAs[Long]("surv_id_max"))
+    assert(mn <= mx && s >= mn * n && s <= mx * n)
+  }
+
+  test("split-decon: kept train shares no n-gram STRING with test " +
+    "(independent of the hash path)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val res = TrainPrep.tsSplitDecontaminated(spark, sf, n = 5)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("split", TrainPrep.splitCol("doc_id"))
+    // every val/test doc is kept with n_shared 0
+    assert(res.filter(col("split") =!= "train" &&
+      (!col("kept") || col("n_shared") =!= 0L)).count() === 0)
+    // train: kept ⟺ n_shared = 0
+    assert(res.filter(col("split") === "train" &&
+      col("kept") =!= (col("n_shared") === 0L)).count() === 0)
+    // independent STRING-gram recomputation: no kept train doc may
+    // share a literal 5-gram with any test doc (catches both a hash
+    // bug and a split divergence)
+    def gramStrings(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("split"),
+        explode(expr("transform(sequence(0, size(toks) - 5), " +
+          "i -> array_join(slice(toks, i + 1, 5), ' '))")).as("g"))
+    val grams = gramStrings(docs)
+    val testG = grams.filter(col("split") === "test").select("g").distinct()
+    val keptTrain = res.filter(col("split") === "train" && col("kept"))
+      .select("doc_id")
+    val leaks = grams.filter(col("split") === "train")
+      .join(keptTrain, "doc_id").join(testG, "g").count()
+    assert(leaks === 0L, "kept train docs share no literal 5-gram with test")
+    // and the guard is non-vacuous: something was dropped
+    assert(res.filter(col("split") === "train" && !col("kept")).count() > 0)
+  }
 }
