@@ -840,6 +840,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher battery VERDICT as one column expression over `text` —
+    * lets composite pipelines (tp_filter_funnel) evaluate the gate
+    * inside the same projection as their other flags: no extra corpus
+    * scan, no doc_id join back. Kept in lockstep with
+    * [[gopherBattery]] by a spec asserting row-for-row equality of
+    * the verdict (TextAnalysisSpec). */
+  def gopherPassCol(text: Column, stopFloor: Int = 2): Column =
+    gopherPassFrom(text, wsTokens(text), split(text, "\n"), stopFloor)
+
+  /** [[gopherPassCol]] over PRE-PROJECTED token/line arrays: the
+    * verdict's higher-order filters are CodegenFallback nodes that
+    * re-evaluate their child per call, so a caller folding several
+    * batteries into one projection should alias the split arrays in
+    * an inner select (multi-referenced non-cheap aliases survive
+    * CollapseProject) and pass the attributes here — each regex split
+    * then runs once per row instead of once per consuming flag. */
+  def gopherPassFrom(text: Column, toks: Column, lines: Column,
+      stopFloor: Int): Column = {
+    val nWords = size(toks)
+    val wordChars = length(regexp_replace(text, "\\s", ""))
+    // positive-int `div 3` as truncating cast — identical to the
+    // battery's integer div for non-negative lengths
+    val nSym = (length(text) - length(translate(text, "#", ""))) +
+      ((length(text) - length(replace(text, lit("..."), lit("")))) /
+        lit(3)).cast("int")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ")))
+    val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(filter(array(GopherStops.map(lit): _*),
+      s => array_contains(toks, s)))
+    (nWords >= 50 && nWords <= 100000) &&
+      (lit(3) * nWords <= wordChars && wordChars <= lit(10) * nWords) &&
+      (lit(10) * nSym < nWords) &&
+      (lit(10) * nBullet <= lit(9) * nLines) &&
+      (lit(10) * nEllEnd <= lit(3) * nLines) &&
+      (lit(5) * nAlpha >= lit(4) * nWords) &&
+      (nStop >= stopFloor)
+  }
+
+  /** The repetition-battery verdict from an already-computed
+    * [[RepetitionFunctions.repetition_stats]] struct column — same
+    * single-projection composition contract as [[gopherPassCol]]
+    * (callers project the struct once, then derive the verdict; the
+    * battery's thresholds, verbatim). */
+  def repetitionPassFromStats(s: Column): Column = {
+    val wc = s.getField("word_chars")
+    (lit(10L) * s.getField("dup_lines") <= lit(3L) * s.getField("n_lines")) &&
+      (lit(5L) * s.getField("dup_line_chars") <= s.getField("line_chars")) &&
+      (lit(5L) * s.getField("top2_chars") <= wc) &&
+      (lit(50L) * s.getField("top3_chars") <= lit(9L) * wc) &&
+      (lit(25L) * s.getField("top4_chars") <= lit(4L) * wc) &&
+      (lit(20L) * s.getField("dup5_chars") <= lit(3L) * wc) &&
+      (lit(50L) * s.getField("dup6_chars") <= lit(7L) * wc) &&
+      (lit(100L) * s.getField("dup7_chars") <= lit(13L) * wc) &&
+      (lit(25L) * s.getField("dup8_chars") <= lit(3L) * wc) &&
+      (lit(100L) * s.getField("dup9_chars") <= lit(11L) * wc) &&
+      (lit(10L) * s.getField("dup10_chars") <= wc)
+  }
+
   def taGopherSql(stopFloor: Int = 2): String = {
     val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH t AS (

@@ -1528,8 +1528,9 @@ object TrainPrep {
     * quality floor), with per-stage in/dropped/out counts and a
     * survivor-set checksum (sum/min/max of surviving ids) so two
     * pipeline builds can be diffed stage-by-stage without comparing
-    * row sets. Flags are computed once per doc in one pass each (the
-    * same single-scan batteries the standalone ta_* queries run), the
+    * row sets. ALL per-doc gate verdicts evaluate in ONE projection
+    * over ONE corpus scan (the batteries exposed as column
+    * expressions — no per-battery scan, no doc_id joins back), the
     * funnel is a cumulative AND, and the report aggregates a ×4
     * explode of (id, 4 booleans) — map-side combinable, nothing
     * corpus-sized shuffles beyond the decontamination hash semi-join
@@ -1539,10 +1540,6 @@ object TrainPrep {
   def tpFilterFunnel(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val gopher = TextAnalysis.gopherBattery(docs, stopFloor = 1)
-      .select(col("doc_id"), col("pass_gopher"))
-    val rep = TextAnalysis.repetitionBattery(docs)
-      .select(col("doc_id"), col("pass_repetition"))
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)
@@ -1550,14 +1547,27 @@ object TrainPrep {
     val cont = grams.filter(col("doc_id") % 97 =!= 0)
       .join(evalG, "g").select("doc_id").distinct()
       .withColumn("__hit", lit(true))
-    val toks = TextAnalysis.wsTokens(col("text"))
-    val quality = docs.select(col("doc_id"),
-      (org.apache.spark.sql.functions.size(filter(toks,
-        t => t.isInCollection(TextAnalysis.Stopwords))) * 20 >=
-        org.apache.spark.sql.functions.size(toks)).as("pass_q"))
-    val flags = docs.select(col("doc_id"))
-      .join(gopher, "doc_id").join(rep, "doc_id")
-      .join(cont, Seq("doc_id"), "left").join(quality, "doc_id")
+    // ALL per-doc gates in ONE projection over ONE corpus scan (the
+    // battery verdicts as column expressions — gopherPassCol /
+    // repetitionPassFromStats; the repetition kernel struct projects
+    // once in the inner select). The only doc_id join left is the
+    // small contaminated-id set; at 100 TB the alternative — one scan
+    // + one corpus-wide doc_id shuffle PER battery — is 3 extra scans
+    // and 3 extra exchanges for the same booleans.
+    val perDoc = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.wsTokens(col("text")).as("__toks"),
+      split(col("text"), "\n").as("__lines"),
+      RepetitionFunctions.repetition_stats(col("text")).as("__rs"))
+      .select(col("doc_id"),
+        TextAnalysis.gopherPassFrom(col("text"), col("__toks"),
+          col("__lines"), stopFloor = 1).as("pass_gopher"),
+        TextAnalysis.repetitionPassFromStats(col("__rs"))
+          .as("pass_repetition"),
+        (org.apache.spark.sql.functions.size(filter(col("__toks"),
+          t => t.isInCollection(TextAnalysis.Stopwords))) * 20 >=
+          org.apache.spark.sql.functions.size(col("__toks"))).as("pass_q"))
+    val flags = perDoc
+      .join(cont, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("pass_gopher").as("c1"),
         (col("pass_gopher") && col("pass_repetition")).as("c2"),

@@ -247,4 +247,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("single-column battery verdicts stay in lockstep with the " +
+    "batteries (gopherPassCol / repetitionPassFromStats)") {
+    val docs = Tables.documents(spark, sf)
+    // gopher: the expression verdict must equal the battery's flag
+    // row-for-row, at both stop floors
+    Seq(1, 2).foreach { floor =>
+      val battery = TextAnalysis.gopherBattery(docs, floor)
+        .select(col("doc_id"), col("pass_gopher"))
+      val expr = docs.select(col("doc_id"),
+        TextAnalysis.gopherPassCol(col("text"), floor).as("p"))
+      val diverged = battery.join(expr, "doc_id")
+        .filter(col("pass_gopher") =!= col("p")).count()
+      assert(diverged === 0L, s"gopher verdict diverged at floor $floor")
+    }
+    val battery = TextAnalysis.repetitionBattery(docs)
+      .select(col("doc_id"), col("pass_repetition"))
+    val expr = docs.select(col("doc_id"),
+      TextAnalysis.repetitionPassFromStats(
+        graft.functions.RepetitionFunctions.repetition_stats(col("text")))
+        .as("p"))
+    val diverged = battery.join(expr, "doc_id")
+      .filter(col("pass_repetition") =!= col("p")).count()
+    assert(diverged === 0L, "repetition verdict diverged")
+  }
+
 }
