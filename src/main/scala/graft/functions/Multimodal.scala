@@ -180,7 +180,18 @@ object Multimodal {
     * decimal-rounding contract. This closes the last rows-only row:
     * the stub's plumbing — schema, batching, the fold itself — is now
     * hash-gated end-to-end, and swapping [[FakeDecoder]] for a real
-    * codec invalidates only this oracle, nothing else. */
+    * codec invalidates only this oracle, nothing else.
+    *
+    * CORPUS ASSUMPTION (shared with [[mmMetaExtractSql]]): the oracle
+    * equates UTF-8 bytes with code points — [[FakeDecoder]] folds
+    * `content(i) & 0xff` over the byte length while the SQL folds
+    * `ord(text[i+1])` over the character length — and a document with
+    * empty text produces no `b`-CTE row in DuckDB (range(0,0)) while
+    * Spark still emits a zero-feature media row. Both hold on every
+    * driver corpus (all-ASCII, no empty texts — verified at
+    * sf0.001/0.01/0.1); a non-ASCII or empty-text corpus needs an
+    * octet-level oracle (and a LEFT JOIN back to documents with
+    * COALESCE(f0, 0)) instead. */
   def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMedia(spark, dir))

@@ -1528,18 +1528,26 @@ object TrainPrep {
     * quality floor), with per-stage in/dropped/out counts and a
     * survivor-set checksum (sum/min/max of surviving ids) so two
     * pipeline builds can be diffed stage-by-stage without comparing
-    * row sets. ALL per-doc gate verdicts evaluate in ONE projection
-    * over ONE corpus scan (the batteries exposed as column
-    * expressions — no per-battery scan, no doc_id joins back), the
-    * funnel is a cumulative AND, and the report aggregates a ×4
+    * row sets. ALL flag batteries evaluate in ONE projection over one
+    * corpus scan (the batteries exposed as column expressions — no
+    * per-battery scan, no doc_id joins back); the decontamination
+    * side necessarily adds a second corpus pass (the n-gram explode
+    * feeding the eval-gram semi-join — grams, not documents, are what
+    * that scan shuffles), the funnel is a cumulative AND, and the
+    * report aggregates a ×4
     * explode of (id, 4 booleans) — map-side combinable, nothing
     * corpus-sized shuffles beyond the decontamination hash semi-join
     * (the dc4 Bloom prune applies unchanged at 100 TB). The quality
     * floor compares by integer cross-multiplication (20·stops ≥
     * tokens), never a float ratio, so rows hash exactly. */
   def tpFilterFunnel(spark: SparkSession, dir: String, n: Int = 3)
-      : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      : DataFrame =
+    tpFilterFunnelFrom(Tables.documents(spark, dir), n)
+
+  /** Corpus-parameterized body of [[tpFilterFunnel]] — lets specs feed
+    * degenerate corpora (e.g. one where a gate kills every doc) and
+    * assert the report still materializes all 4 stage rows. */
+  def tpFilterFunnelFrom(docs: DataFrame, n: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)
@@ -1585,10 +1593,16 @@ object TrainPrep {
         col("c3").as("kept")),
       struct(lit("quality").as("stage"), col("c3").as("entering"),
         col("c4").as("kept")))))
-    staged.filter(col("col.entering"))
+    // No filter on `entering`: aggregate gated sums instead, so every
+    // stage row materializes even when a gate kills the whole corpus
+    // (the oracle's UNION ALL shape is a fixed 4 rows; a filter-first
+    // plan returns <4 rows the moment an entering set is empty).
+    // `kept` is the cumulative AND, so kept ⇒ entering and the
+    // survivor aggregates need no extra gate.
+    staged
       .groupBy((col("pos") + 1).cast("int").as("stage_idx"),
         col("col.stage").as("stage"))
-      .agg(count(lit(1)).as("n_in"),
+      .agg(sum(when(col("col.entering"), 1L).otherwise(0L)).as("n_in"),
         sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_out"),
         sum(when(col("col.kept"), col("doc_id"))).as("surv_id_sum"),
         min(when(col("col.kept"), col("doc_id"))).as("surv_id_min"),

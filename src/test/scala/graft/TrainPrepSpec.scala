@@ -600,6 +600,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(mn <= mx && s >= mn * n && s <= mx * n)
   }
 
+  test("filter funnel: all 4 stage rows materialize even when a gate " +
+    "kills the whole corpus (oracle's fixed shape)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Two tiny docs that fail the gopher battery (too short), so every
+    // downstream stage's entering set is empty. A filter-first plan
+    // would return 1 row here; the gated-sum plan returns all 4.
+    val degenerate = Seq((1L, "zz zz"), (2L, "qq")).toDF("doc_id", "text")
+    val rows = TrainPrep.tpFilterFunnelFrom(degenerate).collect()
+    assert(rows.length === 4, "fixed 4-row report shape")
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("gopher", "repetition", "decontaminate", "quality"))
+    assert(rows.head.getAs[Long]("n_in") === 2L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") === 0L, r.getAs[String]("stage"))
+      assert(r.getAs[Long]("n_in") ===
+        r.getAs[Long]("n_dropped") + r.getAs[Long]("n_out"))
+      assert(r.isNullAt(r.fieldIndex("surv_id_min")), "no survivors")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"))
+    }
+  }
+
   test("split-decon: kept train shares no n-gram STRING with test " +
     "(independent of the hash path)") {
     val sparkS = spark
