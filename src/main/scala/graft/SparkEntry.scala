@@ -34,7 +34,8 @@ object SparkEntry {
       operators.RuntimeFilter.queries ++ operators.ScaleOps.queries ++
       functions.Pca.queries ++ functions.CorpusOps.queries ++
       functions.SearchIndex.queries ++ functions.Dsir.queries ++
-      functions.FuzzyMatch.queries ++ functions.QualityClassifier.queries
+      functions.FuzzyMatch.queries ++
+      functions.QualityClassifier.queries ++ functions.DatasetBuild.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
@@ -55,5 +56,6 @@ object SparkEntry {
       functions.CorpusOps.oracles ++ functions.SearchIndex.oracles ++
       functions.Dsir.oracles ++ operators.Sketches.oracles ++
       functions.Pca.oracles ++ functions.Ivf.oracles ++
-      functions.FuzzyMatch.oracles ++ functions.QualityClassifier.oracles
+      functions.FuzzyMatch.oracles ++
+      functions.QualityClassifier.oracles ++ functions.DatasetBuild.oracles
 }

@@ -1,0 +1,339 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end dataset build — the single materializing pipeline a
+  * training run actually consumes, chaining the stages the suite
+  * verifies separately: the 4-gate curation funnel
+  * ([[TrainPrep.funnelFlags]]: Gopher battery → repetition battery →
+  * eval-decontamination → stopword quality floor), duplicate-span
+  * excision on the survivors ([[Dedup.spanExcision]] — the cleaned
+  * text, not a drop decision), a leakage-free train/val/test split
+  * over the CLEANED text (test-gram guard, the
+  * [[TrainPrep.tsSplitDecontaminated]] shape), and greedy no-split
+  * packing of the kept docs into fixed-capacity bins per
+  * (split, shard) ([[TrainPrep.tpPackGreedy]]'s sequential fold,
+  * emitting per-doc bin assignments).
+  *
+  * Output of [[tpDatasetBuild]]: one manifest row per surviving doc —
+  * (doc_id, split, shard, bin, n_tok, residual_len, residual_hash) —
+  * the pointer set a loader materializes batches from.
+  * [[tpDatasetBuildReport]] is the accompanying audit: one row per
+  * stage with survivor count, id checksum, and token checksum.
+  *
+  * Scale accounting (the 100 TB contract): exactly three gram-volume
+  * shuffles, each over a corpus the previous stage already shrank —
+  * (1) the funnel's decontamination gram semi-join (full corpus,
+  * n=3 grams; contaminated-id set broadcasts back), (2) excision's
+  * duplicate-gram count + flagged-position regroup (funnel survivors
+  * only, n=8), (3) the split guard's test-gram semi-join (survivors'
+  * residual text, n=5; the test share is ~10 % so the gram set
+  * broadcasts). Everything after stage flags is doc-id-sized: the
+  * pack repartition shuffles (split, shard, counts, md5) — 8-byte
+  * ids and 32-char hashes, never text. Each stage is defined over
+  * the previous stage's OUTPUT (dup spans among survivors, split
+  * grams of cleaned text), so the three gram passes are semantic,
+  * not an implementation artifact; a production run would
+  * checkpoint `cleaned` between (2) and (3) to avoid lineage
+  * recomputation, which Spark's plan reuse handles here.
+  *
+  * Reference scope: the reference engine (mypipe) has no
+  * corpus-curation surface; this composes the LLM-pipeline operators
+  * the brief mandates as first-class. */
+object DatasetBuild {
+
+  /** Per-doc packed manifest of the cleaned, decontaminated, split,
+    * packed corpus. Columns: doc_id, split, shard, bin, n_tok (tokens
+    * surviving excision), residual_len, residual_hash (md5 of the
+    * cleaned text — the driver-hashable stand-in for shipping it). */
+  def tpDatasetBuild(spark: SparkSession, dir: String): DataFrame =
+    tpDatasetBuildFrom(Tables.documents(spark, dir))
+
+  def tpDatasetBuildFrom(docs: DataFrame, nDecon: Int = 3,
+      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
+      nShards: Int = 16): DataFrame =
+    packManifest(
+      leakFiltered(cleanedCorpus(docs, nDecon, nExcise), nSplit),
+      capacity, nShards)
+
+  /** Stage audit: one row per pipeline stage with survivor counts and
+    * checksums — (stage_idx, stage, n_units, id_sum, tok_sum).
+    * `n_units` is docs for stages 1–6 and BINS for stage 7 (`pack`
+    * drops nothing; its unit is the bin). `tok_sum` counts raw tokens
+    * for stages 1–4 and residual (post-excision) tokens from stage 5
+    * on; `id_sum` is the survivor doc_id sum (NULL for `pack`). */
+  def tpDatasetBuildReport(spark: SparkSession, dir: String): DataFrame =
+    tpDatasetBuildReportFrom(Tables.documents(spark, dir))
+
+  def tpDatasetBuildReportFrom(docs: DataFrame, nDecon: Int = 3,
+      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
+      nShards: Int = 16): DataFrame = {
+    val flags = TrainPrep.funnelFlags(docs, nDecon)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("raw_tok"),
+        col("c1"), col("c2"), col("c3"), col("c4"))
+    // stages 1-4 from one pass over the flag battery (×4 explode,
+    // map-side combinable — the funnel-report shape)
+    val st14 = flags.select(col("doc_id"), col("raw_tok"),
+      posexplode(array(
+        struct(lit("gopher").as("stage"), col("c1").as("kept")),
+        struct(lit("repetition").as("stage"), col("c2").as("kept")),
+        struct(lit("decontaminate").as("stage"), col("c3").as("kept")),
+        struct(lit("quality").as("stage"), col("c4").as("kept")))))
+      .groupBy((col("pos") + 1).cast("int").as("stage_idx"),
+        col("col.stage").as("stage"))
+      .agg(sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_units"),
+        sum(when(col("col.kept"), col("doc_id"))).as("id_sum"),
+        sum(when(col("col.kept"), col("raw_tok"))).as("tok_sum"))
+    val cleaned = cleanedCorpus(docs, nDecon, nExcise)
+    val st5 = cleaned
+      .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
+        sum("n_tok").as("tok_sum"))
+      .select(lit(5).as("stage_idx"), lit("excise").as("stage"),
+        col("n_units"), col("id_sum"), col("tok_sum"))
+    val kept = leakFiltered(cleaned, nSplit)
+    val st6 = kept
+      .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
+        sum("n_tok").as("tok_sum"))
+      .select(lit(6).as("stage_idx"), lit("leak_guard").as("stage"),
+        col("n_units"), col("id_sum"), col("tok_sum"))
+    val st7 = packManifest(kept, capacity, nShards)
+      .agg(countDistinct(col("split"), col("shard"), col("bin"))
+          .as("n_units"),
+        sum("n_tok").as("tok_sum"))
+      .select(lit(7).as("stage_idx"), lit("pack").as("stage"),
+        col("n_units"), lit(null).cast("long").as("id_sum"),
+        col("tok_sum"))
+    st14.unionByName(st5).unionByName(st6).unionByName(st7)
+      .orderBy("stage_idx")
+  }
+
+  /** Funnel survivors with their span-excised text: (doc_id, split,
+    * residual, n_tok, residual_len, residual_hash). Duplicate spans
+    * are defined among the SURVIVOR corpus (the stage's input), not
+    * the raw one. */
+  private[graft] def cleanedCorpus(docs: DataFrame, nDecon: Int,
+      nExcise: Int): DataFrame = {
+    val surv = TrainPrep.funnelFlags(docs, nDecon)
+      .filter(col("c4")).select("doc_id", "text")
+    Dedup.spanExcision(surv, nExcise)
+      .withColumn("residual", expr(
+        """concat_ws(' ', filter(a, (t, i) ->
+          |  NOT exists(spans, sp -> i >= sp.s AND i <= sp.e)))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        TrainPrep.splitCol("doc_id").as("split"),
+        col("residual"),
+        (size(col("a")).cast("long") -
+          expr("aggregate(spans, 0L, (acc, sp) -> acc + sp.e - sp.s + 1)"))
+          .as("n_tok"),
+        length(col("residual")).cast("long").as("residual_len"),
+        md5(col("residual")).as("residual_hash"))
+  }
+
+  /** Drop from TRAIN every doc sharing an n-gram OF ITS CLEANED TEXT
+    * with any test doc's cleaned text (val/test always kept) — the
+    * [[TrainPrep.tsSplitDecontaminated]] guard, run where a real
+    * pipeline runs it: after excision, so excised boilerplate cannot
+    * cause (or mask) a leak verdict. */
+  private[graft] def leakFiltered(cleaned: DataFrame, nSplit: Int)
+      : DataFrame = {
+    val grams = cleaned.select(col("doc_id"), col("split"),
+      explode(TrainPrep.ngramHashes(col("residual"), nSplit)).as("g"))
+    val testG = grams.filter(col("split") === "test")
+      .select("g").distinct()
+    val leaked = grams.filter(col("split") === "train")
+      .join(testG, "g").select("doc_id").distinct()
+      .withColumn("__leak", lit(true))
+    cleaned.join(leaked, Seq("doc_id"), "left")
+      .filter(col("split") =!= "train" || col("__leak").isNull)
+      .drop("__leak")
+  }
+
+  /** Greedy no-split packing per (split, shard), emitting PER-DOC bin
+    * assignments: repartition on the fold key, secondary sort, one
+    * O(1)-state streaming pass per partition ([[TrainPrep.packFold]]'s
+    * shape with per-doc emission — the manifest needs where each doc
+    * landed, not just the bins). Rows entering the shuffle are
+    * id/count/hash-sized, never text. */
+  private[graft] def packManifest(kept: DataFrame, capacity: Int,
+      nShards: Int): DataFrame = {
+    val spark = kept.sparkSession
+    import spark.implicits._
+    kept.select(col("split"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("doc_id").cast("long"), col("n_tok"), col("residual_len"),
+        col("residual_hash"))
+      .as[(String, Long, Long, Long, Long, String)]
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions("split", "shard", "doc_id")
+      .mapPartitions(it => packAssign(it, capacity))
+      .toDF("doc_id", "split", "shard", "bin", "n_tok", "residual_len",
+        "residual_hash")
+      .orderBy("doc_id")
+  }
+
+  /** Sequential packer core, factored pure for property fuzzing: rows
+    * sorted by (split, shard, doc_id) → each doc tagged with its bin.
+    * First-fit-in-order; a doc longer than `capacity` takes a bin
+    * alone (it opens one and nothing else fits). */
+  private[graft] def packAssign(
+      it: Iterator[(String, Long, Long, Long, Long, String)],
+      capacity: Int)
+      : Iterator[(Long, String, Long, Long, Long, Long, String)] = {
+    var curSplit: String = null
+    var curShard = Long.MinValue
+    var bin = 0L
+    var fill = 0L
+    it.map { case (split, shard, docId, tok, rlen, rhash) =>
+      if (split != curSplit || shard != curShard) {
+        curSplit = split; curShard = shard; bin = 0L; fill = tok
+      } else if (fill + tok <= capacity) {
+        fill += tok
+      } else {
+        bin += 1L; fill = tok
+      }
+      (docId, split, shard, bin, tok, rlen, rhash)
+    }
+  }
+
+  // ── oracles ──────────────────────────────────────────────────────────
+
+  /** Shared oracle CTE chain: funnel flags → survivors → excision +
+    * residual (over `surv`) → cleaned → split-guard → keep → the
+    * recursive pack fold. Spliced after `WITH RECURSIVE`. */
+  private def buildCtes(nDecon: Int, nExcise: Int, nSplit: Int,
+      capacity: Int, nShards: Int): String = {
+    // spanExciseCtes emits its own "WITH toks AS ..."; strip the
+    // leading WITH so it splices into this chain.
+    val excise = Dedup.spanExciseCtes(nExcise, "surv").stripPrefix("WITH ")
+    s"""${TrainPrep.funnelFlagsCtes(nDecon)},
+       |surv AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN flags USING (doc_id) WHERE c4),
+       |$excise${Dedup.residualCtes},
+       |removedt AS (
+       |  SELECT doc_id, CAST(SUM(e_tok - s_tok + 1) AS BIGINT)
+       |    AS removed_tokens
+       |  FROM spanc GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN ((((t.doc_id % 1000003) + 1000003) % 1000003)
+       |               * 2654435761) % 100 < 80 THEN 'train'
+       |         WHEN ((((t.doc_id % 1000003) + 1000003) % 1000003)
+       |               * 2654435761) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    COALESCE(r.residual, '') AS residual,
+       |    CAST(len(t.a) AS BIGINT) - COALESCE(rm.removed_tokens, 0)
+       |      AS n_tok,
+       |    CAST(len(COALESCE(r.residual, '')) AS BIGINT)
+       |      AS residual_len,
+       |    md5(COALESCE(r.residual, '')) AS residual_hash
+       |  FROM toks t
+       |  LEFT JOIN removedt rm ON t.doc_id = rm.doc_id
+       |  LEFT JOIN resid r ON t.doc_id = r.doc_id),
+       |toks5 AS (
+       |  SELECT doc_id, split,
+       |    regexp_split_to_array(residual, '\\s+') AS a5
+       |  FROM cleaned),
+       |grams5 AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(range(1, len(a5) - $nSplit + 2),
+       |      i -> array_to_string(a5[i:i+${nSplit - 1}], ' '))) AS g5
+       |  FROM toks5 WHERE len(a5) >= $nSplit),
+       |testg5 AS (SELECT DISTINCT g5 FROM grams5 WHERE split = 'test'),
+       |leaked5 AS (
+       |  SELECT DISTINCT gr.doc_id FROM grams5 gr JOIN testg5 USING (g5)
+       |  WHERE gr.split = 'train'),
+       |keep AS (
+       |  SELECT c.* FROM cleaned c
+       |  LEFT JOIN leaked5 l ON c.doc_id = l.doc_id
+       |  WHERE c.split <> 'train' OR l.doc_id IS NULL),
+       |sized AS (
+       |  SELECT doc_id, split, doc_id % $nShards AS shard, n_tok,
+       |    residual_len, residual_hash,
+       |    ROW_NUMBER() OVER (PARTITION BY split, doc_id % $nShards
+       |      ORDER BY doc_id) AS rn
+       |  FROM keep),
+       |pfold AS (
+       |  SELECT doc_id, split, shard, rn, n_tok, residual_len,
+       |    residual_hash, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+       |  FROM sized WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.doc_id, s.split, s.shard, s.rn, s.n_tok,
+       |    s.residual_len, s.residual_hash,
+       |    CASE WHEN f.fill + s.n_tok <= $capacity THEN f.bin
+       |         ELSE f.bin + 1 END,
+       |    CASE WHEN f.fill + s.n_tok <= $capacity THEN f.fill + s.n_tok
+       |         ELSE s.n_tok END
+       |  FROM pfold f JOIN sized s
+       |    ON s.split = f.split AND s.shard = f.shard
+       |    AND s.rn = f.rn + 1)""".stripMargin
+  }
+
+  def tpDatasetBuildSql(nDecon: Int = 3, nExcise: Int = 8,
+      nSplit: Int = 5, capacity: Int = 128, nShards: Int = 16): String =
+    s"""WITH RECURSIVE
+       |${buildCtes(nDecon, nExcise, nSplit, capacity, nShards)}
+       |SELECT doc_id, split, shard, CAST(bin AS BIGINT) AS bin, n_tok,
+       |  residual_len, residual_hash
+       |FROM pfold ORDER BY doc_id""".stripMargin
+
+  def tpDatasetBuildReportSql(nDecon: Int = 3, nExcise: Int = 8,
+      nSplit: Int = 5, capacity: Int = 128, nShards: Int = 16): String =
+    s"""WITH RECURSIVE
+       |${buildCtes(nDecon, nExcise, nSplit, capacity, nShards)},
+       |rawt AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw_tok
+       |  FROM documents),
+       |fl AS (SELECT f.*, rawt.raw_tok FROM flags f
+       |       JOIN rawt ON f.doc_id = rawt.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS stage_idx, 'gopher' AS stage,
+       |    CAST(COUNT(*) FILTER (c1) AS BIGINT) AS n_units,
+       |    CAST(SUM(doc_id) FILTER (c1) AS BIGINT) AS id_sum,
+       |    CAST(SUM(raw_tok) FILTER (c1) AS BIGINT) AS tok_sum FROM fl
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'repetition',
+       |    CAST(COUNT(*) FILTER (c2) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c2) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c2) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT), 'decontaminate',
+       |    CAST(COUNT(*) FILTER (c3) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c3) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c3) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(4 AS INT), 'quality',
+       |    CAST(COUNT(*) FILTER (c4) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c4) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c4) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(5 AS INT), 'excise',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       |    CAST(SUM(n_tok) AS BIGINT) FROM cleaned
+       |  UNION ALL
+       |  SELECT CAST(6 AS INT), 'leak_guard',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       |    CAST(SUM(n_tok) AS BIGINT) FROM keep
+       |  UNION ALL
+       |  SELECT CAST(7 AS INT), 'pack',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |      (SELECT DISTINCT split, shard, bin FROM pfold)),
+       |    CAST(NULL AS BIGINT),
+       |    CAST(SUM(n_tok) AS BIGINT) FROM pfold)
+       |ORDER BY stage_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tp_dataset_build" ->
+      ((s: SparkSession, d: String) => tpDatasetBuild(s, d)),
+    "tp_dataset_build_report" ->
+      ((s: SparkSession, d: String) => tpDatasetBuildReport(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "tp_dataset_build" -> tpDatasetBuildSql(),
+    "tp_dataset_build_report" -> tpDatasetBuildReportSql())
+}

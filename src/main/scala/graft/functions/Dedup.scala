@@ -1118,9 +1118,10 @@ object Dedup {
   /** Shared oracle CTEs: the same span algebra on gram STRINGS (the
     * hash-vs-string caveat of [[spanDuplication]] applies), islands by
     * the same touch rule, offsets by the same prefix-join lengths. */
-  private def spanExciseCtes(n: Int): String =
+  private[graft] def spanExciseCtes(n: Int, src: String = "documents")
+      : String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS a FROM $src),
        |g2 AS (
        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
@@ -1151,9 +1152,11 @@ object Dedup {
        |    len(array_to_string(t.a[1:s.e_tok + 1], ' ')) AS end_char
        |  FROM spans s JOIN toks t ON s.doc_id = t.doc_id)""".stripMargin
 
-  def ddSpanExciseSql(n: Int = 8): String =
-    spanExciseCtes(n) +
-      s""",
+  /** Residual-text CTEs (depend on `toks` + `spans` from
+    * [[spanExciseCtes]]): per-doc cleaned text after span removal.
+    * Shared by [[ddSpanExciseSql]] and [[DatasetBuild]]'s oracles. */
+  private[graft] val residualCtes: String =
+    s""",
        |covered AS (SELECT doc_id, unnest(range(s_tok, e_tok + 1)) AS p
        |            FROM spans),
        |alltoks AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM (
@@ -1166,7 +1169,11 @@ object Dedup {
        |  FROM alltoks at
        |  LEFT JOIN covered c ON at.doc_id = c.doc_id AND at.p = c.p
        |  WHERE c.p IS NULL
-       |  GROUP BY at.doc_id),
+       |  GROUP BY at.doc_id)""".stripMargin
+
+  def ddSpanExciseSql(n: Int = 8): String =
+    spanExciseCtes(n) + residualCtes +
+      s""",
        |perdoc AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        |    CAST(SUM(e_tok - s_tok + 1) AS BIGINT) AS removed_tokens,

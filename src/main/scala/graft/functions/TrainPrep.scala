@@ -1544,10 +1544,21 @@ object TrainPrep {
       : DataFrame =
     tpFilterFunnelFrom(Tables.documents(spark, dir), n)
 
-  /** Corpus-parameterized body of [[tpFilterFunnel]] — lets specs feed
-    * degenerate corpora (e.g. one where a gate kills every doc) and
-    * assert the report still materializes all 4 stage rows. */
-  def tpFilterFunnelFrom(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** The funnel's per-doc cumulative verdicts — (doc_id, text, c1..c4)
+    * where cK = "survives gates 1..K" — shared between the funnel
+    * report and [[DatasetBuild]]'s end-to-end corpus build. ALL flag
+    * batteries evaluate in ONE projection over one corpus scan (the
+    * battery verdicts as column expressions — gopherPassFrom /
+    * repetitionPassFromStats; the repetition kernel struct projects
+    * once in the inner select); the decontamination side adds the
+    * gram scan feeding the eval-gram semi-join, whose (small)
+    * contaminated-id set broadcasts back. The only doc_id join is
+    * that broadcast; the alternative — one scan + one corpus-wide
+    * doc_id shuffle PER battery — is 3 extra scans and 3 extra
+    * exchanges for the same booleans. `text` rides along so callers
+    * (the dataset build) can continue on survivors without a second
+    * corpus join. */
+  def funnelFlags(docs: DataFrame, n: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)
@@ -1555,18 +1566,11 @@ object TrainPrep {
     val cont = grams.filter(col("doc_id") % 97 =!= 0)
       .join(evalG, "g").select("doc_id").distinct()
       .withColumn("__hit", lit(true))
-    // ALL per-doc gates in ONE projection over ONE corpus scan (the
-    // battery verdicts as column expressions — gopherPassCol /
-    // repetitionPassFromStats; the repetition kernel struct projects
-    // once in the inner select). The only doc_id join left is the
-    // small contaminated-id set; at 100 TB the alternative — one scan
-    // + one corpus-wide doc_id shuffle PER battery — is 3 extra scans
-    // and 3 extra exchanges for the same booleans.
     val perDoc = docs.select(col("doc_id"), col("text"),
       TextAnalysis.wsTokens(col("text")).as("__toks"),
       split(col("text"), "\n").as("__lines"),
       RepetitionFunctions.repetition_stats(col("text")).as("__rs"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         TextAnalysis.gopherPassFrom(col("text"), col("__toks"),
           col("__lines"), stopFloor = 1).as("pass_gopher"),
         TextAnalysis.repetitionPassFromStats(col("__rs"))
@@ -1574,9 +1578,9 @@ object TrainPrep {
         (org.apache.spark.sql.functions.size(filter(col("__toks"),
           t => t.isInCollection(TextAnalysis.Stopwords))) * 20 >=
           org.apache.spark.sql.functions.size(col("__toks"))).as("pass_q"))
-    val flags = perDoc
+    perDoc
       .join(cont, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         col("pass_gopher").as("c1"),
         (col("pass_gopher") && col("pass_repetition")).as("c2"),
         (col("pass_gopher") && col("pass_repetition") &&
@@ -1584,6 +1588,13 @@ object TrainPrep {
         (col("pass_gopher") && col("pass_repetition") &&
           col("doc_id") % 97 =!= 0 && col("__hit").isNull &&
           col("pass_q")).as("c4"))
+  }
+
+  /** Corpus-parameterized body of [[tpFilterFunnel]] — lets specs feed
+    * degenerate corpora (e.g. one where a gate kills every doc) and
+    * assert the report still materializes all 4 stage rows. */
+  def tpFilterFunnelFrom(docs: DataFrame, n: Int = 3): DataFrame = {
+    val flags = funnelFlags(docs, n)
     val staged = flags.select(col("doc_id"), posexplode(array(
       struct(lit("gopher").as("stage"), lit(true).as("entering"),
         col("c1").as("kept")),
@@ -1613,9 +1624,14 @@ object TrainPrep {
       .orderBy("stage_idx")
   }
 
-  def tpFilterFunnelSql(n: Int = 3): String = {
+  /** Oracle CTE block computing the funnel's per-doc flags — `flags`
+    * (doc_id, c1..c4) plus its feeder CTEs; the SQL twin of
+    * [[funnelFlags]], shared with [[DatasetBuild]]'s oracles. Emitted
+    * WITHOUT a leading `WITH` so callers can splice it into larger
+    * (possibly RECURSIVE) CTE chains. */
+  def funnelFlagsCtes(n: Int = 3): String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT doc_id, pass_gopher FROM (${TextAnalysis.taGopherSql(1)})),
        |r AS (
        |  SELECT doc_id, pass_repetition
@@ -1649,7 +1665,11 @@ object TrainPrep {
        |  FROM documents d
        |  JOIN g USING (doc_id) JOIN r USING (doc_id)
        |  LEFT JOIN contf ON contf.doc_id = d.doc_id
-       |  JOIN q ON q.doc_id = d.doc_id)
+       |  JOIN q ON q.doc_id = d.doc_id)""".stripMargin
+  }
+
+  def tpFilterFunnelSql(n: Int = 3): String = {
+    s"""WITH ${funnelFlagsCtes(n)}
        |SELECT * FROM (
        |  SELECT CAST(1 AS INT) AS stage_idx, 'gopher' AS stage,
        |    CAST(COUNT(*) AS BIGINT) AS n_in,
