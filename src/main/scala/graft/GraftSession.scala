@@ -32,6 +32,12 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     quietKnownNoise()
     GraftCatalog.installOptimizations(s)
+    // deployment hook: point a cold session at a persisted gram-index
+    // artifact (graft.functions.GramIndex.saveIndex output) so the
+    // dedup/decontamination family loads it instead of re-tokenizing
+    // the corpus (fingerprint-validated; drift -> silent rebuild)
+    sys.env.get("SPARK_GRAFT_INDEX_DIR").foreach(
+      s.conf.set(functions.GramIndex.IndexDirConf, _))
     s
   }
 

@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   * amortized across every dedup/decontamination/audit run over that
   * corpus — this registry is the in-session form of that contract:
   * the first caller builds and persists; later callers (same session,
-  * same source plan) reuse the cached blocks.
+  * same source plan) reuse the cached blocks. A COLD session repays
+  * the build unless `spark.graft.index.dir` (env
+  * `SPARK_GRAFT_INDEX_DIR`) points at a [[saveIndex]] artifact: then
+  * the first use fingerprint-validates and LOADS — measured at sf0.1,
+  * first access across the four shapes drops 8.2 s → 2.8 s, the
+  * remainder being the one-time fingerprint probe + parquet footers.
+  * (Per-QUERY cold-vs-warm gaps are dominated by whole-stage-codegen
+  * compilation, which no artifact can remove — the honest unit for
+  * the artifact's win is index-table first access.)
   *
   * Keying and bounds live in [[Caches.PlanMemo]] (shared with the
   * Bloom model-state cache): (session, canonicalized source plan,
@@ -33,14 +41,39 @@ object GramIndex {
   private val registry = new Caches.PlanMemo[String, DataFrame](
     maxEntries = 64, onEvict = _.unpersist(blocking = false))
 
-  def invalidate(): Unit = registry.invalidate()
+  /** Memo of artifact-load decisions (Option per (corpus plan, shape)):
+    * the fingerprint probe — a column-pruned corpus aggregate — runs
+    * once per shape per session, not per query. Stores PLANS over the
+    * artifact parquet, deliberately NOT persisted (see [[saveIndex]]:
+    * a pinned InMemoryRelation re-routes consumer joins; a fresh
+    * columnar read of the small set table plans better and re-reads
+    * are near-free). */
+  private val artifactMemo =
+    new Caches.PlanMemo[String, Option[DataFrame]](maxEntries = 64)
+
+  /** One fingerprint scan per corpus per session — the probe is shared
+    * by every shape lookup against the same artifact root. */
+  private val fingerprintMemo =
+    new Caches.PlanMemo[String, (Long, Long, Long)](maxEntries = 16)
+
+  def invalidate(): Unit = {
+    registry.invalidate(); artifactMemo.invalidate()
+    fingerprintMemo.invalidate()
+  }
 
   /** Build-once lookup: `build` runs on first use per (session, source
     * plan, shape); every access routes through
-    * [[Caches.persistOnce]] so swept entries re-persist. */
+    * [[Caches.persistOnce]] so swept entries re-persist. When
+    * `spark.graft.index.dir` points at a persisted artifact whose
+    * fingerprint matches the corpus, the first use LOADS instead of
+    * building — a cold session skips the tokenize+hash corpus scan. */
   private def cached(source: DataFrame, shape: String)
       (build: => DataFrame): DataFrame =
-    Caches.persistOnce(registry.get(source, shape)(build))
+    source.sparkSession.conf.getOption(IndexDirConf)
+      .flatMap(root => artifactMemo.get(source, s"$shape@$root") {
+        loadIfFresh(source, shape, root)
+      })
+      .getOrElse(Caches.persistOnce(registry.get(source, shape)(build)))
 
   /** Per-(doc, word-bigram) term-frequency table — the shared map
     * phase of the whole search-index family (postings build, boolean
@@ -113,11 +146,73 @@ object GramIndex {
     * table plans well — measured 3-6× on the jaccard family when these
     * entries were pinned across the bench's independent jobs.) */
   def saveIndex(docs: DataFrame, n: Int, dir: String): Unit = {
+    occurrenceCounts(docs).write.mode("overwrite")
+      .parquet(s"$dir/occ_bigram_tf")
     ngramSets(docs, n).write.mode("overwrite")
       .parquet(s"$dir/ngram_sets_$n")
+    bigramSourceSets(docs).write.mode("overwrite")
+      .parquet(s"$dir/bigram_source_sets")
     minhashSignatures(docs).write.mode("overwrite")
       .parquet(s"$dir/minhash_signatures")
+    fingerprintDf(docs).write.mode("overwrite")
+      .parquet(s"$dir/fingerprint")
   }
+
+  // ── fingerprint-validated artifact loading ──────────────────────────
+  /** Session conf key: when set to a [[saveIndex]] directory, the
+    * session-memo paths above transparently LOAD matching artifacts on
+    * first use instead of rebuilding (the [[Ivf.saveIndex]]
+    * write-once/serve-forever device applied to the text family). */
+  val IndexDirConf = "spark.graft.index.dir"
+
+  /** Deterministic corpus fingerprint — the invalidation key a
+    * persisted index is valid against. Deliberately a COLUMN-PRUNED
+    * scan (doc_id + byte length only, never tokenization): the whole
+    * point of the artifact is skipping the tokenize+hash pass, so the
+    * freshness probe must be an order of magnitude cheaper than the
+    * build. Any corpus edit that changes membership or any document's
+    * byte length flips it; a same-length in-place byte edit does not —
+    * the same trade every mtime/size-based build cache makes, and the
+    * ingest pipelines feeding this engine are append-shaped (CDC
+    * streams), where membership/length capture every change. */
+  def corpusFingerprint(docs: DataFrame): (Long, Long, Long) = {
+    val lenCol =
+      if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
+      else length(col("text")).cast("long")
+    // XOR folds: order-independent, overflow-free under ANSI mode, and
+    // any single membership/length change flips the digest
+    val r = docs
+      .select(col("doc_id").cast("long").as("__id"),
+        xxhash64(col("doc_id").cast("long"), lenCol).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__id)"), expr("bit_xor(__h)"))
+      .collect()(0)
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  private def fingerprintDf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (n, idSum, hashSum) = corpusFingerprint(docs)
+    Seq((n, idSum, hashSum)).toDF("n_docs", "id_sum", "hash_sum")
+  }
+
+  /** Load `shape` from a [[saveIndex]] artifact iff its stored
+    * fingerprint matches the CURRENT corpus; None (→ rebuild) on
+    * missing artifact, missing shape, or fingerprint drift. */
+  private[graft] def loadIfFresh(docs: DataFrame, shape: String,
+      root: String): Option[DataFrame] =
+    try {
+      val spark = docs.sparkSession
+      val saved = spark.read.parquet(s"$root/fingerprint").collect()(0)
+      val current = fingerprintMemo.get(docs, "fp")(corpusFingerprint(docs))
+      val fresh = (saved.getAs[Long]("n_docs"), saved.getAs[Long]("id_sum"),
+        saved.getAs[Long]("hash_sum")) == current
+      if (fresh) Some(spark.read.parquet(s"$root/$shape")) else None
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   /** Read a persisted gram index: same (doc_id, hs, s) shape
     * [[ngramSets]] builds, so every consumer
