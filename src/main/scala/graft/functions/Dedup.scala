@@ -580,40 +580,57 @@ object Dedup {
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    while (!converged && iter < maxIters) {
-      val t0 = System.nanoTime()
-      // one hop as union + min-aggregate, not join + left-join: each
-      // node's new label is min(own, neighbors'), so emit one self row
-      // (id, label, old=label) plus one row (a, bl, old=null) per
-      // directed edge and fold with a single map-side-partial min —
-      // two exchanges (labels by b, union by id) where the former
-      // join/left-join shape paid five. `max(old)` recovers the
-      // previous label: exactly one self row per id carries non-null.
-      val self = labels.select(col("id"), col("label").as("contrib"),
+    // one hop as union + min-aggregate, not join + left-join: each
+    // node's new label is min(own, neighbors'), so emit one self row
+    // (id, label, old=label) plus one row (a, bl, old=null) per
+    // directed edge and fold with a single map-side-partial min —
+    // two exchanges (labels by b, union by id) where the former
+    // join/left-join shape paid five. `max(old)` recovers the
+    // previous label: exactly one self row per id carries non-null.
+    // Then pointer jump: follow the fresh label one more hop (the
+    // label of the node it points to). Composing the two mappings
+    // roughly halves the remaining distance to the component minimum
+    // each round — O(log diameter) rounds instead of O(diameter). The
+    // jump only ever lowers labels within the component, so the
+    // fixed-point argument is unchanged: a full no-op round means
+    // label(a) ≤ label(b) across every (doubled) edge, i.e. labels
+    // are constant per component. The probe side (jid = id) reuses
+    // the aggregate's hash partitioning; only the lmin side shuffles.
+    def step(l: DataFrame): DataFrame = {
+      val self = l.select(col("id"), col("label").as("contrib"),
         col("label").as("prev"))
       val nbr = edges
-        .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
+        .join(l.select(col("id").as("b"), col("label").as("bl")), "b")
         .select(col("a").as("id"), col("bl").as("contrib"),
           lit(null).cast(self.schema("prev").dataType).as("prev"))
       val stepped = self.union(nbr).groupBy("id")
         .agg(min("contrib").as("lmin"), max("prev").as("old"))
-      // pointer jump: follow the fresh label one more hop (the label of
-      // the node it points to). Composing the two mappings roughly
-      // halves the remaining distance to the component minimum each
-      // round — O(log diameter) rounds instead of O(diameter). The
-      // jump only ever lowers labels within the component, so the
-      // fixed-point argument is unchanged: a full no-op round means
-      // label(a) ≤ label(b) across every (doubled) edge, i.e. labels
-      // are constant per component. The probe side (jid = id) reuses
-      // the aggregate's hash partitioning; only the lmin side shuffles.
-      val jumped = stepped.alias("s")
+      stepped.alias("s")
         .join(stepped.select(col("id").as("jid"), col("lmin").as("jl"))
             .alias("j"),
           col("s.lmin") === col("j.jid"), "left")
         .select(col("s.id").as("id"), col("s.old").as("old"),
           least(col("s.lmin"), coalesce(col("j.jl"), col("s.lmin")))
             .as("label"))
-        .localCheckpoint()
+    }
+    // One step per checkpoint barrier — the THIRD and FOURTH
+    // measured-and-rejected alternatives here (after round 8's extra
+    // pointer-jump and small-graph repartition): round-11 A/B'd
+    // batching TWO steps per localCheckpoint (halving barriers and
+    // convergence probes), sf0.1 warm — (a) naive nesting LOST
+    // (gr_cc 2.74→4.36 s, dd_minhash_groups 2.17→2.53 s,
+    // sim_neardup_groups 1.83→2.40 s: the jump's self-join references
+    // `stepped` twice, so the un-materialized step-1 subtree recomputes
+    // in both join arms — the checkpoint is precisely what makes the
+    // self-join read materialized data); (b) persist()ing step-1 inside
+    // the batch ALSO lost (gr_cc 3.6 s, sim_neardup_groups 2.45 s:
+    // same materialization count as two checkpoints, plus cache
+    // registration churn). The per-round barrier is load-bearing, not
+    // overhead; round cost is inherently ~2 small shuffles + 1
+    // materialization, and batching cannot remove any of the three.
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val jumped = step(labels).localCheckpoint()
       // convergence = no label moved this round; isEmpty short-circuits
       // on the first changed row, so non-final rounds pay almost
       // nothing and only the final round scans the (tiny) label table
