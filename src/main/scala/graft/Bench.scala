@@ -123,9 +123,10 @@ object Bench {
           reruns += 1
           rerunsTotal += 1
         }
-        if (best >= 0 && isOutlier) noiseSuspect += name
         val qSteal = (stealJiffies() - qSteal0) / 100.0
         if (qSteal > 0) steals(name) = qSteal
+        if (best >= 0 && Bench.isNoiseSuspect(best, refT, qSteal))
+          noiseSuspect += name
         // stderr diagnostic (driver parses stdout only): the cold/warm
         // split attributes shared-index build cost vs steady-state
         System.err.println(
@@ -201,10 +202,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
     // steal + outlier attribution: steal_sec carries only the queries
-    // whose window saw nonzero steal; noise_suspect lists queries still
-    // past 3× their committed reference after the extra runs (either a
-    // genuine regression or a steal-saturated window — the steal fields
-    // say which)
+    // whose window saw nonzero steal; noise_suspect is the
+    // [[isNoiseSuspect]] verdict — still past 3× the committed
+    // reference after the extra runs, OR past 2.5× with >0.5 s of
+    // recorded per-query steal (the round-10 miss)
     val runStealSec = (stealJiffies() - runSteal0) / 100.0
     val stealJson = {
       val per = steals.toSeq.sortBy(_._1)
@@ -261,4 +262,19 @@ object Bench {
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
   }
+
+  /** noise_suspect verdict (VERDICT r10 item 3, tightened r11): after
+    * the self-heal reruns, a query is flagged when EITHER (a) it still
+    * exceeds 3× its committed reference — a regression OR saturated
+    * steal; the steal fields say which — or (b) it exceeds 2× the
+    * reference AND its own window recorded > 0.5 s of hypervisor steal
+    * (2× is the driver's own gate ratio; the round-10 miss —
+    * dd_ngram_jaccard at 2.36× with 1.2 s recorded steal — carried its
+    * attribution but no flag). The absolute 0.5 s floor keeps
+    * sub-second jitter out of both arms. Pure function so the spec can
+    * pin the table. */
+  def isNoiseSuspect(best: Double, committedRef: Option[Double],
+      stealSec: Double): Boolean =
+    best > 0.5 && committedRef.exists(r =>
+      best > 3 * r || (best > 2 * r && stealSec > 0.5))
 }

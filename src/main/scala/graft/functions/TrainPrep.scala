@@ -1192,12 +1192,32 @@ object TrainPrep {
     * Training cost is corpus-scan + merges × vocab-sized rounds, the
     * exact shape tokenizer training has at 100 TB. Fully SQL-oracled
     * via [[tcBpeMergesSql]]: the rounds unroll into chained CTEs and
-    * the left-greedy rewrite is one string `replace()` per round. */
-  def bpeLearn(docs: DataFrame, merges: Int)
+    * the left-greedy rewrite is one string `replace()` per round.
+    *
+    * `sampleFraction` is the 100 TB contract: a production tokenizer
+    * trains on a bounded sample, not the full corpus (GPT-2/SentencePiece
+    * practice — merge ranks stabilize long before corpus-scale counts),
+    * so the knob feeds the SAME frequency fold from a deterministic
+    * doc_id hash sample (xxhash64 bucket < fraction·2⁶⁴ — reproducible
+    * across runs and cluster layouts, no `rand()`). At 1.0 the plan is
+    * unchanged (and SQL-oracle-exact); below 1.0 the learned table is
+    * a sample-dependent but fully valid merge table — every downstream
+    * encode invariant (decode roundtrip, count bounds, compression)
+    * holds, which the spec pins. The per-round cost after the one
+    * sampled scan is vocab-sized either way. */
+  def bpeLearn(docs: DataFrame, merges: Int,
+      sampleFraction: Double = 1.0)
       : (Seq[(String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.Column
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    val corpus =
+      if (sampleFraction >= 1.0) docs
+      else docs.filter(
+        pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+          lit((sampleFraction * 1000000L).toLong))
     // distinct-token frequency table: chars as symbols, corpus count
-    var seqs = docs
+    var seqs = corpus
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))

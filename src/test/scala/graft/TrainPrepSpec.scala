@@ -600,6 +600,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(mn <= mx && s >= mn * n && s <= mx * n)
   }
 
+  test("bpe sampling: fraction 1.0 reproduces full-corpus training; " +
+    "a sub-1.0 sample still yields a valid merge table") {
+    val docs = Tables.documents(spark, sf)
+    val full = TrainPrep.bpeLearn(docs, merges = 4)._1
+    assert(TrainPrep.bpeLearn(docs, merges = 4, sampleFraction = 1.0)._1
+      === full, "fraction 1.0 must be the unsampled fold")
+    val sampled =
+      TrainPrep.bpeLearn(docs, merges = 4, sampleFraction = 0.5)._1
+    assert(sampled.size === 4, "the sample still learns every merge")
+    assert(sampled.forall(_._3 > 0), "sampled pair counts positive")
+    // validity of the SAMPLED table when encoding the FULL corpus —
+    // the production shape (train on a sample, apply everywhere):
+    // decode roundtrip (no symbol lost/duplicated), per-doc count
+    // bounds, corpus-level compression
+    val vocab = TrainPrep.bpeEncodeVocab(docs, sampled)
+    val broken = vocab
+      .filter(concat_ws("", col("syms")) =!= col("tok")).count()
+    assert(broken === 0L, "sampled-table decode round-trips")
+    val enc = TrainPrep.bpeEncodeWith(docs, sampled)
+    val badBounds = enc.filter(col("n_tokens") > col("n_bpe_tokens") ||
+      col("n_bpe_tokens") > col("n_chars")).count()
+    assert(badBounds === 0L, "encode bounds hold under the sampled table")
+    val Array(bpe, chars) = enc
+      .agg(sum("n_bpe_tokens"), sum("n_chars")).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    assert(bpe < chars, "sampled merges still compress the full corpus")
+    // determinism: the hash sample is reproducible run-to-run
+    assert(TrainPrep.bpeLearn(docs, merges = 4, sampleFraction = 0.5)._1
+      === sampled)
+  }
+
   test("filter funnel: all 4 stage rows materialize even when a gate " +
     "kills the whole corpus (oracle's fixed shape)") {
     val sparkS = spark
