@@ -162,6 +162,78 @@ class TxPipelineSpec extends SparkSpec {
       "each mutation delivered exactly once across restarts")
   }
 
+  test("chaos: crash mid-micro-batch with an open BEGIN; restart emits " +
+    "the tx exactly once on commit, the rolled-back twin never") {
+    // The reference's core invariant — the consumer position does not
+    // advance mid-transaction (MySQLSpec.scala:49-146) — under the
+    // failure mode the reference never tested: the process dies while
+    // the COMMIT's micro-batch is in flight. The state store version
+    // for that batch is uncommitted, so the restart must replay it
+    // from the pre-crash state (which still buffers the open tx's
+    // first mutation) and emit everything exactly once.
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txchaos").toString
+    val input = MemoryStream[ChangeEvent](spark)
+    @volatile var crashArmed = false
+    def start() = TxPipeline.groupByTransaction(input.toDS())
+      .writeStream
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[TxMutation], _: Long) =>
+          val rows = df.collect()
+          if (crashArmed && rows.nonEmpty) {
+            crashArmed = false
+            throw new RuntimeException("injected mid-batch crash")
+          }
+          if (rows.nonEmpty)
+            rows.toSeq.toDS().write.mode("append").parquet(s"$dir/data")
+      }
+      .start()
+    def dataExists = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$dir/data"))
+
+    // phase A (clean): two open txs buffer in state, nothing commits
+    input.addData(ev(1, "begin"), ev(2, "mutation", "insert", 10),
+      ev(1, "begin", conn = 2), ev(2, "mutation", "insert", 10, conn = 2))
+    val qa = start(); qa.awaitTermination(60000); qa.stop()
+    assert(!dataExists, "open transactions must not emit")
+
+    // phase B (crash): conn 1's COMMIT and conn 2's ROLLBACK arrive;
+    // the injected failure kills the query while their batch is in
+    // flight, before the sink write and the state/offset commit
+    crashArmed = true
+    input.addData(ev(3, "mutation", "update", 20), ev(4, "commit", ts = 99),
+      ev(3, "rollback", conn = 2))
+    val qb = start()
+    val failed =
+      try { qb.awaitTermination(60000); false }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+          true
+      }
+    qb.stop()
+    assert(failed, "injected crash must surface as query failure")
+    assert(!dataExists, "the crashed batch must not have emitted")
+
+    // phase C (restart): the uncommitted batch replays against the
+    // pre-crash state; the buffered phase-A mutation flushes with it
+    val qc = start(); qc.awaitTermination(60000); qc.stop()
+    val rows = spark.read.parquet(s"$dir/data").as[TxMutation].collect()
+    assert(rows.map(_.seq).sorted.toSeq === Seq(2, 3),
+      "tx emits exactly once, including the mutation buffered " +
+        "BEFORE the crash")
+    assert(rows.forall(r => r.conn == 1 && r.commitTsUs == 99 &&
+      r.txid == "tx-1-1"), "rolled-back twin (conn 2) never emits")
+
+    // phase D (idle drain): nothing replays twice
+    val qd = start(); qd.awaitTermination(60000); qd.stop()
+    assert(spark.read.parquet(s"$dir/data").count() === 2,
+      "no duplicate emission on a further restart")
+  }
+
   test("T9: handoff persists the boundary to the position repository") {
     val sparkS = spark
     import sparkS.implicits._
