@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up testdata derivation: build sfN from a driver-generated base
+  * directory by K perturbed copies — `sbt "runMain graft.GenScale
+  * /root/testdata/sf0.1 .scale/sf1 10"`. The driver's own scaling
+  * pattern is mirrored (verified against sf0.01→sf0.1: contiguous ids,
+  * 10× rows, the SAME 30-day event window with 10× users), and the
+  * perturbations are chosen so each workload family keeps its sf0.1
+  * SHAPE at 10× the volume rather than degenerating:
+  *
+  *  - documents: EVERY copy k (including 0) rewrites every 3rd token
+  *    with a copy-tagged form, keyed on (position + k) mod 3. Two
+  *    distinct residue classes cannot both be avoided by consecutive
+  *    positions, so two copies share ZERO bigrams (hence zero n-grams
+  *    for any n ≥ 2) — duplicate/near-dup structure scales LINEARLY
+  *    (10× the groups, same group sizes). The first derivation used
+  *    every-5th-token on copies k ≥ 1 only, and the sf1 bench caught
+  *    the consequence: cross-copy bigram Jaccard landed ≈ 0.2-0.45,
+  *    at/above the dd_ngram_jaccard threshold, inflating TRUE pairs
+  *    ~100× and spilling 8 GB in the candidate join — a corpus-shape
+  *    artifact, not an engine defect; this rule removes it. Exact
+  *    duplicates inside the base remain exact duplicates inside each
+  *    copy (the rewrite is position-keyed, identical for both).
+  *  - embeddings: per-dimension deterministic jitter (±0.01) keeps
+  *    copies from being exact ties in top-k rankings.
+  *  - TPC-H relations: key-offset copies (the standard dbgen shape);
+  *    nation/region stay fixed dimension tables.
+  *  - events: same time window, user/event ids offset — densifies the
+  *    rolling windows exactly like the driver's own sf steps.
+  *
+  * Copy 0 keeps the base's ids and relational values (documents' text
+  * carries copy 0's own token rewrite — the zero-overlap rule needs
+  * every copy in a distinct residue class). Everything is
+  * deterministic (position/id/copy-keyed expressions, no rand()). */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val (base, out) = (args(0), args(1))
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.get()
+    generate(spark, base, out, copies)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    val ks = spark.range(copies).select(col("id").as("k"))
+    def read(t: String) = spark.read.parquet(s"$base/$t.parquet")
+    def fan(df: DataFrame) = df.crossJoin(broadcast(ks))
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+
+    // dimension tables: unchanged
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    val docs = read("documents")
+    val dStride = stride(docs, "doc_id")
+    write(fan(docs).select(
+      (col("doc_id") + col("k") * dStride).as("doc_id"),
+      expr("""concat_ws(' ', transform(split(text, ' '),
+        |  (t, i) -> CASE WHEN (i + k) % 3 = 0
+        |            THEN concat(t, 'x', k) ELSE t END))"""
+        .stripMargin).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents", 8)
+
+    val emb = read("embeddings")
+    val vStride = stride(emb, "vec_id")
+    write(fan(emb).select(
+      (col("vec_id") + col("k") * vStride).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x +
+        |  CASE WHEN k > 0
+        |  THEN (pmod(xxhash64(vec_id, k, i), 1000) - 500) / 50000.0
+        |  ELSE 0.0 END AS FLOAT))""".stripMargin).as("embedding"),
+      col("label")), "embeddings", 8)
+
+    val ev = read("events")
+    val eStride = stride(ev, "event_id")
+    val uStride = stride(ev, "user_id")
+    write(fan(ev).select(
+      (col("event_id") + col("k") * eStride).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("k") * uStride).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events", 8)
+
+    val orders = read("orders")
+    val oStride = stride(orders, "o_orderkey")
+    val cStride = stride(read("customer"), "c_custkey")
+    val pStride = stride(read("part"), "p_partkey")
+    val sStride = stride(read("supplier"), "s_suppkey")
+
+    write(fan(read("lineitem")).select(
+      (col("l_orderkey") + col("k") * oStride).as("l_orderkey"),
+      (col("l_partkey") + col("k") * pStride).as("l_partkey"),
+      (col("l_suppkey") + col("k") * sStride).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
+
+    write(fan(orders).select(
+      (col("o_orderkey") + col("k") * oStride).as("o_orderkey"),
+      (col("o_custkey") + col("k") * cStride).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders", 8)
+
+    write(fan(read("customer")).select(
+      (col("c_custkey") + col("k") * cStride).as("c_custkey"),
+      when(col("k") === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit("-"), col("k")))
+        .as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", 4)
+
+    write(fan(read("part")).select(
+      (col("p_partkey") + col("k") * pStride).as("p_partkey"),
+      when(col("k") === 0, col("p_name"))
+        .otherwise(concat(col("p_name"), lit(" k"), col("k")))
+        .as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part", 4)
+
+    write(fan(read("supplier")).select(
+      (col("s_suppkey") + col("k") * sStride).as("s_suppkey"),
+      when(col("k") === 0, col("s_name"))
+        .otherwise(concat(col("s_name"), lit("-"), col("k")))
+        .as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier", 2)
+
+    println(s"[gen-scale] wrote $out ($copies x $base)")
+  }
+}

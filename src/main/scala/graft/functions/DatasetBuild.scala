@@ -54,8 +54,13 @@ object DatasetBuild {
   def tpDatasetBuildFrom(docs: DataFrame, nDecon: Int = 3,
       nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
       nShards: Int = 16): DataFrame =
+    // the cleaned corpus is consumed three times downstream (two gram
+    // branches of the leak guard + the join-back); materialize it once
+    // — the in-query form of "checkpoint between stages", measured
+    // 15.8 → ~6 s at sf1 for the manifest query
     packManifest(
-      leakFiltered(cleanedCorpus(docs, nDecon, nExcise), nSplit),
+      leakFiltered(
+        cleanedCorpus(docs, nDecon, nExcise).localCheckpoint(), nSplit),
       capacity, nShards)
 
   /** Stage audit: one row per pipeline stage with survivor counts and
@@ -70,7 +75,13 @@ object DatasetBuild {
   def tpDatasetBuildReportFrom(docs: DataFrame, nDecon: Int = 3,
       nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
       nShards: Int = 16): DataFrame = {
-    val flags = TrainPrep.funnelFlags(docs, nDecon)
+    // every stage frame is consumed by its own audit row AND the next
+    // stage — materialize each boundary once (flag battery, cleaned
+    // corpus, kept set) instead of recomputing the whole upstream
+    // lineage per consumer; exactness unchanged, measured 22 → ~7 s
+    // at sf1
+    val allFlags = TrainPrep.funnelFlags(docs, nDecon).localCheckpoint()
+    val flags = allFlags
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("raw_tok"),
         col("c1"), col("c2"), col("c3"), col("c4"))
@@ -87,13 +98,13 @@ object DatasetBuild {
       .agg(sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_units"),
         sum(when(col("col.kept"), col("doc_id"))).as("id_sum"),
         sum(when(col("col.kept"), col("raw_tok"))).as("tok_sum"))
-    val cleaned = cleanedCorpus(docs, nDecon, nExcise)
+    val cleaned = cleanedFromFlags(allFlags, nExcise).localCheckpoint()
     val st5 = cleaned
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))
       .select(lit(5).as("stage_idx"), lit("excise").as("stage"),
         col("n_units"), col("id_sum"), col("tok_sum"))
-    val kept = leakFiltered(cleaned, nSplit)
+    val kept = leakFiltered(cleaned, nSplit).localCheckpoint()
     val st6 = kept
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))
@@ -115,9 +126,12 @@ object DatasetBuild {
     * are defined among the SURVIVOR corpus (the stage's input), not
     * the raw one. */
   private[graft] def cleanedCorpus(docs: DataFrame, nDecon: Int,
-      nExcise: Int): DataFrame = {
-    val surv = TrainPrep.funnelFlags(docs, nDecon)
-      .filter(col("c4")).select("doc_id", "text")
+      nExcise: Int): DataFrame =
+    cleanedFromFlags(TrainPrep.funnelFlags(docs, nDecon), nExcise)
+
+  private[graft] def cleanedFromFlags(flags: DataFrame, nExcise: Int)
+      : DataFrame = {
+    val surv = flags.filter(col("c4")).select("doc_id", "text")
     Dedup.spanExcision(surv, nExcise)
       .withColumn("residual", expr(
         """concat_ws(' ', filter(a, (t, i) ->
