@@ -17,7 +17,7 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   */
 object SpillAudit {
 
-  private def allNodes(p: SparkPlan,
+  private[graft] def allNodes(p: SparkPlan,
       seen: java.util.IdentityHashMap[SparkPlan, AnyRef])
       : Seq[SparkPlan] = {
     // identity-dedupe: a reused exchange/query stage is referenced from
