@@ -226,6 +226,26 @@ object FuzzyFunctions {
 object FuzzyMatch {
   import FuzzyFunctions._
 
+  // Candidate-generation levers measured at sf1 for the fuzzy joins
+  // (round 11), from worst to best on THIS corpus shape — recorded so
+  // later sessions don't re-run the experiments:
+  //   (a) first-token blocking alone: part names draw their first
+  //       token from 8 values, so blocks hit 25k rows and 10M in-block
+  //       DP evaluations — fj1 4.6 s / fj2 6.2 s at sf1, slopes 11-16×
+  //       per decade. Quadratic once the block vocabulary saturates.
+  //   (b) pigeonhole / PartEnum chunking (lev ≤ k ⇒ one of k+1 target
+  //       chunks survives verbatim in the probe, shifted ≤ k): LOSSLESS
+  //       and oracle-verified, but WORSE here — fj1 10.9 s at sf1 —
+  //       because ~11-char chunks drawn from a 92-word name vocabulary
+  //       are shared by thousands of names, so the chunk join fans out
+  //       past what it saves. The device needs high-entropy strings
+  //       (or df-ranked rare-gram prefixes, i.e. full ED-Join) to pay.
+  //   (c) (first token × length band) blocking — KEPT: lev(a,b) ≤ k
+  //       forces |len(a) − len(b)| ≤ k, so each probe explodes to the
+  //       2k+1 admissible lengths and length joins as an exact hash
+  //       key. Lossless, one cheap explode, cuts the DP enumeration
+  //       ~5-8×: fj1 3.8 s (slope ~4.7×), fj2 4.0 s (slope ~7.4×).
+
   /** Transposition-typo resolution: probes swap the LAST TWO characters
     * of the part name (the classic fat-finger swap). Unrestricted
     * Damerau-Levenshtein bills the swap 1 edit, so `dist ≤ 1` recovers
@@ -237,6 +257,9 @@ object FuzzyMatch {
   def fj2DamerauJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
     val ln = length(col("p_name"))
+    // blocking: (first token × ±1 length band) — see the measured
+    // lever comparison above; dist ≤ 1 implies the length band, so the
+    // extra key is lossless
     val probes = parts.filter(col("p_partkey") % 400 === 0)
       .select(col("p_partkey").as("probe_id"),
         concat(
@@ -244,10 +267,13 @@ object FuzzyMatch {
           substring(col("p_name"), ln, lit(1)),
           substring(col("p_name"), ln - 1, lit(1))).as("q"),
         split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+      .withColumn("t_len",
+        explode(sequence(length(col("q")) - 1, length(col("q")) + 1)))
     val targets = parts
       .select(col("p_partkey").as("match_key"), col("p_name"),
-        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
-    probes.join(targets, "blk")
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"),
+        length(col("p_name")).as("t_len"))
+    probes.join(targets, Seq("blk", "t_len"))
       .withColumn("dist", damerau_levenshtein(col("q"), col("p_name")))
       .filter(col("dist") <= 1)
       .select("probe_id", "match_key", "dist")

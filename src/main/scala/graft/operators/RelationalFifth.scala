@@ -144,20 +144,27 @@ object RelationalFifth {
   /** Blocked fuzzy string join — entity resolution's core operator:
     * probe names (here: part names with the last character dropped, a
     * deterministic "typo") match any part whose name is within
-    * levenshtein ≤ 2. The block key (first name token) carries a hash
-    * equi-join; the edit distance runs only inside a block — the
-    * standard blocking shape that keeps fuzzy matching off the n×m
-    * cliff at corpus scale. Both engines ship the same levenshtein. */
+    * levenshtein ≤ 2. The block key is (first name token × length):
+    * `lev(a,b) ≤ k` forces `|len(a) − len(b)| ≤ k`, so each probe
+    * explodes to the 2k+1 admissible target lengths and the length
+    * becomes part of the hash equi-join — LOSSLESS, and the best of
+    * the three candidate levers measured at sf1 (the comparison table,
+    * including the rejected pigeonhole/PartEnum chunk filter, lives at
+    * the top of [[graft.functions.FuzzyMatch]]): 4.6 → 3.8 s, slope
+    * 11× → ~4.7× per decade. */
   def fj1FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
     val probes = parts.filter(col("p_partkey") % 400 === 0)
       .select(col("p_partkey").as("probe_id"),
         expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
       .withColumn("blk", split_part(col("q"), lit(" "), lit(1)))
+      .withColumn("t_len",
+        explode(sequence(length(col("q")) - 2, length(col("q")) + 2)))
     val targets = parts
       .select(col("p_partkey").as("match_key"), col("p_name"),
-        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
-    probes.join(targets, "blk")
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"),
+        length(col("p_name")).as("t_len"))
+    probes.join(targets, Seq("blk", "t_len"))
       .withColumn("dist", levenshtein(col("q"), col("p_name")))
       .filter(col("dist") <= 2)
       .select("probe_id", "match_key", "dist")
