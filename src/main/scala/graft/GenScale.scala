@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   *    artifact, not an engine defect; this rule removes it. Exact
   *    duplicates inside the base remain exact duplicates inside each
   *    copy (the rewrite is position-keyed, identical for both).
-  *  - embeddings: per-dimension deterministic jitter (±0.01) keeps
-  *    copies from being exact ties in top-k rankings.
+  *  - embeddings: per-dimension deterministic jitter of ±0.35 on the
+  *    unit-norm 64-d vectors — |ε|² ≈ 2.6, so base↔copy cosine lands
+  *    ≈ 0.53 and copy↔copy ≈ 0.3: copies are NOT semantic duplicates
+  *    (a ±0.01 first cut left them at cos ≈ 0.9999, and SemDeDup at
+  *    sf1 then — correctly — dropped >90 % of the corpus, tripping
+  *    its drop-fraction gate; the gate was right, the corpus was
+  *    degenerate), while ANN/recall structure still scales 10×.
   *  - TPC-H relations: key-offset copies (the standard dbgen shape);
   *    nation/region stay fixed dimension tables.
   *  - events: same time window, user/event ids offset — densifies the
@@ -78,7 +83,7 @@ object GenScale {
       (col("vec_id") + col("k") * vStride).as("vec_id"),
       expr("""transform(embedding, (x, i) -> CAST(x +
         |  CASE WHEN k > 0
-        |  THEN (pmod(xxhash64(vec_id, k, i), 1000) - 500) / 50000.0
+        |  THEN (pmod(xxhash64(vec_id, k, i), 1000) - 500) / 1429.0
         |  ELSE 0.0 END AS FLOAT))""".stripMargin).as("embedding"),
       col("label")), "embeddings", 8)
 

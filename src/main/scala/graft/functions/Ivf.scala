@@ -627,6 +627,14 @@ object Ivf {
     * plausible (observed 0.44 at tau=0.3; a degenerate all-drop or
     * no-drop run trips the 0.9 / 0.0 floors only on real breakage —
     * no-drop stays allowed since a regenerated corpus could lack
+    * near-dups). CORPUS-DENSITY CAVEAT on the 0.9 ceiling: at fixed
+    * tau the drop fraction rises monotonically with corpus density —
+    * the round-11 sf1 sweep (10× vectors in the same 64-d space)
+    * measured it past 0.9 with every structural flag still green,
+    * which is CORRECT SemDeDup behavior (denser corpus ⇒ more
+    * redundancy), not breakage. The ceiling is a plausibility band
+    * for the driver's sf0.01/0.1 corpora; re-tune tau (or the band)
+    * before pointing the gate at a denser corpus.
     * near-dups). */
   def simSemDedupGate(spark: SparkSession, dir: String): DataFrame =
     simSemDedup(spark, dir).agg(
