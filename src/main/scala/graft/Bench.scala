@@ -204,7 +204,7 @@ object Bench {
     // steal + outlier attribution: steal_sec carries only the queries
     // whose window saw nonzero steal; noise_suspect is the
     // [[isNoiseSuspect]] verdict — still past 3× the committed
-    // reference after the extra runs, OR past 2.5× with >0.5 s of
+    // reference after the extra runs, OR past 2× with >0.5 s of
     // recorded per-query steal (the round-10 miss)
     val runStealSec = (stealJiffies() - runSteal0) / 100.0
     val stealJson = {

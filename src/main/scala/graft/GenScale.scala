@@ -11,19 +11,23 @@ import org.apache.spark.sql.functions._
   * perturbations are chosen so each workload family keeps its sf0.1
   * SHAPE at 10× the volume rather than degenerating:
   *
-  *  - documents: EVERY copy k (including 0) rewrites every 3rd token
-  *    with a copy-tagged form, keyed on (position + k) mod 3. Two
-  *    distinct residue classes cannot both be avoided by consecutive
-  *    positions, so two copies share ZERO bigrams (hence zero n-grams
-  *    for any n ≥ 2) — duplicate/near-dup structure scales LINEARLY
-  *    (10× the groups, same group sizes). The first derivation used
-  *    every-5th-token on copies k ≥ 1 only, and the sf1 bench caught
-  *    the consequence: cross-copy bigram Jaccard landed ≈ 0.2-0.45,
-  *    at/above the dd_ngram_jaccard threshold, inflating TRUE pairs
-  *    ~100× and spilling 8 GB in the candidate join — a corpus-shape
-  *    artifact, not an engine defect; this rule removes it. Exact
-  *    duplicates inside the base remain exact duplicates inside each
-  *    copy (the rewrite is position-keyed, identical for both).
+  *  - documents: EVERY copy k (including 0) rewrites every EVEN
+  *    position token with a copy-tagged form (`concat(t,'x',k)`).
+  *    Every bigram therefore contains at least one copy-tagged token,
+  *    so two DISTINCT copies share ZERO bigrams (hence zero n-grams
+  *    for any n ≥ 2) for ALL copy pairs — duplicate/near-dup
+  *    structure scales LINEARLY (10× the groups, same group sizes).
+  *    Two earlier rules failed this invariant and the sf1 runs caught
+  *    both: every-5th-token on copies k ≥ 1 left cross-copy bigram
+  *    Jaccard ≈ 0.2-0.45 (inflating TRUE pairs ~100×, 8 GB spill in
+  *    the candidate join), and (position + k) mod 3 left copy pairs
+  *    with k1 ≡ k2 (mod 3) sharing exactly the bigrams at positions
+  *    ≡ 1-k (mod 3) — a third of them, Jaccard ≈ 0.195, straddling
+  *    the 0.2 dd_ngram_jaccard threshold. The parity rule has no such
+  *    residue-class collision: the tagged token is in every bigram of
+  *    every copy. Exact duplicates inside the base remain exact
+  *    duplicates inside each copy (the rewrite is position-keyed,
+  *    identical for both).
   *  - embeddings: per-dimension deterministic jitter of ±0.35 on the
   *    unit-norm 64-d vectors — |ε|² ≈ 2.6, so base↔copy cosine lands
   *    ≈ 0.53 and copy↔copy ≈ 0.3: copies are NOT semantic duplicates
@@ -38,7 +42,7 @@ import org.apache.spark.sql.functions._
   *
   * Copy 0 keeps the base's ids and relational values (documents' text
   * carries copy 0's own token rewrite — the zero-overlap rule needs
-  * every copy in a distinct residue class). Everything is
+  * every copy's even positions tagged with its own k). Everything is
   * deterministic (position/id/copy-keyed expressions, no rand()). */
 object GenScale {
 
@@ -70,7 +74,7 @@ object GenScale {
     write(fan(docs).select(
       (col("doc_id") + col("k") * dStride).as("doc_id"),
       expr("""concat_ws(' ', transform(split(text, ' '),
-        |  (t, i) -> CASE WHEN (i + k) % 3 = 0
+        |  (t, i) -> CASE WHEN i % 2 = 0
         |            THEN concat(t, 'x', k) ELSE t END))"""
         .stripMargin).as("text"),
       col("lang"), col("source"))

@@ -57,10 +57,14 @@ object DatasetBuild {
     // the cleaned corpus is consumed three times downstream (two gram
     // branches of the leak guard + the join-back); materialize it once
     // — the in-query form of "checkpoint between stages", measured
-    // 15.8 → ~6 s at sf1 for the manifest query
+    // 15.8 → ~6 s at sf1 for the manifest query. LAZY checkpoint:
+    // the boundary persists + truncates on the first action, so
+    // explain-only callers (Plans) render without executing the
+    // funnel+excision as a construction side effect.
     packManifest(
       leakFiltered(
-        cleanedCorpus(docs, nDecon, nExcise).localCheckpoint(), nSplit),
+        cleanedCorpus(docs, nDecon, nExcise).localCheckpoint(eager = false),
+        nSplit),
       capacity, nShards)
 
   /** Stage audit: one row per pipeline stage with survivor counts and
@@ -79,8 +83,10 @@ object DatasetBuild {
     // stage — materialize each boundary once (flag battery, cleaned
     // corpus, kept set) instead of recomputing the whole upstream
     // lineage per consumer; exactness unchanged, measured 22 → ~7 s
-    // at sf1
-    val allFlags = TrainPrep.funnelFlags(docs, nDecon).localCheckpoint()
+    // at sf1. Lazy like [[tpDatasetBuildFrom]]: persist-on-first-action
+    // keeps DataFrame construction side-effect-free.
+    val allFlags = TrainPrep.funnelFlags(docs, nDecon)
+      .localCheckpoint(eager = false)
     val flags = allFlags
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("raw_tok"),
@@ -98,13 +104,13 @@ object DatasetBuild {
       .agg(sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_units"),
         sum(when(col("col.kept"), col("doc_id"))).as("id_sum"),
         sum(when(col("col.kept"), col("raw_tok"))).as("tok_sum"))
-    val cleaned = cleanedFromFlags(allFlags, nExcise).localCheckpoint()
+    val cleaned = cleanedFromFlags(allFlags, nExcise).localCheckpoint(eager = false)
     val st5 = cleaned
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))
       .select(lit(5).as("stage_idx"), lit("excise").as("stage"),
         col("n_units"), col("id_sum"), col("tok_sum"))
-    val kept = leakFiltered(cleaned, nSplit).localCheckpoint()
+    val kept = leakFiltered(cleaned, nSplit).localCheckpoint(eager = false)
     val st6 = kept
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))

@@ -1198,7 +1198,9 @@ object TrainPrep {
     * trains on a bounded sample, not the full corpus (GPT-2/SentencePiece
     * practice — merge ranks stabilize long before corpus-scale counts),
     * so the knob feeds the SAME frequency fold from a deterministic
-    * doc_id hash sample (xxhash64 bucket < fraction·2⁶⁴ — reproducible
+    * doc_id hash sample (pmod(xxhash64(doc_id), 1e6) < fraction·1e6 —
+    * million-bucket granularity, so fractions finer than 1e-6 quantize
+    * to an empty sample; reproducible
     * across runs and cluster layouts, no `rand()`). At 1.0 the plan is
     * unchanged (and SQL-oracle-exact); below 1.0 the learned table is
     * a sample-dependent but fully valid merge table — every downstream
