@@ -35,22 +35,17 @@ object Verify {
         // accumulate in the shared session (same hygiene as Bench)
         graft.util.Caches.releaseAll(spark)
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import graft.util.Json.quote
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${quote(k)}: ${quote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-capable iterative programs for the recursive-CTE oracles —
+    // consumed by scripts/check_oracle.py --iterative; the driver's
+    // sf0.01 gate ignores this file and runs oracle_sql.json as-is.
+    Files.writeString(Paths.get(s"$outDir/oracle_iter.json"),
+      IterOracles.renderJson)
     spark.stop()
   }
 }

@@ -225,7 +225,18 @@ object DatasetBuild {
     * residual (over `surv`) → cleaned → split-guard → keep → the
     * recursive pack fold. Spliced after `WITH RECURSIVE`. */
   private def buildCtes(nDecon: Int, nExcise: Int, nSplit: Int,
-      capacity: Int, nShards: Int): String = {
+      capacity: Int, nShards: Int): String =
+    s"""${preCtes(nDecon, nExcise, nSplit, nShards)},
+       |${pfoldCte(capacity)}""".stripMargin
+
+  /** The NON-recursive prefix of [[buildCtes]] — everything up to and
+    * including `sized` (per-(split, shard) row numbering). The sf1
+    * iterative oracle materializes this once and folds the pack
+    * assignment outside SQL ([[graft.IterOracles]]): the recursive
+    * `pfold` re-joins `sized` once per row number (~1000 iterations at
+    * sf1), which is what blows the DuckDB time cap at 10× scale. */
+  private def preCtes(nDecon: Int, nExcise: Int, nSplit: Int,
+      nShards: Int): String = {
     // spanExciseCtes emits its own "WITH toks AS ..."; strip the
     // leading WITH so it splices into this chain.
     val excise = Dedup.spanExciseCtes(nExcise, "surv").stripPrefix("WITH ")
@@ -276,8 +287,13 @@ object DatasetBuild {
        |    residual_len, residual_hash,
        |    ROW_NUMBER() OVER (PARTITION BY split, doc_id % $nShards
        |      ORDER BY doc_id) AS rn
-       |  FROM keep),
-       |pfold AS (
+       |  FROM keep)""".stripMargin
+  }
+
+  /** The recursive sequential pack fold over `sized` — one row per
+    * recursion depth per (split, shard) group. */
+  private def pfoldCte(capacity: Int): String =
+    s"""pfold AS (
        |  SELECT doc_id, split, shard, rn, n_tok, residual_len,
        |    residual_hash, CAST(0 AS BIGINT) AS bin, n_tok AS fill
        |  FROM sized WHERE rn = 1
@@ -291,7 +307,57 @@ object DatasetBuild {
        |  FROM pfold f JOIN sized s
        |    ON s.split = f.split AND s.shard = f.shard
        |    AND s.rn = f.rn + 1)""".stripMargin
-  }
+
+  /** sf1 iterative-oracle prep: the non-recursive chain, materialized
+    * as the per-(split, shard)-ordered `sized` rows the Python fold
+    * consumes. ORDER BY is the fold order, so the fold never sorts. */
+  def tpSizedSql(nDecon: Int = 3, nExcise: Int = 8, nSplit: Int = 5,
+      nShards: Int = 16): String =
+    s"""WITH ${preCtes(nDecon, nExcise, nSplit, nShards)}
+       |SELECT doc_id, split, shard, n_tok, residual_len, residual_hash
+       |FROM sized ORDER BY split, shard, rn""".stripMargin
+
+  /** sf1 iterative-oracle prep for the report: stage rows 1–6 only —
+    * none of them touch the recursive fold; stage 7 is appended by
+    * [[graft.IterOracles]]'s final SQL over the folded assignment. */
+  def tpStages16Sql(nDecon: Int = 3, nExcise: Int = 8, nSplit: Int = 5,
+      nShards: Int = 16): String =
+    s"""WITH ${preCtes(nDecon, nExcise, nSplit, nShards)},
+       |rawt AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw_tok
+       |  FROM documents),
+       |fl AS (SELECT f.*, rawt.raw_tok FROM flags f
+       |       JOIN rawt ON f.doc_id = rawt.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS stage_idx, 'gopher' AS stage,
+       |    CAST(COUNT(*) FILTER (c1) AS BIGINT) AS n_units,
+       |    CAST(SUM(doc_id) FILTER (c1) AS BIGINT) AS id_sum,
+       |    CAST(SUM(raw_tok) FILTER (c1) AS BIGINT) AS tok_sum FROM fl
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'repetition',
+       |    CAST(COUNT(*) FILTER (c2) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c2) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c2) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT), 'decontaminate',
+       |    CAST(COUNT(*) FILTER (c3) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c3) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c3) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(4 AS INT), 'quality',
+       |    CAST(COUNT(*) FILTER (c4) AS BIGINT),
+       |    CAST(SUM(doc_id) FILTER (c4) AS BIGINT),
+       |    CAST(SUM(raw_tok) FILTER (c4) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT CAST(5 AS INT), 'excise',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       |    CAST(SUM(n_tok) AS BIGINT) FROM cleaned
+       |  UNION ALL
+       |  SELECT CAST(6 AS INT), 'leak_guard',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       |    CAST(SUM(n_tok) AS BIGINT) FROM keep)
+       |ORDER BY stage_idx""".stripMargin
 
   def tpDatasetBuildSql(nDecon: Int = 3, nExcise: Int = 8,
       nSplit: Int = 5, capacity: Int = 128, nShards: Int = 16): String =
