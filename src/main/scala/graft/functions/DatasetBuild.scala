@@ -51,9 +51,15 @@ object DatasetBuild {
   def tpDatasetBuild(spark: SparkSession, dir: String): DataFrame =
     tpDatasetBuildFrom(Tables.documents(spark, dir))
 
+  /** `nShards <= 0` derives the shard count from the corpus size via
+    * [[deriveShards]] (a metadata-only parquet count-star — survivor
+    * count is within 2× of it, and the rule only needs the order of
+    * magnitude). The fixed 16 default keeps the oracle SQL stable. */
   def tpDatasetBuildFrom(docs: DataFrame, nDecon: Int = 3,
       nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
-      nShards: Int = 16): DataFrame =
+      nShards0: Int = 16): DataFrame = {
+    val nShards =
+      if (nShards0 > 0) nShards0 else deriveShards(docs.count())
     // the cleaned corpus is consumed three times downstream (two gram
     // branches of the leak guard + the join-back); materialize it once
     // — the in-query form of "checkpoint between stages", measured
@@ -66,6 +72,7 @@ object DatasetBuild {
         cleanedCorpus(docs, nDecon, nExcise).localCheckpoint(eager = false),
         nSplit),
       capacity, nShards)
+  }
 
   /** Stage audit: one row per pipeline stage with survivor counts and
     * checksums — (stage_idx, stage, n_units, id_sum, tok_sum).
@@ -172,12 +179,43 @@ object DatasetBuild {
       .drop("__leak")
   }
 
+  /** Power-of-two shard count for the pack stage, derived from corpus
+    * size: smallest power of two with at most `docsPerShard` docs per
+    * shard, floored at 16. The production sizing rule (see
+    * [[packManifest]]) made executable — pass `nShards <= 0` to
+    * [[tpDatasetBuildFrom]] to use it. Power of two because
+    * `doc_id % 2N` REFINES `doc_id % N` (each shard splits exactly in
+    * two), so capacity re-planning at a bigger corpus re-buckets
+    * within old shards instead of rehashing across all of them. */
+  private[graft] def deriveShards(nDocs: Long,
+      docsPerShard: Long = 1L << 17): Int = {
+    var n = 16
+    while (n.toLong * docsPerShard < nDocs && n < (1 << 20)) n <<= 1
+    n
+  }
+
   /** Greedy no-split packing per (split, shard), emitting PER-DOC bin
     * assignments: repartition on the fold key, secondary sort, one
     * O(1)-state streaming pass per partition ([[TrainPrep.packFold]]'s
     * shape with per-doc emission — the manifest needs where each doc
     * landed, not just the bins). Rows entering the shuffle are
-    * id/count/hash-sized, never text. */
+    * id/count/hash-sized, never text.
+    *
+    * SIZING RULE for `nShards` (the pack stage's parallelism knob —
+    * the stage runs |splits| × nShards sequential folds, so at
+    * nShards=16 it caps at 48 partitions): each (split, shard) fold is
+    * single-threaded and holds O(1) state but must stream its whole
+    * group, so size shards to the straggler you can afford —
+    * `nShards ≈ 2^ceil(log2(survivor_docs / docsPerShard))` with
+    * docsPerShard ≈ 128k (manifest rows are ~60 B: ids, three longs,
+    * an md5 — a 128k-doc shard is a ~8 MB task, seconds of fold work).
+    * A 100 TB corpus with ~10^10 survivors ⇒ nShards ≈ 2^17, well
+    * past any executor count; the knob never bottlenecks the cluster
+    * if this rule is applied. [[deriveShards]] implements it;
+    * correctness is shard-count-invariant either way because each
+    * group's assignment depends only on its OWN ordered contents
+    * (DatasetBuildSpec pins this: doubling nShards splits each group
+    * in two and every new group folds exactly as if packed alone). */
   private[graft] def packManifest(kept: DataFrame, capacity: Int,
       nShards: Int): DataFrame = {
     val spark = kept.sparkSession

@@ -593,23 +593,36 @@ object Ivf {
     // final charge-back, and its lineage contains the trained model
     val cells = graft.util.Caches.persistOnce(assign(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("cid")))
-    val killed = Dedup.cappedBucketSelfJoin(cells, "vec_id", Seq("cid"), cap)
+    // fold the over-tau pair frame to per-cid counts BEFORE fusing: the
+    // report join becomes k-row vs k-row (k = cluster count) on
+    // broadcast, instead of a corpus-sized row-level left join against
+    // the kill set (which planned as an exchange+sort SMJ). Every
+    // vec_id lives in exactly one cid, so counting per cid is
+    // equivalent to tagging rows. One aggregation yields BOTH counts:
+    // n_dropped (distinct higher-id members of over-tau pairs — the
+    // kill rule) and n_covered (distinct members of ANY over-tau pair
+    // — the measured neighbor density [[simSemDedupGate]] derives its
+    // drop band from).
+    val roles = Dedup.cappedBucketSelfJoin(cells, "vec_id", Seq("cid"), cap)
       .withColumn("cos",
         Similarity.cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= tau)
-      .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"))
-      .distinct()
-    // fold both sides to per-cid counts BEFORE fusing: the report join
-    // becomes k-row vs k-row (k = cluster count) on broadcast, instead
-    // of a corpus-sized row-level left join against the kill set (which
-    // planned as an exchange+sort SMJ). Every vec_id lives in exactly
-    // one cid, so counting drops per cid is equivalent to tagging rows.
-    val drops = killed.groupBy("cid").agg(count(lit(1)).as("__nd"))
+      .select(explode(array(
+        struct(col("a.vec_id").as("id"), col("a.cid").as("cid"),
+          lit(false).as("isb")),
+        struct(col("b.vec_id").as("id"), col("b.cid").as("cid"),
+          lit(true).as("isb")))).as("e"))
+      .select(col("e.cid").as("cid"), col("e.id").as("id"),
+        col("e.isb").as("isb"))
+    val drops = roles.groupBy("cid").agg(
+      countDistinct(when(col("isb"), col("id"))).as("__nd"),
+      countDistinct(col("id")).as("__cov"))
     cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
       .join(broadcast(drops), Seq("cid"), "left")
       .select(col("cid"), col("n_vecs"),
         (col("n_vecs") - coalesce(col("__nd"), lit(0L))).as("n_kept"),
-        coalesce(col("__nd"), lit(0L)).as("n_dropped"))
+        coalesce(col("__nd"), lit(0L)).as("n_dropped"),
+        coalesce(col("__cov"), lit(0L)).as("n_covered"))
       .orderBy("cid")
   }
 
@@ -623,28 +636,32 @@ object Ivf {
     * side), every cell must keep at least one canonical representative
     * (the kill rule spares each group's lowest id, so an empty cell
     * means the charge-back or the join broke), kept+dropped must
-    * reconcile per cell, and the global drop fraction must stay
-    * plausible (observed 0.44 at tau=0.3; a degenerate all-drop or
-    * no-drop run trips the 0.9 / 0.0 floors only on real breakage —
-    * no-drop stays allowed since a regenerated corpus could lack
-    * near-dups). CORPUS-DENSITY CAVEAT on the 0.9 ceiling: at fixed
-    * tau the drop fraction rises monotonically with corpus density —
-    * the round-11 sf1 sweep (10× vectors in the same 64-d space)
-    * measured it past 0.9 with every structural flag still green,
-    * which is CORRECT SemDeDup behavior (denser corpus ⇒ more
-    * redundancy), not breakage. The ceiling is a plausibility band
-    * for the driver's sf0.01/0.1 corpora; re-tune tau (or the band)
-    * before pointing the gate at a denser corpus.
-    * near-dups). */
-  def simSemDedupGate(spark: SparkSession, dir: String): DataFrame =
+    * reconcile per cell, and the drop count must sit inside the band
+    * the MEASURED neighbor density implies — no fixed drop-fraction
+    * ceiling. Derivation: `n_covered` is the cell's count of vectors
+    * in at least one over-tau pair. A vector drops iff it has a
+    * lower-id over-tau neighbor, so per cell with n_covered > 0:
+    * every connected component of the covered subgraph keeps its
+    * minimum (dropped ≤ n_covered − #components ≤ n_covered − 1) and
+    * loses its maximum (dropped ≥ #components ≥ 1); with
+    * n_covered = 0 nothing may drop. The band holds at ANY corpus
+    * density — a fixed 0.9 ceiling tripped (correctly-behaving) on
+    * the 10×-denser sf1 corpus, where SemDeDup legitimately drops
+    * harder; density-derived bounds make the gate scale-invariant
+    * while still catching real breakage (a drop without a neighbor,
+    * or a fully-emptied covered set). */
+  def simSemDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val bandOk = (col("n_covered") === 0L && col("n_dropped") === 0L) ||
+      (col("n_covered") > 0L && col("n_dropped") >= 1L &&
+        col("n_dropped") <= col("n_covered") - 1L)
     simSemDedup(spark, dir).agg(
       sum("n_vecs").as("n_vectors"),
       (count(lit(1)) between(1, 8)).as("cells_ok"),
       (min(col("n_kept")) >= 1).as("all_cells_keep_ok"),
       (sum(col("n_kept") + col("n_dropped")) === sum(col("n_vecs")))
         .as("counts_reconcile"),
-      (sum("n_dropped").cast("double") / sum("n_vecs").cast("double")
-        <= 0.9).as("drop_frac_ok"))
+      (sum(when(!bandOk, 1L).otherwise(0L)) === 0L).as("drop_frac_ok"))
+  }
 
   val simSemDedupGateSql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS cells_ok,

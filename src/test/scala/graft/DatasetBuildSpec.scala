@@ -117,6 +117,69 @@ class DatasetBuildSpec extends SparkSpec {
       "manifest tokens = kept tokens")
   }
 
+  test("pack sharding: doubling nShards refines shards in place and " +
+    "every new group folds exactly as if packed alone (per-group " +
+    "locality — the deriveShards sizing rule's correctness premise)") {
+    val docs = Tables.documents(spark, sf)
+    val at8 = DatasetBuild.tpDatasetBuildFrom(docs, nShards0 = 8)
+      .collect()
+    val at16 = DatasetBuild.tpDatasetBuildFrom(docs, nShards0 = 16)
+      .collect()
+    // same doc set regardless of shard count
+    assert(at8.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      at16.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // mod-16 refines mod-8: every 16-shard group is a subset of the
+    // 8-shard group with shard % 8
+    at16.foreach { r =>
+      assert(r.getAs[Long]("shard") % 8 ===
+        at8.find(_.getAs[Long]("doc_id") === r.getAs[Long]("doc_id"))
+          .get.getAs[Long]("shard"))
+    }
+    // per-group locality: each (split, shard) group's assignment at
+    // EITHER shard count equals the pure fold of just that group
+    Seq(at8, at16).foreach { manifest =>
+      manifest.groupBy(r =>
+        (r.getAs[String]("split"), r.getAs[Long]("shard"))).foreach {
+        case ((split, shard), rows) =>
+          val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+          val alone = DatasetBuild.packAssign(
+            sorted.iterator.map(r => (split, shard,
+              r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+              r.getAs[Long]("residual_len"),
+              r.getAs[String]("residual_hash"))), 128)
+            .map(t => t._1 -> t._4).toMap
+          sorted.foreach(r => assert(
+            r.getAs[Long]("bin") === alone(r.getAs[Long]("doc_id")),
+            s"($split,$shard) doc ${r.getAs[Long]("doc_id")}"))
+      }
+    }
+  }
+
+  test("deriveShards: power of two, 16 floor, docsPerShard honored, " +
+    "monotone in corpus size") {
+    assert(DatasetBuild.deriveShards(0L) === 16)
+    assert(DatasetBuild.deriveShards(1L << 20) === 16)  // 16*128k = 2^21
+    assert(DatasetBuild.deriveShards(1L << 22) === 32)
+    assert(DatasetBuild.deriveShards(10L * 1000L * 1000L * 1000L)
+      === (1 << 17), "the 100 TB sizing example in the scaladoc")
+    var prev = 0
+    for (e <- 10 to 34) {
+      val n = DatasetBuild.deriveShards(1L << e)
+      assert((n & (n - 1)) === 0, s"2^$e gives non-power-of-two $n")
+      assert(n >= prev, "monotone")
+      assert(n >= 16)
+      prev = n
+    }
+    // auto mode wires through: nShards0 <= 0 derives (tiny corpus -> 16
+    // shards, same as the default, so the manifest matches exactly)
+    val docs = Tables.documents(spark, sf)
+    val auto = DatasetBuild.tpDatasetBuildFrom(docs, nShards0 = 0)
+      .collect().map(_.toSeq).toSeq
+    val fixed = DatasetBuild.tpDatasetBuildFrom(docs, nShards0 = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(auto === fixed)
+  }
+
   test("plan: no cartesian, no sort-merge join, pack exchange carries " +
     "no text column") {
     val df = DatasetBuild.tpDatasetBuild(spark, sf)

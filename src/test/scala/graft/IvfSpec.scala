@@ -124,16 +124,18 @@ class IvfSpec extends SparkSpec {
     }
     val expected = cells.groupBy(_._3).map { case (cid, vs) =>
       val sorted = vs.sortBy(_._1)
-      val killed = (for {
+      val overTau = (for {
         i <- sorted.indices; j <- (i + 1) until sorted.length
         if cos(sorted(i)._2, sorted(j)._2) >= 0.3
-      } yield sorted(j)._1).toSet
+      } yield (sorted(i)._1, sorted(j)._1))
+      val killed = overTau.map(_._2).toSet
+      val covered = overTau.flatMap(p => Seq(p._1, p._2)).toSet
       cid -> ((vs.length.toLong, (vs.length - killed.size).toLong,
-        killed.size.toLong))
+        killed.size.toLong, covered.size.toLong))
     }
     val got = Ivf.semDedup(emb).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3)))).toMap
+        r.getLong(3), r.getLong(4)))).toMap
     assert(got === expected)
     // something actually deduplicates at this threshold (non-vacuous)
     assert(got.values.map(_._3).sum > 0)
