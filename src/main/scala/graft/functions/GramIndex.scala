@@ -154,8 +154,86 @@ object GramIndex {
       .parquet(s"$dir/bigram_source_sets")
     minhashSignatures(docs).write.mode("overwrite")
       .parquet(s"$dir/minhash_signatures")
+    memberDf(docs).write.mode("overwrite").parquet(s"$dir/members")
     fingerprintDf(docs).write.mode("overwrite")
       .parquet(s"$dir/fingerprint")
+  }
+
+  /** Incrementally maintain a [[saveIndex]] artifact against the
+    * corpus's CURRENT state. The ingest pipelines feeding this engine
+    * are append-shaped (CDC streams), and every shape in the artifact
+    * is keyed per doc — (doc, term) tf rows, per-doc gram sets, per-doc
+    * signatures — so for an append-only delta the exact merge IS the
+    * append: counts add, sets union and signatures elementwise-min
+    * trivially because no key overlaps between old and new docs, and
+    * no shape holds cross-doc state. Cost therefore scales with the
+    * delta: the tokenize+hash passes (the expensive part) run over
+    * delta docs only, and delta detection is an id/length-pruned
+    * anti-join against the artifact's id-sized `members` table — the
+    * same cost class as the [[loadIfFresh]] freshness probe. The
+    * fingerprint folds incrementally (disjoint union ⇒ counts add,
+    * XORs combine), so the updated artifact validates exactly like a
+    * fresh build.
+    *
+    * A MUTATED corpus (any saved doc's id/length pair missing from the
+    * current corpus — edit or delete) cannot be patched row-wise
+    * without tombstone bookkeeping the read path would then pay for
+    * forever; it falls back to the full [[saveIndex]] rebuild.
+    *
+    * Returns the action taken — "noop" | "append" | "rebuild" — so
+    * callers (and GramIndexSpec) can assert the cost class, not just
+    * the result. */
+  def updateIndex(docs: DataFrame, n: Int, dir: String): String = {
+    val spark = docs.sparkSession
+    val saved =
+      try {
+        val fp = spark.read.parquet(s"$dir/fingerprint").collect()(0)
+        val m = spark.read.parquet(s"$dir/members")
+        Some(((fp.getAs[Long]("n_docs"), fp.getAs[Long]("id_sum"),
+          fp.getAs[Long]("hash_sum")), m))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val action = saved match {
+      case None =>
+        saveIndex(docs, n, dir); "rebuild"
+      case Some((savedFp, members)) =>
+        if (corpusFingerprint(docs) == savedFp) "noop"
+        else {
+          val mutated = members
+            .join(memberDf(docs), Seq("doc_id", "h"), "left_anti")
+            .limit(1).count() > 0
+          if (mutated) { saveIndex(docs, n, dir); "rebuild" }
+          else {
+            // `delta` is a LAZY anti-join against the members parquet:
+            // every delta-dependent read must run before the members
+            // append below, or the re-evaluated anti-join sees the
+            // already-patched table and the delta collapses to empty
+            val delta = docs.join(members.select("doc_id"),
+              Seq("doc_id"), "left_anti")
+            val (dn, dId, dHash) = corpusFingerprint(delta)
+            occurrenceCounts(delta).write.mode("append")
+              .parquet(s"$dir/occ_bigram_tf")
+            ngramSets(delta, n).write.mode("append")
+              .parquet(s"$dir/ngram_sets_$n")
+            bigramSourceSets(delta).write.mode("append")
+              .parquet(s"$dir/bigram_source_sets")
+            minhashSignatures(delta).write.mode("append")
+              .parquet(s"$dir/minhash_signatures")
+            memberDf(delta).write.mode("append").parquet(s"$dir/members")
+            import spark.implicits._
+            Seq((savedFp._1 + dn, savedFp._2 ^ dId, savedFp._3 ^ dHash))
+              .toDF("n_docs", "id_sum", "hash_sum")
+              .write.mode("overwrite").parquet(s"$dir/fingerprint")
+            "append"
+          }
+        }
+    }
+    // any pre-update load decision or fingerprint memo is now stale;
+    // drop them so the next use re-probes the updated artifact
+    if (action != "noop") { artifactMemo.invalidate()
+      fingerprintMemo.invalidate() }
+    action
   }
 
   // ── fingerprint-validated artifact loading ──────────────────────────
@@ -176,19 +254,26 @@ object GramIndex {
     * ingest pipelines feeding this engine are append-shaped (CDC
     * streams), where membership/length capture every change. */
   def corpusFingerprint(docs: DataFrame): (Long, Long, Long) = {
-    val lenCol =
-      if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
-      else length(col("text")).cast("long")
     // XOR folds: order-independent, overflow-free under ANSI mode, and
     // any single membership/length change flips the digest
-    val r = docs
-      .select(col("doc_id").cast("long").as("__id"),
-        xxhash64(col("doc_id").cast("long"), lenCol).as("__h"))
-      .agg(count(lit(1)), expr("bit_xor(__id)"), expr("bit_xor(__h)"))
+    val r = memberDf(docs)
+      .agg(count(lit(1)), expr("bit_xor(doc_id)"), expr("bit_xor(h)"))
       .collect()(0)
     (r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1),
       if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  /** Per-doc (doc_id, h) membership row — h = xxhash64(id, byte
+    * length), the same column-pruned signal [[corpusFingerprint]]
+    * folds. Persisted as the artifact's `members` table so
+    * [[updateIndex]] can diff corpus membership at id-scan cost. */
+  private def memberDf(docs: DataFrame): DataFrame = {
+    val lenCol =
+      if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
+      else length(col("text")).cast("long")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      xxhash64(col("doc_id").cast("long"), lenCol).as("h"))
   }
 
   private def fingerprintDf(docs: DataFrame): DataFrame = {

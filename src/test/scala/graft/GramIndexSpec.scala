@@ -65,4 +65,73 @@ class GramIndexSpec extends SparkSpec {
       assert(got === want, "rebuild must cover exactly the edited corpus")
     }
   }
+
+  private val shapes = Seq("occ_bigram_tf", "ngram_sets_4",
+    "bigram_source_sets", "minhash_signatures", "members", "fingerprint")
+
+  private def artifactRows(dir: String): Map[String, Seq[String]] =
+    shapes.map(s => s -> spark.read.parquet(s"$dir/$s")
+      .collect().map(_.toString).sorted.toSeq).toMap
+
+  private def parquetFiles(dir: String): Set[String] =
+    shapes.flatMap { s =>
+      val d = new java.io.File(s"$dir/$s")
+      if (d.exists()) d.listFiles().map(f => s"$s/${f.getName}")
+        .filter(_.endsWith(".parquet")).toSeq
+      else Seq.empty
+    }.toSet
+
+  test("incremental maintenance: appending 10% of docs patches the " +
+    "artifact in place (delta-sized work), hash-matches a fresh " +
+    "build, and the updated fingerprint validates") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_incr").toString
+    GramIndex.saveIndex(base, n = 4, dir)
+    val baseFiles = parquetFiles(dir)
+    // same corpus again: nothing to do
+    assert(GramIndex.updateIndex(base, 4, dir) === "noop")
+    // append-only delta (the 10% bucket): patch, don't rebuild
+    assert(GramIndex.updateIndex(docs, 4, dir) === "append")
+    // cost class: the base build's shape files are untouched — update
+    // only ADDED files (members/fingerprint excepted: fingerprint is a
+    // 1-row overwrite by design)
+    val afterFiles = parquetFiles(dir)
+    val baseShapeFiles = baseFiles.filterNot(_.startsWith("fingerprint"))
+    assert(baseShapeFiles.subsetOf(afterFiles),
+      "append rewrote pre-existing shape files")
+    // the patched artifact is value-identical to a fresh full build
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("gram_incr_fresh").toString
+    GramIndex.saveIndex(docs, n = 4, freshDir)
+    val patched = artifactRows(dir)
+    val fresh = artifactRows(freshDir)
+    shapes.foreach(s => assert(patched(s) === fresh(s), s"shape $s"))
+    // and it fingerprint-validates against the current corpus
+    GramIndex.invalidate()
+    assert(GramIndex.loadIfFresh(docs, "ngram_sets_4", dir).nonEmpty,
+      "patched artifact must load fresh")
+  }
+
+  test("incremental maintenance: a MUTATED corpus (edited doc) " +
+    "falls back to a full rebuild, never a bad patch") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_mut").toString
+    GramIndex.saveIndex(docs, n = 4, dir)
+    // in-place edit that changes one doc's length: not append-shaped
+    val minId = docs.agg(min("doc_id")).collect()(0).getLong(0)
+    val mutatedDocs = docs
+      .withColumn("text", when(col("doc_id") === minId,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(GramIndex.updateIndex(mutatedDocs, 4, dir) === "rebuild")
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("gram_mut_fresh").toString
+    GramIndex.saveIndex(mutatedDocs, n = 4, freshDir)
+    val rebuilt = artifactRows(dir)
+    val fresh = artifactRows(freshDir)
+    shapes.foreach(s => assert(rebuilt(s) === fresh(s), s"shape $s"))
+  }
 }
