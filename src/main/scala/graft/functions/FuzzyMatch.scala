@@ -245,6 +245,11 @@ object FuzzyMatch {
   //       2k+1 admissible lengths and length joins as an exact hash
   //       key. Lossless, one cheap explode, cuts the DP enumeration
   //       ~5-8×: fj1 3.8 s (slope ~4.7×), fj2 4.0 s (slope ~7.4×).
+  // Round 12: (b) is REINSTATED behind [[FuzzyBlocking]]'s sampled
+  // selectivity probe — it genuinely wins on high-entropy corpora
+  // (FuzzyMatchSpec measures candidate volume both ways on a hex-id
+  // corpus), and the probe picks (c) on part names, reproducing the
+  // measured-best plan here without hard-wiring it.
 
   /** Transposition-typo resolution: probes swap the LAST TWO characters
     * of the part name (the classic fat-finger swap). Unrestricted
@@ -344,11 +349,50 @@ object FuzzyMatch {
       |WHERE jaro_winkler_similarity(q, p_name) >= 0.9
       |ORDER BY probe_id, match_key""".stripMargin
 
+  /** Auto-blocked fuzzy join WITHOUT a caller block column — the
+    * entity-resolution shape where no safe blocking key exists (the
+    * typo could be anywhere). [[FuzzyBlocking.fuzzyJoin]] probes the
+    * corpus and picks length-band vs pigeonhole-chunk itself; both
+    * levers are lossless, so the oracle below (an explicit
+    * length-band equi-join, the lever-independent semantics) verifies
+    * whichever the probe selected. */
+  def fj4AutoBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"))
+    FuzzyBlocking.fuzzyJoin(probes, targets, k = 2)
+      .orderBy("probe_id", "match_key")
+  }
+
+  val fj4Sql: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_id,
+      |    substr(p_name, 1, length(p_name) - 1) AS q
+      |  FROM part WHERE p_partkey % 400 = 0),
+      |pl AS (
+      |  SELECT probe_id, q, length(q) + d AS t_len
+      |  FROM probes, (SELECT unnest(range(-2, 3)) AS d)),
+      |targets AS (
+      |  SELECT p_partkey AS match_key, p_name,
+      |    length(p_name) AS t_len
+      |  FROM part)
+      |SELECT probe_id, match_key,
+      |  CAST(levenshtein(q, p_name) AS INT) AS dist
+      |FROM pl JOIN targets USING (t_len)
+      |WHERE levenshtein(q, p_name) <= 2
+      |ORDER BY probe_id, match_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fj2_damerau_join" -> (fj2DamerauJoin _),
-    "fj3_jw_join" -> (fj3JaroWinklerJoin _))
+    "fj3_jw_join" -> (fj3JaroWinklerJoin _),
+    "fj4_auto_blocked" -> (fj4AutoBlocked _))
 
   val oracles: Map[String, String] = Map(
     "fj2_damerau_join" -> fj2Sql,
-    "fj3_jw_join" -> fj3Sql)
+    "fj3_jw_join" -> fj3Sql,
+    "fj4_auto_blocked" -> fj4Sql)
 }

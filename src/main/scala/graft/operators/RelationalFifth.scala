@@ -151,23 +151,23 @@ object RelationalFifth {
     * the three candidate levers measured at sf1 (the comparison table,
     * including the rejected pigeonhole/PartEnum chunk filter, lives at
     * the top of [[graft.functions.FuzzyMatch]]): 4.6 → 3.8 s, slope
-    * 11× → ~4.7× per decade. */
+    * 11× → ~4.7× per decade. Round 12: the lever is no longer
+    * hard-wired — [[graft.functions.FuzzyBlocking.fuzzyJoin]] probes
+    * block selectivity on a sample and picks band or pigeonhole-chunk
+    * per corpus (on part names the probe picks band, reproducing this
+    * exact plan; both levers are lossless, so the oracle is
+    * lever-independent). */
   def fj1FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
     val probes = parts.filter(col("p_partkey") % 400 === 0)
       .select(col("p_partkey").as("probe_id"),
         expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
       .withColumn("blk", split_part(col("q"), lit(" "), lit(1)))
-      .withColumn("t_len",
-        explode(sequence(length(col("q")) - 2, length(col("q")) + 2)))
     val targets = parts
-      .select(col("p_partkey").as("match_key"), col("p_name"),
-        split_part(col("p_name"), lit(" "), lit(1)).as("blk"),
-        length(col("p_name")).as("t_len"))
-    probes.join(targets, Seq("blk", "t_len"))
-      .withColumn("dist", levenshtein(col("q"), col("p_name")))
-      .filter(col("dist") <= 2)
-      .select("probe_id", "match_key", "dist")
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    graft.functions.FuzzyBlocking.fuzzyJoin(probes, targets, k = 2)
       .orderBy("probe_id", "match_key")
   }
 

@@ -185,4 +185,76 @@ class FuzzyMatchSpec extends SparkSpec {
         s"fuzzy join must stay blocked:\n$plan")
     }
   }
+
+  // ── blocking auto-selection (FuzzyBlocking) ───────────────────────────
+
+  /** High-entropy corpus: 32-char hex ids. All names share one length,
+    * so the band lever degenerates to one giant block, while a chunk
+    * key (~10 hex chars) is near-unique — the corpus shape where the
+    * round-11-rejected pigeonhole lever genuinely wins. */
+  private def hexCorpus() = {
+    val targets = spark.range(500)
+      .select(col("id").as("match_key"),
+        md5(col("id").cast("string")).as("name"))
+    val probes = targets.filter(col("match_key") % 5 === 0)
+      .select(col("match_key").as("probe_id"),
+        expr("substring(name, 1, length(name) - 1)").as("q"))
+    (probes, targets)
+  }
+
+  test("blocking: both levers are LOSSLESS on a high-entropy corpus " +
+    "(match driver-side brute force), chunk generates strictly fewer " +
+    "candidates, and the selectivity probe picks it") {
+    import graft.functions.FuzzyBlocking
+    val (probes, targets) = hexCorpus()
+    val t = targets.collect().map(r => (r.getLong(0), r.getString(1)))
+    val p = probes.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (pid, q) <- p; (mid, name) <- t
+      d = lev(q, name) if d <= 2
+    } yield (pid, mid, d)).sorted.toSeq
+    def run(b: FuzzyBlocking.Blocker) =
+      FuzzyBlocking.fuzzyJoin(probes, targets, 2, Some(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    assert(run(FuzzyBlocking.Band) === brute, "band lever lost matches")
+    assert(run(FuzzyBlocking.Chunk) === brute, "chunk lever lost matches")
+    val bandCand =
+      FuzzyBlocking.bandCandidates(probes, targets, 2).count()
+    val chunkCand =
+      FuzzyBlocking.chunkCandidates(probes, targets, 2).count()
+    assert(chunkCand < bandCand,
+      s"chunk must beat banding here: $chunkCand vs $bandCand")
+    FuzzyBlocking.invalidate()
+    assert(FuzzyBlocking.choose(targets, 2, withBlk = false) ===
+      FuzzyBlocking.Chunk, "probe must engage the chunk path")
+  }
+
+  test("blocking: on the low-entropy part-name corpus the probe picks " +
+    "band (the measured-best round-11 lever) and the levers agree") {
+    import graft.functions.FuzzyBlocking
+    val parts = Tables.part(spark, sf)
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
+      .withColumn("blk", split_part(col("q"), lit(" "), lit(1)))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    FuzzyBlocking.invalidate()
+    assert(FuzzyBlocking.choose(targets, 2, withBlk = true) ===
+      FuzzyBlocking.Band)
+    def run(b: FuzzyBlocking.Blocker) =
+      FuzzyBlocking.fuzzyJoin(probes, targets, 2, Some(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    val band = run(FuzzyBlocking.Band)
+    assert(band === run(FuzzyBlocking.Chunk),
+      "levers must agree — both are lossless")
+    // and the auto-routed fj1 equals its fixed-lever result
+    val fj1 = operators.RelationalFifth.fj1FuzzyJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(fj1 === band)
+  }
 }
