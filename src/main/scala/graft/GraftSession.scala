@@ -24,6 +24,14 @@ object GraftSession {
       // reader rejects; read as Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // transformWithState (StateKernel — every keyed stateful op)
+      // requires the RocksDB provider, and it's the right provider at
+      // scale regardless: state lives on executor disk with changelog
+      // checkpointing, not as full snapshots of an in-JVM map
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

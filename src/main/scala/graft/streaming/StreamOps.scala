@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operators beyond the reference's surface that a CDC
   * consumer needs in practice:
@@ -58,26 +57,21 @@ object StreamOps {
     * `isDeleted = true`) so a late pre-delete update cannot resurrect
     * the row; downstream compaction may age them out. */
   def latestImageStream(changes: Dataset[ImageChange]): Dataset[ImageUpdate] =
-    changes
-      .groupByKey(_.pk)
-      .flatMapGroupsWithState[ImageState, ImageUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (pk: String, it: Iterator[ImageChange], gs: GroupState[ImageState]) =>
-          val prev = gs.getOption
-          var cur = prev
-          it.foreach { c =>
-            val newer = cur.forall(s =>
-              c.tsUs > s.tsUs || (c.tsUs == s.tsUs && c.seq > s.seq))
-            if (newer) cur = Some(ImageState(c.tsUs, c.seq, c.op, c.value))
-          }
-          cur match {
-            case Some(s) if !prev.contains(s) =>
-              gs.update(s)
-              Iterator.single(ImageUpdate(pk, s.op, s.value, s.tsUs,
-                s.seq, s.op == "delete"))
-            case _ => Iterator.empty // no advance → no emission
-          }
+    StateKernel.fold[String, ImageChange, ImageState, ImageUpdate](
+      changes, _.pk, stEnc) { (pk, it, prev) =>
+      var cur = prev
+      it.foreach { c =>
+        val newer = cur.forall(s =>
+          c.tsUs > s.tsUs || (c.tsUs == s.tsUs && c.seq > s.seq))
+        if (newer) cur = Some(ImageState(c.tsUs, c.seq, c.op, c.value))
       }
+      cur match {
+        case Some(s) if !prev.contains(s) =>
+          (cur, Iterator.single(ImageUpdate(pk, s.op, s.value, s.tsUs,
+            s.seq, s.op == "delete")))
+        case _ => (prev, Iterator.empty) // no advance → no emission
+      }
+    }
 
   /** Adapter: the tx-grouped mutation stream as image changes — pk is
     * the CDC key string, history order is (commit ts, log seq), the
@@ -120,26 +114,22 @@ object StreamOps {
     * under at-least-once sources. */
   def ewmaStream(daily: Dataset[DailyVolume], alpha: Double)
       : Dataset[EwmaPoint] =
-    daily
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[EwmaState, EwmaPoint](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[DailyVolume], gs: GroupState[EwmaState]) =>
-          var st = gs.getOption
-          val out = Vector.newBuilder[EwmaPoint]
-          it.toVector.sortBy(_.day).foreach { d =>
-            if (st.forall(_.day < d.day)) {
-              val e = st match {
-                case None => d.n.toDouble
-                case Some(s) => s.ewma * (1.0 - alpha) + d.n.toDouble * alpha
-              }
-              st = Some(EwmaState(d.day, e))
-              out += EwmaPoint(key, d.day, d.n, e)
-            }
+    StateKernel.fold[String, DailyVolume, EwmaState, EwmaPoint](
+      daily, _.key, ewmaStEnc) { (key, it, prev) =>
+      var st = prev
+      val out = Vector.newBuilder[EwmaPoint]
+      it.toVector.sortBy(_.day).foreach { d =>
+        if (st.forall(_.day < d.day)) {
+          val e = st match {
+            case None => d.n.toDouble
+            case Some(s) => s.ewma * (1.0 - alpha) + d.n.toDouble * alpha
           }
-          st.foreach(gs.update)
-          out.result().iterator
+          st = Some(EwmaState(d.day, e))
+          out += EwmaPoint(key, d.day, d.n, e)
+        }
       }
+      (st, out.result().iterator)
+    }
 
   /** One scored CUSUM point (emitted once the baseline is known). */
   case class CusumPoint(key: String, day: Long, n: Long, cusum: Double,
@@ -168,39 +158,35 @@ object StreamOps {
     * be provisional). State is O(1) per series after warm-up; days at
     * or before the folded frontier are re-deliveries and fold away. */
   def cusumStream(daily: Dataset[DailyVolume]): Dataset[CusumPoint] =
-    daily
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[CusumState, CusumPoint](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[DailyVolume], gs: GroupState[CusumState]) =>
-          var st = gs.getOption.getOrElse(
-            CusumState(Nil, Nil, Long.MinValue, 0.0, 0.0, 0.0, false))
-          val out = Vector.newBuilder[CusumPoint]
-          def score(day: Long, n: Long): Unit = {
-            val g = math.max(0.0,
-              st.g + (n.toDouble - st.mu - st.k))
-            st = st.copy(lastDay = day, g = g)
-            out += CusumPoint(key, day, n, g, g > st.k * 5.0)
-          }
-          it.toVector.sortBy(_.day).foreach { d =>
-            if (d.day > st.lastDay) {
-              if (st.ready) score(d.day, d.n)
-              else {
-                st = st.copy(bufDays = st.bufDays :+ d.day,
-                  bufNs = st.bufNs :+ d.n, lastDay = d.day)
-                if (st.bufDays.length == 7) {
-                  val mu = st.bufNs.sum.toDouble / 7.0
-                  st = st.copy(mu = mu, k = mu / 10.0, ready = true)
-                  val (days, ns) = (st.bufDays, st.bufNs)
-                  st = st.copy(bufDays = Nil, bufNs = Nil)
-                  days.zip(ns).foreach { case (dy, n) => score(dy, n) }
-                }
-              }
+    StateKernel.fold[String, DailyVolume, CusumState, CusumPoint](
+      daily, _.key, cusumStEnc) { (key, it, prev) =>
+      var st = prev.getOrElse(
+        CusumState(Nil, Nil, Long.MinValue, 0.0, 0.0, 0.0, false))
+      val out = Vector.newBuilder[CusumPoint]
+      def score(day: Long, n: Long): Unit = {
+        val g = math.max(0.0,
+          st.g + (n.toDouble - st.mu - st.k))
+        st = st.copy(lastDay = day, g = g)
+        out += CusumPoint(key, day, n, g, g > st.k * 5.0)
+      }
+      it.toVector.sortBy(_.day).foreach { d =>
+        if (d.day > st.lastDay) {
+          if (st.ready) score(d.day, d.n)
+          else {
+            st = st.copy(bufDays = st.bufDays :+ d.day,
+              bufNs = st.bufNs :+ d.n, lastDay = d.day)
+            if (st.bufDays.length == 7) {
+              val mu = st.bufNs.sum.toDouble / 7.0
+              st = st.copy(mu = mu, k = mu / 10.0, ready = true)
+              val (days, ns) = (st.bufDays, st.bufNs)
+              st = st.copy(bufDays = Nil, bufNs = Nil)
+              days.zip(ns).foreach { case (dy, n) => score(dy, n) }
             }
           }
-          gs.update(st)
-          out.result().iterator
+        }
       }
+      (Some(st), out.result().iterator)
+    }
 
   /** Exactly-once healing: drop re-delivered changes by their unique
     * position, keeping state only `watermark` past the event time. */
@@ -314,30 +300,26 @@ object StreamOps {
     * arrival order.
     */
   def topKStream(events: Dataset[Scored], k: Int): Dataset[BoardRow] =
-    events
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[BoardState, BoardRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Scored], gs: GroupState[BoardState]) =>
-          val before = gs.getOption
-            .map(s => s.scores.zip(s.ids)).getOrElse(Nil)
-          var board = before
-          it.foreach { e =>
-            val held = board.collectFirst {
-              case (s, i) if i == e.id => s
-            }
-            if (!held.exists(_ >= e.score)) {
-              val merged = ((e.score, e.id) ::
-                  board.filterNot(_._2 == e.id))
-                .sortBy { case (s, i) => (-s, i) }.take(k)
-              if (merged != board) board = merged
-            }
-          }
-          if (board != before) {
-            gs.update(BoardState(board.map(_._1), board.map(_._2)))
-            board.zipWithIndex.iterator.map { case ((s, i), r) =>
-              BoardRow(key, i, s, r + 1)
-            }
-          } else Iterator.empty
+    StateKernel.fold[String, Scored, BoardState, BoardRow](
+      events, _.key, boardStEnc) { (key, it, prev) =>
+      val before = prev.map(s => s.scores.zip(s.ids)).getOrElse(Nil)
+      var board = before
+      it.foreach { e =>
+        val held = board.collectFirst {
+          case (s, i) if i == e.id => s
+        }
+        if (!held.exists(_ >= e.score)) {
+          val merged = ((e.score, e.id) ::
+              board.filterNot(_._2 == e.id))
+            .sortBy { case (s, i) => (-s, i) }.take(k)
+          if (merged != board) board = merged
+        }
       }
+      if (board != before)
+        (Some(BoardState(board.map(_._1), board.map(_._2))),
+          board.zipWithIndex.iterator.map { case ((s, i), r) =>
+            BoardRow(key, i, s, r + 1)
+          })
+      else (prev, Iterator.empty)
+    }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.SparkContext
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.util.LongAccumulator
 
 /** Structured-Streaming transaction grouping — the semantic heart of the
@@ -14,7 +13,8 @@ import org.apache.spark.util.LongAccumulator
   * 74-82,124-177`).
   *
   * Spark-first shape: `Dataset[ChangeEvent].groupByKey(connection)
-  * .flatMapGroupsWithState` — the buffer lives in Spark's state store,
+  * .transformWithState` (Spark 4's arbitrary-state API, via
+  * [[StateKernel]]) — the buffer lives in Spark's state store,
   * so a transaction spanning micro-batches survives (checkpointed,
   * SURVEY §7.5 "hard parts"), and the reference's "don't advance the
   * binlog position mid-tx" rule falls out of checkpointed state +
@@ -179,31 +179,17 @@ object TxPipeline {
       abandonedTxTimeoutMs: Long,
       stats: Option[TxStats],
       step: (Long, Seq[ChangeEvent], TxState, Option[TxStats])
-        => (TxState, Seq[O])): Dataset[O] = {
-    val timeoutConf =
-      if (abandonedTxTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    events
-      .groupByKey(_.conn)
-      .flatMapGroupsWithState[TxState, O](
-        OutputMode.Append, timeoutConf) {
-        (conn: Long, it: Iterator[ChangeEvent], gs: GroupState[TxState]) =>
-          if (gs.hasTimedOut) {
-            // abandoned open tx → discard buffer, counted
-            gs.getOption.filter(_.open).foreach(s =>
-              stats.foreach(_.abandonedDiscards.add(s.buffer.length)))
-            gs.remove()
-            Iterator.empty
-          } else {
-            val st = gs.getOption.getOrElse(emptyState)
-            val (next, out) = step(conn, it.toSeq, st, stats)
-            if (next.open) {
-              gs.update(next)
-              if (abandonedTxTimeoutMs > 0)
-                gs.setTimeoutDuration(abandonedTxTimeoutMs)
-            } else gs.remove()
-            out.iterator
-          }
-      }
-  }
+        => (TxState, Seq[O])): Dataset[O] =
+    StateKernel.fold[Long, ChangeEvent, TxState, O](
+      events, _.conn, stateEnc,
+      timeoutMs = abandonedTxTimeoutMs,
+      // abandoned open tx → discard buffer, counted
+      onTimeout = (_, s) =>
+        if (s.open) stats.foreach(_.abandonedDiscards.add(s.buffer.length))
+    ) { (conn, it, prior) =>
+      val (next, out) = step(conn, it.toSeq,
+        prior.getOrElse(emptyState), stats)
+      // closed state clears the store entry (and disarms the timer)
+      (if (next.open) Some(next) else None, out.iterator)
+    }
 }

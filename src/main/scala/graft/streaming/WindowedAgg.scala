@@ -173,7 +173,7 @@ object WindowedAgg {
 
   /** The continuous leaderboard as a driver gate: run
     * [[StreamOps.topKStream]] — the bounded-state
-    * flatMapGroupsWithState operator the streaming spec drives in
+    * transformWithState operator (StateKernel) the streaming spec drives in
     * event-chunks — in BATCH mode (one state fold per key) over the
     * events table: top-3 events per type by integer-cents value. In
     * batch the whole group folds in one invocation, exercising the

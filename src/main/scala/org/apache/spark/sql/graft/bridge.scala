@@ -60,3 +60,16 @@ object PlanBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 }
+
+/** Batch-mode `transformWithState` loads its (ephemeral) RocksDB state
+  * store through the driver's StateStoreCoordinator RPC endpoint —
+  * which only STREAMING query startup registers. A batch query that
+  * runs first in a fresh session would die with
+  * RpcEndpointNotFoundException, so the StateKernel fold ensures the
+  * endpoint exists up front. `forDriver` is create-or-lookup
+  * (idempotent), same call the StreamingQueryManager makes. */
+object StateStoreBridge {
+  def ensureCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+}
