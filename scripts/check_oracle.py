@@ -41,10 +41,20 @@ args = [a for a in args if not a.startswith("--")]
 sfdir, outdir = args[0], args[1]
 only = set(args[2:])
 
-con = duckdb.connect()
+# big-SF oracles (sf1) need spill: give DuckDB an explicit OUT-OF-REPO
+# temp dir (a cwd-relative default once committed 3.3 GB of scratch to
+# git) and a bounded memory limit so it spills instead of dying
+con = duckdb.connect(config={
+    "temp_directory": "/tmp/duckdb_oracle_spill",
+    "memory_limit": "48GB",
+})
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is a single file per table; GenScale-derived SFs
+    # are Spark-written directories of part files
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 iter_path = f"{outdir}/oracle_iter.json"

@@ -274,15 +274,24 @@ object DatasetBuild {
     * `pfold` re-joins `sized` once per row number (~1000 iterations at
     * sf1), which is what blows the DuckDB time cap at 10× scale. */
   private def preCtes(nDecon: Int, nExcise: Int, nSplit: Int,
-      nShards: Int): String = {
-    // spanExciseCtes emits its own "WITH toks AS ..."; strip the
-    // leading WITH so it splices into this chain.
-    val excise = Dedup.spanExciseCtes(nExcise, "surv").stripPrefix("WITH ")
+      nShards: Int): String =
     s"""${TrainPrep.funnelFlagsCtes(nDecon)},
        |surv AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN flags USING (doc_id) WHERE c4),
-       |$excise${Dedup.residualCtes},
+       |${cleanedCtes(nExcise, "surv")},
+       |${leakSizedCtes(nSplit, nShards, "cleaned")}""".stripMargin
+
+  /** Excision + residual + the cleaned projection, over `survTable` —
+    * parameterized so the one-shot oracle splices it over the `surv`
+    * CTE and the staged iterative oracle over a MATERIALIZED
+    * `surv_mat` temp table. */
+  private def cleanedCtes(nExcise: Int, survTable: String): String = {
+    // spanExciseCtes emits its own "WITH toks AS ..."; strip the
+    // leading WITH so it splices into this chain.
+    val excise =
+      Dedup.spanExciseCtes(nExcise, survTable).stripPrefix("WITH ")
+    s"""$excise${Dedup.residualCtes},
        |removedt AS (
        |  SELECT doc_id, CAST(SUM(e_tok - s_tok + 1) AS BIGINT)
        |    AS removed_tokens
@@ -302,11 +311,17 @@ object DatasetBuild {
        |    md5(COALESCE(r.residual, '')) AS residual_hash
        |  FROM toks t
        |  LEFT JOIN removedt rm ON t.doc_id = rm.doc_id
-       |  LEFT JOIN resid r ON t.doc_id = r.doc_id),
-       |toks5 AS (
+       |  LEFT JOIN resid r ON t.doc_id = r.doc_id)""".stripMargin
+  }
+
+  /** Leak guard + per-(split, shard) row numbering over
+    * `cleanedTable` — same parameterization as [[cleanedCtes]]. */
+  private def leakSizedCtes(nSplit: Int, nShards: Int,
+      cleanedTable: String): String =
+    s"""toks5 AS (
        |  SELECT doc_id, split,
        |    regexp_split_to_array(residual, '\\s+') AS a5
-       |  FROM cleaned),
+       |  FROM $cleanedTable),
        |grams5 AS (
        |  SELECT doc_id, split,
        |    unnest(list_transform(range(1, len(a5) - $nSplit + 2),
@@ -317,7 +332,7 @@ object DatasetBuild {
        |  SELECT DISTINCT gr.doc_id FROM grams5 gr JOIN testg5 USING (g5)
        |  WHERE gr.split = 'train'),
        |keep AS (
-       |  SELECT c.* FROM cleaned c
+       |  SELECT c.* FROM $cleanedTable c
        |  LEFT JOIN leaked5 l ON c.doc_id = l.doc_id
        |  WHERE c.split <> 'train' OR l.doc_id IS NULL),
        |sized AS (
@@ -326,7 +341,6 @@ object DatasetBuild {
        |    ROW_NUMBER() OVER (PARTITION BY split, doc_id % $nShards
        |      ORDER BY doc_id) AS rn
        |  FROM keep)""".stripMargin
-  }
 
   /** The recursive sequential pack fold over `sized` — one row per
     * recursion depth per (split, shard) group. */
@@ -346,21 +360,41 @@ object DatasetBuild {
        |    ON s.split = f.split AND s.shard = f.shard
        |    AND s.rn = f.rn + 1)""".stripMargin
 
-  /** sf1 iterative-oracle prep: the non-recursive chain, materialized
-    * as the per-(split, shard)-ordered `sized` rows the Python fold
-    * consumes. ORDER BY is the fold order, so the fold never sorts. */
-  def tpSizedSql(nDecon: Int = 3, nExcise: Int = 8, nSplit: Int = 5,
-      nShards: Int = 16): String =
-    s"""WITH ${preCtes(nDecon, nExcise, nSplit, nShards)}
+  /** sf1 iterative-oracle prep, STAGED: DuckDB inlines CTEs referenced
+    * from several places, so the one-shot chain re-evaluates the whole
+    * funnel battery per downstream reference — measured at sf1:
+    * `flags` alone 8 s, but `cleaned` 294 s and `sized` past the 180 s
+    * cap purely from re-evaluation. The iterative oracle therefore
+    * materializes each stage boundary as a TEMP TABLE (the "temp table
+    * per stage" form): survivors → cleaned → sized, each SQL reading
+    * the previous stage's table exactly once. Semantically identical
+    * to the one-shot chain (crosschecked at sf0.01). */
+  def tpSurvSql(nDecon: Int = 3): String =
+    s"""WITH ${TrainPrep.funnelFlagsCtes(nDecon)}
+       |SELECT d.doc_id, d.text FROM documents d
+       |JOIN flags USING (doc_id) WHERE c4""".stripMargin
+
+  def tpCleanedStageSql(nExcise: Int = 8): String =
+    s"""WITH ${cleanedCtes(nExcise, "surv_mat")}
+       |SELECT doc_id, split, residual, n_tok, residual_len,
+       |  residual_hash
+       |FROM cleaned""".stripMargin
+
+  /** Final staged prep: the per-(split, shard)-ordered `sized` rows
+    * the Python fold consumes. ORDER BY is the fold order, so the
+    * fold never sorts. */
+  def tpSizedStageSql(nSplit: Int = 5, nShards: Int = 16): String =
+    s"""WITH ${leakSizedCtes(nSplit, nShards, "cleaned_mat")}
        |SELECT doc_id, split, shard, n_tok, residual_len, residual_hash
        |FROM sized ORDER BY split, shard, rn""".stripMargin
 
   /** sf1 iterative-oracle prep for the report: stage rows 1–6 only —
     * none of them touch the recursive fold; stage 7 is appended by
-    * [[graft.IterOracles]]'s final SQL over the folded assignment. */
-  def tpStages16Sql(nDecon: Int = 3, nExcise: Int = 8, nSplit: Int = 5,
-      nShards: Int = 16): String =
-    s"""WITH ${preCtes(nDecon, nExcise, nSplit, nShards)},
+    * [[graft.IterOracles]]'s final SQL over the folded assignment.
+    * Stages 5–6 read the materialized `cleaned_mat`/`sized_mat`
+    * stage tables. */
+  def tpStages16Sql(nDecon: Int = 3): String =
+    s"""WITH ${TrainPrep.funnelFlagsCtes(nDecon)},
        |rawt AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw_tok
@@ -390,11 +424,11 @@ object DatasetBuild {
        |  UNION ALL
        |  SELECT CAST(5 AS INT), 'excise',
        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
-       |    CAST(SUM(n_tok) AS BIGINT) FROM cleaned
+       |    CAST(SUM(n_tok) AS BIGINT) FROM cleaned_mat
        |  UNION ALL
        |  SELECT CAST(6 AS INT), 'leak_guard',
        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
-       |    CAST(SUM(n_tok) AS BIGINT) FROM keep)
+       |    CAST(SUM(n_tok) AS BIGINT) FROM sized_mat)
        |ORDER BY stage_idx""".stripMargin
 
   def tpDatasetBuildSql(nDecon: Int = 3, nExcise: Int = 8,

@@ -886,6 +886,17 @@ object TrainPrep {
       }
     }
 
+  /** sf1 iterative-oracle prep for [[tpPackGreedy]]: the sized rows in
+    * fold order (constant '' split so the shared pack-fold runner in
+    * check_oracle.py applies unchanged); [[graft.IterOracles]] folds
+    * the bin assignment outside SQL and aggregates bins back in
+    * DuckDB — the recursive `fold` CTE sits at the 180 s cap at sf1. */
+  def tpPackGreedySizedSql(nShards: Int = 16): String =
+    s"""SELECT '' AS split, doc_id % $nShards AS shard, doc_id,
+       |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+       |    AS n_tok
+       |FROM documents ORDER BY shard, doc_id""".stripMargin
+
   def tpPackGreedySql(capacity: Int = 128, nShards: Int = 16): String =
     s"""WITH RECURSIVE sized AS (
        |  SELECT doc_id, doc_id % $nShards AS shard,
