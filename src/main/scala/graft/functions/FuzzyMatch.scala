@@ -350,40 +350,76 @@ object FuzzyMatch {
       |ORDER BY probe_id, match_key""".stripMargin
 
   /** Auto-blocked fuzzy join WITHOUT a caller block column — the
-    * entity-resolution shape where no safe blocking key exists (the
-    * typo could be anywhere). [[FuzzyBlocking.fuzzyJoin]] probes the
-    * corpus and picks length-band vs pigeonhole-chunk itself; both
-    * levers are lossless, so the oracle below (an explicit
-    * length-band equi-join, the lever-independent semantics) verifies
-    * whichever the probe selected. */
+    * entity-resolution shape where no safe blocking key exists: match
+    * corrupted content FINGERPRINTS (md5 hex of the part name, last
+    * char lost — the id/hash/fingerprint matching real pipelines run,
+    * where identifiers are high-entropy and share no token structure).
+    * [[FuzzyBlocking.fuzzyJoin]] probes the corpus and picks the
+    * lever itself: on 32-char hex a single length band holds the
+    * whole corpus while a ~10-char chunk key is near-unique, so the
+    * probe engages the pigeonhole-chunk path — the regime banding
+    * cannot serve (measured: this query on band-style length blocking
+    * went super-linear at sf1, 23 s / slope 25×; chunked it stays
+    * ~linear). Both levers are lossless, so results are
+    * lever-independent; the oracle mirrors the pigeonhole device in
+    * SQL (targets unnest their k+1 chunks, probes unnest the shifted
+    * substring window, exact-key join, exact lev verify + DISTINCT)
+    * because a band-style oracle would be the quadratic thing DuckDB
+    * then pays. */
   def fj4AutoBlocked(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
     val probes = parts.filter(col("p_partkey") % 400 === 0)
       .select(col("p_partkey").as("probe_id"),
-        expr("substring(p_name, 1, length(p_name) - 1)").as("q"))
+        expr("substring(md5(p_name), 1, 31)").as("q"))
     val targets = parts
       .select(col("p_partkey").as("match_key"),
-        col("p_name").as("name"))
+        md5(col("p_name")).as("name"))
     FuzzyBlocking.fuzzyJoin(probes, targets, k = 2)
       .orderBy("probe_id", "match_key")
   }
 
+  /** Pigeonhole-chunk candidate oracle: k = 2 ⇒ 3 chunks, start
+    * boundaries ⌊i·L/3⌋; a probe substring window of ±2 around each
+    * boundary at each admissible target length. */
   val fj4Sql: String =
     """WITH probes AS (
       |  SELECT p_partkey AS probe_id,
-      |    substr(p_name, 1, length(p_name) - 1) AS q
+      |    substr(md5(p_name), 1, 31) AS q
       |  FROM part WHERE p_partkey % 400 = 0),
+      |targets AS (
+      |  SELECT p_partkey AS match_key, md5(p_name) AS name,
+      |    length(md5(p_name)) AS t_len
+      |  FROM part),
+      |tchunks AS (
+      |  SELECT match_key, name, t_len, ci,
+      |    (ci * t_len) // 3 AS cs,
+      |    ((ci + 1) * t_len) // 3 - (ci * t_len) // 3 AS clen
+      |  FROM targets, (SELECT unnest(range(0, 3)) AS ci)),
+      |tkeys AS (
+      |  SELECT match_key, name, t_len, ci,
+      |    substr(name, cs + 1, clen) AS ckey
+      |  FROM tchunks),
       |pl AS (
       |  SELECT probe_id, q, length(q) + d AS t_len
       |  FROM probes, (SELECT unnest(range(-2, 3)) AS d)),
-      |targets AS (
-      |  SELECT p_partkey AS match_key, p_name,
-      |    length(p_name) AS t_len
-      |  FROM part)
+      |pchunks AS (
+      |  SELECT probe_id, q, t_len, ci,
+      |    (ci * t_len) // 3 AS cs,
+      |    ((ci + 1) * t_len) // 3 - (ci * t_len) // 3 AS clen
+      |  FROM pl, (SELECT unnest(range(0, 3)) AS ci)),
+      |pkeys AS (
+      |  SELECT probe_id, q, t_len, ci,
+      |    substr(q, CAST(p0 AS INT), clen) AS ckey
+      |  FROM pchunks, LATERAL (SELECT unnest(range(
+      |    greatest(cs + 1 - 2, 1),
+      |    least(cs + 1 + 2, length(q) - clen + 1) + 1)) AS p0)),
+      |cands AS (
+      |  SELECT DISTINCT probe_id, q, match_key, name
+      |  FROM pkeys JOIN tkeys USING (t_len, ci, ckey))
       |SELECT probe_id, match_key,
-      |  CAST(levenshtein(q, p_name) AS INT) AS dist
-      |FROM pl JOIN targets USING (t_len)
-      |WHERE levenshtein(q, p_name) <= 2
+      |  CAST(levenshtein(q, name) AS INT) AS dist
+      |FROM cands
+      |WHERE levenshtein(q, name) <= 2
       |ORDER BY probe_id, match_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
