@@ -61,16 +61,55 @@ iter_path = f"{outdir}/oracle_iter.json"
 iter_specs = json.load(open(iter_path)) if os.path.exists(iter_path) else {}
 
 
+class CapTimeout(Exception):
+    pass
+
+
+# set by the cap timer BEFORE it interrupts DuckDB: con.interrupt()
+# only cancels an in-flight query, so a cap firing while Python-side
+# work (union-find, pack fold) runs would otherwise no-op — or poison
+# the NEXT unrelated con.execute. run_iterative checks this flag
+# between steps; with_cap turns a flag-set run into CapTimeout and
+# absorbs any pending interrupt so later queries aren't mis-attributed.
+cap_hit = threading.Event()
+
+
+def check_cap():
+    if cap_hit.is_set():
+        raise CapTimeout(f"exceeded {cap}s cap (between steps)")
+
+
 def with_cap(fn):
-    """Run fn(); if --cap is set, interrupt DuckDB after the cap."""
+    """Run fn(); if --cap is set, interrupt DuckDB after the cap.
+    A capped run always surfaces as CapTimeout, even if the interrupt
+    landed between DuckDB queries."""
     if cap is None:
         return fn()
-    timer = threading.Timer(cap, con.interrupt)
+    cap_hit.clear()
+
+    def fire():
+        cap_hit.set()
+        con.interrupt()
+
+    timer = threading.Timer(cap, fire)
     timer.start()
     try:
-        return fn()
+        result = fn()
+        check_cap()
+        return result
+    except Exception as e:
+        if cap_hit.is_set() and not isinstance(e, CapTimeout):
+            raise CapTimeout(f"exceeded {cap}s cap") from e
+        raise
     finally:
         timer.cancel()
+        if cap_hit.is_set():
+            # absorb an interrupt that fired with no query in flight so
+            # it can't cancel the next query of an UNRELATED oracle
+            try:
+                con.execute("SELECT 1")
+            except Exception:
+                pass
 
 
 def union_find(edges_a, edges_b):
@@ -125,8 +164,10 @@ def pack_fold(sized, capacity):
 def run_iterative(spec):
     import pandas as pd
     for view, sql in spec["views"].items():
+        check_cap()
         con.execute(f"CREATE OR REPLACE TEMP TABLE {view} AS {sql}")
     kind = spec["kind"]
+    check_cap()
     if kind == "cc":
         edges = con.execute(
             f"SELECT {spec['col1']}, {spec['col2']} FROM pairs_mat"
@@ -144,6 +185,7 @@ def run_iterative(spec):
         adf = pd.DataFrame(assign, columns=["doc_id", "bin"],
                            dtype="int64")
         con.register("pack_assign", adf)
+    check_cap()  # the Python fold runs uninterruptible; honor a cap
     out = con.execute(spec["final_sql"]).fetchdf()
     con.unregister("labels") if kind == "cc" else con.unregister(
         "pack_assign")

@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Targeted sf1 -> sf10 decade for the steep-slope watch list
+# (VERDICT r12 item 3): the six queries whose sf0.1->sf1 slope
+# exceeded 4x are exactly where the 100x claim rests on extrapolation,
+# so this sweep measures them one more decade and merges
+# "sf10" + "slope_sf1_sf10" into the committed SCALE.json.
+#
+# The sf10 corpus is GenScale-derived from .scale/sf1 for ONLY the
+# tables the watch list reads (documents, events, part, orders,
+# lineitem) -- the perturbation rules compose across decades (see
+# GenScale scaladoc). Runs are fresh-JVM, SPARK_GRAFT_ONLY-scoped;
+# BENCH_LAST.json is stashed so (a) the 3x-outlier self-heal doesn't
+# fire on genuinely-10x-slower queries and (b) the committed sf0.1
+# reference is never overwritten.
+#
+# Usage: scripts/sf10_sweep.sh [cpus]   (default 8)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CPUS="${1:-8}"
+QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm"
+TMP=$(mktemp -d)
+mv BENCH_LAST.json "$TMP/bench_last.orig" 2>/dev/null || true
+restore() { mv "$TMP/bench_last.orig" BENCH_LAST.json 2>/dev/null || true; }
+trap 'restore; rm -rf "$TMP"' EXIT
+
+if [ ! -d .scale/sf1/lineitem.parquet ]; then
+  echo "[sf10] deriving sf1 testdata (.scale/sf1) ..." >&2
+  sbt -batch 'runMain graft.GenScale /root/testdata/sf0.1 .scale/sf1 10' \
+    >"$TMP/gen1.out" 2>&1 || { tail -5 "$TMP/gen1.out" >&2; exit 1; }
+fi
+if [ ! -d .scale/sf10/lineitem.parquet ]; then
+  echo "[sf10] deriving sf10 watch-list tables (.scale/sf10) ..." >&2
+  sbt -batch 'runMain graft.GenScale .scale/sf1 .scale/sf10 10 documents events part orders lineitem' \
+    >"$TMP/gen10.out" 2>&1 || { tail -5 "$TMP/gen10.out" >&2; exit 1; }
+fi
+
+for SF in 1 10; do
+  echo "[sf10] bench watch list at sf$SF ..." >&2
+  SPARK_GRAFT_SF_DIR=".scale/sf$SF" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_ONLY="$QUERIES" \
+    sbt -batch 'runMain graft.Bench' >"$TMP/bench_$SF.out" 2>&1 || {
+      echo "[sf10] bench failed at sf$SF; tail:" >&2
+      tail -5 "$TMP/bench_$SF.out" >&2
+      exit 1
+    }
+  grep '"metric"' "$TMP/bench_$SF.out" | tail -1 >"$TMP/json_$SF"
+done
+restore
+python3 - "$TMP" <<'EOF'
+import json, sys
+tmp = sys.argv[1]
+r1 = json.loads(open(f"{tmp}/json_1").read())
+r10 = json.loads(open(f"{tmp}/json_10").read())
+scale = json.load(open("SCALE.json"))
+for n, t10 in r10["queries"].items():
+    q = scale["queries"].setdefault(n, {})
+    t1 = r1["queries"].get(n)
+    q["sf10"] = t10
+    q["slope_sf1_sf10"] = (round(t10 / t1, 2)
+                           if t1 and t1 > 0 and t10 and t10 > 0 else None)
+scale["sf10_watchlist"] = {
+    "queries": sorted(r10["queries"].keys()),
+    "sf1_total": round(sum(v for v in r1["queries"].values() if v > 0), 3),
+    "sf10_total": round(sum(v for v in r10["queries"].values() if v > 0), 3),
+    "sf10_spill_bytes": r10.get("spill_bytes", -1),
+    "note": "targeted decade, fresh JVM, SPARK_GRAFT_ONLY-scoped; "
+            "sf10 tables: documents events part orders lineitem",
+}
+json.dump(scale, open("SCALE.json", "w"), indent=1, sort_keys=True)
+print("[sf10] merged:", {n: scale["queries"][n].get("slope_sf1_sf10")
+                         for n in r10["queries"]})
+EOF

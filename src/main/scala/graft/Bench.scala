@@ -158,23 +158,42 @@ object Bench {
       val skip = only.isDefined // dev allow-list → query iteration only
       if (skip) "" else try {
         val replayDir = "/tmp/graft_bench_replay"
-        // best-of-2 drains over one generated log (VERDICT r9 item 7):
-        // single-drain replay throughput swung 2.3× run-to-run under
-        // host steal — not a regressable number
+        // median of 3 drains over one generated log (VERDICT r12
+        // item 1, superseding r9's best-of-2): the reported number is
+        // the MEDIAN attempt, and every attempt ships its own wall /
+        // steal / state-commit triple so a steal-inflated driver round
+        // is self-describing — a real state-store regression shows up
+        // in state_commit_ms across all attempts, a steal spike shows
+        // up in one attempt's steal_sec
         val rSteal0 = stealJiffies()
-        val (lines, out, sec, eps) = streaming.ReplayBench.runBestOf(
+        val (lines, attempts, med) = streaming.ReplayBench.runMedianOf(
           spark, sfDir, replayDir)
         val rSteal = (stealJiffies() - rSteal0) / 100.0
         if (rSteal > 0) steals("stream_replay") = rSteal
+        val attemptsJson = attempts.map(a =>
+          s"""{"sec":${"%.3f".format(a.sec)},"steal_sec":${
+            "%.2f".format(a.stealSec)},"state_commit_ms":${
+            a.stateCommitMs}}""").mkString("[", ",", "]")
+        // RocksDB commit/load-path totals of the MEDIAN attempt (ms;
+        // rocksdbSstFileSize = state-on-disk bytes at last batch)
+        val rocksJson =
+          if (med.rocksdb.isEmpty) ""
+          else s""","rocksdb":${med.rocksdb.toSeq.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")}"""
         // micro-batch latency percentiles over the same log, capped
         // admission (the steady-state tailing shape) — the analog of
         // the reference's <10 ms insert→consumer latency bound. Its
         // own try: a probe failure must not discard the throughput
         // numbers already measured above.
         val latency = try {
-          val (nb, p50, p95, pmax) = streaming.ReplayBench.latencyProbe(
+          val l = streaming.ReplayBench.latencyProbe(
             spark, s"$replayDir/log", s"$replayDir/latency")
-          s""","batches":$nb,"batch_latency_ms":{"p50":${"%.0f".format(p50)},"p95":${"%.0f".format(p95)},"max":${"%.0f".format(pmax)}}"""
+          s""","batches":${l.batches},"batch_latency_ms":{"p50":${
+            "%.0f".format(l.p50)},"p95":${"%.0f".format(l.p95)},"max":${
+            "%.0f".format(l.max)},"commit_p50":${
+            "%.0f".format(l.commitP50)},"commit_p95":${
+            "%.0f".format(l.commitP95)}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] latency probe failed: ${e.getMessage}")
@@ -184,7 +203,7 @@ object Bench {
         // events_per_sec = LOG LINES/s (incl. begin/commit markers —
         // the source-side drain rate); mutations_per_sec = sink rows/s,
         // the marker-fraction-independent number to regress on
-        s""","stream_replay":{"events":$lines,"mutations_out":$out,"sec":${"%.3f".format(sec)},"events_per_sec":${"%.0f".format(eps)},"mutations_per_sec":${"%.0f".format(out / sec)}$latency}"""
+        s""","stream_replay":{"events":$lines,"mutations_out":${med.out},"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts":$attemptsJson$rocksJson$latency}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream_replay failed: ${e.getMessage}")
@@ -217,9 +236,11 @@ object Bench {
         .mkString("{", ",", "}")
       s""","steal_total_sec":${"%.2f".format(runStealSec)},"steal_sec":$per"""
     }
+    // ALWAYS emitted (VERDICT r12 item 7): an empty noise_suspect list
+    // is itself the signal "no query tripped the noise verdict" — its
+    // absence left r12's steal-inflated driver round non-self-describing
     val noiseJson =
-      if (noiseSuspect.isEmpty && rerunsTotal == 0) ""
-      else s""","reruns":$rerunsTotal,"noise_suspect":${
+      s""","reruns":$rerunsTotal,"noise_suspect":${
         noiseSuspect.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}"""
     val fullJson =
@@ -235,10 +256,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":{"""
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    // compact steal/noise summary for the stdout line (full per-query
-    // steal map lives in BENCH_LAST.json)
+    // compact steal/noise summary for the stdout line: run total +
+    // the top-3 per-query steal attributions (full map in
+    // BENCH_LAST.json) + the always-present noise verdict
+    val stealTop =
+      if (steals.isEmpty) ""
+      else s""","steal_top":${steals.toSeq.sortBy(-_._2).take(3)
+        .map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
+        .mkString("{", ",", "}")}"""
     val stealStdout =
-      s""","steal_total_sec":${"%.2f".format(runStealSec)}""" + noiseJson
+      s""","steal_total_sec":${"%.2f".format(runStealSec)}""" +
+        stealTop + noiseJson
     // reserve room for closing + omitted note + stream_replay object
     // + the ,"spill_bytes":<up-to-19-digits> suffix
     var len = head.length + 100 + streamReplay.length + stealStdout.length

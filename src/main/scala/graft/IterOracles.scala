@@ -84,14 +84,18 @@ object IterOracles {
       |  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM sized_mat) AS tok_sum
       |ORDER BY stage_idx""".stripMargin
 
-  private val greedyFinal =
-    """SELECT s.shard, CAST(p.bin AS BIGINT) AS bin,
-      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(s.n_tok) AS DOUBLE) / 128 AS fill_frac,
-      |  (SUM(s.n_tok) <= 128 OR COUNT(*) = 1) AS fits_ok
-      |FROM sized_mat s JOIN pack_assign p USING (doc_id)
-      |GROUP BY s.shard, p.bin ORDER BY shard, bin""".stripMargin
+  /** fill_frac/fits_ok interpolate the SAME capacity the fold packs
+    * with (ADVICE r12: a hardcoded `/ 128` here would silently diverge
+    * from the Python fold if [[functions.DatasetBuild.PackCapacity]]
+    * ever changed). */
+  private def greedyFinal(capacity: Int) =
+    s"""SELECT s.shard, CAST(p.bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(s.n_tok) AS DOUBLE) / $capacity AS fill_frac,
+       |  (SUM(s.n_tok) <= $capacity OR COUNT(*) = 1) AS fits_ok
+       |FROM sized_mat s JOIN pack_assign p USING (doc_id)
+       |GROUP BY s.shard, p.bin ORDER BY shard, bin""".stripMargin
 
   /** The dataset-build prep chain, STAGED as temp tables (see
     * [[functions.DatasetBuild.tpSurvSql]] — DuckDB re-evaluates
@@ -103,19 +107,22 @@ object IterOracles {
     "sized_mat" -> functions.DatasetBuild.tpSizedStageSql())
 
   /** query name → iterative-program JSON object (already rendered). */
-  def specs: Seq[(String, String)] = Seq(
-    "dd_minhash_groups" -> ccSpec(
-      functions.Dedup.ddMinhashLshSql(), "d1", "d2", ddGroupsFinal),
-    "sim_neardup_groups" -> ccSpec(
-      functions.Similarity.simNearDupSql, "v1", "v2", simGroupsFinal),
-    "tp_dataset_build" -> packSpec("pack", buildStages, 128, packFinal),
-    "tp_dataset_build_report" -> packSpec("pack_report",
-      buildStages :+
-        ("stages16" -> functions.DatasetBuild.tpStages16Sql()),
-      128, packReportFinal),
-    "tp_pack_greedy" -> packSpec("pack",
-      Seq("sized_mat" -> functions.TrainPrep.tpPackGreedySizedSql()),
-      128, greedyFinal))
+  def specs: Seq[(String, String)] = {
+    val cap = functions.DatasetBuild.PackCapacity
+    Seq(
+      "dd_minhash_groups" -> ccSpec(
+        functions.Dedup.ddMinhashLshSql(), "d1", "d2", ddGroupsFinal),
+      "sim_neardup_groups" -> ccSpec(
+        functions.Similarity.simNearDupSql, "v1", "v2", simGroupsFinal),
+      "tp_dataset_build" -> packSpec("pack", buildStages, cap, packFinal),
+      "tp_dataset_build_report" -> packSpec("pack_report",
+        buildStages :+
+          ("stages16" -> functions.DatasetBuild.tpStages16Sql()),
+        cap, packReportFinal),
+      "tp_pack_greedy" -> packSpec("pack",
+        Seq("sized_mat" -> functions.TrainPrep.tpPackGreedySizedSql()),
+        cap, greedyFinal(cap)))
+  }
 
   def renderJson: String =
     specs.map { case (k, v) => s"${Json.quote(k)}: $v" }

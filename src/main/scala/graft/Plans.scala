@@ -244,7 +244,8 @@ object Plans {
     md.append("Generated by `graft.Plans` at sf0.01. The `*(n)` prefix ")
     md.append("marks operators fused into WholeStageCodegen; these shapes ")
     md.append("are locked by `PlanAuditSpec`.\n")
-    sections(spark, dir).foreach { case (name, note, df) =>
+    val secs = sections(spark, dir)
+    secs.foreach { case (name, note, df) =>
       // execute this exact plan first so the dump is the AQE-FINAL
       // tree — the one that actually ran — not the static guess over
       // default-stats leaves (checkpoint-backed inputs would otherwise
@@ -255,9 +256,18 @@ object Plans {
         finalPlanOnly(df.queryExecution.executedPlan.toString).take(4000))
       md.append("\n```\n")
     }
+    // self-asserting section count (VERDICT r12 item 6: SURVEY said
+    // "73 sections" over a 72-header file — the artifact must carry
+    // its own count so prose can never drift from it)
+    val nSections = secs.size
+    val written = md.toString
+    val headers = written.linesIterator.count(_.startsWith("## "))
+    require(headers == nSections,
+      s"PLANS.md header count $headers != ${nSections} sections")
     Files.write(Paths.get(out),
-      md.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"[plans] wrote $out")
+      (written + s"\n---\n$nSections sections.\n")
+        .getBytes(StandardCharsets.UTF_8))
+    println(s"[plans] wrote $out ($nSections sections)")
     spark.stop()
   }
 }

@@ -44,6 +44,13 @@ import org.apache.spark.sql.functions._
   * the brief mandates as first-class. */
 object DatasetBuild {
 
+  /** Default per-bin token capacity shared by every pack surface
+    * (here, [[TrainPrep.tpPackGreedy]], and [[IterOracles]]'s final
+    * SQL). One constant, one source of truth: the iterative oracle's
+    * fill_frac/fits_ok arithmetic must divide by the SAME capacity the
+    * fold packed with, or the two sides silently diverge. */
+  val PackCapacity = 128
+
   /** Per-doc packed manifest of the cleaned, decontaminated, split,
     * packed corpus. Columns: doc_id, split, shard, bin, n_tok (tokens
     * surviving excision), residual_len, residual_hash (md5 of the
@@ -56,7 +63,7 @@ object DatasetBuild {
     * count is within 2× of it, and the rule only needs the order of
     * magnitude). The fixed 16 default keeps the oracle SQL stable. */
   def tpDatasetBuildFrom(docs: DataFrame, nDecon: Int = 3,
-      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
+      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = PackCapacity,
       nShards0: Int = 16): DataFrame = {
     val nShards =
       if (nShards0 > 0) nShards0 else deriveShards(docs.count())
@@ -84,7 +91,7 @@ object DatasetBuild {
     tpDatasetBuildReportFrom(Tables.documents(spark, dir))
 
   def tpDatasetBuildReportFrom(docs: DataFrame, nDecon: Int = 3,
-      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = 128,
+      nExcise: Int = 8, nSplit: Int = 5, capacity: Int = PackCapacity,
       nShards: Int = 16): DataFrame = {
     // every stage frame is consumed by its own audit row AND the next
     // stage — materialize each boundary once (flag battery, cleaned
@@ -432,7 +439,7 @@ object DatasetBuild {
        |ORDER BY stage_idx""".stripMargin
 
   def tpDatasetBuildSql(nDecon: Int = 3, nExcise: Int = 8,
-      nSplit: Int = 5, capacity: Int = 128, nShards: Int = 16): String =
+      nSplit: Int = 5, capacity: Int = PackCapacity, nShards: Int = 16): String =
     s"""WITH RECURSIVE
        |${buildCtes(nDecon, nExcise, nSplit, capacity, nShards)}
        |SELECT doc_id, split, shard, CAST(bin AS BIGINT) AS bin, n_tok,
@@ -440,7 +447,7 @@ object DatasetBuild {
        |FROM pfold ORDER BY doc_id""".stripMargin
 
   def tpDatasetBuildReportSql(nDecon: Int = 3, nExcise: Int = 8,
-      nSplit: Int = 5, capacity: Int = 128, nShards: Int = 16): String =
+      nSplit: Int = 5, capacity: Int = PackCapacity, nShards: Int = 16): String =
     s"""WITH RECURSIVE
        |${buildCtes(nDecon, nExcise, nSplit, capacity, nShards)},
        |rawt AS (

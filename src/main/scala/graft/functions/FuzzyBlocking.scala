@@ -136,11 +136,14 @@ object FuzzyBlocking {
     * sample of the targets: Σ block-size² (the self-join mass — the
     * expected number of same-key targets a probe derived from a
     * sampled target meets) scaled by the lever's probe fan-out
-    * (band: 2k+1 admissible lengths; chunk: ×(2k+1) start shifts on
-    * top). Relative ORDER is the contract, not the absolute value —
-    * FuzzyMatchSpec checks the order against realized candidate
-    * counts on both corpus shapes. Returns (bandScore, chunkScore). */
-  private[graft] def estimate(targets: DataFrame, k: Int,
+    * (band: 2·bandK+1 admissible lengths; chunk: ×(2·chunkK+1) start
+    * shifts on top). `bandK`/`chunkK` are the metric's candidate
+    * bounds — equal for plain Levenshtein, chunkK = 2·bandK for
+    * Damerau (see [[damerauJoin]]). Relative ORDER is the contract,
+    * not the absolute value — FuzzyMatchSpec checks the order against
+    * realized candidate counts on both corpus shapes. Returns
+    * (bandScore, chunkScore). */
+  private[graft] def estimate(targets: DataFrame, bandK: Int, chunkK: Int,
       withBlk: Boolean, sampleCap: Long = 2000L): (Double, Double) = {
     val n = targets.count()
     val bucket = math.max(1L,
@@ -155,27 +158,34 @@ object FuzzyBlocking {
     }
     val blkKey = if (withBlk) Seq(col("blk")) else Nil
     val (bn, bandMass) = sumSq(s, blkKey :+ length(col("name")).as("len"))
-    val minLen = minChunkableLen(k)
+    val minLen = minChunkableLen(chunkK)
     val (_, chunkMass) = sumSq(targetChunks(
-      s.filter(length(col("name")) >= minLen), k),
+      s.filter(length(col("name")) >= minLen), chunkK),
       blkKey ++ Seq(col("t_len"), col("ci"), col("ckey")))
     val (_, shortMass) = sumSq(s.filter(length(col("name")) < minLen),
       blkKey :+ length(col("name")).as("len"))
     val denom = math.max(bn, 1L).toDouble
-    val fan = (2 * k + 1).toDouble
-    (fan * bandMass / denom,
-      (fan * fan * chunkMass + fan * shortMass) / denom)
+    val bandFan = (2 * bandK + 1).toDouble
+    val chunkFan = (2 * chunkK + 1).toDouble
+    (bandFan * bandMass / denom,
+      (chunkFan * chunkFan * chunkMass + chunkFan * shortMass) / denom)
   }
 
   /** Pick the lever for this target corpus — sampled probe, memoized
-    * per (target plan, k). */
+    * per (target plan, metric bounds). */
   def choose(targets: DataFrame, k: Int, withBlk: Boolean): Blocker =
-    decisionMemo.get(targets, s"blocker_k${k}_blk$withBlk") {
-      val (band, chunk) = estimate(targets, k, withBlk)
+    chooseEdit(targets, k, k, withBlk)
+
+  private[graft] def chooseEdit(targets: DataFrame, bandK: Int,
+      chunkK: Int, withBlk: Boolean): Blocker =
+    decisionMemo.get(targets, s"blocker_b${bandK}_c${chunkK}_blk$withBlk") {
+      val (band, chunk) = estimate(targets, bandK, chunkK, withBlk)
       if (chunk < band) Chunk else Band
     }
 
-  def invalidate(): Unit = decisionMemo.invalidate()
+  def invalidate(): Unit = {
+    decisionMemo.invalidate(); jwDecisionMemo.invalidate()
+  }
 
   /** Blocked lev ≤ k join with auto-selected (or forced) blocking:
     * (probe_id, match_key, dist). */
@@ -190,5 +200,140 @@ object FuzzyBlocking {
     cand.withColumn("dist", levenshtein(col("q"), col("name")))
       .filter(col("dist") <= k)
       .select("probe_id", "match_key", "dist")
+  }
+
+  /** Blocked unrestricted Damerau-Levenshtein ≤ k join with
+    * auto-selected blocking: (probe_id, match_key, dist). Candidate
+    * generation stays lossless for the DL metric with metric-specific
+    * bounds: the BAND stays ±k (a transposition is length-preserving,
+    * so |Δlen| is bounded by DL's ≤ k indels alone), but the CHUNK
+    * lever must generate against lev ≤ 2k — an adjacent transposition
+    * can straddle a chunk boundary and edit TWO chunks for one DL
+    * edit, breaking the k-edits-touch-k-chunks pigeonhole; rewriting
+    * each transposition as two substitutions (lev ≤ 2·DL always)
+    * restores it. The selectivity probe weighs the levers under those
+    * asymmetric bounds, so chunking must be a ~(2·2k+1)²/(2k+1)×
+    * bigger win to get picked for DL than for plain lev. */
+  def damerauJoin(probes: DataFrame, targets: DataFrame, k: Int,
+      blocker: Option[Blocker] = None): DataFrame = {
+    val b = blocker.getOrElse(
+      chooseEdit(targets, k, 2 * k, hasBlk(probes, targets)))
+    val cand = b match {
+      case Band  => bandCandidates(probes, targets, k)
+      case Chunk => chunkCandidates(probes, targets, 2 * k)
+    }
+    cand.withColumn("dist",
+        FuzzyFunctions.damerau_levenshtein(col("q"), col("name")))
+      .filter(col("dist") <= k)
+      .select("probe_id", "match_key", "dist")
+  }
+
+  // ── Jaro-Winkler (similarity-threshold) lever set ───────────────────
+  sealed trait JwBlocker
+  /** Join on the caller's exact block column only — JW's default: the
+    * metric is not edit-bounded, so no additive length band exists. */
+  case object BlockOnly extends JwBlocker
+  /** (blk ×) MULTIPLICATIVE length band — the only lossless length
+    * refinement JW admits, and only for tau > 0.8. */
+  case object MultBand extends JwBlocker
+
+  private val jwDecisionMemo =
+    new Caches.PlanMemo[String, JwBlocker](maxEntries = 64)
+
+  /** Minimum length ratio min(|a|,|b|)/max(|a|,|b|) a jw ≥ tau pair
+    * can have, from the kernel's own bounds: the Winkler boost caps at
+    * l = 4, p = 0.1 ⇒ jw ≤ 0.6·jaro + 0.4, and jaro ≤ (2 + min/max)/3
+    * (each of its three terms ≤ 1, and the match count ≤ min). So
+    * jw ≥ tau ⇒ min/max ≥ 3·(tau − 0.4)/0.6 − 2. Positive only for
+    * tau > 0.8 — below that JW admits unbounded length skew and NO
+    * length refinement is lossless. FuzzyMatchSpec fuzzes the bound
+    * against the real kernel. */
+  def jwLenRatio(tau: Double): Double = 3.0 * (tau - 0.4) / 0.6 - 2.0
+
+  /** Candidate pairs under (blk ×) the multiplicative length band:
+    * each probe of length L admits target lengths in
+    * [⌈ρL⌉, ⌊L/ρ⌋], ρ = [[jwLenRatio]](tau). */
+  private[graft] def jwBandCandidates(probes: DataFrame,
+      targets: DataFrame, tau: Double): DataFrame = {
+    val rho = jwLenRatio(tau)
+    require(rho > 0,
+      s"jw >= $tau implies no length bound (tau <= 0.8); " +
+        "MultBand would lose matches")
+    val withBlk = hasBlk(probes, targets)
+    val p = probes.withColumn("t_len", explode(seqAsc(
+      greatest(ceil(length(col("q")) * rho), lit(1L)).cast("int"),
+      floor(length(col("q")) / rho).cast("int"))))
+    val t = targets.withColumn("t_len", length(col("name")))
+    val keys = if (withBlk) Seq("blk", "t_len") else Seq("t_len")
+    p.join(t, keys).select("probe_id", "q", "match_key", "name")
+  }
+
+  /** JW lever scores from a sampled target length histogram collected
+    * to the driver (≤ ~sampleCap rows — bounded model state, the same
+    * class as the k-means centroid collects): blockOnly is the exact
+    * per-probe candidate mass Σ_blk cnt²/n; multBand is the exact
+    * window mass Σ_target (same-blk targets within the length-ratio
+    * window)/n. Returns (blockOnlyScore, multBandScore). */
+  private[graft] def estimateJw(targets: DataFrame, tau: Double,
+      withBlk: Boolean, sampleCap: Long = 2000L): (Double, Double) = {
+    val rho = jwLenRatio(tau)
+    val n = targets.count()
+    val bucket = math.max(1L,
+      math.min(1000000L, 1000000L * sampleCap / math.max(n, 1L)))
+    val blkCol =
+      if (withBlk) col("blk").cast("string") else lit("")
+    val hist = targets
+      .filter(pmod(xxhash64(col("match_key")), lit(1000000L)) < lit(bucket))
+      .groupBy(blkCol.as("b"), length(col("name")).as("len"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val total = math.max(hist.map(_._3).sum, 1L).toDouble
+    val byBlk = hist.groupBy(_._1)
+    val blockMass = byBlk.values.map { g =>
+      val m = g.map(_._3).sum; m.toDouble * m
+    }.sum
+    val multMass =
+      if (rho <= 0) Double.PositiveInfinity
+      else hist.map { case (b, len, c) =>
+        val lo = math.ceil(len * rho)
+        val hi = math.floor(len / rho)
+        c.toDouble * byBlk(b)
+          .filter(e => e._2 >= lo && e._2 <= hi).map(_._3).sum
+      }.sum
+    (blockMass / total, multMass / total)
+  }
+
+  /** Pick the JW lever — sampled probe, memoized per (target plan,
+    * tau). MultBand must beat BlockOnly by > 25% estimated candidate
+    * volume to pay for its probe-side explode and wider join key
+    * (window ⊆ block, so its mass is never larger; a near-tie means
+    * the window covers the whole block and the explode is pure cost —
+    * the part-name regime, where lengths spread < 2×). */
+  def chooseJw(targets: DataFrame, tau: Double, withBlk: Boolean)
+      : JwBlocker =
+    jwDecisionMemo.get(targets, s"jw_${tau}_blk$withBlk") {
+      val (block, mult) = estimateJw(targets, tau, withBlk)
+      if (mult * 1.25 < block) MultBand else BlockOnly
+    }
+
+  /** Candidate pairs for a jw ≥ tau match with auto-selected (or
+    * forced) blocking: (probe_id, q, match_key, name). The caller
+    * applies the verify kernel — JW scores, thresholds and output
+    * rounding are query-owned. Without a block column the
+    * multiplicative band is the only lever (BlockOnly would be the
+    * all-pairs crossproduct), which requires tau > 0.8. */
+  def jwCandidates(probes: DataFrame, targets: DataFrame, tau: Double,
+      blocker: Option[JwBlocker] = None): DataFrame = {
+    val withBlk = hasBlk(probes, targets)
+    val b = blocker.getOrElse(
+      if (!withBlk) MultBand
+      else chooseJw(targets, tau, withBlk))
+    b match {
+      case MultBand => jwBandCandidates(probes, targets, tau)
+      case BlockOnly =>
+        require(withBlk, "BlockOnly needs a blk column on both sides")
+        probes.join(targets, Seq("blk"))
+          .select("probe_id", "q", "match_key", "name")
+    }
   }
 }

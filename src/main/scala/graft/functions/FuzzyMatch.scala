@@ -226,9 +226,8 @@ object FuzzyFunctions {
 object FuzzyMatch {
   import FuzzyFunctions._
 
-  // Candidate-generation levers measured at sf1 for the fuzzy joins
-  // (round 11), from worst to best on THIS corpus shape — recorded so
-  // later sessions don't re-run the experiments:
+  // Candidate-generation levers, measured at sf1 on part names —
+  // recorded so later sessions don't re-run the experiments:
   //   (a) first-token blocking alone: part names draw their first
   //       token from 8 values, so blocks hit 25k rows and 10M in-block
   //       DP evaluations — fj1 4.6 s / fj2 6.2 s at sf1, slopes 11-16×
@@ -245,26 +244,28 @@ object FuzzyMatch {
   //       2k+1 admissible lengths and length joins as an exact hash
   //       key. Lossless, one cheap explode, cuts the DP enumeration
   //       ~5-8×: fj1 3.8 s (slope ~4.7×), fj2 4.0 s (slope ~7.4×).
-  // Round 12: (b) is REINSTATED behind [[FuzzyBlocking]]'s sampled
-  // selectivity probe — it genuinely wins on high-entropy corpora
-  // (FuzzyMatchSpec measures candidate volume both ways on a hex-id
-  // corpus), and the probe picks (c) on part names, reproducing the
-  // measured-best plan here without hard-wiring it.
+  // Current invariant: lever choice is DERIVED, not hard-wired — the
+  // fuzzy joins route through [[FuzzyBlocking.choose]], whose sampled
+  // Σblock² selectivity probe picks (b) on high-entropy corpora (where
+  // FuzzyMatchSpec measures strictly fewer candidates) and (c) on
+  // part names (the measured-best plan above). Both levers are
+  // lossless, so a wrong pick costs time, never results.
 
   /** Transposition-typo resolution: probes swap the LAST TWO characters
     * of the part name (the classic fat-finger swap). Unrestricted
     * Damerau-Levenshtein bills the swap 1 edit, so `dist ≤ 1` recovers
     * the original part — plain Levenshtein would need ≤ 2 and drag in
-    * spurious in-block matches. Blocked on the first name token (the
-    * typo never touches it), so the DP runs only inside a hash-join
-    * block, never all-pairs.
+    * spurious in-block matches. Blocking routes through
+    * [[FuzzyBlocking.damerauJoin]] with the first name token as the
+    * caller block column (the typo never touches it): the selectivity
+    * probe derives (first token × ±1 length band) — the measured-best
+    * round-11 plan — on part names, with the pigeonhole-chunk lever
+    * armed for high-entropy corpora; the DP runs only inside hash-join
+    * blocks, never all-pairs.
     */
   def fj2DamerauJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
     val ln = length(col("p_name"))
-    // blocking: (first token × ±1 length band) — see the measured
-    // lever comparison above; dist ≤ 1 implies the length band, so the
-    // extra key is lossless
     val probes = parts.filter(col("p_partkey") % 400 === 0)
       .select(col("p_partkey").as("probe_id"),
         concat(
@@ -272,16 +273,11 @@ object FuzzyMatch {
           substring(col("p_name"), ln, lit(1)),
           substring(col("p_name"), ln - 1, lit(1))).as("q"),
         split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
-      .withColumn("t_len",
-        explode(sequence(length(col("q")) - 1, length(col("q")) + 1)))
     val targets = parts
-      .select(col("p_partkey").as("match_key"), col("p_name"),
-        split_part(col("p_name"), lit(" "), lit(1)).as("blk"),
-        length(col("p_name")).as("t_len"))
-    probes.join(targets, Seq("blk", "t_len"))
-      .withColumn("dist", damerau_levenshtein(col("q"), col("p_name")))
-      .filter(col("dist") <= 1)
-      .select("probe_id", "match_key", "dist")
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    FuzzyBlocking.damerauJoin(probes, targets, k = 1)
       .orderBy("probe_id", "match_key")
   }
 
@@ -314,6 +310,14 @@ object FuzzyMatch {
     * ON a floor boundary but in the MIDDLE of a round bin; a measured
     * audit puts every blocked pair ≥ 1.8e-6 away from a round boundary
     * and ≥ 1.7e-3 away from the 0.9 gate at sf0.1.
+    *
+    * Candidates route through [[FuzzyBlocking.jwCandidates]]: JW is
+    * not edit-bounded, so the only lossless refinement over the
+    * first-token block is the MULTIPLICATIVE length band
+    * ([[FuzzyBlocking.jwLenRatio]] — jw ≥ 0.9 forces min/max ≥ 1/2);
+    * on part names the window covers nearly every block, so the probe
+    * derives plain block-only joining (today's measured plan), with
+    * the band armed for wide-length-spread corpora.
     */
   def fj3JaroWinklerJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
@@ -322,10 +326,11 @@ object FuzzyMatch {
         expr("substring(p_name, 1, length(p_name) - 1)").as("q"),
         split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
     val targets = parts
-      .select(col("p_partkey").as("match_key"), col("p_name"),
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
         split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
-    probes.join(targets, "blk")
-      .withColumn("jw", jaro_winkler(col("q"), col("p_name")))
+    FuzzyBlocking.jwCandidates(probes, targets, tau = 0.9)
+      .withColumn("jw", jaro_winkler(col("q"), col("name")))
       .filter(col("jw") >= 0.9)
       .select(col("probe_id"), col("match_key"),
         floor(col("jw") * 10000 + 0.5).cast("long").as("jw_e4"))

@@ -146,6 +146,13 @@ object GramIndex {
     * table plans well — measured 3-6× on the jaccard family when these
     * entries were pinned across the bench's independent jobs.) */
   def saveIndex(docs: DataFrame, n: Int, dir: String): Unit = {
+    val spark = docs.sparkSession
+    // fail-safe ordering (ADVICE r12): sentinel the fingerprint BEFORE
+    // the first shape write and write the real one LAST — a crash
+    // anywhere between leaves an artifact that never validates
+    // (loadIfFresh → None, updateIndex → rebuild) instead of a
+    // half-written one that does
+    writeSentinel(spark, dir)
     occurrenceCounts(docs).write.mode("overwrite")
       .parquet(s"$dir/occ_bigram_tf")
     ngramSets(docs, n).write.mode("overwrite")
@@ -155,9 +162,18 @@ object GramIndex {
     minhashSignatures(docs).write.mode("overwrite")
       .parquet(s"$dir/minhash_signatures")
     memberDf(docs).write.mode("overwrite").parquet(s"$dir/members")
-    fingerprintDf(docs).write.mode("overwrite")
-      .parquet(s"$dir/fingerprint")
+    val (nd, idSum, hashSum) = corpusFingerprint(docs)
+    writeFingerprint(spark, dir, nd, idSum, hashSum, shapeNames(n))
   }
+
+  /** The shape tables a [[saveIndex]] with gram size `n` builds — the
+    * manifest persisted in the fingerprint so [[updateIndex]] and
+    * [[loadIfFresh]] know what the artifact actually contains (ADVICE
+    * r12: an --update with a different n once appended delta docs into
+    * a FRESH ngram_sets_<n> dir that then fingerprint-validated). */
+  private def shapeNames(n: Int): Seq[String] = Seq(
+    "occ_bigram_tf", s"ngram_sets_$n", "bigram_source_sets",
+    "minhash_signatures", "members")
 
   /** Incrementally maintain a [[saveIndex]] artifact against the
     * corpus's CURRENT state. The ingest pipelines feeding this engine
@@ -185,19 +201,22 @@ object GramIndex {
     * the result. */
   def updateIndex(docs: DataFrame, n: Int, dir: String): String = {
     val spark = docs.sparkSession
-    val saved =
-      try {
-        val fp = spark.read.parquet(s"$dir/fingerprint").collect()(0)
-        val m = spark.read.parquet(s"$dir/members")
-        Some(((fp.getAs[Long]("n_docs"), fp.getAs[Long]("id_sum"),
-          fp.getAs[Long]("hash_sum")), m))
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
+    val saved = readFingerprint(spark, dir).flatMap {
+      case (fp, shapes) =>
+        try Some((fp, shapes, spark.read.parquet(s"$dir/members")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
     val action = saved match {
       case None =>
+        // missing, sentinel (crashed prior write), or pre-manifest
+        // artifact: nothing trustworthy to patch
         saveIndex(docs, n, dir); "rebuild"
-      case Some((savedFp, members)) =>
+      case Some((_, shapes, _)) if !shapes.contains(s"ngram_sets_$n") =>
+        // the requested gram size was never built: an append would
+        // create a fresh, delta-only ngram_sets_$n that nevertheless
+        // fingerprint-validates (ADVICE r12) — rebuild instead
+        saveIndex(docs, n, dir); "rebuild"
+      case Some((savedFp, shapes, members)) =>
         if (corpusFingerprint(docs) == savedFp) "noop"
         else {
           val mutated = members
@@ -212,6 +231,15 @@ object GramIndex {
             val delta = docs.join(members.select("doc_id"),
               Seq("doc_id"), "left_anti")
             val (dn, dId, dHash) = corpusFingerprint(delta)
+            // crash-fail-safe (ADVICE r12): sentinel BEFORE the first
+            // shape append. The old ordering appended shapes, then
+            // members, then the fingerprint — a crash between the two
+            // appends left members without the delta, so a re-run
+            // recomputed the same delta and appended the shape rows
+            // TWICE while the final fingerprint (membership-only)
+            // still validated. With the sentinel, any partial update
+            // is an invalid artifact that rebuilds on next touch.
+            writeSentinel(spark, dir)
             occurrenceCounts(delta).write.mode("append")
               .parquet(s"$dir/occ_bigram_tf")
             ngramSets(delta, n).write.mode("append")
@@ -221,10 +249,8 @@ object GramIndex {
             minhashSignatures(delta).write.mode("append")
               .parquet(s"$dir/minhash_signatures")
             memberDf(delta).write.mode("append").parquet(s"$dir/members")
-            import spark.implicits._
-            Seq((savedFp._1 + dn, savedFp._2 ^ dId, savedFp._3 ^ dHash))
-              .toDF("n_docs", "id_sum", "hash_sum")
-              .write.mode("overwrite").parquet(s"$dir/fingerprint")
+            writeFingerprint(spark, dir, savedFp._1 + dn,
+              savedFp._2 ^ dId, savedFp._3 ^ dHash, shapes)
             "append"
           }
         }
@@ -276,28 +302,55 @@ object GramIndex {
       xxhash64(col("doc_id").cast("long"), lenCol).as("h"))
   }
 
-  private def fingerprintDf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** Sentinel fingerprint: n_docs = -1 can never equal a real corpus
+    * count, so an artifact carrying it NEVER validates. Written before
+    * any shape write/append and replaced by the real fingerprint only
+    * after every shape landed — the crash-window invariant. */
+  private def writeSentinel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    writeFingerprint(spark, dir, -1L, 0L, 0L, Seq.empty)
+
+  private def writeFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nDocs: Long, idSum: Long, hashSum: Long,
+      shapes: Seq[String]): Unit = {
     import spark.implicits._
-    val (n, idSum, hashSum) = corpusFingerprint(docs)
-    Seq((n, idSum, hashSum)).toDF("n_docs", "id_sum", "hash_sum")
+    Seq((nDocs, idSum, hashSum, shapes.mkString(",")))
+      .toDF("n_docs", "id_sum", "hash_sum", "shapes")
+      .write.mode("overwrite").parquet(s"$dir/fingerprint")
   }
 
-  /** Load `shape` from a [[saveIndex]] artifact iff its stored
-    * fingerprint matches the CURRENT corpus; None (→ rebuild) on
-    * missing artifact, missing shape, or fingerprint drift. */
-  private[graft] def loadIfFresh(docs: DataFrame, shape: String,
-      root: String): Option[DataFrame] =
+  /** ((n_docs, id_sum, hash_sum), shape manifest) of a valid artifact;
+    * None on missing fingerprint, sentinel (crashed prior write), or a
+    * pre-manifest fingerprint lacking the `shapes` column. */
+  private def readFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[((Long, Long, Long), Seq[String])] =
     try {
-      val spark = docs.sparkSession
-      val saved = spark.read.parquet(s"$root/fingerprint").collect()(0)
-      val current = fingerprintMemo.get(docs, "fp")(corpusFingerprint(docs))
-      val fresh = (saved.getAs[Long]("n_docs"), saved.getAs[Long]("id_sum"),
-        saved.getAs[Long]("hash_sum")) == current
-      if (fresh) Some(spark.read.parquet(s"$root/$shape")) else None
+      val row = spark.read.parquet(s"$dir/fingerprint").collect()
+        .headOption
+      row.filter(r => r.schema.fieldNames.contains("shapes") &&
+          r.getAs[Long]("n_docs") >= 0L)
+        .map(r => ((r.getAs[Long]("n_docs"), r.getAs[Long]("id_sum"),
+          r.getAs[Long]("hash_sum")),
+          r.getAs[String]("shapes").split(",")
+            .filter(_.nonEmpty).toSeq))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
     }
+
+  /** Load `shape` from a [[saveIndex]] artifact iff its stored
+    * fingerprint matches the CURRENT corpus AND the shape is in the
+    * artifact's manifest; None (→ rebuild) on missing artifact,
+    * missing/unbuilt shape, sentinel, or fingerprint drift. */
+  private[graft] def loadIfFresh(docs: DataFrame, shape: String,
+      root: String): Option[DataFrame] = {
+    val spark = docs.sparkSession
+    readFingerprint(spark, root).flatMap { case (saved, shapes) =>
+      val current = fingerprintMemo.get(docs, "fp")(corpusFingerprint(docs))
+      if (saved == current && shapes.contains(shape))
+        Some(spark.read.parquet(s"$root/$shape"))
+      else None
+    }
+  }
 
   /** Read a persisted gram index: same (doc_id, hs, s) shape
     * [[ngramSets]] builds, so every consumer

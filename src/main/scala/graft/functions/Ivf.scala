@@ -358,6 +358,23 @@ object Ivf {
       |  TRUE AS drift_ok, TRUE AS no_retrain_ok
       |FROM embeddings""".stripMargin
 
+  /** Nightly maintenance against the corpus's CURRENT state — the
+    * [[GramIndex.updateIndex]] contract on the IVF artifact, shared
+    * bookkeeping in [[IndexMeta]]: an unchanged corpus is a no-op, an
+    * append-only delta runs [[appendToIndex]] (assignment against the
+    * STORED centroids — never retrains, the FAISS add/train split; the
+    * `stats` baseline stays at train time by design, so
+    * [[indexStaleness]] keeps measuring drift against the model's own
+    * training distribution), and a mutated corpus falls back to a full
+    * retrain+[[saveIndex]]. `k`/`iters` apply only on rebuild. */
+  def updateIndex(corpus: DataFrame, dir: String, k: Int = 8,
+      iters: Int = 2): String = {
+    val spark = corpus.sparkSession
+    IndexMeta.update(corpus, dir)(
+      delta => appendToIndex(delta, spark, dir))(
+      () => saveIndex(corpus, trainCentroids(corpus, k, iters), dir))
+  }
+
   def loadCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
@@ -582,10 +599,14 @@ object Ivf {
     * (lowest-id) representative of each semantic group — deterministic
     * across engines and layouts, no RNG.
     *
-    * No SQL oracle (k-means cells are iterative, and double cosine
-    * accumulation is engine-specific); IvfSpec proves the result
-    * equals a driver-side brute-force within-cell pass and that the
-    * per-cell counts reconcile with [[assign]]'s occupancy. */
+    * Gate surface: `sim_semdedup` is the oracled bounds-row
+    * [[simSemDedupGate]] — corpus-count charge-back, kept+dropped
+    * reconciliation per cell, and the density-derived drop band
+    * (n_covered = 0 ⇒ dropped = 0, else 1 ≤ dropped ≤ n_covered − 1)
+    * checked against DuckDB's row count. IvfSpec additionally proves
+    * the result equals a driver-side brute-force within-cell pass,
+    * that per-cell counts reconcile with [[assign]]'s occupancy, and
+    * pins `n_covered`. */
   def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
       tau: Double = 0.3, cap: Int = Dedup.LshBucketCap): DataFrame = {
     val centroids = trainCentroids(emb, k, iters)

@@ -288,6 +288,19 @@ object Pq {
         col("__d").as("q_err"))
       .write.mode("append").parquet(s"$dir/codes")
 
+  /** Nightly maintenance — the [[Ivf.updateIndex]] contract on the PQ
+    * artifact: noop on an unchanged corpus, [[appendToIndex]] (encode
+    * against the STORED codebooks, never retrains) for an append-only
+    * delta, full retrain+[[saveIndex]] for anything mutated.
+    * `m`/`k`/`iters` apply only on rebuild. */
+  def updateIndex(corpus: DataFrame, dir: String, m: Int = 4,
+      k: Int = 16, iters: Int = 2): String = {
+    val spark = corpus.sparkSession
+    IndexMeta.update(corpus, dir)(
+      delta => appendToIndex(delta, spark, dir))(
+      () => saveIndex(corpus, trainCodebooks(corpus, m, k, iters), dir))
+  }
+
   /** Staleness of a (possibly appended-to) persisted PQ index: mean
     * reconstruction error of everything NOW in the codes table versus
     * the train-time baseline — the signal that the codebooks no longer

@@ -1339,6 +1339,17 @@ object Similarity {
     corpus.select(col("vec_id"), signWord("embedding", 0).as("sig"))
       .write.mode("overwrite").parquet(s"$idxDir/hamming_sigs")
 
+  /** Nightly maintenance — the [[Ivf.updateIndex]] contract on the
+    * signature store: noop / sign-and-append the delta / full rewrite.
+    * Signatures are model-free (the sign projection has no trained
+    * state), so the patched store is value-identical to a fresh
+    * [[saveSignatureIndex]] — not just model-equivalent. */
+  def updateSignatureIndex(corpus: DataFrame, idxDir: String): String =
+    IndexMeta.update(corpus, idxDir)(delta =>
+      delta.select(col("vec_id"), signWord("embedding", 0).as("sig"))
+        .write.mode("append").parquet(s"$idxDir/hamming_sigs"))(
+      () => saveSignatureIndex(corpus, idxDir))
+
   def topKHammingPersisted(queries: DataFrame, corpus: DataFrame,
       spark: SparkSession, idxDir: String, k: Int = HammingK): DataFrame = {
     val sigs = spark.read.parquet(s"$idxDir/hamming_sigs")

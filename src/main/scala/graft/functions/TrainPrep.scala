@@ -823,7 +823,7 @@ object TrainPrep {
     * over capacity would be a packer bug and a driver hash fail).
     * Oracle: the same fold as a DuckDB recursive CTE over (shard, rn)
     * — iterations = max shard length, rows per step = shards. */
-  def tpPackGreedy(spark: SparkSession, dir: String, capacity: Int = 128,
+  def tpPackGreedy(spark: SparkSession, dir: String, capacity: Int = DatasetBuild.PackCapacity,
       nShards: Int = 16): DataFrame = {
     import spark.implicits._
     // the fold emits BINS, not per-doc assignments: a bin never spans
@@ -897,7 +897,7 @@ object TrainPrep {
        |    AS n_tok
        |FROM documents ORDER BY shard, doc_id""".stripMargin
 
-  def tpPackGreedySql(capacity: Int = 128, nShards: Int = 16): String =
+  def tpPackGreedySql(capacity: Int = DatasetBuild.PackCapacity, nShards: Int = 16): String =
     s"""WITH RECURSIVE sized AS (
        |  SELECT doc_id, doc_id % $nShards AS shard,
        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok,

@@ -27,16 +27,32 @@ import org.apache.spark.sql.functions._
 object ReplayBench {
 
   /** Render the events table as a multi-segment change log. Returns the
-    * total line count (mutations + begin/commit markers). */
+    * total line count (mutations + begin/commit markers).
+    *
+    * `copies > 1` replays the event stream that many times with
+    * per-copy mseq offsets aligned to tx boundaries — the [[Soak]]
+    * device for a backlog several times the corpus (seqs stay strictly
+    * monotone per conn, tx windows never straddle copies). */
   def generateLog(spark: SparkSession, sfDir: String, logDir: String,
-      connections: Int = 32, txSize: Int = 5, segments: Int = 8): Long = {
+      connections: Int = 32, txSize: Int = 5, segments: Int = 8,
+      copies: Int = 1): Long = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("ts_us"), col("value"))
       .withColumn("conn", pmod(col("user_id"), lit(connections)))
     val w = Window.partitionBy("conn").orderBy("ts_us", "event_id")
-    val seqd = ev.withColumn("mseq", row_number().over(w).cast("long"))
+    val seqd0 = ev.withColumn("mseq", row_number().over(w).cast("long"))
+    val seqd =
+      if (copies <= 1) seqd0
+      else {
+        val maxM = seqd0.agg(max("mseq")).collect()(0).getLong(0)
+        // offset multiple of txSize: (mseq-1)/txSize windows never mix
+        val span = ((maxM / txSize) + 1) * txSize
+        (0 until copies).map(c => seqd0.withColumn("mseq",
+            col("mseq") + lit(c * span)))
+          .reduce(_ unionByName _)
+      }
     // line seq per conn: mutations at mseq·10, BEGIN at lo·10−2 and
     // COMMIT at hi·10+2 — strictly between the neighbouring txs'
     // markers (a tx's COMMIT at hi·10+2 precedes the next BEGIN at
@@ -83,11 +99,51 @@ object ReplayBench {
     spark.read.text(logDir).count()
   }
 
+  /** One drain's telemetry, distilled from the query's progress ring
+    * (VERDICT r12 item 1: the driver-measured replay rate moved 2.3×
+    * across rounds and nothing in the artifact could separate
+    * state-store commit cost from host steal — now every drain carries
+    * both): wall seconds, sink rows, non-empty batches, its window's
+    * hypervisor-steal seconds, the summed per-batch state-store commit
+    * time (the standard `stateOperators.commitTimeMs`), and the
+    * RocksDB commit/load-path custom-metric totals. */
+  case class DrainStats(sec: Double, out: Long, batches: Int,
+      stealSec: Double, stateCommitMs: Long, rocksdb: Map[String, Long])
+
+  /** The RocksDB provider's commit-path + load timing metrics (ms).
+    * `rocksdbSstFileSize` rides along as the state-on-disk size the
+    * soak bounds. */
+  val RocksdbKeys: Seq[String] = Seq(
+    "rocksdbCommitFlushLatency", "rocksdbCommitCompactLatency",
+    "rocksdbCommitCheckpointLatency", "rocksdbCommitFileSyncLatencyMs",
+    "rocksdbChangeLogWriterCommitLatencyMs", "rocksdbLoadLatencyMs",
+    "rocksdbWriterStallLatencyMs", "rocksdbSstFileSize")
+
+  private def rocksdbTotals(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : Map[String, Long] = {
+    val ops = progress.flatMap(_.stateOperators.toSeq)
+    RocksdbKeys.map { k =>
+      k -> ops.map { so =>
+        val v = so.customMetrics.get(k)
+        if (v == null) 0L else v.longValue()
+      }.sum
+    }.filter(_._2 != 0L).toMap
+  }
+
   /** Drain the backlog through the full pipe; returns
     * (output mutations, elapsed seconds). */
   def replay(spark: SparkSession, logDir: String, outDir: String)
       : (Long, Double) = {
+    val s = replayStats(spark, logDir, outDir)
+    (s.out, s.sec)
+  }
+
+  /** [[replay]] keeping the per-drain telemetry. */
+  def replayStats(spark: SparkSession, logDir: String, outDir: String)
+      : DrainStats = {
     val dataDir = s"$outDir/data"
+    val steal0 = graft.util.HostSteal.jiffies()
     val t0 = System.nanoTime()
     val q = PipeAssembly.start(spark, Map(
       "source.path" -> logDir,
@@ -95,7 +151,12 @@ object ReplayBench {
       "sink.checkpoint" -> s"$outDir/ckpt"), availableNow = true)
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    (spark.read.parquet(dataDir).count(), sec)
+    val progress = q.recentProgress.toSeq
+    DrainStats(sec, spark.read.parquet(dataDir).count(),
+      progress.count(_.numInputRows > 0),
+      graft.util.HostSteal.secondsSince(steal0),
+      progress.flatMap(_.stateOperators.toSeq).map(_.commitTimeMs).sum,
+      rocksdbTotals(progress))
   }
 
   /** Micro-batch latency distribution (round-6 VERDICT item 5). The
@@ -111,11 +172,14 @@ object ReplayBench {
     * ring after termination, which is synchronous with the stream
     * execution thread (a listener would race awaitTermination).
     *
-    * Returns (batches, p50 ms, p95 ms, max ms) over non-empty batches.
-    */
+    * Returns per-batch `triggerExecution` percentiles over non-empty
+    * batches, plus the per-batch state-store commit percentiles
+    * (`stateOperators.commitTimeMs` summed per batch) — the number
+    * that says how much of a latency shift is the RocksDB commit
+    * itself. */
   def latencyProbe(spark: SparkSession, logDir: String, outDir: String,
       linesPerTrigger: Long = 4096, shufflePartitions: Int = 4)
-      : (Int, Double, Double, Double) = {
+      : LatencyStats = {
     // A tail-follow consumer sizes its state/shuffle partitioning to
     // per-trigger volume, not to the batch-analytics default: every
     // micro-batch pays (load + commit) per state partition, so 32-way
@@ -138,9 +202,12 @@ object ReplayBench {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Per-batch latency distribution of one capped-admission drain. */
+  case class LatencyStats(batches: Int, p50: Double, p95: Double,
+      max: Double, commitP50: Double, commitP95: Double)
+
   private def latencyProbeWith(spark: SparkSession, logDir: String,
-      outDir: String, linesPerTrigger: Long)
-      : (Int, Double, Double, Double) = {
+      outDir: String, linesPerTrigger: Long): LatencyStats = {
     // recentProgress is a ring capped by numRecentProgressUpdates —
     // size it HERE from the drain we are about to run (batches ≈
     // lines/cap, +headroom for segment-boundary splits), not in some
@@ -157,8 +224,8 @@ object ReplayBench {
       "sink.checkpoint" -> s"$outDir/ckpt"), availableNow = true)
     q.awaitTermination()
     val progress = q.recentProgress.toSeq
-    val ds = progress
-      .filter(_.numInputRows > 0)
+    val nonEmpty = progress.filter(_.numInputRows > 0)
+    val ds = nonEmpty
       .map(_.durationMs.getOrDefault("triggerExecution", -1L).toLong)
       .filter(_ >= 0)
       .sorted
@@ -168,10 +235,14 @@ object ReplayBench {
     require(progress.map(_.batchId).min == 0L,
       s"progress ring overflowed: ${progress.size} retained, " +
         s"first batchId ${progress.map(_.batchId).min}")
-    def pct(p: Double): Double =
-      ds(math.max(0, math.min(ds.length - 1,
-        math.ceil(p * ds.length).toInt - 1))).toDouble
-    (ds.length, pct(0.50), pct(0.95), ds.last.toDouble)
+    val commits = nonEmpty
+      .map(_.stateOperators.toSeq.map(_.commitTimeMs).sum)
+      .sorted
+    def pct(xs: Seq[Long], p: Double): Double =
+      xs(math.max(0, math.min(xs.length - 1,
+        math.ceil(p * xs.length).toInt - 1))).toDouble
+    LatencyStats(ds.length, pct(ds, 0.50), pct(ds, 0.95),
+      ds.last.toDouble, pct(commits, 0.50), pct(commits, 0.95))
   }
 
   /** Generate (untimed) + replay (timed); returns
@@ -194,17 +265,31 @@ object ReplayBench {
     * no-op). */
   def runBestOf(spark: SparkSession, sfDir: String, workDir: String,
       attempts: Int = 2): (Long, Long, Double, Double) = {
+    val (lines, all) = runAttempts(spark, sfDir, workDir, attempts)
+    val best = all.minBy(_.sec)
+    (lines, best.out, best.sec, lines / best.sec)
+  }
+
+  /** [[run]] with `attempts` drains over one generated log, reporting
+    * the MEDIAN-by-wall attempt (VERDICT r12 item 1: best-of hid how
+    * noisy the distribution was; the median plus the full per-attempt
+    * (sec, steal, state-commit) list makes a steal-inflated driver
+    * round self-describing). Returns (log lines, per-attempt stats,
+    * the median attempt). */
+  def runMedianOf(spark: SparkSession, sfDir: String, workDir: String,
+      attempts: Int = 3): (Long, Seq[DrainStats], DrainStats) = {
+    val (lines, all) = runAttempts(spark, sfDir, workDir, attempts)
+    val med = all.sortBy(_.sec)(Ordering.Double.TotalOrdering)
+      .apply((all.size - 1) / 2)
+    (lines, all, med)
+  }
+
+  private def runAttempts(spark: SparkSession, sfDir: String,
+      workDir: String, attempts: Int): (Long, Seq[DrainStats]) = {
     val fs = new Path(workDir).getFileSystem(new Configuration())
     fs.delete(new Path(workDir), true)
     val lines = generateLog(spark, sfDir, s"$workDir/log")
-    var bestOut = 0L
-    var bestSec = Double.MaxValue
-    var i = 0
-    while (i < attempts) {
-      val (out, sec) = replay(spark, s"$workDir/log", s"$workDir/sink$i")
-      if (sec < bestSec) { bestOut = out; bestSec = sec }
-      i += 1
-    }
-    (lines, bestOut, bestSec, lines / bestSec)
+    (lines, (0 until attempts).map(i =>
+      replayStats(spark, s"$workDir/log", s"$workDir/sink$i")))
   }
 }

@@ -257,4 +257,146 @@ class FuzzyMatchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(fj1 === band)
   }
+
+  // ── DL routing (fj2) ──────────────────────────────────────────────────
+
+  test("damerau routing: the probe derives band on part names (fj2's " +
+    "measured-best plan), both levers agree, and fj2 equals either") {
+    import graft.functions.FuzzyBlocking
+    val parts = Tables.part(spark, sf)
+    val ln = length(col("p_name"))
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        concat(substring(col("p_name"), lit(1), ln - 2),
+          substring(col("p_name"), ln, lit(1)),
+          substring(col("p_name"), ln - 1, lit(1))).as("q"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    FuzzyBlocking.invalidate()
+    // DL ≤ 1 probes with bandK=1, chunkK=2 (transposition straddle)
+    assert(FuzzyBlocking.chooseEdit(targets, 1, 2, withBlk = true) ===
+      FuzzyBlocking.Band, "part names must derive the band lever")
+    def run(b: FuzzyBlocking.Blocker) =
+      FuzzyBlocking.damerauJoin(probes, targets, 1, Some(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    val band = run(FuzzyBlocking.Band)
+    assert(band === run(FuzzyBlocking.Chunk),
+      "DL levers must agree — both are lossless")
+    val fj2 = FuzzyMatch.fj2DamerauJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(fj2 === band, "auto-routed fj2 must equal the fixed lever")
+  }
+
+  test("damerau chunk lever MUST generate against lev ≤ 2k: a " +
+    "transposition straddling the chunk boundary escapes k-chunking") {
+    import graft.functions.FuzzyBlocking
+    val sparkS = spark
+    import sparkS.implicits._
+    // target "abcdefgh" chunks at k=1 into "abcd"|"efgh"; swapping the
+    // boundary pair (d,e) -> "abcedfgh" edits BOTH chunks with ONE DL
+    // edit, so no chunk survives verbatim (shift ≤ 1) in the probe
+    val targets = Seq((1L, "abcdefgh")).toDF("match_key", "name")
+    val probes = Seq((1L, "abcedfgh")).toDF("probe_id", "q")
+    assert(FuzzyRuntime.damerau(UTF8String.fromString("abcedfgh"),
+      UTF8String.fromString("abcdefgh")) === 1)
+    // naive k=1 chunk candidates: the pair escapes (the would-be bug)
+    assert(FuzzyBlocking.chunkCandidates(probes, targets, 1).count() === 0)
+    // damerauJoin's chunk path (generates against lev ≤ 2k) finds it
+    val viaChunk = FuzzyBlocking.damerauJoin(probes, targets, 1,
+      Some(FuzzyBlocking.Chunk)).collect()
+    assert(viaChunk.length === 1 && viaChunk(0).getInt(2) === 1)
+    // ... as does the band (a transposition is length-preserving)
+    assert(FuzzyBlocking.damerauJoin(probes, targets, 1,
+      Some(FuzzyBlocking.Band)).count() === 1)
+  }
+
+  // ── JW routing (fj3) ──────────────────────────────────────────────────
+
+  test("jw length-ratio bound: jw ≥ tau forces min/max ≥ " +
+    "jwLenRatio(tau) on the real kernel (the MultBand losslessness " +
+    "proof), fuzzed") {
+    import graft.functions.FuzzyBlocking
+    val rho = FuzzyBlocking.jwLenRatio(0.9)
+    assert(math.abs(rho - 0.5) < 1e-12)
+    val rnd = new scala.util.Random(13)
+    def word(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    var hits = 0
+    for (_ <- 1 to 4000) {
+      val a = word(1 + rnd.nextInt(24))
+      // bias toward shared prefixes so high-jw pairs actually occur
+      val b = a.take(rnd.nextInt(a.length + 1)) + word(rnd.nextInt(20))
+      if (b.nonEmpty && jw(a, b) >= 0.9) {
+        hits += 1
+        val ratio = math.min(a.length, b.length).toDouble /
+          math.max(a.length, b.length)
+        assert(ratio >= rho - 1e-12,
+          s"'$a' vs '$b': jw=${jw(a, b)} but ratio=$ratio < $rho")
+      }
+    }
+    assert(hits > 50, s"fuzz generated only $hits high-jw pairs")
+  }
+
+  test("jw routing: block-only derived on part names (fj3's plan), " +
+    "mult-band derived on a wide-length-spread corpus, and the levers " +
+    "agree on both") {
+    import graft.functions.FuzzyBlocking
+    val parts = Tables.part(spark, sf)
+    val probes = parts.filter(col("p_partkey") % 400 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("q"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    val targets = parts
+      .select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
+    FuzzyBlocking.invalidate()
+    // part names: lengths spread < 2x, the ratio window covers whole
+    // blocks — the explode is pure cost, block-only must win
+    assert(FuzzyBlocking.chooseJw(targets, 0.9, withBlk = true) ===
+      FuzzyBlocking.BlockOnly)
+    def run(b: FuzzyBlocking.JwBlocker, p: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      FuzzyBlocking.jwCandidates(p, t, 0.9, Some(b))
+        .withColumn("jw", FuzzyFunctions.jaro_winkler(col("q"), col("name")))
+        .filter(col("jw") >= 0.9)
+        .select("probe_id", "match_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(FuzzyBlocking.BlockOnly, probes, targets) ===
+      run(FuzzyBlocking.MultBand, probes, targets),
+      "JW levers must agree — the mult band is lossless at tau > 0.8")
+    val fj3 = FuzzyMatch.fj3JaroWinklerJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fj3 === run(FuzzyBlocking.BlockOnly, probes, targets)
+      .map(p => (p._1, p._2)))
+    // wide-length-spread corpus in ONE block: ~8-char and ~97-char
+    // names; the ratio window excises the cross-length half of every
+    // block, so the band pays
+    val wide = spark.range(400).select(
+      col("id").as("match_key"), lit("b").as("blk"),
+      when(col("id") % 2 === 0,
+        concat(lit("sh"), col("id").cast("string")))
+        .otherwise(concat(lit("x"),
+          repeat(md5(col("id").cast("string")), 3))).as("name"))
+    val wideProbes = wide.filter(col("match_key") % 5 === 0)
+      .select(col("match_key").as("probe_id"),
+        expr("substring(name, 1, length(name) - 1)").as("q"),
+        col("blk"))
+    FuzzyBlocking.invalidate()
+    assert(FuzzyBlocking.chooseJw(wide, 0.9, withBlk = true) ===
+      FuzzyBlocking.MultBand,
+      "wide length spread must derive the mult band")
+    assert(run(FuzzyBlocking.BlockOnly, wideProbes, wide) ===
+      run(FuzzyBlocking.MultBand, wideProbes, wide))
+    // and the band generates strictly fewer candidates here
+    val bandCand = FuzzyBlocking
+      .jwBandCandidates(wideProbes, wide, 0.9).count()
+    val blockCand = wideProbes.join(wide, "blk").count()
+    assert(bandCand < blockCand,
+      s"mult band must prune: $bandCand vs $blockCand")
+  }
 }

@@ -114,6 +114,64 @@ class GramIndexSpec extends SparkSpec {
       "patched artifact must load fresh")
   }
 
+  test("crash-window fail-safe: a sentinel fingerprint (crash between " +
+    "shape writes) never validates and repairs via full rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_crash").toString
+    GramIndex.saveIndex(docs, n = 4, dir)
+    // simulate a crash mid-update: updateIndex/saveIndex write this
+    // sentinel BEFORE the first shape write and the real fingerprint
+    // only after the last — die anywhere between and this is what an
+    // artifact looks like
+    import spark.implicits._
+    Seq((-1L, 0L, 0L, ""))
+      .toDF("n_docs", "id_sum", "hash_sum", "shapes")
+      .write.mode("overwrite").parquet(s"$dir/fingerprint")
+    GramIndex.invalidate()
+    assert(GramIndex.loadIfFresh(docs, "ngram_sets_4", dir).isEmpty,
+      "a sentinel-fingerprinted artifact must never be served")
+    // maintenance touch repairs it with a full rebuild, not a patch
+    // (the pre-fix failure mode: re-running the delta append DUPLICATED
+    // already-appended shape rows and then validated)
+    assert(GramIndex.updateIndex(docs, 4, dir) === "rebuild")
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("gram_crash_fresh").toString
+    GramIndex.saveIndex(docs, n = 4, freshDir)
+    val repaired = artifactRows(dir)
+    val fresh = artifactRows(freshDir)
+    shapes.foreach(s => assert(repaired(s) === fresh(s), s"shape $s"))
+  }
+
+  test("shape manifest: updating with a gram size the artifact never " +
+    "built rebuilds (no delta-only shape table), and a shape absent " +
+    "from the manifest is never served") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_shape").toString
+    GramIndex.saveIndex(base, n = 4, dir)
+    // append-shaped delta but with n=5: ngram_sets_5 was never built,
+    // so an append would create a FRESH delta-only table that then
+    // fingerprint-validates — the manifest forces a rebuild instead
+    assert(GramIndex.updateIndex(docs, 5, dir) === "rebuild")
+    GramIndex.invalidate()
+    assert(GramIndex.loadIfFresh(docs, "ngram_sets_5", dir).nonEmpty,
+      "rebuilt n=5 artifact must serve")
+    // ngram_sets_4 still exists ON DISK (stale leftover of the n=4
+    // build over the smaller corpus) but is not in the n=5 manifest
+    assert(new java.io.File(s"$dir/ngram_sets_4").exists())
+    assert(GramIndex.loadIfFresh(docs, "ngram_sets_4", dir).isEmpty,
+      "a shape outside the manifest must not be served")
+    // value identity of the rebuilt table vs a fresh n=5 build
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("gram_shape_fresh").toString
+    GramIndex.saveIndex(docs, n = 5, freshDir)
+    def rows(d: String) = spark.read.parquet(s"$d/ngram_sets_5")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(dir) === rows(freshDir))
+  }
+
   test("incremental maintenance: a MUTATED corpus (edited doc) " +
     "falls back to a full rebuild, never a bad patch") {
     val docs = Tables.documents(spark, sf)

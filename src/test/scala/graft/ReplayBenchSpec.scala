@@ -35,14 +35,18 @@ class ReplayBenchSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
     val lines = ReplayBench.generateLog(spark, sf, s"$work/log")
     val cap = 1024L
-    val (nb, p50, p95, pmax) =
-      ReplayBench.latencyProbe(spark, s"$work/log", s"$work/lat", cap)
+    val l = ReplayBench.latencyProbe(spark, s"$work/log", s"$work/lat", cap)
     // capped admission must split the drain into many batches: at
     // least ceil(lines/cap) (rotated-segment boundaries can add more)
-    assert(nb >= (lines + cap - 1) / cap,
-      s"$nb batches for $lines lines at cap $cap")
-    assert(p50 > 0 && p50 <= p95 && p95 <= pmax,
-      s"percentiles out of order: p50=$p50 p95=$p95 max=$pmax")
+    assert(l.batches >= (lines + cap - 1) / cap,
+      s"${l.batches} batches for $lines lines at cap $cap")
+    assert(l.p50 > 0 && l.p50 <= l.p95 && l.p95 <= l.max,
+      s"percentiles out of order: p50=${l.p50} p95=${l.p95} max=${l.max}")
+    // the RocksDB path must surface a real per-batch commit cost, and
+    // the commit can never exceed the whole trigger
+    assert(l.commitP50 >= 0 && l.commitP50 <= l.commitP95)
+    assert(l.commitP95 <= l.max,
+      s"commit p95 ${l.commitP95} exceeds max trigger ${l.max}")
     // every mutation still lands exactly once under capped triggers
     val out = spark.read.parquet(s"$work/lat/data").count()
     assert(out === Tables.events(spark, sf).count())
