@@ -234,8 +234,10 @@ object Similarity {
     * AND returned zero rows at the old 0.5 threshold — vacuous). The
     * semantics are bucket-restricted by design (documented recall < 1,
     * like any LSH method); SimilaritySpec asserts exact equality vs
-    * brute-force-within-bucket. No SQL oracle (double cosine
-    * accumulation is engine-specific). */
+    * brute-force-within-bucket, and `sim_neardup_cosine` is hash-exact
+    * against [[simNearDupSql]] — the oracle reproduces the hyperplane
+    * keying and cosine in DuckDB SQL, so the full pair set (ids AND
+    * scores) is cross-engine verified. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       bits: Int = NearDupBits,
       bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
