@@ -14,6 +14,15 @@ object Bench {
       // state store provider, in batch mode too
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // match GraftSession: without changelog checkpointing every
+      // micro-batch commit uploads a FULL RocksDB snapshot to the
+      // checkpoint dir; with it the commit writes only the batch's
+      // changelog and defers snapshots to the maintenance thread —
+      // the per-batch state-commit cost the r12 replay regression
+      // landed on (Bench's own session was the one place the engine
+      // ran the provider without it)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
