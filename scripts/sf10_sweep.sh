@@ -17,7 +17,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CPUS="${1:-8}"
-QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm"
+QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,fj3_jw_join,fj4_auto_blocked,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm"
 TMP=$(mktemp -d)
 mv BENCH_LAST.json "$TMP/bench_last.orig" 2>/dev/null || true
 restore() { mv "$TMP/bench_last.orig" BENCH_LAST.json 2>/dev/null || true; }
@@ -36,8 +36,11 @@ fi
 
 for SF in 1 10; do
   echo "[sf10] bench watch list at sf$SF ..." >&2
+  # partition ceiling follows the data scale (see Bench.scala): sf10's
+  # heavy shuffles need byte-sized partitions, AQE coalesces the rest
+  CEIL=1; [ "$SF" = 10 ] && CEIL=16
   SPARK_GRAFT_SF_DIR=".scale/sf$SF" SPARK_GRAFT_CPUS="$CPUS" \
-    SPARK_GRAFT_ONLY="$QUERIES" \
+    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_PART_CEILING="$CEIL" \
     sbt -batch 'runMain graft.Bench' >"$TMP/bench_$SF.out" 2>&1 || {
       echo "[sf10] bench failed at sf$SF; tail:" >&2
       tail -5 "$TMP/bench_$SF.out" >&2
@@ -52,12 +55,22 @@ tmp = sys.argv[1]
 r1 = json.loads(open(f"{tmp}/json_1").read())
 r10 = json.loads(open(f"{tmp}/json_10").read())
 scale = json.load(open("SCALE.json"))
+rows1 = r1.get("queries_rows", {})
+rows10 = r10.get("queries_rows", {})
 for n, t10 in r10["queries"].items():
     q = scale["queries"].setdefault(n, {})
     t1 = r1["queries"].get(n)
     q["sf10"] = t10
     q["slope_sf1_sf10"] = (round(t10 / t1, 2)
                            if t1 and t1 > 0 and t10 and t10 > 0 else None)
+    # output growth across the decade: a wall slope is only
+    # interpretable next to the RESULT growth it carries (near-dup
+    # pair queries on a decade-stacked corpus legitimately answer
+    # superlinearly more rows)
+    o1, o10 = rows1.get(n), rows10.get(n)
+    if o1 is not None and o10 is not None:
+        q["rows_sf1"], q["rows_sf10"] = o1, o10
+        q["rows_growth_sf1_sf10"] = round(o10 / o1, 2) if o1 > 0 else None
 scale["sf10_watchlist"] = {
     "queries": sorted(r10["queries"].keys()),
     "sf1_total": round(sum(v for v in r1["queries"].values() if v > 0), 3),

@@ -7,6 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // partition-count ceiling, sized to the DATA SCALE like any real
+      // deployment (SPARK_GRAFT_PART_CEILING × cpus; default 1 = the
+      // cpu-count partitioning the bench scale wants): at 10× bench
+      // scale the heavy shuffles outgrow cpu-count partitioning —
+      // dd_ngram_jaccard's verify spilled 16 GB at sf10 through 8
+      // partitions, zero-spill at 128 with AQE coalescing the small
+      // stages back down. A blanket 16× ceiling at sf0.1 measured +10%
+      // total (per-task overhead across 238 small queries), so the
+      // ceiling follows the scale factor, not a constant.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_PART_CEILING", "1")
+          .toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -92,6 +104,11 @@ object Bench {
     // jump with a stable warm means the query landed an index build,
     // not a plan regression
     val colds = scala.collection.mutable.Map.empty[String, Double]
+    // output rows per query: a slope is only interpretable next to the
+    // RESULT growth it carries (the sf10 sweep's near-dup queries grow
+    // superlinearly in wall because the ANSWER grows superlinearly on
+    // decade-stacked near-duplicate corpora — rows make that visible)
+    val rows = scala.collection.mutable.Map.empty[String, Long]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
@@ -103,7 +120,7 @@ object Bench {
             // df.count() executes a derived query and leaves df's own
             // metrics untouched (zero), which made the audit vacuous
             val counted = df.groupBy().count()
-            counted.collect()
+            rows(name) = counted.collect()(0).getLong(0)
             val el = (System.nanoTime() - t0) / 1e9
             // max over the cold/warm runs, not sum — the metric is
             // "bytes one execution spills", parallel to min() timing
@@ -233,6 +250,9 @@ object Bench {
     val coldQs = colds.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
+    val rowsQs = rows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // steal + outlier attribution: steal_sec carries only the queries
     // whose window saw nonzero steal; noise_suspect is the
     // [[isNoiseSuspect]] verdict — still past 3× the committed
@@ -253,7 +273,7 @@ object Bench {
         noiseSuspect.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs$streamReplay$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs,"queries_rows":$rowsQs$streamReplay$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // JSON lines found there (rounds 1-2: the full per-query line grew
     // past 2000 chars, was truncated mid-line, and recorded parsed:null).
@@ -276,9 +296,15 @@ object Bench {
     val stealStdout =
       s""","steal_total_sec":${"%.2f".format(runStealSec)}""" +
         stealTop + noiseJson
+    // allow-list (sweep/dev) runs don't write BENCH_LAST.json, so their
+    // output rows must ride the stdout line — small by construction
+    // (the list is short); full-suite runs keep rows in the file only
+    val rowsStdout =
+      if (only.isDefined) s""","queries_rows":$rowsQs""" else ""
     // reserve room for closing + omitted note + stream_replay object
     // + the ,"spill_bytes":<up-to-19-digits> suffix
-    var len = head.length + 100 + streamReplay.length + stealStdout.length
+    var len = head.length + 100 + streamReplay.length +
+      stealStdout.length + rowsStdout.length
     var omitted = 0
     bySlowest.foreach { case (k, v) =>
       val p = s"\"" + k + "\":" + fmt(v)
@@ -288,7 +314,7 @@ object Bench {
     val note =
       if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
     val stdoutJson = head + parts.mkString(",") + "}" + note +
-      streamReplay + stealStdout +
+      streamReplay + stealStdout + rowsStdout +
       s""","spill_bytes":${spills.values.sum}""" + "}"
     spark.stop()
     System.err.flush()

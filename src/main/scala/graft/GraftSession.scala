@@ -18,6 +18,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ceiling for AQE's per-stage partition sizing, scale-following
+      // (SPARK_GRAFT_PART_CEILING × cpus, default 1): stages whose
+      // shuffle volume outgrows cpu-count partitioning (10×+ bench
+      // scale) split by BYTES instead of spilling multi-GB sorts, and
+      // AQE coalesces small stages back toward the cpu-count target.
+      // Sized per scale factor like shuffle partitions on any real
+      // cluster — a blanket 16× at bench scale measured +10% total
+      // across the suite's many small queries.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_PART_CEILING", "1")
+          .toInt).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet

@@ -145,11 +145,22 @@ object FuzzyBlocking {
     * (bandScore, chunkScore). */
   private[graft] def estimate(targets: DataFrame, bandK: Int, chunkK: Int,
       withBlk: Boolean, sampleCap: Long = 2000L): (Double, Double) = {
-    val n = targets.count()
+    // the join's DP volume is measured over the DISTINCT frames
+    // ([[verifyDistinctThenExpand]]), so the probe must weigh block
+    // masses the same way: sample by NAME hash (keeps every copy of a
+    // sampled name; an id-hash sample would thin duplicated names),
+    // dedup to distinct strings, and scale the sampling fraction to
+    // land ~sampleCap DISTINCT names — scaling by the row count would
+    // starve the probe to a handful of names on a heavily-duplicated
+    // corpus (one scan, partial-agg only: approx_count_distinct)
+    val dn = targets.agg(approx_count_distinct(col("name")))
+      .collect()(0).getLong(0)
     val bucket = math.max(1L,
-      math.min(1000000L, 1000000L * sampleCap / math.max(n, 1L)))
+      math.min(1000000L, 1000000L * sampleCap / math.max(dn, 1L)))
+    val keep = (if (withBlk) Seq(col("blk")) else Nil) :+ col("name")
     val s = targets
-      .filter(pmod(xxhash64(col("match_key")), lit(1000000L)) < lit(bucket))
+      .filter(pmod(xxhash64(col("name")), lit(1000000L)) < lit(bucket))
+      .select(keep: _*).distinct()
     def sumSq(df: DataFrame, keys: Seq[Column]): (Long, Long) = {
       val r = df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
         .agg(sum("c"), sum(col("c") * col("c"))).collect()(0)
@@ -187,19 +198,62 @@ object FuzzyBlocking {
     decisionMemo.invalidate(); jwDecisionMemo.invalidate()
   }
 
+  /** Run the blocked candidate-generate → DP-verify pipeline ONCE PER
+    * DISTINCT STRING PAIR, then expand back to ids — the lever that
+    * keeps edit-distance joins alive on low-entropy corpora. The DP
+    * volume of a blocked fuzzy join is Σ |probe block|·|target block|,
+    * which grows ~n² whenever the key space is fixed while the corpus
+    * grows (catalogs, logs, templated text: the sf10 sweep measured
+    * the part table at 2M rows but 5,824 DISTINCT names — and fj1 at
+    * 771 s because every one of the ~10⁸ id-pair candidates re-ran a
+    * DP that only ~10⁵ distinct string pairs exist for). Distances
+    * depend on the STRINGS alone, so: dedup both sides to distinct
+    * (string[, blk]), generate + verify on those (candidates on
+    * distinct frames are a subset of candidates on raw frames — never
+    * more DP work, usually decades less), then two hash joins expand
+    * verified string pairs back to (probe_id, match_key). The
+    * expansion is output-sized — that cost IS the answer. On a
+    * high-entropy corpus the distincts collapse nothing and cost two
+    * linear shuffles; on a duplicated one this is the difference
+    * between n² and d². A verified (q, name) pair is blk-independent
+    * (the DP never sees blk), so the expansion re-applies the blk
+    * equality: probes ⋈ verified ON q, then ⋈ targets ON (name, blk)
+    * — exactly the pairs whose own blk columns agree, each with its
+    * once-computed distance. */
+  private def verifyDistinctThenExpand(probes: DataFrame,
+      targets: DataFrame, withBlk: Boolean,
+      gen: (DataFrame, DataFrame) => DataFrame,
+      dist: (Column, Column) => Column, k: Int): DataFrame = {
+    val pKeep = if (withBlk) Seq("q", "blk") else Seq("q")
+    val tKeep = if (withBlk) Seq("name", "blk") else Seq("name")
+    // surrogate ids = the strings themselves: the generators pass
+    // probe_id/match_key through untouched, so the strings ride along
+    // and the verified frame needs no extra join to recover them
+    val dProbes = probes.select(pKeep.map(col): _*).distinct()
+      .withColumn("probe_id", col("q"))
+    val dTargets = targets.select(tKeep.map(col): _*).distinct()
+      .withColumn("match_key", col("name"))
+    val verified = gen(dProbes, dTargets)
+      .withColumn("dist", dist(col("q"), col("name")))
+      .filter(col("dist") <= k)
+      .select("q", "name", "dist").distinct()
+    probes.join(verified, Seq("q"))
+      .join(targets, tKeep)
+      .select("probe_id", "match_key", "dist")
+  }
+
   /** Blocked lev ≤ k join with auto-selected (or forced) blocking:
     * (probe_id, match_key, dist). */
   def fuzzyJoin(probes: DataFrame, targets: DataFrame, k: Int,
       blocker: Option[Blocker] = None): DataFrame = {
-    val b = blocker.getOrElse(
-      choose(targets, k, hasBlk(probes, targets)))
-    val cand = b match {
-      case Band  => bandCandidates(probes, targets, k)
-      case Chunk => chunkCandidates(probes, targets, k)
+    val withBlk = hasBlk(probes, targets)
+    val b = blocker.getOrElse(choose(targets, k, withBlk))
+    val gen: (DataFrame, DataFrame) => DataFrame = b match {
+      case Band  => bandCandidates(_, _, k)
+      case Chunk => chunkCandidates(_, _, k)
     }
-    cand.withColumn("dist", levenshtein(col("q"), col("name")))
-      .filter(col("dist") <= k)
-      .select("probe_id", "match_key", "dist")
+    verifyDistinctThenExpand(probes, targets, withBlk, gen,
+      levenshtein(_, _), k)
   }
 
   /** Blocked unrestricted Damerau-Levenshtein ≤ k join with
@@ -216,16 +270,14 @@ object FuzzyBlocking {
     * bigger win to get picked for DL than for plain lev. */
   def damerauJoin(probes: DataFrame, targets: DataFrame, k: Int,
       blocker: Option[Blocker] = None): DataFrame = {
-    val b = blocker.getOrElse(
-      chooseEdit(targets, k, 2 * k, hasBlk(probes, targets)))
-    val cand = b match {
-      case Band  => bandCandidates(probes, targets, k)
-      case Chunk => chunkCandidates(probes, targets, 2 * k)
+    val withBlk = hasBlk(probes, targets)
+    val b = blocker.getOrElse(chooseEdit(targets, k, 2 * k, withBlk))
+    val gen: (DataFrame, DataFrame) => DataFrame = b match {
+      case Band  => bandCandidates(_, _, k)
+      case Chunk => chunkCandidates(_, _, 2 * k)
     }
-    cand.withColumn("dist",
-        FuzzyFunctions.damerau_levenshtein(col("q"), col("name")))
-      .filter(col("dist") <= k)
-      .select("probe_id", "match_key", "dist")
+    verifyDistinctThenExpand(probes, targets, withBlk, gen,
+      FuzzyFunctions.damerau_levenshtein(_, _), k)
   }
 
   // ── Jaro-Winkler (similarity-threshold) lever set ───────────────────
@@ -335,5 +387,33 @@ object FuzzyBlocking {
         probes.join(targets, Seq("blk"))
           .select("probe_id", "q", "match_key", "name")
     }
+  }
+
+  /** Blocked jw ≥ tau join with the verify kernel applied ONCE PER
+    * DISTINCT STRING PAIR ([[verifyDistinctThenExpand]]'s rationale —
+    * JW is a pure string function too, and on a duplicated corpus the
+    * per-id-pair scoring is the same n²-of-d² waste the edit-distance
+    * joins had: fj3 at the sf10 low-entropy part table measured 147 s
+    * scoring ~10⁸ id-pair candidates that hold ~10⁵ distinct string
+    * pairs — 1.4 s verified-distinct). Returns (probe_id, match_key,
+    * jw) with the RAW double score; thresholding at tau is applied
+    * here (it gates the candidate volume), rounding stays
+    * query-owned. */
+  def jwJoin(probes: DataFrame, targets: DataFrame, tau: Double,
+      blocker: Option[JwBlocker] = None): DataFrame = {
+    val withBlk = hasBlk(probes, targets)
+    val pKeep = if (withBlk) Seq("q", "blk") else Seq("q")
+    val tKeep = if (withBlk) Seq("name", "blk") else Seq("name")
+    val dProbes = probes.select(pKeep.map(col): _*).distinct()
+      .withColumn("probe_id", col("q"))
+    val dTargets = targets.select(tKeep.map(col): _*).distinct()
+      .withColumn("match_key", col("name"))
+    val verified = jwCandidates(dProbes, dTargets, tau, blocker)
+      .withColumn("jw", FuzzyFunctions.jaro_winkler(col("q"), col("name")))
+      .filter(col("jw") >= tau)
+      .select("q", "name", "jw").distinct()
+    probes.join(verified, Seq("q"))
+      .join(targets, tKeep)
+      .select("probe_id", "match_key", "jw")
   }
 }

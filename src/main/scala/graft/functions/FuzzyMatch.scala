@@ -311,13 +311,14 @@ object FuzzyMatch {
     * audit puts every blocked pair ≥ 1.8e-6 away from a round boundary
     * and ≥ 1.7e-3 away from the 0.9 gate at sf0.1.
     *
-    * Candidates route through [[FuzzyBlocking.jwCandidates]]: JW is
-    * not edit-bounded, so the only lossless refinement over the
+    * The join routes through [[FuzzyBlocking.jwJoin]]: JW is not
+    * edit-bounded, so the only lossless refinement over the
     * first-token block is the MULTIPLICATIVE length band
     * ([[FuzzyBlocking.jwLenRatio]] — jw ≥ 0.9 forces min/max ≥ 1/2);
     * on part names the window covers nearly every block, so the probe
     * derives plain block-only joining (today's measured plan), with
-    * the band armed for wide-length-spread corpora.
+    * the band armed for wide-length-spread corpora. The kernel runs
+    * once per DISTINCT (q, name) pair and expands to ids after.
     */
   def fj3JaroWinklerJoin(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
@@ -329,9 +330,7 @@ object FuzzyMatch {
       .select(col("p_partkey").as("match_key"),
         col("p_name").as("name"),
         split_part(col("p_name"), lit(" "), lit(1)).as("blk"))
-    FuzzyBlocking.jwCandidates(probes, targets, tau = 0.9)
-      .withColumn("jw", jaro_winkler(col("q"), col("name")))
-      .filter(col("jw") >= 0.9)
+    FuzzyBlocking.jwJoin(probes, targets, tau = 0.9)
       .select(col("probe_id"), col("match_key"),
         floor(col("jw") * 10000 + 0.5).cast("long").as("jw_e4"))
       .orderBy("probe_id", "match_key")

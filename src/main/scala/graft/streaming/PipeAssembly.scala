@@ -59,24 +59,28 @@ object PipeAssembly {
     "sink.topicTemplate" -> "changelog_${conn}_generic",
     "sink.bootstrapServers" -> "localhost:9092")
 
-  /** `profile = low-latency`: the measured SURVEY §16 latency frontier
-    * packaged as config, for tail-follow consumers where
-    * trigger-to-commit beats throughput. Applies the probe-default
-    * knobs: 4k-line admission cap (steady tailing batches, not one
-    * giant catch-up), zero trigger interval (next batch fires
-    * immediately), 4 shuffle/state partitions (every micro-batch pays
-    * load+commit PER state partition — 32-way state for a 4k-row
-    * trigger measured p50 756 ms vs ~410 at 4), and async progress
-    * tracking on the KAFKA sink only (takes offset/commit WAL writes
-    * off the critical path, p95 ~650-830 → ~460-550, at the cost of
-    * exactly-once offsets → possible replay on failure; Spark forbids
-    * it for the durable parquet path and stateful-only sinks, which
-    * keep synchronous exactly-once offsets). Explicit config keys win
-    * over profile values. */
+  /** `profile = low-latency`: the measured latency frontier packaged
+    * as config, for tail-follow consumers where trigger-to-commit
+    * beats throughput. Re-derived on the RocksDB + changelog-
+    * checkpointing state store (FRONTIER.json; the pre-migration
+    * HDFS-provider frontier in SURVEY §16 motivated 4 partitions ×
+    * 4096): per-batch state-commit cost is now ~30 ms PER state
+    * partition (changelog deltas, not full snapshots), so the p50
+    * floor keeps falling below 4-way state — the 12-cell grid
+    * measured 2 partitions × 2048-line cap at p50 273 ms / p95 324
+    * vs 306/375 for the old 4×4096 cell. 2 keeps a parallel state
+    * path (1 partition measured ~the same p50 but serializes
+    * recovery and all keyed work); 2048 halves per-trigger admission
+    * latency for a tailing consumer. Zero trigger interval (next
+    * batch fires immediately), async progress tracking on the KAFKA
+    * sink only (takes offset/commit WAL writes off the critical
+    * path; Spark forbids it for the durable parquet path and
+    * stateful-only sinks, which keep synchronous exactly-once
+    * offsets). Explicit config keys win over profile values. */
   val LowLatencyProfile: Map[String, String] = Map(
-    "source.maxLinesPerTrigger" -> "4096",
+    "source.maxLinesPerTrigger" -> "2048",
     "sink.triggerSeconds" -> "0",
-    "session.shufflePartitions" -> "4",
+    "session.shufflePartitions" -> "2",
     "sink.kafkaAsyncProgress" -> "true")
 
   /** Defaults ++ named profile ++ explicit config (rightmost wins). */

@@ -399,4 +399,59 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(bandCand < blockCand,
       s"mult band must prune: $bandCand vs $blockCand")
   }
+
+  test("verify-distinct-then-expand is exact under heavy duplication: " +
+    "duplicated names across ids, duplicated probe strings, and the " +
+    "same string under DIFFERENT blks — every join shape matches " +
+    "driver-side brute force, per id pair") {
+    import graft.functions.FuzzyBlocking
+    val sparkS = spark
+    import sparkS.implicits._
+    // the duplication shapes the expansion must not double- or
+    // under-count: "ring" twice under blk r; "rung" under blk r AND
+    // under blk x (same string, different block — only same-blk pairs
+    // may match); two probes sharing one q; an id-unique name
+    val targets = Seq(
+      (1L, "ring", "r"), (2L, "ring", "r"), (3L, "rung", "r"),
+      (4L, "rung", "x"), (5L, "rope", "r"), (6L, "xylo", "x"))
+      .toDF("match_key", "name", "blk")
+    val probes = Seq(
+      (10L, "rng", "r"), (11L, "rng", "r"), (12L, "rnug", "r"),
+      (13L, "xylo", "x"))
+      .toDF("probe_id", "q", "blk")
+    val t = targets.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    val p = probes.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    def brute(dist: (String, String) => Int, k: Int) = (for {
+      (pid, q, pb) <- p; (mid, name, tb) <- t
+      if pb == tb; d = dist(q, name) if d <= k
+    } yield (pid, mid, d)).sorted.toSeq
+    for (b <- Seq(FuzzyBlocking.Band, FuzzyBlocking.Chunk)) {
+      val got = FuzzyBlocking.fuzzyJoin(probes, targets, 2, Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(got === brute(lev, 2), s"fuzzyJoin/$b under duplication")
+      val gotDl = FuzzyBlocking.damerauJoin(probes, targets, 1, Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(gotDl === brute(dl, 1), s"damerauJoin/$b under duplication")
+    }
+    val bruteJw = (for {
+      (pid, q, pb) <- p; (mid, name, tb) <- t
+      if pb == tb && jw(q, name) >= 0.9
+    } yield (pid, mid)).sorted.toSeq
+    for (b <- Seq(FuzzyBlocking.BlockOnly, FuzzyBlocking.MultBand)) {
+      val got = FuzzyBlocking.jwJoin(probes, targets, 0.9, Some(b))
+        .select("probe_id", "match_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === bruteJw, s"jwJoin/$b under duplication")
+    }
+    // auto-routed too (exercises the probe on a duplicated corpus)
+    FuzzyBlocking.invalidate()
+    val auto = FuzzyBlocking.fuzzyJoin(probes, targets, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(auto === brute(lev, 2))
+  }
 }

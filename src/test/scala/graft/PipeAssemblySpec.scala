@@ -156,12 +156,13 @@ class PipeAssemblySpec extends SparkSpec {
 
   test("low-latency profile: knobs land in the effective config, " +
     "explicit keys win, the pipe runs, unknown profile rejected") {
-    // the packaged SURVEY §16 frontier: admission cap, zero trigger
-    // interval, 4-way state, kafka-only async progress
+    // the packaged FRONTIER.json knobs (RocksDB + changelog
+    // checkpointing): admission cap, zero trigger interval, 2-way
+    // state, kafka-only async progress
     val eff = PipeAssembly.effectiveConfig(Map("profile" -> "low-latency"))
-    assert(eff("source.maxLinesPerTrigger") === "4096")
+    assert(eff("source.maxLinesPerTrigger") === "2048")
     assert(eff("sink.triggerSeconds") === "0")
-    assert(eff("session.shufflePartitions") === "4")
+    assert(eff("session.shufflePartitions") === "2")
     assert(eff("sink.kafkaAsyncProgress") === "true")
     // explicit config beats the profile, profile beats defaults
     val over = PipeAssembly.effectiveConfig(Map(
@@ -187,7 +188,7 @@ class PipeAssemblySpec extends SparkSpec {
         "source.path" -> log.toString,
         "sink.path" -> s"$out/data",
         "sink.checkpoint" -> s"$out/chk"), availableNow = true)
-      assert(spark.conf.get("spark.sql.shuffle.partitions") === "4",
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "2",
         "profile must size the session state before the query starts")
       q.awaitTermination(60000); q.stop()
       val pks = spark.read.parquet(s"$out/data")
