@@ -51,11 +51,18 @@ for SF in 0.001 0.01 0.1 1; do
 done
 restore
 python3 - "$TMP" "$CPUS" <<'EOF'
-import json, sys
+import json, os, sys
 tmp, cpus = sys.argv[1], int(sys.argv[2])
 sfs = ("0.001", "0.01", "0.1", "1")
 runs = {sf: json.load(open(f"{tmp}/last_{sf}.json")) for sf in sfs}
 names = sorted(set().union(*[r["queries"].keys() for r in runs.values()]))
+# the targeted sf10_sweep.sh merges its own keys (sf10, slope_sf1_sf10,
+# rows_*) into SCALE.json after this writes it; preserve them across a
+# full re-sweep instead of silently dropping the 5th decade
+prev = (json.load(open("SCALE.json"))
+        if os.path.exists("SCALE.json") else {"queries": {}})
+SF10_KEYS = ("sf10", "slope_sf1_sf10", "rows_sf1", "rows_sf10",
+             "rows_growth_sf1_sf10")
 def ratio(a, b):
     return round(b / a, 2) if a and a > 0 and b and b > 0 else None
 queries = {}
@@ -64,6 +71,9 @@ for n in names:
     t["slope_001_01"] = ratio(t["sf0.001"], t["sf0.01"])
     t["slope_01_1"] = ratio(t["sf0.01"], t["sf0.1"])
     t["slope_1_sf1"] = ratio(t["sf0.1"], t["sf1"])
+    for k in SF10_KEYS:
+        if k in prev["queries"].get(n, {}):
+            t[k] = prev["queries"][n][k]
     queries[n] = t
 out = {
     "generated_by":
@@ -72,6 +82,8 @@ out = {
     "totals": {f"sf{sf}": runs[sf]["value"] for sf in sfs},
     "queries": queries,
 }
+if "sf10_watchlist" in prev:
+    out["sf10_watchlist"] = prev["sf10_watchlist"]
 json.dump(out, open("SCALE.json", "w"), indent=1, sort_keys=True)
 print("[scale] wrote SCALE.json:", out["totals"])
 EOF
