@@ -84,15 +84,31 @@ object RuntimeFilter {
   }
 
   /** Membership test against the literal bitset — all codegen'd
-    * integer ops, no UDF, evaluated in the scan stage. */
-  def mightContain(bloom: BloomBits, key: Column): Column =
+    * integer ops, no UDF, evaluated in the scan stage.
+    *
+    * The bitset ships as ONE primitive-array literal shared by both
+    * seed probes: `lit(Array[Long])` per seed built a boxed
+    * GenericArrayData per call, and the task binary carried the two
+    * independent copies at ~32 bytes per boxed element — a 16 MB
+    * bitset serialized as a 168 MB task broadcast at sf10 (measured).
+    * One UnsafeArrayData literal is the 16 MB payload itself, and
+    * both element_at nodes referencing the SAME instance serialize it
+    * once (Java serialization dedups shared references, in the plan
+    * tree and in codegen's ctx.references alike). */
+  def mightContain(bloom: BloomBits, key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val bitsLit = org.apache.spark.sql.graft.ColumnBridge.column(
+      Literal(UnsafeArrayData.fromPrimitiveArray(bloom.bits),
+        ArrayType(LongType, containsNull = false)))
     Seeds.map { s =>
       val p = pos(key, s, bloom.nBits)
       val word =
-        element_at(lit(bloom.bits), floorDiv(p, 64L).cast("int") + lit(1))
+        element_at(bitsLit, floorDiv(p, 64L).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
+  }
 
   /** Per-session Bloom cache: a runtime filter is MODEL STATE derived
     * from its build-side plan — like IVF centroids or PQ codebooks —
