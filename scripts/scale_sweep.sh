@@ -71,9 +71,17 @@ for n in names:
     t["slope_001_01"] = ratio(t["sf0.001"], t["sf0.01"])
     t["slope_01_1"] = ratio(t["sf0.01"], t["sf0.1"])
     t["slope_1_sf1"] = ratio(t["sf0.1"], t["sf1"])
+    preserved = False
     for k in SF10_KEYS:
         if k in prev["queries"].get(n, {}):
             t[k] = prev["queries"][n][k]
+            preserved = True
+    # preserved sf10 numbers were measured on an OLDER code state than
+    # the fresh sf0.001..sf1 columns beside them; mark them stale so
+    # slope_sf1_sf10 != sf10/sf1 of this file reads as "re-run
+    # sf10_sweep", not as an inconsistency (sf10_sweep clears the flag)
+    if preserved:
+        t["sf10_stale"] = True
     queries[n] = t
 out = {
     "generated_by":
@@ -83,7 +91,7 @@ out = {
     "queries": queries,
 }
 if "sf10_watchlist" in prev:
-    out["sf10_watchlist"] = prev["sf10_watchlist"]
+    out["sf10_watchlist"] = dict(prev["sf10_watchlist"], stale=True)
 json.dump(out, open("SCALE.json", "w"), indent=1, sort_keys=True)
 print("[scale] wrote SCALE.json:", out["totals"])
 EOF

@@ -17,7 +17,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CPUS="${1:-8}"
-QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,fj3_jw_join,fj4_auto_blocked,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm"
+# r13 steep-slope set + (VERDICT r13 item 1) the iterative/CC/
+# dataset-build family — the suite's most expensive queries, whose
+# pointer-jumping ROUND COUNT could grow with the decade (reported as
+# cc_rounds_* next to the slope)
+QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,fj3_jw_join,fj4_auto_blocked,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm,gr_cc,dd_minhash_groups,sim_neardup_groups,tp_dataset_build,tp_dataset_build_report,dc2_fuzzy_decontamination"
 TMP=$(mktemp -d)
 mv BENCH_LAST.json "$TMP/bench_last.orig" 2>/dev/null || true
 restore() { mv "$TMP/bench_last.orig" BENCH_LAST.json 2>/dev/null || true; }
@@ -30,17 +34,24 @@ if [ ! -d .scale/sf1/lineitem.parquet ]; then
 fi
 if [ ! -d .scale/sf10/lineitem.parquet ]; then
   echo "[sf10] deriving sf10 watch-list tables (.scale/sf10) ..." >&2
-  sbt -batch 'runMain graft.GenScale .scale/sf1 .scale/sf10 10 documents events part orders lineitem' \
+  sbt -batch 'runMain graft.GenScale .scale/sf1 .scale/sf10 10 documents events part orders lineitem embeddings' \
     >"$TMP/gen10.out" 2>&1 || { tail -5 "$TMP/gen10.out" >&2; exit 1; }
+fi
+# embeddings joined the watch list in r14 (sim_neardup_groups); derive
+# it into a pre-existing sf10 dir that predates the extension
+if [ ! -d .scale/sf10/embeddings.parquet ]; then
+  echo "[sf10] deriving sf10 embeddings ..." >&2
+  sbt -batch 'runMain graft.GenScale .scale/sf1 .scale/sf10 10 embeddings' \
+    >"$TMP/gen10e.out" 2>&1 || { tail -5 "$TMP/gen10e.out" >&2; exit 1; }
 fi
 
 for SF in 1 10; do
   echo "[sf10] bench watch list at sf$SF ..." >&2
-  # partition ceiling follows the data scale (see Bench.scala): sf10's
-  # heavy shuffles need byte-sized partitions, AQE coalesces the rest
-  CEIL=1; [ "$SF" = 10 ] && CEIL=16
+  # partition ceiling follows the data scale automatically now
+  # (GraftSession.tuneForData derives it from the dir's on-disk bytes;
+  # VERDICT r13 item 6) — no env knob, no per-decade operator input
   SPARK_GRAFT_SF_DIR=".scale/sf$SF" SPARK_GRAFT_CPUS="$CPUS" \
-    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_PART_CEILING="$CEIL" \
+    SPARK_GRAFT_ONLY="$QUERIES" \
     sbt -batch 'runMain graft.Bench' >"$TMP/bench_$SF.out" 2>&1 || {
       echo "[sf10] bench failed at sf$SF; tail:" >&2
       tail -5 "$TMP/bench_$SF.out" >&2
@@ -57,12 +68,15 @@ r10 = json.loads(open(f"{tmp}/json_10").read())
 scale = json.load(open("SCALE.json"))
 rows1 = r1.get("queries_rows", {})
 rows10 = r10.get("queries_rows", {})
+rnd1 = r1.get("queries_rounds", {})
+rnd10 = r10.get("queries_rounds", {})
 for n, t10 in r10["queries"].items():
     q = scale["queries"].setdefault(n, {})
     t1 = r1["queries"].get(n)
     q["sf10"] = t10
     q["slope_sf1_sf10"] = (round(t10 / t1, 2)
                            if t1 and t1 > 0 and t10 and t10 > 0 else None)
+    q.pop("sf10_stale", None)  # freshly measured on THIS code state
     # output growth across the decade: a wall slope is only
     # interpretable next to the RESULT growth it carries (near-dup
     # pair queries on a decade-stacked corpus legitimately answer
@@ -71,13 +85,19 @@ for n, t10 in r10["queries"].items():
     if o1 is not None and o10 is not None:
         q["rows_sf1"], q["rows_sf10"] = o1, o10
         q["rows_growth_sf1_sf10"] = round(o10 / o1, 2) if o1 > 0 else None
+    # iterative kernels: the pointer-jumping round count across the
+    # decade — the slope claim needs rounds ~log(diameter) to hold
+    if n in rnd1 or n in rnd10:
+        q["cc_rounds_sf1"] = rnd1.get(n)
+        q["cc_rounds_sf10"] = rnd10.get(n)
 scale["sf10_watchlist"] = {
     "queries": sorted(r10["queries"].keys()),
     "sf1_total": round(sum(v for v in r1["queries"].values() if v > 0), 3),
     "sf10_total": round(sum(v for v in r10["queries"].values() if v > 0), 3),
     "sf10_spill_bytes": r10.get("spill_bytes", -1),
     "note": "targeted decade, fresh JVM, SPARK_GRAFT_ONLY-scoped; "
-            "sf10 tables: documents events part orders lineitem",
+            "sf10 tables: documents events part orders lineitem "
+            "embeddings",
 }
 json.dump(scale, open("SCALE.json", "w"), indent=1, sort_keys=True)
 print("[sf10] merged:", {n: scale["queries"][n].get("slope_sf1_sf10")

@@ -7,20 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // partition-count ceiling, sized to the DATA SCALE like any real
-      // deployment (SPARK_GRAFT_PART_CEILING × cpus; default 1 = the
-      // cpu-count partitioning the bench scale wants): at 10× bench
-      // scale the heavy shuffles outgrow cpu-count partitioning —
-      // dd_ngram_jaccard's verify spilled 16 GB at sf10 through 8
-      // partitions, zero-spill at 128 with AQE coalescing the small
-      // stages back down. A blanket 16× ceiling at sf0.1 measured +10%
-      // total (per-task overhead across 238 small queries), so the
-      // ceiling follows the scale factor, not a constant.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_PART_CEILING", "1")
-          .toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR pools for the concurrent-serving leg (VERDICT r13 item 7):
+      // each serving thread runs in its own pool so one long scan
+      // cannot starve the other sessions' short queries — the sharing
+      // model a multi-tenant 100 TB engine actually runs under. For
+      // the serial leg (one job at a time) FAIR == FIFO.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // StateKernel (transformWithState) queries need the RocksDB
       // state store provider, in batch mode too
@@ -40,6 +34,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietKnownNoise()
     GraftCatalog.installOptimizations(spark)
+    // partition-count ceiling follows the DATA SCALE (VERDICT r13
+    // item 6): derived from the input dir's on-disk bytes — bench
+    // scale clamps to cpu-count (the measured optimum for 238 small
+    // queries; a blanket 16× cost +10% total), the sf10 decade derives
+    // ~128 so heavy shuffles split by bytes instead of spilling
+    // (dd_ngram_jaccard: 16 GB spill through 8 partitions, zero at
+    // 128). SPARK_GRAFT_PART_CEILING (× cpus) remains the override.
+    val partCeiling = GraftSession.tuneForData(spark, sfDir)
+    System.err.println(s"[bench] partition ceiling $partCeiling")
     // untimed warm-up: JVM/codegen/file-listing costs land here, not on
     // whichever query happens to run first
     try {
@@ -109,6 +112,12 @@ object Bench {
     // superlinearly in wall because the ANSWER grows superlinearly on
     // decade-stacked near-duplicate corpora — rows make that visible)
     val rows = scala.collection.mutable.Map.empty[String, Long]
+    // iterative-kernel round counts per query (graft.util.Rounds): the
+    // scale sweeps report these next to the wall slopes — a CC closure
+    // whose round count grows with the decade is a different scale
+    // story than one whose rounds hold flat
+    val rounds = scala.collection.mutable.Map.empty[String, Int]
+    graft.util.Rounds.drain() // clear anything the warm-up recorded
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
@@ -172,6 +181,8 @@ object Bench {
         // alone left localCheckpoint RDD blocks registered — see
         // graft.util.Caches)
         graft.util.Caches.releaseAll(spark)
+        val rds = graft.util.Rounds.drain()
+        if (rds.nonEmpty) rounds(name) = rds.values.max
         name -> best
     }.toMap
     val total =
@@ -191,9 +202,14 @@ object Bench {
         // is self-describing — a real state-store regression shows up
         // in state_commit_ms across all attempts, a steal spike shows
         // up in one attempt's steal_sec
+        // 10× backlog (VERDICT r13 item 3): a ~2 s drain measured
+        // RocksDB commit file-sync variance (16.7 s vs 0.3 s across
+        // otherwise-identical runs), not the pipe; at 10× the fixed
+        // per-commit costs amortize to a few percent
+        val backlogCopies = 10
         val rSteal0 = stealJiffies()
         val (lines, attempts, med) = streaming.ReplayBench.runMedianOf(
-          spark, sfDir, replayDir)
+          spark, sfDir, replayDir, copies = backlogCopies)
         val rSteal = (stealJiffies() - rSteal0) / 100.0
         if (rSteal > 0) steals("stream_replay") = rSteal
         val attemptsJson = attempts.map(a =>
@@ -213,8 +229,15 @@ object Bench {
         // own try: a probe failure must not discard the throughput
         // numbers already measured above.
         val latency = try {
+          // the latency probe keeps a 1× log: it measures per-BATCH
+          // trigger latency under capped admission (the steady-state
+          // tailing shape), where backlog depth only multiplies the
+          // batch COUNT — a 10× probe would take 10× the wall to
+          // measure the same distribution
+          streaming.ReplayBench.generateLog(
+            spark, sfDir, s"$replayDir/log1x")
           val l = streaming.ReplayBench.latencyProbe(
-            spark, s"$replayDir/log", s"$replayDir/latency")
+            spark, s"$replayDir/log1x", s"$replayDir/latency")
           s""","batches":${l.batches},"batch_latency_ms":{"p50":${
             "%.0f".format(l.p50)},"p95":${"%.0f".format(l.p95)},"max":${
             "%.0f".format(l.max)},"commit_p50":${
@@ -229,11 +252,89 @@ object Bench {
         // events_per_sec = LOG LINES/s (incl. begin/commit markers —
         // the source-side drain rate); mutations_per_sec = sink rows/s,
         // the marker-fraction-independent number to regress on
-        s""","stream_replay":{"events":$lines,"mutations_out":${med.out},"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts":$attemptsJson$rocksJson$latency}"""
+        s""","stream_replay":{"events":$lines,"backlog_copies":$backlogCopies,"mutations_out":${med.out},"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts":$attemptsJson$rocksJson$latency}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream_replay failed: ${e.getMessage}")
           ""","stream_replay":{"events_per_sec":-1}"""
+      }
+    }
+    // concurrent-serving leg (VERDICT r13 item 7): a shared 100 TB
+    // engine serves many sessions at once, and AQE + broadcast + the
+    // model-state memos all interact under concurrency. Four threads
+    // each run the 22 TPC-H analogs through their own FAIR pool; the
+    // regressable numbers are per-query latency inflation vs this
+    // run's own serial best (p50/p95/max over thread×query), total
+    // wall vs the serial sum (throughput gain), spill, and the memo
+    // gets/builds counters (builds must not exceed distinct models —
+    // computeIfAbsent blocks racing threads on one builder).
+    val concurrentJson: String = {
+      if (only.isDefined) "" else try {
+        val nThreads = 4
+        val names = SparkEntry.queries.keys
+          .filter(_.matches("q\\d+_.*")).toSeq.sorted
+        val serialBest = names.flatMap(n =>
+          results.get(n).filter(_ > 0).map(n -> _)).toMap
+        val memo0 = graft.util.Caches.memoStats
+        val times = new java.util.concurrent.ConcurrentHashMap[
+          (Int, String), Double]()
+        val spillSum = new java.util.concurrent.atomic.AtomicLong()
+        val fails = new java.util.concurrent.atomic.AtomicInteger()
+        val cSteal0 = stealJiffies()
+        val t0 = System.nanoTime()
+        val threads = (0 until nThreads).map { ti =>
+          val t = new Thread(() => {
+            // thread-local job property: this thread's queries schedule
+            // in their own FAIR pool (created on demand, weight 1)
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"serve$ti")
+            names.foreach { n =>
+              val q0 = System.nanoTime()
+              try {
+                val counted = SparkEntry.queries(n)(spark, sfDir)
+                  .groupBy().count()
+                counted.collect()
+                spillSum.addAndGet(
+                  graft.util.SpillAudit.spillBytes(counted))
+                times.put((ti, n), (System.nanoTime() - q0) / 1e9)
+              } catch {
+                case e: Throwable =>
+                  fails.incrementAndGet()
+                  System.err.println(
+                    s"[bench] concurrent $n (thread $ti) failed: " +
+                      e.getMessage)
+              }
+            }
+          }, s"graft-serve-$ti")
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cSteal = (stealJiffies() - cSteal0) / 100.0
+        graft.util.Caches.releaseAll(spark)
+        graft.util.Rounds.drain()
+        val memo1 = graft.util.Caches.memoStats
+        import scala.jdk.CollectionConverters._
+        val inflations = times.asScala.toSeq.flatMap {
+          case ((_, n), t) => serialBest.get(n).map(t / _)
+        }.sorted
+        def pct(p: Double): Double =
+          if (inflations.isEmpty) -1
+          else inflations(math.max(0, math.min(inflations.size - 1,
+            math.ceil(p * inflations.size).toInt - 1)))
+        s""","concurrent":{"threads":$nThreads,"queries":${names.size},"failed":${fails.get()},"wall_sec":${
+          "%.3f".format(wall)},"serial_best_sum":${
+          "%.3f".format(serialBest.values.sum)},"speedup_vs_serial":${
+          "%.2f".format(nThreads * serialBest.values.sum / wall)},"inflation_p50":${
+          "%.2f".format(pct(0.50))},"inflation_p95":${
+          "%.2f".format(pct(0.95))},"inflation_max":${
+          "%.2f".format(if (inflations.isEmpty) -1 else inflations.last)},"steal_sec":${
+          "%.2f".format(cSteal)},"spill_bytes":${spillSum.get()},"memo_gets":${
+          memo1._1 - memo0._1},"memo_builds":${memo1._2 - memo0._2}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] concurrent leg failed: ${e.getMessage}")
+          ""","concurrent":{"threads":-1}"""
       }
     }
     def fmt(v: Double): String =
@@ -251,6 +352,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
     val rowsQs = rows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val roundsQs = rounds.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // steal + outlier attribution: steal_sec carries only the queries
@@ -273,7 +377,7 @@ object Bench {
         noiseSuspect.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs,"queries_rows":$rowsQs$streamReplay$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs,"queries_rows":$rowsQs,"queries_rounds":$roundsQs$streamReplay$concurrentJson$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // JSON lines found there (rounds 1-2: the full per-query line grew
     // past 2000 chars, was truncated mid-line, and recorded parsed:null).
@@ -297,14 +401,33 @@ object Bench {
       s""","steal_total_sec":${"%.2f".format(runStealSec)}""" +
         stealTop + noiseJson
     // allow-list (sweep/dev) runs don't write BENCH_LAST.json, so their
-    // output rows must ride the stdout line — small by construction
-    // (the list is short); full-suite runs keep rows in the file only
+    // output rows + round counts must ride the stdout line. Capped the
+    // same way as the timing map (ADVICE r13): a long allow-list must
+    // not push the line past the driver's 2000-char stdout capture.
     val rowsStdout =
-      if (only.isDefined) s""","queries_rows":$rowsQs""" else ""
+      if (only.isEmpty) "" else {
+        val entries = rows.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+        val rb = new StringBuilder
+        var rowsOmitted = 0
+        entries.foreach { e =>
+          if (rb.length + e.length + 1 <= 600) {
+            if (rb.nonEmpty) rb.append(','); rb.append(e)
+          } else rowsOmitted += 1
+        }
+        s""","queries_rows":{$rb}""" +
+          (if (rowsOmitted > 0) s""","rows_omitted":$rowsOmitted""" else "")
+      }
+    // round counts only exist for the iterative kernels — a handful of
+    // entries, but ride the same guarantee
+    val roundsStdout =
+      if (only.isDefined && rounds.nonEmpty)
+        s""","queries_rounds":$roundsQs""" else ""
     // reserve room for closing + omitted note + stream_replay object
     // + the ,"spill_bytes":<up-to-19-digits> suffix
     var len = head.length + 100 + streamReplay.length +
-      stealStdout.length + rowsStdout.length
+      concurrentJson.length + stealStdout.length + rowsStdout.length +
+      roundsStdout.length
     var omitted = 0
     bySlowest.foreach { case (k, v) =>
       val p = s"\"" + k + "\":" + fmt(v)
@@ -314,8 +437,8 @@ object Bench {
     val note =
       if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
     val stdoutJson = head + parts.mkString(",") + "}" + note +
-      streamReplay + stealStdout + rowsStdout +
-      s""","spill_bytes":${spills.values.sum}""" + "}"
+      streamReplay + concurrentJson + stealStdout + rowsStdout +
+      roundsStdout + s""","spill_bytes":${spills.values.sum}""" + "}"
     spark.stop()
     System.err.flush()
     println()

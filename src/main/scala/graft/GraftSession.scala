@@ -18,14 +18,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // ceiling for AQE's per-stage partition sizing, scale-following
-      // (SPARK_GRAFT_PART_CEILING × cpus, default 1): stages whose
+      // ceiling for AQE's per-stage partition sizing: stages whose
       // shuffle volume outgrows cpu-count partitioning (10×+ bench
       // scale) split by BYTES instead of spilling multi-GB sorts, and
       // AQE coalesces small stages back toward the cpu-count target.
-      // Sized per scale factor like shuffle partitions on any real
-      // cluster — a blanket 16× at bench scale measured +10% total
-      // across the suite's many small queries.
+      // This builder-time value (SPARK_GRAFT_PART_CEILING × cpus,
+      // default 1) is only the dirless default — entry points that
+      // know their input dir call [[tuneForData]], which DERIVES the
+      // ceiling from the data's on-disk bytes (VERDICT r13 item 6).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_PART_CEILING", "1")
           .toInt).toString)
@@ -58,6 +58,55 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_INDEX_DIR").foreach(
       s.conf.set(functions.GramIndex.IndexDirConf, _))
     s
+  }
+
+  /** Sum of regular-file bytes under a data directory (one local
+    * filesystem walk — the testdata dirs hold a few hundred part
+    * files; on a real deployment this would be one object-store LIST,
+    * the same listing the first scan pays anyway). */
+  def dirBytes(dir: String): Long = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(root)
+  }
+
+  /** On-disk parquet bytes one INITIAL AQE partition should carry.
+    * 16 MB compressed ≈ 100-150 MB in-memory rows — the size at which
+    * a sort/verify stage neither spills nor drowns in per-task
+    * overhead (the sf10 sweep's measured point: 2.0 GB of watch-list
+    * tables wanted ~128 partitions; dd_ngram_jaccard spilled 16 GB
+    * through 8, zero-spill at 128 with AQE coalescing small stages). */
+  val TargetPartitionBytes: Long = 16L << 20
+
+  /** AQE initial-partition ceiling derived from the DATA SCALE
+    * (VERDICT r13 item 6): ceil(input bytes / [[TargetPartitionBytes]])
+    * clamped to [cpus, 16×cpus]. Bench-scale dirs (17 MB at sf0.1)
+    * derive below cpu-count and clamp UP to it — the measured optimum
+    * for the suite's many small queries (a blanket 16× ceiling cost
+    * +10% total there) — while the sf10 decade (2.0 GB) derives ~128
+    * without anyone exporting a knob. */
+  def derivePartCeiling(bytes: Long, cpus: Int): Int = {
+    val derived = math.ceil(bytes.toDouble / TargetPartitionBytes).toInt
+    math.min(16 * cpus, math.max(cpus, derived))
+  }
+
+  /** Apply the scale-derived ceiling to a live session for queries over
+    * `dir`. `SPARK_GRAFT_PART_CEILING` (× cpus) stays as the explicit
+    * operator override; without it the ceiling follows the data. The
+    * conf is runtime-mutable, so Bench/Verify call this once per run
+    * after the session exists. Returns the ceiling applied. */
+  def tuneForData(spark: SparkSession, dir: String): Int = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val ceiling = sys.env.get("SPARK_GRAFT_PART_CEILING") match {
+      case Some(k) => cpus * k.toInt
+      case None => derivePartCeiling(dirBytes(dir), cpus)
+    }
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      ceiling.toString)
+    ceiling
   }
 
   /** Silences the one benign WARN the engine triggers by design:

@@ -25,6 +25,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietKnownNoise()
     GraftCatalog.installOptimizations(spark)
+    // AQE partition ceiling follows the data scale (see GraftSession):
+    // the sf1 value-exact certification runs through here too
+    GraftSession.tuneForData(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

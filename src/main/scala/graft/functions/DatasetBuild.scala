@@ -3,6 +3,7 @@ package graft.functions
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.StageOps
 
 /** End-to-end dataset build — the single materializing pipeline a
   * training run actually consumes, chaining the stages the suite
@@ -76,7 +77,7 @@ object DatasetBuild {
     // funnel+excision as a construction side effect.
     packManifest(
       leakFiltered(
-        cleanedCorpus(docs, nDecon, nExcise).localCheckpoint(eager = false),
+        cleanedCorpus(docs, nDecon, nExcise).stageCheckpoint(eager = false),
         nSplit),
       capacity, nShards)
   }
@@ -100,7 +101,7 @@ object DatasetBuild {
     // at sf1. Lazy like [[tpDatasetBuildFrom]]: persist-on-first-action
     // keeps DataFrame construction side-effect-free.
     val allFlags = TrainPrep.funnelFlags(docs, nDecon)
-      .localCheckpoint(eager = false)
+      .stageCheckpoint(eager = false)
     val flags = allFlags
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("raw_tok"),
@@ -118,13 +119,13 @@ object DatasetBuild {
       .agg(sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_units"),
         sum(when(col("col.kept"), col("doc_id"))).as("id_sum"),
         sum(when(col("col.kept"), col("raw_tok"))).as("tok_sum"))
-    val cleaned = cleanedFromFlags(allFlags, nExcise).localCheckpoint(eager = false)
+    val cleaned = cleanedFromFlags(allFlags, nExcise).stageCheckpoint(eager = false)
     val st5 = cleaned
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))
       .select(lit(5).as("stage_idx"), lit("excise").as("stage"),
         col("n_units"), col("id_sum"), col("tok_sum"))
-    val kept = leakFiltered(cleaned, nSplit).localCheckpoint(eager = false)
+    val kept = leakFiltered(cleaned, nSplit).stageCheckpoint(eager = false)
     val st6 = kept
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),
         sum("n_tok").as("tok_sum"))

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.StageOps
 
 /** Deduplication operators for the training-data pipeline: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. Each is a composable
@@ -574,9 +575,9 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .repartition(col("b"))
-      .localCheckpoint()
+      .stageCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).stageCheckpoint()
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -630,7 +631,7 @@ object Dedup {
     // materialization, and batching cannot remove any of the three.
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      val jumped = step(labels).localCheckpoint()
+      val jumped = step(labels).stageCheckpoint()
       // convergence = no label moved this round; isEmpty short-circuits
       // on the first changed row, so non-final rounds pay almost
       // nothing and only the final round scans the (tiny) label table
@@ -650,6 +651,10 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds; " +
           "a component has diameter > maxIters — raise maxIters")
+    // scale telemetry: the decade sweeps report this next to the wall
+    // slope (pointer jumping ⇒ rounds ~ log2(diameter), so the count
+    // should hold ~flat as data grows 10×)
+    graft.util.Rounds.record("cc", iter)
     labels
   }
 

@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   * only cost time, never results: both levers are lossless, which
   * FuzzyMatchSpec pins on both corpus shapes.
   *
-  * Frame contract: probes carry (probe_id, q[, blk]); targets carry
-  * (match_key, name[, blk]). When both sides carry `blk` it joins as
+  * Frame contract (ENFORCED — the join entry points project to these
+  * columns and reject frames missing them): probes carry
+  * (probe_id, q[, blk]); targets carry (match_key, name[, blk]).
+  * Extra caller columns are dropped at the door, never ambiguous
+  * downstream. When both sides carry `blk` it joins as
   * an additional exact key in EITHER lever (the caller asserts the
   * perturbation never touches it — e.g. fj1's dropped last char
   * leaves the first name token intact).
@@ -145,41 +148,48 @@ object FuzzyBlocking {
     * (bandScore, chunkScore). */
   private[graft] def estimate(targets: DataFrame, bandK: Int, chunkK: Int,
       withBlk: Boolean, sampleCap: Long = 2000L): (Double, Double) = {
-    // the join's DP volume is measured over the DISTINCT frames
-    // ([[verifyDistinctThenExpand]]), so the probe must weigh block
-    // masses the same way: sample by NAME hash (keeps every copy of a
-    // sampled name; an id-hash sample would thin duplicated names),
-    // dedup to distinct strings, and scale the sampling fraction to
-    // land ~sampleCap DISTINCT names — scaling by the row count would
-    // starve the probe to a handful of names on a heavily-duplicated
-    // corpus (one scan, partial-agg only: approx_count_distinct)
-    val dn = targets.agg(approx_count_distinct(col("name")))
-      .collect()(0).getLong(0)
-    val bucket = math.max(1L,
-      math.min(1000000L, 1000000L * sampleCap / math.max(dn, 1L)))
+    // The join's DP volume is measured over the DISTINCT frames
+    // ([[verifyDistinctThenExpand]]), so the probe weighs block masses
+    // per DISTINCT (blk, name) — and it projects to that distinct
+    // frame FIRST (ADVICE r13): the distinct's map-side partial
+    // aggregation bounds the probe's shuffle by the distinct count,
+    // where the former row-level hash-sample filter let a heavily
+    // duplicated corpus push a large row fraction (~34% of 2M rows for
+    // 5.8k distinct names at sf10) into the sampling shuffle. The
+    // distinct frame is persisted across the probe's two jobs — an
+    // exact count (replacing approx_count_distinct) sizes the hash
+    // bucket to ~sampleCap names, then the sampled aggregations score
+    // the levers — and released before returning. Memoized per
+    // (target plan, bounds) by [[chooseEdit]], so the corpus pays this
+    // once.
     val keep = (if (withBlk) Seq(col("blk")) else Nil) :+ col("name")
-    val s = targets
-      .filter(pmod(xxhash64(col("name")), lit(1000000L)) < lit(bucket))
-      .select(keep: _*).distinct()
-    def sumSq(df: DataFrame, keys: Seq[Column]): (Long, Long) = {
-      val r = df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
-        .agg(sum("c"), sum(col("c") * col("c"))).collect()(0)
-      (if (r.isNullAt(0)) 0L else r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val blkKey = if (withBlk) Seq(col("blk")) else Nil
-    val (bn, bandMass) = sumSq(s, blkKey :+ length(col("name")).as("len"))
-    val minLen = minChunkableLen(chunkK)
-    val (_, chunkMass) = sumSq(targetChunks(
-      s.filter(length(col("name")) >= minLen), chunkK),
-      blkKey ++ Seq(col("t_len"), col("ci"), col("ckey")))
-    val (_, shortMass) = sumSq(s.filter(length(col("name")) < minLen),
-      blkKey :+ length(col("name")).as("len"))
-    val denom = math.max(bn, 1L).toDouble
-    val bandFan = (2 * bandK + 1).toDouble
-    val chunkFan = (2 * chunkK + 1).toDouble
-    (bandFan * bandMass / denom,
-      (chunkFan * chunkFan * chunkMass + chunkFan * shortMass) / denom)
+    val dAll = Caches.persistOnce(targets.select(keep: _*).distinct())
+    try {
+      val dn = dAll.count()
+      val bucket = math.max(1L,
+        math.min(1000000L, 1000000L * sampleCap / math.max(dn, 1L)))
+      val s = dAll
+        .filter(pmod(xxhash64(col("name")), lit(1000000L)) < lit(bucket))
+      def sumSq(df: DataFrame, keys: Seq[Column]): (Long, Long) = {
+        val r = df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+          .agg(sum("c"), sum(col("c") * col("c"))).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val blkKey = if (withBlk) Seq(col("blk")) else Nil
+      val (bn, bandMass) = sumSq(s, blkKey :+ length(col("name")).as("len"))
+      val minLen = minChunkableLen(chunkK)
+      val (_, chunkMass) = sumSq(targetChunks(
+        s.filter(length(col("name")) >= minLen), chunkK),
+        blkKey ++ Seq(col("t_len"), col("ci"), col("ckey")))
+      val (_, shortMass) = sumSq(s.filter(length(col("name")) < minLen),
+        blkKey :+ length(col("name")).as("len"))
+      val denom = math.max(bn, 1L).toDouble
+      val bandFan = (2 * bandK + 1).toDouble
+      val chunkFan = (2 * chunkK + 1).toDouble
+      (bandFan * bandMass / denom,
+        (chunkFan * chunkFan * chunkMass + chunkFan * shortMass) / denom)
+    } finally { dAll.unpersist(blocking = false); () }
   }
 
   /** Pick the lever for this target corpus — sampled probe, memoized
@@ -220,10 +230,29 @@ object FuzzyBlocking {
     * equality: probes ⋈ verified ON q, then ⋈ targets ON (name, blk)
     * — exactly the pairs whose own blk columns agree, each with its
     * once-computed distance. */
-  private def verifyDistinctThenExpand(probes: DataFrame,
-      targets: DataFrame, withBlk: Boolean,
+  /** Enforce the frame contract (ADVICE r13): the expansion joins keep
+    * every probe/target column through two joins, so a caller frame
+    * carrying stray columns named `name`/`dist`/`jw` would hit
+    * ambiguous-column errors deep inside the pipeline. Projecting to
+    * exactly the contract columns up front makes extra columns
+    * harmless and turns a MISSING column into an immediate, clearly
+    * attributed error. */
+  private def contractProject(df: DataFrame, id: String, str: String,
+      withBlk: Boolean): DataFrame = {
+    val cols = Seq(id, str) ++ (if (withBlk) Seq("blk") else Nil)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"fuzzy-join frame must carry (${cols.mkString(", ")}); " +
+        s"missing: ${missing.mkString(", ")}")
+    df.select(cols.map(col): _*)
+  }
+
+  private def verifyDistinctThenExpand(probes0: DataFrame,
+      targets0: DataFrame, withBlk: Boolean,
       gen: (DataFrame, DataFrame) => DataFrame,
       dist: (Column, Column) => Column, k: Int): DataFrame = {
+    val probes = contractProject(probes0, "probe_id", "q", withBlk)
+    val targets = contractProject(targets0, "match_key", "name", withBlk)
     val pKeep = if (withBlk) Seq("q", "blk") else Seq("q")
     val tKeep = if (withBlk) Seq("name", "blk") else Seq("name")
     // surrogate ids = the strings themselves: the generators pass
@@ -399,9 +428,11 @@ object FuzzyBlocking {
     * jw) with the RAW double score; thresholding at tau is applied
     * here (it gates the candidate volume), rounding stays
     * query-owned. */
-  def jwJoin(probes: DataFrame, targets: DataFrame, tau: Double,
+  def jwJoin(probes0: DataFrame, targets0: DataFrame, tau: Double,
       blocker: Option[JwBlocker] = None): DataFrame = {
-    val withBlk = hasBlk(probes, targets)
+    val withBlk = hasBlk(probes0, targets0)
+    val probes = contractProject(probes0, "probe_id", "q", withBlk)
+    val targets = contractProject(targets0, "match_key", "name", withBlk)
     val pKeep = if (withBlk) Seq("q", "blk") else Seq("q")
     val tKeep = if (withBlk) Seq("name", "blk") else Seq("name")
     val dProbes = probes.select(pKeep.map(col): _*).distinct()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.Checkpoints.StageOps
 
 /** Product quantization — the second classic ANN index next to IVF
   * ([[Ivf]]): embeddings are split into `m` subvectors, each subspace
@@ -390,7 +391,7 @@ object Pq {
     // column of a real deployment): the ADC scan + both top-k windows
     // must read 4-byte codes, not re-run the 64-distance encode argmin
     // per window pass
-    val encoded = encode(emb, books).localCheckpoint()
+    val encoded = encode(emb, books).stageCheckpoint()
     adcTopK(emb.filter(col("vec_id") < 10), encoded, books,
       k = 5, shortlist = 32)
       .orderBy("q_id", "rank")

@@ -3,6 +3,7 @@ package graft.functions
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.StageOps
 
 /** Inverted-index construction and conjunctive phrase search — the IR
   * side of a corpus pipeline (dedup answers "is this text repeated?";
@@ -309,7 +310,7 @@ object SearchIndex {
       .select(col("col").as("qt"), col("pos").as("slot"))
     val m = pocc.join(broadcast(qTagged), col("t") === col("qt"))
       .select(col("doc_id"), col("pos"), col("slot"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val m1 = m.filter(col("slot") === 0).select(col("doc_id"), col("pos"))
     val m2 = m.filter(col("slot") === 1)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))

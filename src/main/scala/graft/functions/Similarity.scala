@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.StageOps
 
 /** Similarity search over the embedding column (`Array[Float]`, dim 64):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -864,7 +865,7 @@ object Similarity {
     val pool0 = graft.plans.TopKPerKey.topKPerKey(scored0, Seq("q_id"),
         Seq(("cos", true), ("c_id", false)), shortlist)
       .drop("rk")
-      .localCheckpoint()
+      .stageCheckpoint()
     // per-query candidate list (c_id-sorted for deterministic fold
     // order) and the full shortlist×shortlist sim map, keyed "a#b"
     val pa = pool0.select(col("q_id"), col("c_id").as("a_id"),
@@ -1040,7 +1041,7 @@ object Similarity {
     val edges = knnGraph(Tables.embeddings(spark, dir), 3)
       .select(least(col("src_id"), col("nbr_id")).as("u"),
         greatest(col("src_id"), col("nbr_id")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().stageCheckpoint()
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

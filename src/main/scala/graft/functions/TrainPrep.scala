@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.StageOps
 
 /** Training-data preparation operators: overlapping token-window
   * chunking and deterministic train/test splitting. Both are pure
@@ -565,13 +566,13 @@ object TrainPrep {
     // every rung's eval gram set in ONE scan of the 1/97 eval slice
     val evalG = docs.filter(isEval).select(tagged(rungs))
       .select(col("t.n").as("n"), col("t.g").as("g")).distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     // base rung: the only full-train-corpus gram join
     val flagged3 = docs.filter(!isEval)
       .select(col("doc_id"), explode(ngramHashes(col("text"), 3)).as("g"))
       .join(evalG.filter(col("n") === 3).select("g"), "g")
       .select("doc_id").distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     // upper rungs in one pass over the base-flagged (contamination-
     // sized) docs: monotonicity says nothing outside flagged3 can hold
     // a longer shared span, so 6/12/24 never rescan the corpus
@@ -1235,7 +1236,7 @@ object TrainPrep {
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(split(col("tok"), "").as("syms"), col("freq"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val learned = Seq.newBuilder[(String, String, Long)]
     for (_ <- 0 until merges) {
       val pairs = seqs
@@ -1261,7 +1262,7 @@ object TrainPrep {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
         seqs = seqs.select(merged.as("syms"), col("freq"))
-          .localCheckpoint()
+          .stageCheckpoint()
       }
     }
     (learned.result(), seqs)
@@ -1327,7 +1328,7 @@ object TrainPrep {
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
       .select(col("tok"), merged.as("syms"))
-      .localCheckpoint()
+      .stageCheckpoint()
   }
 
   /** Encode `docs` with an already-learned merge table — the reusable

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.ChangeFeed
+import graft.util.Checkpoints.StageOps
 
 /** Warehouse views a CDC consumer derives from the replicated change
   * stream — the layer every user of the reference builds by hand
@@ -304,7 +305,7 @@ object CdcAnalytics {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
     // the stored view: computed once, read per refresh
-    val vBase = term(oBase, cBase).localCheckpoint()
+    val vBase = term(oBase, cBase).stageCheckpoint()
     vBase.unionByName(term(oDelta, broadcast(cBase)))
       .unionByName(term(oBase, broadcast(cDelta)))
       .unionByName(term(oDelta, broadcast(cDelta)))

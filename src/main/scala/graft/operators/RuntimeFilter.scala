@@ -94,20 +94,30 @@ object RuntimeFilter {
     * One UnsafeArrayData literal is the 16 MB payload itself, and
     * both element_at nodes referencing the SAME instance serialize it
     * once (Java serialization dedups shared references, in the plan
-    * tree and in codegen's ctx.references alike). */
+    * tree and in codegen's ctx.references alike).
+    *
+    * The whole test is wrapped in a [[graft.functions.ConstraintBarrier]]
+    * so it stays a PROBE-SIDE-ONLY predicate: without the barrier,
+    * `InferFiltersFromConstraints` rewrites the filter through the
+    * join equality and plants `mightContain(build_key)` on the
+    * build-side scan — semantically a no-op (build keys all pass their
+    * own Bloom) but it ships the bitset literal in a SECOND stage's
+    * task binary (~16 MB again at sf10) and burns two hashes per build
+    * row (VERDICT r13 finding 1). PlanAuditSpec pins the single-sided
+    * plan. */
   def mightContain(bloom: BloomBits, key: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val bitsLit = org.apache.spark.sql.graft.ColumnBridge.column(
       Literal(UnsafeArrayData.fromPrimitiveArray(bloom.bits),
         ArrayType(LongType, containsNull = false)))
-    Seeds.map { s =>
+    graft.functions.ConstraintBarrier.noInfer(Seeds.map { s =>
       val p = pos(key, s, bloom.nBits)
       val word =
         element_at(bitsLit, floorDiv(p, 64L).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)
-    }.reduce(_ && _)
+    }.reduce(_ && _))
   }
 
   /** Per-session Bloom cache: a runtime filter is MODEL STATE derived

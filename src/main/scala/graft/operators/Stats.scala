@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
+import graft.util.Checkpoints.StageOps
 
 /** Statistical and graph-analytic operators over the relational tables.
   *
@@ -499,12 +500,12 @@ object Stats {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // tiny; reread per iteration without rescan
+      .stageCheckpoint() // tiny; reread per iteration without rescan
     val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
     val wedges = broadcast(edges.join(outW, "src")
       .select("src", "dst", "w", "out_w"))
     val nodes = events.select(col("event_type").as("node")).distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     val nNodes = nodes.count()
     val base = (15L * Scale) / (100L * nNodes) // teleport share, exact
     var rank = nodes.withColumn("r", lit(Scale / nNodes))

@@ -275,20 +275,30 @@ object ReplayBench {
     * noisy the distribution was; the median plus the full per-attempt
     * (sec, steal, state-commit) list makes a steal-inflated driver
     * round self-describing). Returns (log lines, per-attempt stats,
-    * the median attempt). */
+    * the median attempt).
+    *
+    * `copies` stacks the corpus Soak-style into a deeper backlog
+    * (VERDICT r13 item 3): a ~2 s drain measured the RocksDB commit
+    * FILE-SYNC variance, not the pipe — the driver's r13 run saw
+    * 16.7 s of rocksdbCommitFileSyncLatencyMs against 0.3 s in the
+    * quiet window, a 1.5× throughput "gap" on identical code. At 10×
+    * the backlog those fixed per-commit costs are a few percent of the
+    * drain and the events/s number regresses on the pipe itself. */
   def runMedianOf(spark: SparkSession, sfDir: String, workDir: String,
-      attempts: Int = 3): (Long, Seq[DrainStats], DrainStats) = {
-    val (lines, all) = runAttempts(spark, sfDir, workDir, attempts)
+      attempts: Int = 3, copies: Int = 1)
+      : (Long, Seq[DrainStats], DrainStats) = {
+    val (lines, all) = runAttempts(spark, sfDir, workDir, attempts, copies)
     val med = all.sortBy(_.sec)(Ordering.Double.TotalOrdering)
       .apply((all.size - 1) / 2)
     (lines, all, med)
   }
 
   private def runAttempts(spark: SparkSession, sfDir: String,
-      workDir: String, attempts: Int): (Long, Seq[DrainStats]) = {
+      workDir: String, attempts: Int, copies: Int = 1)
+      : (Long, Seq[DrainStats]) = {
     val fs = new Path(workDir).getFileSystem(new Configuration())
     fs.delete(new Path(workDir), true)
-    val lines = generateLog(spark, sfDir, s"$workDir/log")
+    val lines = generateLog(spark, sfDir, s"$workDir/log", copies = copies)
     (lines, (0 until attempts).map(i =>
       replayStats(spark, s"$workDir/log", s"$workDir/sink$i")))
   }

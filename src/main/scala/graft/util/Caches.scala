@@ -65,6 +65,16 @@ object Caches {
     * HANDLE to a cached plan can never strand its blocks in the block
     * manager (the accumulation→eviction→spill pathology
     * [[releaseAll]] exists to mop up). */
+  /** Memo traffic counters, aggregated across every [[PlanMemo]]:
+    * `gets` = lookups, `builds` = misses that ran the builder; hits =
+    * gets − builds. The concurrent bench leg reports these to prove
+    * the model-state memos neither stampede (ConcurrentHashMap
+    * `computeIfAbsent` runs the builder at most once per key — racing
+    * threads block on the winner) nor thrash under concurrency. */
+  private val memoGets = new java.util.concurrent.atomic.AtomicLong()
+  private val memoBuilds = new java.util.concurrent.atomic.AtomicLong()
+  def memoStats: (Long, Long) = (memoGets.get(), memoBuilds.get())
+
   final class PlanMemo[K, V](maxEntries: Int,
       onEvict: V => Unit = (_: V) => ()) {
     private val map = new java.util.concurrent.ConcurrentHashMap[
@@ -72,6 +82,7 @@ object Caches {
 
     def get(source: DataFrame, key: K)(build: => V): V = {
       if (map.size >= maxEntries) invalidate()
+      memoGets.incrementAndGet()
       // the data fingerprint (file listing + size of every file-backed
       // leaf) joins the canonicalized plan in the key: a canonicalized
       // file scan is just the path, so a parquet dir rewritten
@@ -82,7 +93,8 @@ object Caches {
       map.computeIfAbsent((source.sparkSession,
         source.queryExecution.analyzed.canonicalized,
         org.apache.spark.sql.graft.FingerprintBridge
-          .dataFingerprint(source), key), _ => build)
+          .dataFingerprint(source), key),
+        _ => { memoBuilds.incrementAndGet(); build })
     }
 
     def invalidate(): Unit = {

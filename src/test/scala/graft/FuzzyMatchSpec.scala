@@ -454,4 +454,45 @@ class FuzzyMatchSpec extends SparkSpec {
       .sorted.toSeq
     assert(auto === brute(lev, 2))
   }
+
+  test("frame contract is enforced at the door (ADVICE r13): stray " +
+    "caller columns — even ones named name/dist/jw — are harmless, " +
+    "and a missing contract column fails with an attributed error") {
+    import graft.functions.FuzzyBlocking
+    val sparkS = spark
+    import sparkS.implicits._
+    val targets = Seq((1L, "ring"), (2L, "rung"), (3L, "rope"))
+      .toDF("match_key", "name")
+    val probes = Seq((10L, "rng"), (11L, "ropa"))
+      .toDF("probe_id", "q")
+    val clean = FuzzyBlocking.fuzzyJoin(probes, targets, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    // the expansion joins used to keep every caller column through two
+    // hash joins, so these exact names produced ambiguous-column
+    // errors mid-pipeline; now they project away up front
+    val dirtyProbes = probes
+      .withColumn("name", lit("stray")).withColumn("dist", lit(-1))
+    val dirtyTargets = targets
+      .withColumn("q", lit("stray")).withColumn("jw", lit(0.0))
+    for (join <- Seq(
+        FuzzyBlocking.fuzzyJoin(dirtyProbes, dirtyTargets, 1),
+        FuzzyBlocking.damerauJoin(dirtyProbes, dirtyTargets, 1))) {
+      val got = join.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(got === clean, "stray columns must not change results")
+    }
+    val jwClean = FuzzyBlocking.jwJoin(probes, targets, 0.9)
+      .select("probe_id", "match_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val jwDirty = FuzzyBlocking.jwJoin(dirtyProbes, dirtyTargets, 0.9)
+      .select("probe_id", "match_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(jwDirty === jwClean)
+    val err = intercept[IllegalArgumentException] {
+      FuzzyBlocking.fuzzyJoin(probes.drop("probe_id"), targets, 1)
+    }
+    assert(err.getMessage.contains("probe_id"),
+      s"missing-column error must name the column: ${err.getMessage}")
+  }
 }

@@ -298,6 +298,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinAt >= 0 && filterAt > joinAt,
       "bloom Filter sits under the join in the plan tree:\n" + p)
     assert(p.contains("shiftleft"), "bitset test is integer algebra:\n" + p)
+    // PROBE SIDE ONLY (VERDICT r13 finding 1): without the
+    // ConstraintBarrier, InferFiltersFromConstraints clones the test
+    // through the semi-join equality onto the orders scan, shipping
+    // the bitset literal in a second stage's task binary. Exactly one
+    // plan node (the probe-side Filter) may carry the bitset test.
+    val bloomNodes = p.split("\n").count(_.contains("xxhash64"))
+    assert(bloomNodes == 1,
+      s"bloom test must sit on the probe side only, found it in " +
+        s"$bloomNodes plan nodes:\n$p")
+    assert(p.split("\n").count(_.contains("no_infer")) == 1,
+      "barrier-wrapped filter present exactly once:\n" + p)
   }
 
   test("suite-wide: BroadcastNestedLoopJoin only where the build is a 1-row scalar") {
