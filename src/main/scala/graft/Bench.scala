@@ -179,8 +179,10 @@ object Bench {
         // accumulate in one session drove LRU eviction + disk spill
         // that inflated later measurements 7-21× (round 5: clearCache
         // alone left localCheckpoint RDD blocks registered — see
-        // graft.util.Caches)
-        graft.util.Caches.releaseAll(spark)
+        // graft.util.Caches). BLOCKING: async removal leaves the
+        // previous query's blocks resident while this one runs — at
+        // sf10 that residue inflated fj1 2.5× (r14 sweep)
+        graft.util.Caches.releaseAll(spark, blocking = true)
         val rds = graft.util.Rounds.drain()
         if (rds.nonEmpty) rounds(name) = rds.values.max
         name -> best
@@ -248,7 +250,7 @@ object Bench {
             System.err.println(s"[bench] latency probe failed: ${e.getMessage}")
             ""
         }
-        graft.util.Caches.releaseAll(spark)
+        graft.util.Caches.releaseAll(spark, blocking = true)
         // events_per_sec = LOG LINES/s (incl. begin/commit markers —
         // the source-side drain rate); mutations_per_sec = sink rows/s,
         // the marker-fraction-independent number to regress on
@@ -311,7 +313,7 @@ object Bench {
         threads.foreach(_.join())
         val wall = (System.nanoTime() - t0) / 1e9
         val cSteal = (stealJiffies() - cSteal0) / 100.0
-        graft.util.Caches.releaseAll(spark)
+        graft.util.Caches.releaseAll(spark, blocking = true)
         graft.util.Rounds.drain()
         val memo1 = graft.util.Caches.memoStats
         import scala.jdk.CollectionConverters._

@@ -57,6 +57,13 @@ object GraftSession {
     // the corpus (fingerprint-validated; drift -> silent rebuild)
     sys.env.get("SPARK_GRAFT_INDEX_DIR").foreach(
       s.conf.set(functions.GramIndex.IndexDirConf, _))
+    // deployment hook: route every iterative stage boundary through
+    // reliable Dataset.checkpoint() instead of localCheckpoint (see
+    // graft.util.Checkpoints — executor-loss durability on preemptible
+    // clusters). Here mainly so the bench can MEASURE the mode's cost:
+    // SPARK_GRAFT_RELIABLE=true sbt 'runMain graft.Bench'
+    sys.env.get("SPARK_GRAFT_RELIABLE").foreach(
+      s.conf.set(util.Checkpoints.ReliableConf, _))
     s
   }
 

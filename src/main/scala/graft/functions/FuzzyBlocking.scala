@@ -201,7 +201,10 @@ object FuzzyBlocking {
       chunkK: Int, withBlk: Boolean): Blocker =
     decisionMemo.get(targets, s"blocker_b${bandK}_c${chunkK}_blk$withBlk") {
       val (band, chunk) = estimate(targets, bandK, chunkK, withBlk)
-      if (chunk < band) Chunk else Band
+      val pick = if (chunk < band) Chunk else Band
+      System.err.println(f"[fuzzy] blocker=$pick band=$band%.1f " +
+        f"chunk=$chunk%.1f (b$bandK c$chunkK blk=$withBlk)")
+      pick
     }
 
   def invalidate(): Unit = {

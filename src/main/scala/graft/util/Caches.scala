@@ -40,11 +40,20 @@ object Caches {
     * ContextCleaner-tracked broadcast/shuffle state of unreachable
     * plans. Call between logically independent jobs in a long-lived
     * session; never mid-query (in-flight plans would recompute, and a
-    * localCheckpointed plan, whose lineage is truncated, would fail). */
-  def releaseAll(spark: SparkSession): Unit = {
+    * localCheckpointed plan, whose lineage is truncated, would fail).
+    *
+    * `blocking = false` (default) fires removals asynchronously — the
+    * right call in a serving session, where the next query must not
+    * stall on block deletion. Measurement contexts pass
+    * `blocking = true`: async removal leaves the PREVIOUS query's
+    * blocks resident while the next one runs, and at 10×-bench scale
+    * that residue (GBs of signature/checkpoint blocks left by a 60 s
+    * neighbor) inflated the queries that follow up to 2.5× in the r14
+    * sf10 sweep — a measurement artifact, not a plan property. */
+  def releaseAll(spark: SparkSession, blocking: Boolean = false): Unit = {
     spark.catalog.clearCache()
     val sc = spark.sparkContext
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = blocking))
     // localCheckpoint/broadcast cleanup is reference-triggered: blocks
     // free when ContextCleaner sees the driver-side object collected
     System.gc()
