@@ -44,17 +44,27 @@ only = set(args[2:])
 # big-SF oracles (sf1) need spill: give DuckDB an explicit OUT-OF-REPO
 # temp dir (a cwd-relative default once committed 3.3 GB of scratch to
 # git) and a bounded memory limit so it spills instead of dying
-con = duckdb.connect(config={
-    "temp_directory": "/tmp/duckdb_oracle_spill",
-    "memory_limit": "48GB",
-})
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    # driver testdata is a single file per table; GenScale-derived SFs
-    # are Spark-written directories of part files
-    p = f"{sfdir}/{t}.parquet"
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+def connect():
+    # 96 GB: the sf1 list-aggregation oracles (mm_decode_features
+    # explodes documents per BYTE before list_reduce) sit right at a
+    # 48 GB ceiling and flaked run-to-run; the cert box has 125 GB and
+    # certification runs are serial, so give the one DuckDB process
+    # real headroom and let temp_directory spill cover the rest
+    c = duckdb.connect(config={
+        "temp_directory": "/tmp/duckdb_oracle_spill",
+        "memory_limit": "96GB",
+    })
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        # driver testdata is a single file per table; GenScale-derived
+        # SFs are Spark-written directories of part files
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
+
+
+con = connect()
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 iter_path = f"{outdir}/oracle_iter.json"
@@ -223,16 +233,35 @@ def frames_equal(a, b, name, tag):
 
 
 fail = 0
+since_reconnect = 0
 for name, sql in sorted(oracles.items()):
     if only and name not in only:
         continue
+    # A single long-lived DuckDB connection accumulates MEMORY MAPS,
+    # not bytes: the r14 sf1 run died ~86 queries in on "bad
+    # allocation" of 16 KB with 116 GB free — the process was pinned
+    # at vm.max_map_count (65,530 maps), where every new mmap (any
+    # small malloc, any thread stack) fails. Two-sided fix: the cert
+    # box raises vm.max_map_count (sysctl, standard DB tuning), and a
+    # fresh connection every 20 oracles keeps the map count bounded —
+    # the base views recreate in milliseconds
+    since_reconnect += 1
+    if since_reconnect > 20:
+        con.close()
+        con = connect()
+        since_reconnect = 0
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"{name}: NO SPARK OUTPUT")
         fail += 1
         continue
-    spark = con.execute(
-        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    try:
+        spark = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    except Exception as e:
+        print(f"{name}: SPARK READ ERROR {type(e).__name__}: {e}")
+        fail += 1
+        continue
     use_iter = name in iter_specs and (iterative or crosscheck)
     try:
         if use_iter:
