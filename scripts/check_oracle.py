@@ -44,15 +44,28 @@ only = set(args[2:])
 # big-SF oracles (sf1) need spill: give DuckDB an explicit OUT-OF-REPO
 # temp dir (a cwd-relative default once committed 3.3 GB of scratch to
 # git) and a bounded memory limit so it spills instead of dying
+def mem_limit():
+    # ORACLE_MEM_LIMIT overrides; default derives from the machine
+    # (75% of RAM, capped at 96GB) instead of assuming the 125 GB cert
+    # box — the sf1 list-aggregation oracles (mm_decode_features
+    # explodes documents per BYTE before list_reduce) want real
+    # headroom there, but the same script is the sf0.01 dev gate on
+    # arbitrary machines, where a hardcoded 96GB would let DuckDB OOM
+    # the box before it spills (ADVICE r14)
+    env = os.environ.get("ORACLE_MEM_LIMIT")
+    if env:
+        return env
+    try:
+        ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return f"{min(96, max(1, int(ram * 0.75 / 2**30)))}GB"
+    except (ValueError, OSError):
+        return "8GB"
+
+
 def connect():
-    # 96 GB: the sf1 list-aggregation oracles (mm_decode_features
-    # explodes documents per BYTE before list_reduce) sit right at a
-    # 48 GB ceiling and flaked run-to-run; the cert box has 125 GB and
-    # certification runs are serial, so give the one DuckDB process
-    # real headroom and let temp_directory spill cover the rest
     c = duckdb.connect(config={
         "temp_directory": "/tmp/duckdb_oracle_spill",
-        "memory_limit": "96GB",
+        "memory_limit": mem_limit(),
     })
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
@@ -250,6 +263,13 @@ for name, sql in sorted(oracles.items()):
         con.close()
         con = connect()
         since_reconnect = 0
+        # warm the fresh connection (untimed): re-read each view's
+        # parquet metadata so the first oracle after the boundary is
+        # not measured cold against the --cap (ADVICE r14)
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"]:
+            con.execute(f"SELECT count(*) FROM {t}").fetchall()
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"{name}: NO SPARK OUTPUT")

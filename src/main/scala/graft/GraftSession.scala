@@ -51,21 +51,51 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     quietKnownNoise()
     GraftCatalog.installOptimizations(s)
-    // deployment hook: point a cold session at a persisted gram-index
-    // artifact (graft.functions.GramIndex.saveIndex output) so the
-    // dedup/decontamination family loads it instead of re-tokenizing
-    // the corpus (fingerprint-validated; drift -> silent rebuild)
-    sys.env.get("SPARK_GRAFT_INDEX_DIR").foreach(
-      s.conf.set(functions.GramIndex.IndexDirConf, _))
-    // deployment hook: route every iterative stage boundary through
-    // reliable Dataset.checkpoint() instead of localCheckpoint (see
-    // graft.util.Checkpoints — executor-loss durability on preemptible
-    // clusters). Here mainly so the bench can MEASURE the mode's cost:
-    // SPARK_GRAFT_RELIABLE=true sbt 'runMain graft.Bench'
-    sys.env.get("SPARK_GRAFT_RELIABLE").foreach(
-      s.conf.set(util.Checkpoints.ReliableConf, _))
+    applyEnvHooks(s)
     s
   }
+
+  /** Deployment env hooks, shared by every entry point that owns its
+    * session ([[get]], Bench, Verify):
+    *
+    *  - `SPARK_GRAFT_INDEX_DIR` — point a cold session at a persisted
+    *    gram-index artifact (graft.functions.GramIndex.saveIndex
+    *    output) so the dedup/decontamination family loads it instead
+    *    of re-tokenizing the corpus (fingerprint-validated; drift →
+    *    silent rebuild).
+    *  - `SPARK_GRAFT_RELIABLE` — route every iterative stage boundary
+    *    through reliable `Dataset.checkpoint()` instead of
+    *    localCheckpoint (graft.util.Checkpoints — executor-loss
+    *    durability on preemptible clusters). The value is NORMALIZED
+    *    (trim + lowercase, 1/0/yes/no/on/off accepted) and anything
+    *    unrecognized FAILS FAST (ADVICE r14): a durability knob that
+    *    silently ignores `TRUE` would leave an operator believing
+    *    they are executor-loss safe when they are not. */
+  def applyEnvHooks(s: SparkSession): Unit = {
+    sys.env.get("SPARK_GRAFT_INDEX_DIR").foreach(
+      s.conf.set(functions.GramIndex.IndexDirConf, _))
+    sys.env.get("SPARK_GRAFT_RELIABLE").foreach { raw =>
+      s.conf.set(util.Checkpoints.ReliableConf,
+        parseBoolEnv("SPARK_GRAFT_RELIABLE", raw).toString)
+    }
+    // measurement-only: candidate-volume audit counters (extra count
+    // actions — never set on a timing pass; see graft.util.Audit)
+    sys.env.get("SPARK_GRAFT_AUDIT").foreach { raw =>
+      s.conf.set(util.Audit.CandidatesConf,
+        parseBoolEnv("SPARK_GRAFT_AUDIT", raw).toString)
+    }
+  }
+
+  /** Strict boolean env parse: true/false/1/0/yes/no/on/off (any
+    * case, surrounding whitespace ignored); anything else throws. */
+  def parseBoolEnv(name: String, raw: String): Boolean =
+    raw.trim.toLowerCase match {
+      case "true" | "1" | "yes" | "on" => true
+      case "false" | "0" | "no" | "off" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"$name=$other is not a recognized boolean " +
+          "(use true/false/1/0/yes/no/on/off)")
+    }
 
   /** Sum of regular-file bytes under a data directory (one local
     * filesystem walk — the testdata dirs hold a few hundred part

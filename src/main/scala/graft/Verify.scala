@@ -25,6 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietKnownNoise()
     GraftCatalog.installOptimizations(spark)
+    GraftSession.applyEnvHooks(spark)
     // AQE partition ceiling follows the data scale (see GraftSession):
     // the sf1 value-exact certification runs through here too
     GraftSession.tuneForData(spark, sfDir)

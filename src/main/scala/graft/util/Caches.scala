@@ -49,11 +49,25 @@ object Caches {
     * blocks resident while the next one runs, and at 10×-bench scale
     * that residue (GBs of signature/checkpoint blocks left by a 60 s
     * neighbor) inflated the queries that follow up to 2.5× in the r14
-    * sf10 sweep — a measurement artifact, not a plan property. */
+    * sf10 sweep — a measurement artifact, not a plan property.
+    *
+    * Order matters for the blocking guarantee (ADVICE r14):
+    * `clearCache()` removes SQL-cache blocks ASYNCHRONOUSLY and
+    * deregisters their RDDs from `sc.getPersistentRDDs`, so a blocking
+    * sweep that runs after it never sees them — the previous query's
+    * SQL-cached blocks could still be resident when the next one
+    * starts. Snapshot the registered RDDs FIRST and issue the blocking
+    * unpersist over the snapshot ∪ the post-clear survivors; unpersist
+    * is idempotent, and a blocking `removeRdd` on an RDD clearCache
+    * already queued waits for the block manager to report the blocks
+    * gone. */
   def releaseAll(spark: SparkSession, blocking: Boolean = false): Unit = {
-    spark.catalog.clearCache()
     val sc = spark.sparkContext
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = blocking))
+    val before = sc.getPersistentRDDs.values.toSeq
+    spark.catalog.clearCache()
+    (before ++ sc.getPersistentRDDs.values)
+      .groupBy(_.id).values.map(_.head)
+      .foreach(_.unpersist(blocking = blocking))
     // localCheckpoint/broadcast cleanup is reference-triggered: blocks
     // free when ContextCleaner sees the driver-side object collected
     System.gc()
@@ -84,8 +98,22 @@ object Caches {
   private val memoBuilds = new java.util.concurrent.atomic.AtomicLong()
   def memoStats: (Long, Long) = (memoGets.get(), memoBuilds.get())
 
+  /** Every live [[PlanMemo]] (they are object-level vals in their
+    * users — a bounded handful, registered once at class init).
+    * [[invalidateAllMemos]] lets a measurement harness reset ALL
+    * model state so a concurrent leg starts from the build-race
+    * scenario it claims to test (VERDICT r14 item 2a). */
+  private val memoRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[PlanMemo[_, _]]()
+
+  def invalidateAllMemos(): Unit = {
+    val it = memoRegistry.iterator()
+    while (it.hasNext) it.next().invalidate()
+  }
+
   final class PlanMemo[K, V](maxEntries: Int,
       onEvict: V => Unit = (_: V) => ()) {
+    memoRegistry.add(this)
     private val map = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, LogicalPlan, Long, K), V]()
 
