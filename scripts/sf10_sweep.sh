@@ -20,8 +20,19 @@ CPUS="${1:-8}"
 # r13 steep-slope set + (VERDICT r13 item 1) the iterative/CC/
 # dataset-build family — the suite's most expensive queries, whose
 # pointer-jumping ROUND COUNT could grow with the decade (reported as
-# cc_rounds_* next to the slope)
-QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,fj3_jw_join,fj4_auto_blocked,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm,gr_cc,dd_minhash_groups,sim_neardup_groups,tp_dataset_build,tp_dataset_build_report,dc2_fuzzy_decontamination"
+# cc_rounds_* next to the slope) + (VERDICT r14 item 6) the four
+# expensive non-watch-list queries: dd_minhash_recall,
+# p5_envelope_roundtrip, hy_hybrid_rrf, and gr_pagerank (iterative —
+# its ppm-integer power iterations should hold a flat round count
+# like gr_cc across the decade)
+QUERIES="dd_ngram_jaccard,fj1_fuzzy_join,fj2_damerau_join,fj3_jw_join,fj4_auto_blocked,j3_bloom_semi,ql_lm_buckets,tc_bigram_lm,gr_cc,dd_minhash_groups,sim_neardup_groups,tp_dataset_build,tp_dataset_build_report,dc2_fuzzy_decontamination,dd_minhash_recall,p5_envelope_roundtrip,hy_hybrid_rrf,gr_pagerank"
+# candidate-volume attribution pass (VERDICT r14 item 3): the two
+# steepest sf10 slopes get their PRE-VERIFY candidate-pair counts
+# measured at sf1 and sf10 — a separate SPARK_GRAFT_AUDIT=true run
+# whose times are never merged (the audit costs extra count actions).
+# tp_dataset_build_report rides the same pass for its per-stage
+# timing breakdown (VERDICT r14 item 4).
+AUDIT_QUERIES="dd_ngram_jaccard,sim_neardup_groups,tp_dataset_build_report"
 TMP=$(mktemp -d)
 mv BENCH_LAST.json "$TMP/bench_last.orig" 2>/dev/null || true
 restore() { mv "$TMP/bench_last.orig" BENCH_LAST.json 2>/dev/null || true; }
@@ -58,6 +69,15 @@ for SF in 1 10; do
       exit 1
     }
   grep '"metric"' "$TMP/bench_$SF.out" | tail -1 >"$TMP/json_$SF"
+  echo "[sf10] candidate-audit pass at sf$SF ..." >&2
+  SPARK_GRAFT_SF_DIR=".scale/sf$SF" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_ONLY="$AUDIT_QUERIES" SPARK_GRAFT_AUDIT=true \
+    sbt -batch 'runMain graft.Bench' >"$TMP/audit_$SF.out" 2>&1 || {
+      echo "[sf10] audit pass failed at sf$SF; tail:" >&2
+      tail -5 "$TMP/audit_$SF.out" >&2
+      exit 1
+    }
+  grep '"metric"' "$TMP/audit_$SF.out" | tail -1 >"$TMP/audit_json_$SF"
 done
 restore
 python3 - "$TMP" <<'EOF'
@@ -65,6 +85,8 @@ import json, sys
 tmp = sys.argv[1]
 r1 = json.loads(open(f"{tmp}/json_1").read())
 r10 = json.loads(open(f"{tmp}/json_10").read())
+a1 = json.loads(open(f"{tmp}/audit_json_1").read())
+a10 = json.loads(open(f"{tmp}/audit_json_10").read())
 scale = json.load(open("SCALE.json"))
 rows1 = r1.get("queries_rows", {})
 rows10 = r10.get("queries_rows", {})
@@ -90,6 +112,28 @@ for n, t10 in r10["queries"].items():
     if n in rnd1 or n in rnd10:
         q["cc_rounds_sf1"] = rnd1.get(n)
         q["cc_rounds_sf10"] = rnd10.get(n)
+# pre-verify candidate-pair counts from the audit pass (VERDICT r14
+# item 3): candidates growing ~linearly with the decade says the
+# blocking holds and a steep wall slope is candidate/output volume on
+# a densifying corpus; superlinear growth says fix the blocking
+c1 = a1.get("queries_candidates", {})
+c10 = a10.get("queries_candidates", {})
+for n in set(c1) | set(c10):
+    q = scale["queries"].setdefault(n, {})
+    q["candidates_sf1"] = c1.get(n)
+    q["candidates_sf10"] = c10.get(n)
+    if c1.get(n) and c10.get(n):
+        q["candidates_growth_sf1_sf10"] = round(c10[n] / c1[n], 2)
+# audit-mode stage-timing breakdowns (VERDICT r14 item 4): which
+# pipeline stage owns a multi-stage query's decade wall
+s1 = a1.get("queries_stage_ms", {})
+s10 = a10.get("queries_stage_ms", {})
+for n in set(s1) | set(s10):
+    q = scale["queries"].setdefault(n, {})
+    if n in s1:
+        q["stage_ms_sf1"] = s1[n]
+    if n in s10:
+        q["stage_ms_sf10"] = s10[n]
 scale["sf10_watchlist"] = {
     "queries": sorted(r10["queries"].keys()),
     "sf1_total": round(sum(v for v in r1["queries"].values() if v > 0), 3),

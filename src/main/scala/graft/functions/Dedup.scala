@@ -218,7 +218,11 @@ object Dedup {
     // cheap relative to a shuffle (saturated-vocab bigrams: ~50-element
     // merge scans) skip it and dedupe AFTER the threshold filter, when
     // the surviving set is tiny.
-    if (dedupCandidates) raw.distinct() else raw
+    // pre-verify candidate volume, recorded only under the audit conf
+    // (SPARK_GRAFT_AUDIT — VERDICT r14 item 3): the sf10 sweep's
+    // attribution pass reads it into SCALE.json next to the wall slope
+    graft.util.Audit.candidates("candidates",
+      if (dedupCandidates) raw.distinct() else raw)
   }
 
   /** Verification stage shared by the exact-similarity joins: join the

@@ -251,7 +251,12 @@ object Similarity {
     // all hashing alike) would put one bucket's n²/2 cosine evaluations
     // on a single task; the capped join triangle-splits such buckets
     // without losing a single pair (see [[Dedup.cappedBucketSelfJoin]])
-    Dedup.cappedBucketSelfJoin(v, "vec_id", Seq("lsh_key"), bucketCap)
+    // pre-verify candidate volume under the audit conf (VERDICT r14
+    // item 3); persist = false — the bucket-join rows carry both
+    // embeddings, so a recomputed slim count beats materializing them
+    graft.util.Audit.candidates("candidates",
+        Dedup.cappedBucketSelfJoin(v, "vec_id", Seq("lsh_key"), bucketCap),
+        persist = false)
       .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
