@@ -33,17 +33,18 @@ git show "$REF:BENCH_LAST.json" >"$TMP/ref_bench_last.json"
 run_arm() { # $1 = dir, $2 = label, $3 = index
   cp "$TMP/ref_bench_last.json" "$1/BENCH_LAST.json"
   echo "[ab] run $2 #$3 ..." >&2
+  mkdir -p /tmp/graft_ab_runs
   (cd "$1" && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       SPARK_GRAFT_CPUS="$CPUS" sbt -batch 'runMain graft.Bench') \
-    >"$TMP/${2}_${3}.out" 2>&1 || {
-      echo "[ab] $2 #$3 failed; tail:" >&2
-      tail -5 "$TMP/${2}_${3}.out" >&2
+    >"/tmp/graft_ab_runs/${2}_${3}.out" 2>&1 || {
+      echo "[ab] $2 #$3 failed; tail (full log kept in" \
+        "/tmp/graft_ab_runs/${2}_${3}.out):" >&2
+      tail -5 "/tmp/graft_ab_runs/${2}_${3}.out" >&2
       exit 1
     }
   cp "$1/BENCH_LAST.json" "$TMP/${2}_${3}.json"
   # keep full-precision per-run JSONs outside the tmpdir: the best
   # quiet HEAD run is a candidate new committed reference
-  mkdir -p /tmp/graft_ab_runs
   cp "$1/BENCH_LAST.json" "/tmp/graft_ab_runs/${2}_${3}.json"
 }
 
@@ -52,9 +53,16 @@ echo "[ab] compiling both arms ..." >&2
 sbt -batch compile >"$TMP/compile_head.out" 2>&1
 (cd "$WT" && sbt -batch compile) >"$TMP/compile_ref.out" 2>&1
 
+# AB_ORDER=head_first flips within-pair order — running one pair each
+# way kills the "second arm rides the window's drift" confound
 for i in $(seq 1 "$PAIRS"); do
-  run_arm "$WT" ref "$i"
-  run_arm "$PWD" head "$i"
+  if [ "${AB_ORDER:-ref_first}" = head_first ]; then
+    run_arm "$PWD" head "$i"
+    run_arm "$WT" ref "$i"
+  else
+    run_arm "$WT" ref "$i"
+    run_arm "$PWD" head "$i"
+  fi
 done
 restore
 python3 - "$TMP" "$REF" "$PAIRS" <<'EOF'

@@ -124,6 +124,14 @@ for n in set(c1) | set(c10):
     q["candidates_sf10"] = c10.get(n)
     if c1.get(n) and c10.get(n):
         q["candidates_growth_sf1_sf10"] = round(c10[n] / c1[n], 2)
+# candidate counts at the scaled-up blocking key (bits+3): how much
+# of a superlinear candidate growth the blocking knob reclaims
+cs1 = a1.get("queries_candidates_scaled", {})
+cs10 = a10.get("queries_candidates_scaled", {})
+for n in set(cs1) | set(cs10):
+    q = scale["queries"].setdefault(n, {})
+    q["candidates_scaled_sf1"] = cs1.get(n)
+    q["candidates_scaled_sf10"] = cs10.get(n)
 # audit-mode stage-timing breakdowns (VERDICT r14 item 4): which
 # pipeline stage owns a multi-stage query's decade wall
 s1 = a1.get("queries_stage_ms", {})

@@ -126,6 +126,8 @@ object Bench {
     // session runs with SPARK_GRAFT_AUDIT=true — a sweep's attribution
     // pass, never a timing pass (the counts cost extra actions)
     val cands = scala.collection.mutable.Map.empty[String, Long]
+    // audit-mode candidate counts at the scaled-up blocking key
+    val candsScaled = scala.collection.mutable.Map.empty[String, Long]
     // audit-mode stage-timing breakdowns (stage_<name>_ms counters)
     val stages = scala.collection.mutable.Map.empty[String, Map[String, Long]]
     graft.util.Rounds.drain() // clear anything the warm-up recorded
@@ -194,11 +196,22 @@ object Bench {
         // graft.util.Caches). BLOCKING: async removal leaves the
         // previous query's blocks resident while this one runs — at
         // sf10 that residue inflated fj1 2.5× (r14 sweep)
-        graft.util.Caches.releaseAll(spark, blocking = true)
+        // hygiene must not kill the measurement run: a failed release
+        // is reported loudly (the next query's numbers may then carry
+        // residue — attributable from stderr) instead of aborting the
+        // remaining ~200 queries
+        try graft.util.Caches.releaseAll(spark, blocking = true)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cache release after $name " +
+              s"failed: ${e.getMessage}")
+        }
         val rds = graft.util.Rounds.drain()
         if (rds.nonEmpty) rounds(name) = rds.values.max
         val ctrs = graft.util.Counters.drain()
         ctrs.get("candidates").foreach(cands(name) = _)
+        ctrs.get("candidates_scaled_bits")
+          .foreach(candsScaled(name) = _)
         val st = ctrs.collect { case (k, v) if k.startsWith("stage_") &&
           k.endsWith("_ms") =>
           k.stripPrefix("stage_").stripSuffix("_ms") -> v }
@@ -228,6 +241,12 @@ object Bench {
         // distribution describes.
         val latency = try {
           val probeDir = "/tmp/graft_bench_replay_probe"
+          // fresh dir per run: a leftover log1x from a previous run at
+          // a different SF would fail the (append-only) generator, and
+          // a reused checkpoint would see the log committed and no-op
+          val p = new org.apache.hadoop.fs.Path(probeDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
           streaming.ReplayBench.generateLog(
             spark, sfDir, s"$probeDir/log1x")
           val l = streaming.ReplayBench.latencyProbe(
@@ -429,6 +448,10 @@ object Bench {
     val candsJson =
       (if (cands.isEmpty) ""
       else s""","queries_candidates":${cands.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}""") +
+      (if (candsScaled.isEmpty) ""
+      else s""","queries_candidates_scaled":${candsScaled.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")}""") +
       (if (stages.isEmpty) ""

@@ -253,7 +253,22 @@ object Similarity {
     // without losing a single pair (see [[Dedup.cappedBucketSelfJoin]])
     // pre-verify candidate volume under the audit conf (VERDICT r14
     // item 3); persist = false — the bucket-join rows carry both
-    // embeddings, so a recomputed slim count beats materializing them
+    // embeddings, so a recomputed slim count beats materializing them.
+    // The audit ALSO counts candidates at bits+3 (8× the buckets):
+    // this corpus densifies across decades (GenScale stacks near-
+    // duplicates into the SAME buckets, so fixed-bits candidates grow
+    // ~quadratically), and the deployment-scale fix is exactly the
+    // bits knob this operator already exposes — the scaled count
+    // quantifies how much of the growth the knob reclaims without
+    // shipping a recall change in the oracled query (bits stays 8
+    // there for cross-engine identity).
+    if (graft.util.Audit.enabled(corpus.sparkSession)) {
+      val v3 = withLshKey(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", bits + 3)
+      graft.util.Counters.record("candidates_scaled_bits",
+        Dedup.cappedBucketSelfJoin(v3, "vec_id", Seq("lsh_key"),
+          bucketCap).count())
+    }
     graft.util.Audit.candidates("candidates",
         Dedup.cappedBucketSelfJoin(v, "vec_id", Seq("lsh_key"), bucketCap),
         persist = false)
