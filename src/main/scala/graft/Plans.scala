@@ -227,7 +227,10 @@ object Plans {
         functions.TrainPrep.tsSplitDecontaminated(spark, dir)),
       ("tp_dataset_build",
         "end-to-end corpus build (funnel -> excision -> leak-guarded split -> pack): exactly three gram-volume shuffles, each over the prior stage's shrunken output; contaminated/leaked id sets broadcast back; the pack exchange carries ids+hashes, never text",
-        functions.DatasetBuild.tpDatasetBuild(spark, dir)))
+        functions.DatasetBuild.tpDatasetBuild(spark, dir)),
+      ("tp_dataset_build_report",
+        "stage audit of the same pipeline: boundaries checkpoint SCALARS only (flags as doc_id+raw_tok+c1..c4; residual dropped past the leak guard) and survivor text re-joins from the column-pruned source scan by id - broadcast here, a shuffled id join at 100 TB, never a second funnel pass",
+        functions.DatasetBuild.tpDatasetBuildReport(spark, dir)))
 
   /** An executed AdaptiveSparkPlanExec renders BOTH the final plan and
     * the pre-execution "== Initial Plan ==" — the latter full of
