@@ -26,6 +26,14 @@ trap 'restore; rm -rf "$TMP"' EXIT
 
 if [ ! -d "$WT" ]; then
   git worktree add --detach "$WT" "$REF" >/dev/null
+else
+  # a stale worktree from an earlier run with a DIFFERENT ref would
+  # silently A/B the wrong code state — force it to the requested ref
+  git -C "$WT" checkout --detach "$REF" >/dev/null 2>&1
+fi
+if [ "$(git -C "$WT" rev-parse HEAD)" != "$(git rev-parse "$REF^{commit}")" ]; then
+  echo "[ab] worktree $WT is not at $REF; remove it and rerun" >&2
+  exit 1
 fi
 # one committed reference for BOTH arms' 3x-outlier self-heal
 git show "$REF:BENCH_LAST.json" >"$TMP/ref_bench_last.json"

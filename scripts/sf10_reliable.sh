@@ -54,7 +54,12 @@ tmp = sys.argv[1]
 loc = json.loads(open(f"{tmp}/json_local").read())
 rel = json.loads(open(f"{tmp}/json_reliable").read())
 scale = json.load(open("SCALE.json"))
+# a truncated rows map (rows_omitted marker) can only certify the
+# subset it carries — downgrade the verdict to "partial" (ADVICE r15)
+omitted = (loc.get("rows_omitted", 0) or 0) + (rel.get("rows_omitted", 0) or 0)
 rows_ok = loc.get("queries_rows") == rel.get("queries_rows")
+if omitted and rows_ok:
+    rows_ok = "partial"
 rounds_ok = loc.get("queries_rounds") == rel.get("queries_rounds")
 overheads = {}
 for n, tr in rel["queries"].items():

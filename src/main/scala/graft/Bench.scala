@@ -504,9 +504,14 @@ object Bench {
       s""","steal_total_sec":${"%.2f".format(runStealSec)}""" +
         stealTop + noiseJson
     // allow-list (sweep/dev) runs don't write BENCH_LAST.json, so their
-    // output rows + round counts must ride the stdout line. Capped the
-    // same way as the timing map (ADVICE r13): a long allow-list must
-    // not push the line past the driver's 2000-char stdout capture.
+    // output rows + round counts must ride the stdout line. Allow-list
+    // runs are consumed by scripts grepping the FULL log (never the
+    // driver's last-2000-chars capture — the driver always runs the
+    // full suite), so the budget here is generous; the rows_omitted
+    // marker stays as a tripwire and sweep scripts treat its presence
+    // as a partial identity verdict (ADVICE r15 — the old 600-char cap
+    // silently dropped the alphabetically-last watch-list entries and
+    // let rows_identical:true cover a subset).
     val rowsStdout =
       if (only.isEmpty) "" else {
         val entries = rows.toSeq.sortBy(_._1)
@@ -514,7 +519,7 @@ object Bench {
         val rb = new StringBuilder
         var rowsOmitted = 0
         entries.foreach { e =>
-          if (rb.length + e.length + 1 <= 600) {
+          if (rb.length + e.length + 1 <= 8000) {
             if (rb.nonEmpty) rb.append(','); rb.append(e)
           } else rowsOmitted += 1
         }

@@ -202,8 +202,11 @@ object FuzzyBlocking {
     decisionMemo.get(targets, s"blocker_b${bandK}_c${chunkK}_blk$withBlk") {
       val (band, chunk) = estimate(targets, bandK, chunkK, withBlk)
       val pick = if (chunk < band) Chunk else Band
-      System.err.println(f"[fuzzy] blocker=$pick band=$band%.1f " +
-        f"chunk=$chunk%.1f (b$bandK c$chunkK blk=$withBlk)")
+      // diagnostic only under the audit flag — committed bench
+      // artifacts carry structured output only (VERDICT r15 item 8)
+      if (graft.util.Audit.enabled(targets.sparkSession))
+        System.err.println(f"[fuzzy] blocker=$pick band=$band%.1f " +
+          f"chunk=$chunk%.1f (b$bandK c$chunkK blk=$withBlk)")
       pick
     }
 

@@ -208,17 +208,20 @@ object Ivf {
     * sort orders by (d, cid), the deterministic tie-break) → slice
     * nprobe → explode. No crossJoin, no window on the query side. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame =
+      k: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame =
     topKInCells(queries,
       assign(corpus, centroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
           col("cid")),
-      centroids, k, nprobe)
+      centroids, k, nprobe, excludeSelf)
 
   /** Probe + rank against an already-assigned cell table (in-memory or
-    * loaded from a persisted index). */
+    * loaded from a persisted index). `excludeSelf` drops c_id = q_id
+    * BEFORE the heap — the more-like-this retrieval contract (the
+    * query document must not occupy a result slot). */
   private def topKInCells(queries: DataFrame, cells: DataFrame,
-      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      centroids: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val cents = collectCentroids(centroids)
     val probeArr = array(cents.map { case (cid, c) =>
       struct(sqDist(col("embedding"), array(c.map(lit).toSeq: _*)).as("d"),
@@ -230,7 +233,9 @@ object Ivf {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(col("__probe")).as("p"))
       .select(col("q_id"), col("q_vec"), col("p.cid").as("cid"))
-    val scored = probes.join(cells, Seq("cid"))
+    val joined = probes.join(cells, Seq("cid"))
+    val scored = (if (excludeSelf) joined.filter(col("c_id") =!= col("q_id"))
+                  else joined)
       .withColumn("cos", Similarity.cosine(col("q_vec"), col("c_vec")))
       .select("q_id", "c_id", "cos")
     graft.plans.TopKPerKey

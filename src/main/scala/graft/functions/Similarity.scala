@@ -228,6 +228,67 @@ object Similarity {
     * 0.6, so recall trades against the n²/buckets candidate count. */
   val NearDupBits = 8
 
+  // ── auto-sized blocking bits (VERDICT r15 item 1) ───────────────────
+  /** Corpus-derived hyperplane-bit sizing for the near-dup/kNN family.
+    * A FIXED bit width cannot be scale-correct: the sf10 audit measured
+    * candidates at pinned bits=8 growing 100.3×/decade (the corpus
+    * densifies into the same 256 buckets) vs 14.8× ≈ linear at bits=11
+    * — and 11 is exactly what "hold mean bucket occupancy ≈ 128" derives
+    * for a 200k corpus. So the family sizes its key from the corpus the
+    * way [[FuzzyBlocking.choose]] sizes its lever from a sampled probe:
+    * bits = the smallest b in [[MinAutoBits]]..[[MaxAutoBits]] with
+    * 2^b · [[AutoOccupancy]] ≥ n. PURE INTEGER arithmetic (no log2
+    * float edge cases) so the DuckDB oracle derives the IDENTICAL value
+    * from COUNT(*) — the derivation itself is cross-engine verified
+    * ([[simAutoBits]] emits the derived width as a column).
+    *
+    * The derived key is consistent across widths because the LCG
+    * hyperplane stream is row-major: the first b planes of
+    * [[hyperplanes]](MaxAutoBits) ARE [[hyperplanes]](b), so a b-bit
+    * key equals the MaxAutoBits key masked to its low b bits — which is
+    * how the SQL oracles express it ([[maskedLshKeySql]]). Memoized per
+    * corpus plan+fingerprint (one count per corpus per session). */
+  val AutoOccupancy = 128L
+  val MinAutoBits = 4
+  val MaxAutoBits = 16
+
+  private val bitsMemo =
+    new graft.util.Caches.PlanMemo[String, Int](maxEntries = 64)
+
+  /** Smallest b in [MinAutoBits, MaxAutoBits] with 2^b·AutoOccupancy ≥ n. */
+  def deriveBits(n: Long): Int =
+    (MinAutoBits to MaxAutoBits)
+      .find(b => (1L << b) * AutoOccupancy >= n).getOrElse(MaxAutoBits)
+
+  def autoBits(corpus: DataFrame): Int =
+    bitsMemo.get(corpus, "auto_bits")(deriveBits(corpus.count()))
+
+  /** Bucket-occupancy summary AT THE DERIVED WIDTH, with the width as a
+    * column — the oracled query that pins the auto derivation itself:
+    * DuckDB re-derives b from COUNT(*) with the same integer rule and
+    * re-keys via the masked 16-bit key, so a drifting derivation or a
+    * broken prefix property hash-mismatches immediately. */
+  def simAutoBits(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b = autoBits(emb)
+    withLshKey(emb.select(col("vec_id"), col("embedding")), "embedding", b)
+      .groupBy("lsh_key").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_vecs"),
+        max("c").as("max_bucket"))
+      .select(lit(b).as("lsh_bits"), col("n_vecs"), col("n_buckets"),
+        col("max_bucket"))
+  }
+
+  def simAutoBitsSql: String =
+    s"""WITH ${autoBitsCte()},
+       |keyed AS (SELECT vec_id, ${maskedLshKeySql("embedding")} AS lsh_key
+       |  FROM embeddings),
+       |buckets AS (SELECT lsh_key, COUNT(*) AS c FROM keyed GROUP BY lsh_key)
+       |SELECT CAST((SELECT b FROM params) AS INT) AS lsh_bits,
+       |  CAST(SUM(c) AS BIGINT) AS n_vecs,
+       |  COUNT(*) AS n_buckets, MAX(c) AS max_bucket
+       |FROM buckets""".stripMargin
+
   /** Near-duplicate pairs by cosine threshold over candidates sharing a
     * random-hyperplane LSH bucket — the 100 TB shape: candidate
     * generation is a hash join on `lsh_key`, NEVER an all-pairs block
@@ -240,13 +301,17 @@ object Similarity {
     * keying and cosine in DuckDB SQL, so the full pair set (ids AND
     * scores) is cross-engine verified. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      bits: Int = NearDupBits,
+      bits: Option[Int] = None,
       bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
+    // bits default to the corpus-derived width (VERDICT r15 item 1 —
+    // pinned bits went quadratic on densifying decades); an explicit
+    // value remains the caller's recall/cost override
+    val b = bits.getOrElse(autoBits(corpus))
     // persisted: the capped join's eager hot-bucket probe would
     // otherwise recompute the key/hyperplane pass an extra time
     val v = graft.util.Caches.persistOnce(
       withLshKey(corpus.select(col("vec_id"), col("embedding")),
-        "embedding", bits))
+        "embedding", b))
     // hot-bucket safety: a degenerate key (zero/boilerplate embeddings
     // all hashing alike) would put one bucket's n²/2 cosine evaluations
     // on a single task; the capped join triangle-splits such buckets
@@ -254,17 +319,15 @@ object Similarity {
     // pre-verify candidate volume under the audit conf (VERDICT r14
     // item 3); persist = false — the bucket-join rows carry both
     // embeddings, so a recomputed slim count beats materializing them.
-    // The audit ALSO counts candidates at bits+3 (8× the buckets):
-    // this corpus densifies across decades (GenScale stacks near-
-    // duplicates into the SAME buckets, so fixed-bits candidates grow
-    // ~quadratically), and the deployment-scale fix is exactly the
-    // bits knob this operator already exposes — the scaled count
-    // quantifies how much of the growth the knob reclaims without
-    // shipping a recall change in the oracled query (bits stays 8
-    // there for cross-engine identity).
+    // The audit ALSO counts candidates at b+3 (8× the buckets): this
+    // corpus densifies across decades (GenScale stacks near-duplicates
+    // into the SAME buckets), and the scaled count quantifies how much
+    // headroom remains past the auto-derived width. Since r16 the
+    // derived width IS the shipped default (and the oracle derives the
+    // identical value), so the r15 hand-sized-knob caveat is closed.
     if (graft.util.Audit.enabled(corpus.sparkSession)) {
       val v3 = withLshKey(corpus.select(col("vec_id"), col("embedding")),
-        "embedding", bits + 3)
+        "embedding", b + 3)
       graft.util.Counters.record("candidates_scaled_bits",
         Dedup.cappedBucketSelfJoin(v3, "vec_id", Seq("lsh_key"),
           bucketCap).count())
@@ -294,12 +357,14 @@ object Similarity {
     * O(k) memory per source. Cosines are the bit-exact codegen'd
     * fold, so the ranking (ties broken by neighbor id) is engine-exact
     * and the whole graph hash-matches the oracle. */
-  def knnGraph(corpus: DataFrame, k: Int, bits: Int = NearDupBits,
+  def knnGraph(corpus: DataFrame, k: Int, bits: Option[Int] = None,
       bucketCap: Int = Dedup.LshBucketCap): DataFrame = {
+    // corpus-derived width by default, like [[nearDupPairs]]
+    val b = bits.getOrElse(autoBits(corpus))
     // persisted for the same eager-probe reason as [[nearDupPairs]]
     val v = graft.util.Caches.persistOnce(
       withLshKey(corpus.select(col("vec_id"), col("embedding")),
-        "embedding", bits))
+        "embedding", b))
     // hot-bucket-capped candidate join; each UNORDERED pair surfaces
     // once, its cosine evaluates once (the float fold commutes
     // bit-exactly, so cos(a,b) ≡ cos(b,a)), and both graph directions
@@ -323,9 +388,10 @@ object Similarity {
     knnGraph(Tables.embeddings(spark, dir), 3)
       .orderBy("src_id", "rnk")
 
-  val simKnnGraphSql: String =
-    s"""WITH keyed AS (SELECT vec_id, embedding,
-       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+  def simKnnGraphSql: String =
+    s"""WITH ${autoBitsCte()},
+       |keyed AS (SELECT vec_id, embedding,
+       |    ${maskedLshKeySql("embedding")} AS lsh_key FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
        |    ${cosSql("a.embedding", "b.embedding")} AS cos
@@ -355,9 +421,10 @@ object Similarity {
           .as("members"))
       .orderBy("keeper")
 
-  val simNearDupGroupsSql: String =
-    s"""WITH RECURSIVE keyed AS (SELECT vec_id, embedding,
-       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+  def simNearDupGroupsSql: String =
+    s"""WITH RECURSIVE ${autoBitsCte()},
+       |keyed AS (SELECT vec_id, embedding,
+       |    ${maskedLshKeySql("embedding")} AS lsh_key FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
        |  FROM keyed a JOIN keyed b
@@ -475,6 +542,23 @@ object Similarity {
       s"(CASE WHEN ${planeDotSql(v, p)} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** `params` CTE deriving [[autoBits]] in SQL — the same integer rule
+    * (smallest b with 2^b·occupancy ≥ COUNT(*)), no floating log2. */
+  private def autoBitsCte(table: String = "embeddings"): String =
+    s"""params AS (
+       |  SELECT COALESCE(MIN(b), $MaxAutoBits) AS b
+       |  FROM generate_series($MinAutoBits, $MaxAutoBits) t(b),
+       |    (SELECT COUNT(*) AS n FROM $table) c
+       |  WHERE (1::BIGINT << b) * $AutoOccupancy >= n)""".stripMargin
+
+  /** The derived-width key as SQL: the full [[MaxAutoBits]]-bit key
+    * masked to the low b bits — equal to the b-bit key by the LCG
+    * prefix property (see [[autoBits]]). Requires [[autoBitsCte]] in
+    * scope as `params`. */
+  private def maskedLshKeySql(v: String): String =
+    s"(${lshKeySql(v, MaxAutoBits)} & " +
+      "((1::BIGINT << (SELECT b FROM params)) - 1))"
+
   val simTopKSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
        |  FROM embeddings WHERE vec_id < 10),
@@ -528,9 +612,10 @@ object Similarity {
        |  ON a.q_id = e.q_id AND a.c_id = e.c_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
-  val simNearDupSql: String =
-    s"""WITH keyed AS (SELECT vec_id, embedding,
-       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings)
+  def simNearDupSql: String =
+    s"""WITH ${autoBitsCte()},
+       |keyed AS (SELECT vec_id, embedding,
+       |    ${maskedLshKeySql("embedding")} AS lsh_key FROM embeddings)
        |SELECT a.vec_id AS v1, b.vec_id AS v2,
        |  ${cosSql("a.embedding", "b.embedding")} AS cos
        |FROM keyed a JOIN keyed b
@@ -1083,9 +1168,10 @@ object Similarity {
       .orderBy("node")
   }
 
-  val grTrianglesSql: String =
-    s"""WITH keyed AS (SELECT vec_id, embedding,
-       |    ${lshKeySql("embedding", NearDupBits)} AS lsh_key FROM embeddings),
+  def grTrianglesSql: String =
+    s"""WITH ${autoBitsCte()},
+       |keyed AS (SELECT vec_id, embedding,
+       |    ${maskedLshKeySql("embedding")} AS lsh_key FROM embeddings),
        |scored AS (
        |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
        |    ${cosSql("a.embedding", "b.embedding")} AS cos
@@ -1491,6 +1577,7 @@ object Similarity {
     "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_neardup_cosine" -> (simNearDup _),
     "sim_neardup_groups" -> (simNearDupGroups _),
+    "sim_auto_bits" -> (simAutoBits _),
     "sim_rrf_fusion" -> (simRrfFusion _),
     "sim_rank_metrics" -> (simRankMetrics _))
 
@@ -1513,6 +1600,7 @@ object Similarity {
     "sim_lsh_ann" -> simLshSql,
     "sim_neardup_cosine" -> simNearDupSql,
     "sim_neardup_groups" -> simNearDupGroupsSql,
+    "sim_auto_bits" -> simAutoBitsSql,
     "sim_rrf_fusion" -> simRrfFusionSql,
     "sim_rank_metrics" -> simRankMetricsSql)
 }

@@ -113,9 +113,13 @@ object Caches {
 
   final class PlanMemo[K, V](maxEntries: Int,
       onEvict: V => Unit = (_: V) => ()) {
-    memoRegistry.add(this)
+    // map MUST initialize before the registry publication below: the
+    // reverse order leaked `this` with a null map, and an
+    // invalidateAllMemos() racing a first-touch lazy-object init of a
+    // memo owner (concurrent-leg classloading) could NPE (ADVICE r15)
     private val map = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, LogicalPlan, Long, K), V]()
+    memoRegistry.add(this)
 
     def get(source: DataFrame, key: K)(build: => V): V = {
       if (map.size >= maxEntries) invalidate()

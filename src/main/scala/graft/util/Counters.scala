@@ -13,14 +13,24 @@ import org.apache.spark.sql.DataFrame
   * makes it one).
   *
   * Thread-safe; `record` keeps the MAX per name between drains (cold +
-  * warm bench runs both record the same deterministic count). */
+  * warm bench runs both record the same deterministic count) — EXCEPT
+  * names ending in `_ms`, which are wall timings and keep the MIN: the
+  * query wall they decompose is itself min-of-runs, and max semantics
+  * would report each stage's SLOWEST materialization (possibly from
+  * different runs), letting the breakdown exceed and misattribute the
+  * wall it explains (ADVICE r15). Min-per-stage across runs can still
+  * undershoot the min wall, but never inflates past it. */
 object Counters {
   private val log =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def record(name: String, value: Long): Unit =
+  def record(name: String, value: Long): Unit = {
+    val takeMin = name.endsWith("_ms")
     log.merge(name, Long.box(value),
-      (a, b) => Long.box(math.max(a.longValue(), b.longValue())))
+      (a, b) =>
+        Long.box(if (takeMin) math.min(a.longValue(), b.longValue())
+                 else math.max(a.longValue(), b.longValue())))
+  }
 
   /** Snapshot and clear — returns name → value recorded since the last
     * drain. */

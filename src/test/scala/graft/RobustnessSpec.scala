@@ -55,7 +55,7 @@ class RobustnessSpec extends SparkSpec {
     // the operator's declared semantics (bucket-restricted candidates)
     val rows = Similarity
       .withLshKey(emb.select("vec_id", "embedding"), "embedding",
-        Similarity.NearDupBits)
+        Similarity.autoBits(emb))
       .select("vec_id", "lsh_key", "embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {

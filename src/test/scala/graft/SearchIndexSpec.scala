@@ -233,4 +233,36 @@ class SearchIndexSpec extends SparkSpec {
       else assert(r.getAs[Long]("n_matched") >= 1L)
     }
   }
+
+  test("adaptive vector channel: cell sizing, budget trip, IVF recall") {
+    import graft.functions.SearchIndex
+    // integer cell-sizing rule: smallest power of two in [8, 1024]
+    // with mean occupancy <= 2048
+    assert(SearchIndex.hyCells(500) === 8)
+    assert(SearchIndex.hyCells(20000) === 16)
+    assert(SearchIndex.hyCells(200000) === 128)
+    assert(SearchIndex.hyCells(10000000) === 1024) // clamp
+    // budget arithmetic: every certification scale stays exact, sf10
+    // (200k corpus, ~2k panel) trips to IVF
+    def trips(n: Long) = n * (n / 100L + 1L) > SearchIndex.HyExactBudget
+    assert(!trips(500) && !trips(2000) && !trips(20000))
+    assert(trips(200000))
+    // the forced-IVF shape retrieves with real overlap vs exact (the
+    // oracled gate asserts >= 0.5 mean; pin tighter on the fixed corpus)
+    val emb = Tables.embeddings(spark, sf)
+    val exact = SearchIndex.hyVecChannel(emb, forceIvf = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SearchIndex.hyVecChannel(emb, forceIvf = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // IVF results never include the query itself
+    assert(approx.forall { case (q, c) => q != c })
+    val byQ = exact.groupBy(_._1)
+    val recalls = byQ.map { case (q, hits) =>
+      hits.count(approx.contains).toDouble / hits.size }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean IVF-channel recall too low: ${recalls.sum / recalls.size}")
+    assert(recalls.forall(_ >= 0.25),
+      s"per-query IVF-channel recall floor broken: ${recalls.toSeq.sorted}")
+  }
 }

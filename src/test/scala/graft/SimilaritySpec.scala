@@ -50,6 +50,30 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-9) }
   }
 
+  test("auto bits: integer derivation and the mask/prefix identity") {
+    import graft.functions.Similarity._
+    // the rule: smallest b in [4,16] with 2^b * 128 >= n
+    assert(deriveBits(0) === MinAutoBits)
+    assert(deriveBits(500) === 4)     // sf0.01 corpus
+    assert(deriveBits(2000) === 4)    // sf0.1: 2^4*128 = 2048 >= 2000
+    assert(deriveBits(2049) === 5)
+    assert(deriveBits(20000) === 8)   // sf1 lands on the r15 pinned value
+    assert(deriveBits(200000) === 11) // sf10 lands on the audit-derived 11
+    assert(deriveBits(Long.MaxValue) === MaxAutoBits)
+    assert(autoBits(emb) === deriveBits(emb.count()))
+    // prefix property the SQL oracle's mask relies on: the b-bit key is
+    // the MaxAutoBits-bit key masked to the low b bits
+    val b = autoBits(emb)
+    val some = emb.limit(100)
+    val kb = Similarity.withLshKey(some, "embedding", b)
+      .select("vec_id", "lsh_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val masked = Similarity.withLshKey(some, "embedding", MaxAutoBits)
+      .select("vec_id", "lsh_key").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) & ((1L << b) - 1))).toMap
+    assert(kb === masked)
+  }
+
   test("LSH: bucket keys are deterministic and candidates rank exactly") {
     val k1 = Similarity.withLshKey(emb.limit(50), "embedding")
       .select("vec_id", "lsh_key").collect()
