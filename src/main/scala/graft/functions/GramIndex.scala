@@ -192,13 +192,20 @@ object GramIndex {
     * fresh build.
     *
     * A MUTATED corpus (any saved doc's id/length pair missing from the
-    * current corpus — edit or delete) cannot be patched row-wise
-    * without tombstone bookkeeping the read path would then pay for
-    * forever; it falls back to the full [[saveIndex]] rebuild.
+    * current corpus — edit or delete) is patched by the DELETE cost
+    * class (VERDICT r15 item 5): every shape is keyed per doc, so a
+    * deletion is an anti-join rewrite of the INDEX tables (never a
+    * corpus re-tokenize), and an edited doc is its old rows' delete
+    * plus its new rows' append through the ordinary delta path. At
+    * 100 TB this is what makes a right-to-be-forgotten pass routine:
+    * index-sized I/O instead of a corpus-scale rebuild. Only past
+    * [[IndexMeta.DeleteRebuildFraction]] of membership removed does it
+    * fall back to the full [[saveIndex]] (which also compacts).
     *
-    * Returns the action taken — "noop" | "append" | "rebuild" — so
-    * callers (and GramIndexSpec) can assert the cost class, not just
-    * the result. */
+    * Returns the action taken — "noop" | "append" | "delete" |
+    * "rebuild" ("delete" covers delete-only and edit = delete+append)
+    * — so callers (and GramIndexSpec) can assert the cost class, not
+    * just the result. */
   def updateIndex(docs: DataFrame, n: Int, dir: String): String = {
     val spark = docs.sparkSession
     val saved = readFingerprint(spark, dir).flatMap {
@@ -219,11 +226,53 @@ object GramIndex {
       case Some((savedFp, shapes, members)) =>
         if (corpusFingerprint(docs) == savedFp) "noop"
         else {
-          val mutated = members
+          // saved rows whose (id, length-hash) vanished: deleted docs
+          // plus the OLD image of edited ones. Materialized EAGERLY
+          // (truncated lineage): the rewrites below swap the very
+          // members parquet this plan reads
+          val removed = members
             .join(memberDf(docs), Seq("doc_id", "h"), "left_anti")
-            .limit(1).count() > 0
-          if (mutated) { saveIndex(docs, n, dir); "rebuild" }
-          else {
+            .localCheckpoint(true)
+          val rAgg = removed
+            .agg(count(lit(1)), expr("bit_xor(doc_id)"), expr("bit_xor(h)"))
+            .collect()(0)
+          val rn = rAgg.getLong(0)
+          val (rId, rHash) = (
+            if (rAgg.isNullAt(1)) 0L else rAgg.getLong(1),
+            if (rAgg.isNullAt(2)) 0L else rAgg.getLong(2))
+          if (rn > (IndexMeta.DeleteRebuildFraction * savedFp._1).toLong) {
+            removed.unpersist(false)
+            saveIndex(docs, n, dir); "rebuild"
+          } else if (rn > 0) {
+            // DELETE: anti-join rewrite of every manifest shape
+            // (members included — it is in the manifest), then the
+            // surviving delta (edited docs' new rows + genuine
+            // appends) flows through the ordinary append writes
+            val removedIds = removed.select("doc_id")
+            writeSentinel(spark, dir)
+            shapes.foreach(sh => IndexMeta.rewriteExcluding(spark,
+              s"$dir/$sh", removedIds, "doc_id"))
+            val delta = docs.join(
+              spark.read.parquet(s"$dir/members").select("doc_id"),
+              Seq("doc_id"), "left_anti")
+            val (dn, dId, dHash) = corpusFingerprint(delta)
+            if (dn > 0) {
+              occurrenceCounts(delta).write.mode("append")
+                .parquet(s"$dir/occ_bigram_tf")
+              ngramSets(delta, n).write.mode("append")
+                .parquet(s"$dir/ngram_sets_$n")
+              bigramSourceSets(delta).write.mode("append")
+                .parquet(s"$dir/bigram_source_sets")
+              minhashSignatures(delta).write.mode("append")
+                .parquet(s"$dir/minhash_signatures")
+              memberDf(delta).write.mode("append")
+                .parquet(s"$dir/members")
+            }
+            writeFingerprint(spark, dir, savedFp._1 - rn + dn,
+              savedFp._2 ^ rId ^ dId, savedFp._3 ^ rHash ^ dHash, shapes)
+            removed.unpersist(false)
+            "delete"
+          } else {
             // `delta` is a LAZY anti-join against the members parquet:
             // every delta-dependent read must run before the members
             // append below, or the re-evaluated anti-join sees the

@@ -375,8 +375,17 @@ object Ivf {
   def updateIndex(corpus: DataFrame, dir: String, k: Int = 8,
       iters: Int = 2): String = {
     val spark = corpus.sparkSession
-    IndexMeta.update(corpus, dir)(
+    // delete class (VERDICT r15 item 5): cells are keyed per vec_id,
+    // so a deletion is an anti-join rewrite of the cell store (cid
+    // partitioning preserved for the pruning contract) and a mutated
+    // vector is its old row's delete + re-assignment of the new one;
+    // the centroid model and the TRAIN-TIME stats baseline stay — by
+    // design, indexStaleness keeps measuring against the training
+    // distribution
+    IndexMeta.updateWithDelete(corpus, dir)(
       delta => appendToIndex(delta, spark, dir))(
+      Some(removed => IndexMeta.rewriteExcluding(spark, s"$dir/cells",
+        removed, "vec_id", partitionCols = Seq("cid"))))(
       () => saveIndex(corpus, trainCentroids(corpus, k, iters), dir))
   }
 

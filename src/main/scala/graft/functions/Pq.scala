@@ -297,8 +297,13 @@ object Pq {
   def updateIndex(corpus: DataFrame, dir: String, m: Int = 4,
       k: Int = 16, iters: Int = 2): String = {
     val spark = corpus.sparkSession
-    IndexMeta.update(corpus, dir)(
+    // delete class: codes rows are keyed per vec_id — anti-join
+    // rewrite of the codes table; codebooks and the train-time stats
+    // baseline stay (the IVF rationale)
+    IndexMeta.updateWithDelete(corpus, dir)(
       delta => appendToIndex(delta, spark, dir))(
+      Some(removed => IndexMeta.rewriteExcluding(spark, s"$dir/codes",
+        removed, "vec_id")))(
       () => saveIndex(corpus, trainCodebooks(corpus, m, k, iters), dir))
   }
 

@@ -1454,9 +1454,11 @@ object Similarity {
     * state), so the patched store is value-identical to a fresh
     * [[saveSignatureIndex]] — not just model-equivalent. */
   def updateSignatureIndex(corpus: DataFrame, idxDir: String): String =
-    IndexMeta.update(corpus, idxDir)(delta =>
+    IndexMeta.updateWithDelete(corpus, idxDir)(delta =>
       delta.select(col("vec_id"), signWord("embedding", 0).as("sig"))
         .write.mode("append").parquet(s"$idxDir/hamming_sigs"))(
+      Some(removed => IndexMeta.rewriteExcluding(corpus.sparkSession,
+        s"$idxDir/hamming_sigs", removed, "vec_id")))(
       () => saveSignatureIndex(corpus, idxDir))
 
   def topKHammingPersisted(queries: DataFrame, corpus: DataFrame,

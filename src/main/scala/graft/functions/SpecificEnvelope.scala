@@ -259,6 +259,81 @@ object SpecificEnvelope {
       |FROM events WHERE event_id % 5 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ── type-changing ALTER through the versioned registry ─────────────
+  /** Pre-widening field shape: o_custkey is a 32-bit INT (binlog LONG
+    * code) — the v2 writer. */
+  val narrow3Fields: Seq[StructField] = Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", IntegerType),
+    StructField("o_status", BinaryType))
+
+  /** Post-ALTER shape: `ALTER TABLE orders MODIFY o_custkey BIGINT` —
+    * the v3 writer and the consumer's pinned reader. */
+  val wide3Fields: Seq[StructField] = Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_status", BinaryType))
+
+  /** A WIDENING type change (INT→BIGINT, VERDICT r15 item 6) through
+    * the versioned registry: half the stream (even orderkeys — the
+    * pre-ALTER history) is framed under the narrow v2 writer with
+    * o_custkey as Avro `int`, the other half under the widened v3 with
+    * `long`. The consumer is pinned to v3 and dispatches writers by
+    * the envelope's embedded id ([[AvroCodec.decodeVersioned]]): v2
+    * frames resolve through Avro schema PROMOTION (int reads as long —
+    * the resolution rule that makes widening ALTERs restart-free),
+    * v3 frames decode directly. Every cell must survive both paths
+    * exactly — the oracle is the un-serialized projection with the
+    * writer id reconstructed from the framing rule, so a wrong
+    * promotion (truncation, sign damage, id mix-up) hash-fails. */
+  def ctTypedEnvelope3(spark: SparkSession, dir: String): DataFrame = {
+    val registry = new SchemaRegistry
+    val subj = AvroSubjects.specific("testdb", "orders", "insert")
+    val v2 = schemaFor("testdb", "orders", "insert", narrow3Fields)
+    val v3 = schemaFor("testdb", "orders", "insert", wide3Fields)
+    val id2 = registry.register(subj, v2)
+    val id3 = registry.register(subj, v3)
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus").cast("binary").as("o_status"))
+    val preAlter = col("o_orderkey") % 2 === 0
+    val enveloped = src.withColumn("envelope",
+      when(preAlter, Envelope.frame(
+        lit(graft.model.Cdc.InsertByte.toInt), lit(id2),
+        AvroCodec.encode(struct(col("o_orderkey"),
+          col("o_custkey").cast("int").as("o_custkey"),
+          col("o_status")), v2)))
+      .otherwise(Envelope.frame(
+        lit(graft.model.Cdc.InsertByte.toInt), lit(id3),
+        AvroCodec.encode(struct(col("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_status")), v3))))
+    val versions = registry.versionsOf(subj)
+    enveloped
+      .withColumn("sid", Envelope.sliceSchemaId(col("envelope")))
+      .withColumn("decoded", AvroCodec.decodeVersioned(
+        Envelope.slicePayload("envelope"), col("sid"), versions, v3,
+        StructType(wide3Fields)))
+      .select(col("decoded.o_orderkey").as("o_orderkey"),
+        col("decoded.o_custkey").as("o_custkey"),
+        col("decoded.o_status").cast("string").as("o_status"),
+        col("sid").as("writer_schema_id"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Oracle: the registry assigns ids 1, 2 in registration order (a
+    * fresh registry per query — the ct_typed_envelope convention). */
+  val ct3Sql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(o_custkey AS BIGINT) AS o_custkey,
+      |  o_orderstatus AS o_status,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END
+      |    AS writer_schema_id
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** F4 on the specific path: the serializer refuses rows whose fields
     * are missing from the registered schema; after an ALTER the caller
     * refreshes to latest and retries (reference
@@ -273,10 +348,12 @@ object SpecificEnvelope {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p4_specific_roundtrip" -> (p4SpecificRoundtrip _),
     "ct_typed_envelope" -> (ctTypedEnvelope _),
-    "ct_typed_envelope2" -> (ctTypedEnvelope2 _))
+    "ct_typed_envelope2" -> (ctTypedEnvelope2 _),
+    "ct_typed_envelope3" -> (ctTypedEnvelope3 _))
 
   val oracles: Map[String, String] = Map(
     "p4_specific_roundtrip" -> p4Sql,
     "ct_typed_envelope" -> ctSql,
-    "ct_typed_envelope2" -> ct2Sql)
+    "ct_typed_envelope2" -> ct2Sql,
+    "ct_typed_envelope3" -> ct3Sql)
 }

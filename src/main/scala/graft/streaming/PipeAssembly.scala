@@ -213,4 +213,56 @@ object PipeAssembly {
         throw new IllegalArgumentException(s"unknown sink.format: $other")
     }
   }
+
+  // ── multi-pipe runner (VERDICT r15 item 4) ──────────────────────────
+  /** Split ONE flat config into per-pipe config maps — the reference's
+    * `mypipe.pipes` block (`PipeRunner.scala:17-56` builds producers,
+    * consumers and pipes maps from one Typesafe config): keys shaped
+    * `pipes.<name>.<key> = value` group by `<name>`; keys without the
+    * prefix are shared defaults every pipe inherits (a pipe's own key
+    * wins). */
+  def pipeConfigs(flat: Map[String, String])
+      : Map[String, Map[String, String]] = {
+    val (pipeKeys, shared) = flat.partition(_._1.startsWith("pipes."))
+    val perPipe = pipeKeys.toSeq
+      .map { case (k, v) =>
+        val rest = k.stripPrefix("pipes.")
+        val dot = rest.indexOf('.')
+        require(dot > 0, s"pipe key must be pipes.<name>.<key>: $k")
+        (rest.substring(0, dot), rest.substring(dot + 1), v)
+      }
+      .groupBy(_._1)
+      .map { case (name, kvs) =>
+        name -> kvs.map(t => t._2 -> t._3).toMap
+      }
+    perPipe.map { case (name, own) => name -> (shared ++ own) }
+  }
+
+  /** Start every configured pipe as its own [[StreamingQuery]] in one
+    * session — the reference `PipeRunner`'s `main()` shape
+    * (`PipeRunner.scala:62-93`: N pipes wired from one config, run
+    * concurrently, each with its own position repo). Spark equivalence:
+    * each pipe is an independent query with its OWN checkpoint
+    * (positions never shared, even over one changelog source — the
+    * source is a file, so N readers don't contend), its own sink, and
+    * independent lifecycle: one pipe failing does not stop the others
+    * (`Pipe.scala:97-109` restarts a failed pipe's consumer without
+    * touching its siblings; here the caller restarts via a fresh
+    * [[start]] against the surviving checkpoint). A pipe whose
+    * ASSEMBLY fails (bad config) surfaces as a `Left(error)` so the
+    * remaining pipes still start — matching the reference's
+    * quit-on-error=false default.
+    *
+    * `session.shufflePartitions` is applied per pipe BEFORE its query
+    * starts (stateful partitioning pins at first batch per checkpoint,
+    * so two pipes can run different state widths in one session). */
+  def startAll(spark: SparkSession,
+      flat: Map[String, String],
+      availableNow: Boolean = false,
+      registry: graft.avro.SchemaRepo = new graft.avro.SchemaRegistry)
+      : Map[String, Either[Throwable, StreamingQuery]] =
+    pipeConfigs(flat).toSeq.sortBy(_._1).map { case (name, conf) =>
+      name -> (try Right(start(spark, conf, availableNow, registry))
+               catch { case e: Throwable => Left(e) })
+    }.toMap
 }

@@ -184,4 +184,94 @@ class AlterEvolutionSpec extends SparkSpec {
         versions, v2, v2st).as("d")).collect()
     assert(unknown.forall(_.isNullAt(0)))
   }
+
+  test("T7 v3: a WIDENING type change (INT -> BIGINT) lands mid-stream; " +
+    "writer-by-id decode promotes old frames, no restart") {
+    // reference KafkaAlterSpec's scenario extended to a TYPE change:
+    // `ALTER TABLE ... MODIFY o_custkey BIGINT` registers v3; frames
+    // written before the ALTER carry Avro int, frames after carry
+    // long, and the v3-pinned consumer resolves both via Avro schema
+    // promotion — the rule that makes widening ALTERs restart-free
+    def custSchema(custType: String): String =
+      s"""{"type":"record","name":"orders_insert",""" +
+        s""""namespace":"graft.testdb","fields":[""" +
+        s"""{"name":"k","type":["null","long"],"default":null},""" +
+        s"""{"name":"cust","type":["null","$custType"],"default":null}]}"""
+    val sparkS = spark
+    import sparkS.implicits._
+    val reg = new SchemaRegistry
+    val subj = AvroSubjects.specific("testdb", "orders", "insert")
+    val v2 = custSchema("int")
+    val idV2 = reg.register(subj, v2)
+    val v2st = StructType(Seq(StructField("k", LongType),
+      StructField("cust", IntegerType)))
+    val v3st = StructType(Seq(StructField("k", LongType),
+      StructField("cust", LongType)))
+
+    // a RUNNING pipe carrying framed specific records to a memory sink
+    val input = MemoryStream[(Long, Long, Int)](spark)
+    val chk = java.nio.file.Files.createTempDirectory("widechk").toString
+    // frames are built with the schema id the PRODUCER held when it
+    // wrote the row (carried per-row here, as on a real binlog: the
+    // ALTER point is a position in the stream)
+    def framed = input.toDF().toDF("k", "cust", "sid")
+      .withColumn("envelope",
+        when(col("sid") === idV2, Envelope.frame(lit(1), col("sid"),
+          AvroCodec.encode(struct(col("k"),
+            col("cust").cast("int").as("cust")), v2)))
+        .otherwise(Envelope.frame(lit(1), col("sid"),
+          AvroCodec.encode(struct(col("k"),
+            col("cust").cast("long").as("cust")), custSchema("long")))))
+      .select("envelope")
+    val q = framed.writeStream.format("memory").queryName("widen_pipe")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      // phase 1: pre-ALTER traffic under the narrow writer
+      input.addData((10L, 42L, idV2))
+      q.processAllAvailable()
+      // phase 2: the widening ALTER registers v3 while the pipe RUNS;
+      // post-ALTER traffic carries a value past the int range — the
+      // cell the narrow schema could not even represent
+      val v3 = custSchema("long")
+      val idV3 = reg.register(subj, v3)
+      assert(idV3 !== idV2)
+      input.addData((11L, 5000000000L, idV3))
+      q.processAllAvailable()
+      assert(q.isActive && q.exception.isEmpty,
+        "the pipe must absorb the type-changing ALTER without restart")
+
+      // consumer pinned to the WIDE v3 reader: writer-by-id dispatch
+      // promotes the v2 int frame, reads the v3 long frame directly
+      val versions = reg.versionsOf(subj)
+      val out = spark.table("widen_pipe")
+        .withColumn("sid", Envelope.sliceSchemaId(col("envelope")))
+        .withColumn("d", AvroCodec.decodeVersioned(
+          Envelope.slicePayload("envelope"), col("sid"), versions,
+          v3, v3st))
+        .select(col("sid"), col("d.k").as("k"), col("d.cust").as("cust"))
+        .orderBy("k").collect()
+      assert(out.map(_.getAs[Long]("k")).toSeq === Seq(10L, 11L))
+      assert(out(0).getAs[Int]("sid") === idV2)
+      assert(out(0).getAs[Long]("cust") === 42L,
+        "narrow-written frame must promote int -> long exactly")
+      assert(out(1).getAs[Int]("sid") === idV3)
+      assert(out(1).getAs[Long]("cust") === 5000000000L,
+        "wide frame carries the value the narrow schema couldn't")
+
+      // the NARROWING direction must not silently truncate: a
+      // v2-pinned reader on a long-written frame is an Avro
+      // resolution error — lenient mode maps it to the consumer's
+      // skip-undecodable NULL
+      val narrowed = spark.table("widen_pipe")
+        .withColumn("sid", Envelope.sliceSchemaId(col("envelope")))
+        .filter(col("sid") === idV3)
+        .select(AvroCodec.decodeVersioned(
+          Envelope.slicePayload("envelope"), col("sid"),
+          Seq(idV3 -> v3), v2, v2st, lenient = true).as("d"))
+        .collect()
+      assert(narrowed.nonEmpty && narrowed.forall(_.isNullAt(0)),
+        "long -> int narrowing must skip, never truncate")
+    } finally q.stop()
+  }
 }

@@ -90,17 +90,23 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
       rows(spark.read.parquet(s"$fresh/hamming_sigs")))
   }
 
-  test("mutation (an in-place vector edit) and a crash sentinel both " +
-    "force the rebuild path") {
+  test("mutation (an in-place vector edit) runs the delete+append " +
+    "patch; a crash sentinel forces the rebuild path") {
     val dir = tmp("ham_mut")
     assert(Similarity.updateSignatureIndex(emb, dir) === "rebuild")
     // flip one vector's first component: membership unchanged, content
-    // hash flips -> not append-shaped
+    // hash flips -> its old row deletes, its new row re-appends
     val mutated = emb.withColumn("embedding",
       when(col("vec_id") === 0L,
         expr("transform(embedding, x -> -x)"))
         .otherwise(col("embedding")))
-    assert(Similarity.updateSignatureIndex(mutated, dir) === "rebuild")
+    assert(Similarity.updateSignatureIndex(mutated, dir) === "delete")
+    // patched store is value-identical to a fresh build (model-free)
+    val fresh = tmp("ham_mut_fresh")
+    Similarity.saveSignatureIndex(mutated, fresh)
+    assert(rows(spark.read.parquet(s"$dir/hamming_sigs")) ===
+      rows(spark.read.parquet(s"$fresh/hamming_sigs")))
+    assert(Similarity.updateSignatureIndex(mutated, dir) === "noop")
     // crash window: sentinel fingerprint (written before any data
     // write) must never validate and must repair via rebuild
     val sparkS = spark
@@ -109,6 +115,51 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/fingerprint")
     assert(Similarity.updateSignatureIndex(mutated, dir) === "rebuild")
     assert(Similarity.updateSignatureIndex(mutated, dir) === "noop")
+  }
+
+  test("delete cost class: anti-join patch, value identity with the " +
+    "stored model, mass deletion falls back to rebuild") {
+    // IVF: delete a slice of vectors -> cells patched, model + stats
+    // baseline untouched, result equals a fresh save with the STORED
+    // centroids over the shrunken corpus
+    val dir = tmp("ivf_del")
+    assert(Ivf.updateIndex(emb, dir) === "rebuild")
+    val cents = rows(spark.read.parquet(s"$dir/centroids"))
+    val baseStats = rows(spark.read.parquet(s"$dir/stats"))
+    val shrunk = emb.filter(col("vec_id") % 7 =!= 3)
+    assert(Ivf.updateIndex(shrunk, dir) === "delete")
+    assert(rows(spark.read.parquet(s"$dir/centroids")) === cents,
+      "delete must never touch the centroid model")
+    assert(rows(spark.read.parquet(s"$dir/stats")) === baseStats,
+      "the staleness baseline stays at train time")
+    val fresh = tmp("ivf_del_fresh")
+    Ivf.saveIndex(shrunk, Ivf.loadCentroids(spark, dir), fresh)
+    assert(rows(spark.read.parquet(s"$dir/cells")) ===
+      rows(spark.read.parquet(s"$fresh/cells")))
+    assert(Ivf.updateIndex(shrunk, dir) === "noop")
+    // delete + append in one pass (a doc replaced): still "delete",
+    // still value-identical
+    val churned = shrunk.withColumn("embedding",
+      when(col("vec_id") === 1L,
+        expr("transform(embedding, x -> -x)"))
+        .otherwise(col("embedding")))
+    assert(Ivf.updateIndex(churned, dir) === "delete")
+    val fresh2 = tmp("ivf_del_fresh2")
+    Ivf.saveIndex(churned, Ivf.loadCentroids(spark, dir), fresh2)
+    assert(rows(spark.read.parquet(s"$dir/cells")) ===
+      rows(spark.read.parquet(s"$fresh2/cells")))
+    // PQ: same contract on the codes table
+    val pdir = tmp("pq_del")
+    assert(Pq.updateIndex(emb, pdir) === "rebuild")
+    assert(Pq.updateIndex(shrunk, pdir) === "delete")
+    val pfresh = tmp("pq_del_fresh")
+    Pq.saveIndex(shrunk, Pq.loadCodebooks(spark, pdir), pfresh)
+    assert(rows(spark.read.parquet(s"$pdir/codes")) ===
+      rows(spark.read.parquet(s"$pfresh/codes")))
+    // mass deletion (> half the membership): patching loses to the
+    // rebuild, which also compacts
+    val few = emb.filter(col("vec_id") < 20)
+    assert(Ivf.updateIndex(few, dir) === "rebuild")
   }
 
   test("IndexMeta fingerprint: order-independent, flips on membership " +

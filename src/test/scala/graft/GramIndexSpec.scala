@@ -172,24 +172,53 @@ class GramIndexSpec extends SparkSpec {
     assert(rows(dir) === rows(freshDir))
   }
 
-  test("incremental maintenance: a MUTATED corpus (edited doc) " +
-    "falls back to a full rebuild, never a bad patch") {
+  test("incremental maintenance: a MUTATED corpus (edited doc) runs " +
+    "the delete+append patch and stays value-identical") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files
       .createTempDirectory("gram_mut").toString
     GramIndex.saveIndex(docs, n = 4, dir)
-    // in-place edit that changes one doc's length: not append-shaped
+    // in-place edit that changes one doc's length: its old index rows
+    // are anti-joined away, its new rows re-enter through the delta
+    // append — index-sized I/O, never a corpus-scale re-tokenize
     val minId = docs.agg(min("doc_id")).collect()(0).getLong(0)
     val mutatedDocs = docs
       .withColumn("text", when(col("doc_id") === minId,
         concat(col("text"), lit(" edited"))).otherwise(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    assert(GramIndex.updateIndex(mutatedDocs, 4, dir) === "rebuild")
+    assert(GramIndex.updateIndex(mutatedDocs, 4, dir) === "delete")
     val freshDir = java.nio.file.Files
       .createTempDirectory("gram_mut_fresh").toString
     GramIndex.saveIndex(mutatedDocs, n = 4, freshDir)
-    val rebuilt = artifactRows(dir)
+    val patched = artifactRows(dir)
     val fresh = artifactRows(freshDir)
-    shapes.foreach(s => assert(rebuilt(s) === fresh(s), s"shape $s"))
+    shapes.foreach(s => assert(patched(s) === fresh(s), s"shape $s"))
+    // the patched fingerprint validates (noop on a second touch) and
+    // the artifact serves
+    assert(GramIndex.updateIndex(mutatedDocs, 4, dir) === "noop")
+    GramIndex.invalidate()
+    assert(GramIndex.loadIfFresh(mutatedDocs, "ngram_sets_4", dir)
+      .nonEmpty, "patched artifact must load fresh")
+  }
+
+  test("delete cost class: dropped docs are anti-joined out of every " +
+    "shape; mass deletion falls back to rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_del").toString
+    GramIndex.saveIndex(docs, n = 4, dir)
+    // right-to-be-forgotten pass: drop ~14% of docs
+    val shrunk = docs.filter(col("doc_id") % 7 =!= 3)
+    assert(GramIndex.updateIndex(shrunk, 4, dir) === "delete")
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("gram_del_fresh").toString
+    GramIndex.saveIndex(shrunk, n = 4, freshDir)
+    val patched = artifactRows(dir)
+    val fresh = artifactRows(freshDir)
+    shapes.foreach(s => assert(patched(s) === fresh(s), s"shape $s"))
+    assert(GramIndex.updateIndex(shrunk, 4, dir) === "noop")
+    // past half the membership gone, the patch loses to the rebuild
+    val few = docs.filter(col("doc_id") % 10 === 0)
+    assert(GramIndex.updateIndex(few, 4, dir) === "rebuild")
   }
 }

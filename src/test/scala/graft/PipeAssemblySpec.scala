@@ -197,6 +197,85 @@ class PipeAssemblySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("multi-pipe runner: N pipes from one config, one source, " +
+    "independent positions and restarts") {
+    // reference PipeRunner.scala:17-56,62-93 — N pipes wired from ONE
+    // config, running concurrently, each with its own position repo
+    val log = Files.createTempFile("multipipe", ".tsv")
+    def append(lines: Seq[String]): Unit =
+      Files.write(log, lines.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+    Files.write(log, Seq(
+      ChangeLogSource.renderLine(1, 1, "mutation", "insert", "a", 5, "x"),
+      ChangeLogSource.renderLine(2, 2, "mutation", "insert", "b", 6, "y"),
+      ChangeLogSource.renderLine(1, 3, "mutation", "delete", "c", 7, ""))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("multipipe").toString
+    // shared keys inherited, per-pipe keys win
+    val flat = Map(
+      "source.path" -> log.toString,
+      "pipes.p1.filter.condition" -> "conn = 1",
+      "pipes.p1.sink.path" -> s"$out/p1/data",
+      "pipes.p1.sink.checkpoint" -> s"$out/p1/chk",
+      "pipes.p2.filter.condition" -> "conn = 2",
+      "pipes.p2.sink.path" -> s"$out/p2/data",
+      "pipes.p2.sink.checkpoint" -> s"$out/p2/chk")
+    val confs = PipeAssembly.pipeConfigs(flat)
+    assert(confs.keySet === Set("p1", "p2"))
+    assert(confs("p1")("source.path") === log.toString,
+      "shared keys are inherited by every pipe")
+    assert(confs("p1")("filter.condition") === "conn = 1")
+    // both pipes start CONCURRENTLY, then drain
+    val qs = PipeAssembly.startAll(spark, flat, availableNow = true)
+    assert(qs.keySet === Set("p1", "p2"))
+    assert(qs.values.forall(_.isRight))
+    qs.values.foreach {
+      case Right(q) => q.awaitTermination(60000); q.stop()
+      case Left(e)  => fail(e)
+    }
+    def pks(p: String) = spark.read.parquet(s"$out/$p/data")
+      .select("pk").collect().map(_.getString(0)).sorted.toSeq
+    assert(pks("p1") === Seq("a", "c"), "pipe 1 sees only conn 1")
+    assert(pks("p2") === Seq("b"), "pipe 2 sees only conn 2")
+    // log advances; restart ONLY p1 — it resumes from ITS position,
+    // p2's checkpoint/output untouched
+    append(Seq(
+      ChangeLogSource.renderLine(1, 4, "mutation", "insert", "d", 8, "z"),
+      ChangeLogSource.renderLine(2, 5, "mutation", "insert", "e", 9, "w")))
+    val q1 = PipeAssembly.start(spark, confs("p1"), availableNow = true)
+    q1.awaitTermination(60000); q1.stop()
+    assert(pks("p1") === Seq("a", "c", "d"),
+      "restart resumes from the pipe's own position (no reprocessing)")
+    assert(pks("p2") === Seq("b"), "sibling pipe state untouched")
+    // the other pipe restarts independently and catches up
+    val q2 = PipeAssembly.start(spark, confs("p2"), availableNow = true)
+    q2.awaitTermination(60000); q2.stop()
+    assert(pks("p2") === Seq("b", "e"))
+  }
+
+  test("multi-pipe runner: one pipe's assembly failure doesn't stall " +
+    "the others") {
+    val log = Files.createTempFile("multipipefail", ".tsv")
+    Files.write(log,
+      (ChangeLogSource.renderLine(1, 1, "mutation", "insert", "a", 5, "x")
+        + "\n").getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("multipipefail").toString
+    val qs = PipeAssembly.startAll(spark, Map(
+      "source.path" -> log.toString,
+      "pipes.good.sink.path" -> s"$out/good/data",
+      "pipes.good.sink.checkpoint" -> s"$out/good/chk",
+      "pipes.bad.sink.format" -> "antigravity",
+      "pipes.bad.sink.path" -> s"$out/bad/data",
+      "pipes.bad.sink.checkpoint" -> s"$out/bad/chk"),
+      availableNow = true)
+    assert(qs("bad").isLeft, "unknown sink format surfaces as Left")
+    val good = qs("good").toOption.get
+    good.awaitTermination(60000); good.stop()
+    assert(spark.read.parquet(s"$out/good/data").count() === 1,
+      "surviving pipe drains despite the sibling's failure")
+  }
+
   test("E2: materialize sink maintains the latest image per pk") {
     val log = Files.createTempFile("pipemat", ".tsv")
     Files.write(log, Seq(
