@@ -42,11 +42,17 @@ class ReplayBenchSpec extends SparkSpec {
       s"${l.batches} batches for $lines lines at cap $cap")
     assert(l.p50 > 0 && l.p50 <= l.p95 && l.p95 <= l.max,
       s"percentiles out of order: p50=${l.p50} p95=${l.p95} max=${l.max}")
-    // the RocksDB path must surface a real per-batch commit cost, and
-    // the commit can never exceed the whole trigger
+    // the RocksDB path must surface a real per-batch commit cost.
+    // StateOperatorProgress.commitTimeMs is SUMMED across the state
+    // partitions, which commit in parallel — so a batch's commit sum is
+    // bounded by (partitions × its wall trigger), not by the wall
+    // itself (the tighter bound tripped under full-suite host
+    // contention: 4 × ~2.3 s parallel commits summed to 9.2 s against
+    // a 5.2 s trigger wall).
     assert(l.commitP50 >= 0 && l.commitP50 <= l.commitP95)
-    assert(l.commitP95 <= l.max,
-      s"commit p95 ${l.commitP95} exceeds max trigger ${l.max}")
+    assert(l.commitP95 <= 4 * l.max,
+      s"commit p95 ${l.commitP95} exceeds partitions x max trigger " +
+        s"${4 * l.max}")
     // every mutation still lands exactly once under capped triggers
     val out = spark.read.parquet(s"$work/lat/data").count()
     assert(out === Tables.events(spark, sf).count())
