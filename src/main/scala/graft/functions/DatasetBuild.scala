@@ -145,8 +145,14 @@ object DatasetBuild {
       .agg(sum(when(col("col.kept"), 1L).otherwise(0L)).as("n_units"),
         sum(when(col("col.kept"), col("doc_id"))).as("id_sum"),
         sum(when(col("col.kept"), col("raw_tok"))).as("tok_sum"))
-    val surv = docs.select(col("doc_id"), col("text"))
-      .join(flags.filter(col("c4")).select("doc_id"), "doc_id")
+    // widen like funnelFlags: the downstream excision battery (shingle
+    // hashes + span arithmetic) is CPU-per-row over a byte-small
+    // survivor set at bench scale — without it the whole cleaned stage
+    // runs inside one scan task
+    val surv = graft.util.Par.widen(
+      docs.select(col("doc_id"), col("text"))
+        .join(flags.filter(col("c4")).select("doc_id"), "doc_id"),
+      gauge = docs) // flags is a checkpoint leaf with sentinel stats
     val cleaned = boundary("cleaned", cleanedFromSurv(surv, nExcise))
     val st5 = cleaned
       .agg(count(lit(1)).as("n_units"), sum("doc_id").as("id_sum"),

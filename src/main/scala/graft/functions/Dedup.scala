@@ -119,7 +119,7 @@ object Dedup {
     * shuffled every token row) and then exploded; only the distinct
     * dedupe shuffles, on (doc, hashable bigram). */
   def bigramSets(docs: DataFrame): DataFrame =
-    docs
+    graft.util.Par.widen(docs) // CPU-per-row shingle build (r16)
       .withColumn("__toks", split(col("text"), "\\s+"))
       .select(col("doc_id"), col("source"),
         explode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
@@ -495,7 +495,8 @@ object Dedup {
     * proven byte-equivalent to the split+concat+hash formulation in
     * `ShingleExpressionsSpec`). */
   def withShingleHashes(docs: DataFrame): DataFrame =
-    docs.withColumn("shingle_hashes",
+    graft.util.Par.widen(docs) // CPU-per-row shingle build (r16)
+      .withColumn("shingle_hashes",
       ShingleFunctions.bigram_shingle_hashes(col("text")))
 
   /** LSH banding: band key = hash of the signature slice; docs sharing
@@ -560,8 +561,22 @@ object Dedup {
     * distance to the component minimum roughly halves per round —
     * O(log diameter) rounds, each a few hash-shuffles over the PAIR
     * list (orders of magnitude smaller than the corpus at 100 TB).
-    * No driver-side union-find: the driver only probes an isEmpty
-    * convergence check per round. */
+    * No driver-side union-find: convergence is observed through a
+    * LongAccumulator populated DURING each round's checkpoint
+    * materialization — no separate probe pass.
+    *
+    * The loop body runs with AQE OFF (r16, guide §2.4/§1.2): the
+    * round's plan shape is fully known — the edge table is
+    * hash-partitioned once at setup and every shuffle is an
+    * explicitly-hinted shuffled-hash join on that layout — so AQE's
+    * per-exchange re-optimization buys nothing and costs one scheduled
+    * job per exchange per round (measured r16 at bench scale: gr_cc
+    * ran 76 jobs for 7 rounds, ~40 ms/job of pure scheduling; the
+    * AQE-off loop runs ONE job per round). The hints also matter
+    * under the static planner: checkpoint leaves have unknown stats,
+    * which would otherwise plan sort-merge joins — SHUFFLE_HASH keeps
+    * the rounds sort-free at every scale (labels per partition always
+    * fit: they are (id,label) pairs of the hash-partitioned slice). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
       : DataFrame = {
     // localCheckpoint (eager) after every round: an iterative DataFrame
@@ -576,9 +591,36 @@ object Dedup {
     // localCheckpoint preserves the physical partitioning in the
     // LogicalRDD leaf, so every round's edges⋈labels join shuffles only
     // the (smaller) label side instead of re-exchanging edges per round.
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .repartition(col("b"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialize the PAIR LIST once under AQE — pair generation (LSH
+    // verify, cosine blocking, order self-joins) is the part that
+    // wants runtime skew/coalesce handling, and the doubled-edge union
+    // below consumes it twice (r16: without this boundary both union
+    // arms re-ran the whole generation unless ReuseExchange happened
+    // to fire)
+    val pairsCk = pairs.select(col("d1"), col("d2")).stageCheckpoint()
+    // loop parallelism DERIVED from the materialized pair list (guide
+    // §2: partitioning from input size, not a constant): AQE already
+    // byte-sized the pair list's final shuffle, so its partition count
+    // IS the scale signal — ×2 for the doubled edge table, capped at
+    // the same 16×cores ceiling the AQE path uses. At bench scale this
+    // is 1-2 partitions (the loop rounds are single-digit-task jobs);
+    // at 100 TB the pair list lands thousands of partitions and the
+    // loop inherits them.
+    val cores = spark.sparkContext.defaultParallelism
+    val loopParts = math.max(1, math.min(
+      2 * pairsCk.rdd.getNumPartitions, 16 * cores))
+    // AQE OFF for the loop operands and every round (see scaladoc):
+    // fixed shapes, pre-partitioned edges, hinted joins — restore after
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+    val edges = pairsCk.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairsCk.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(loopParts, col("b"))
       .stageCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).stageCheckpoint()
@@ -601,18 +643,25 @@ object Dedup {
     // label(a) ≤ label(b) across every (doubled) edge, i.e. labels
     // are constant per component. The probe side (jid = id) reuses
     // the aggregate's hash partitioning; only the lmin side shuffles.
+    // SHUFFLE_HASH hints (build side = the hinted relation): with AQE
+    // off the static planner sees unknown-stats checkpoint leaves and
+    // would pick SortMergeJoin; the hint keeps every round sort-free.
+    // The probe sides keep their layouts: edges reuses its hash(b)
+    // checkpoint partitioning, and the self-join's j side reuses the
+    // aggregate's hash(id) partitioning.
     def step(l: DataFrame): DataFrame = {
       val self = l.select(col("id"), col("label").as("contrib"),
         col("label").as("prev"))
       val nbr = edges
-        .join(l.select(col("id").as("b"), col("label").as("bl")), "b")
+        .join(l.select(col("id").as("b"), col("label").as("bl"))
+          .hint("SHUFFLE_HASH"), "b")
         .select(col("a").as("id"), col("bl").as("contrib"),
           lit(null).cast(self.schema("prev").dataType).as("prev"))
       val stepped = self.union(nbr).groupBy("id")
         .agg(min("contrib").as("lmin"), max("prev").as("old"))
       stepped.alias("s")
         .join(stepped.select(col("id").as("jid"), col("lmin").as("jl"))
-            .alias("j"),
+            .alias("j").hint("SHUFFLE_HASH"),
           col("s.lmin") === col("j.jid"), "left")
         .select(col("s.id").as("id"), col("s.old").as("old"),
           least(col("s.lmin"), coalesce(col("j.jl"), col("s.lmin")))
@@ -635,16 +684,31 @@ object Dedup {
     // materialization, and batching cannot remove any of the three.
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      val jumped = step(labels).stageCheckpoint()
-      // convergence = no label moved this round; isEmpty short-circuits
-      // on the first changed row, so non-final rounds pay almost
-      // nothing and only the final round scans the (tiny) label table
-      converged = jumped.filter(col("label") =!= col("old")).isEmpty
-      labels = jumped.select("id", "label")
+      // convergence rides the materialization itself (r16): a
+      // LongAccumulator counts label moves DURING the checkpoint's
+      // one pass, replacing the former per-round isEmpty probe job.
+      // Task retries can only over-count — a zero stays a zero — so
+      // the converged verdict is retry-safe; a false "not converged"
+      // costs one provably-no-op extra round.
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      val jumped = step(labels)
+        .select(col("id").cast("long"), col("old").cast("long"),
+          col("label").cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, old, label) =>
+            if (label != old) acc.add(1L)
+            (id, label)
+          }
+        }
+        .toDF("id", "label")
+        .stageCheckpoint()
+      converged = acc.value == 0L
+      labels = jumped
       iter += 1
       if (debug) System.err.println(
         f"[cc] round $iter%d ${(System.nanoTime() - t0) / 1e9}%.3f s" +
-          s" converged=$converged")
+          s" converged=$converged changed=${acc.value}")
     }
     // a component needing more than maxIters rounds (diameter beyond
     // ~2^maxIters with jumping) would return partially-propagated
@@ -660,6 +724,10 @@ object Dedup {
     // should hold ~flat as data grows 10×)
     graft.util.Rounds.record("cc", iter)
     labels
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
+    }
   }
 
   /** End-to-end MinHash dedup keeper selection: verified LSH pairs →
@@ -866,7 +934,7 @@ object Dedup {
     * ([[SimHash64]]; replaced a 64-pass HOF chain that benched 30×
     * slower at sf0.1). */
   def withSimhash(docs: DataFrame): DataFrame =
-    docs
+    graft.util.Par.widen(docs) // CPU-per-row hashing (r16)
       .withColumn("tok_hashes", array_distinct(
         transform(split(col("text"), "\\s+"),
           t => HashFunctions.rolling_hash(t))))

@@ -219,7 +219,11 @@ object Envelope {
     * round trip. */
   def p5EnvelopeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val registry = new SchemaRegistry
-    val enveloped = serialize(ChangeFeed.fromEvents(spark, dir), registry)
+    // widen (r16): the Avro encode→decode chain is CPU-per-row and the
+    // events scan plans single-task at bench scale — 1.6 s of codec
+    // work on one of 32 cores without it
+    val enveloped = serialize(
+      graft.util.Par.widen(ChangeFeed.fromEvents(spark, dir)), registry)
     deserialize(enveloped, registry).select(
       col("event_id"),
       col("magic"), col("mtype_decoded"),

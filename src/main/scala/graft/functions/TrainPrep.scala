@@ -1592,7 +1592,13 @@ object TrainPrep {
     * exchanges for the same booleans. `text` rides along so callers
     * (the dataset build) can continue on survivors without a second
     * corpus join. */
-  def funnelFlags(docs: DataFrame, n: Int = 3): DataFrame = {
+  def funnelFlags(docs0: DataFrame, n: Int = 3): DataFrame = {
+    // the flag battery (gopher + repetition stats + stopword floor) is
+    // CPU-per-row, not bytes — widen a byte-small input so it runs on
+    // every core instead of inside a single scan task (r16: the
+    // battery owned ~3 s single-threaded at bench scale; no-op at real
+    // scale where the scan already carries >= cores partitions)
+    val docs = graft.util.Par.widen(docs0)
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)
