@@ -612,12 +612,8 @@ object Dedup {
     val loopParts = math.max(1, math.min(
       2 * pairsCk.rdd.getNumPartitions, 16 * cores))
     // AQE OFF for the loop operands and every round (see scaladoc):
-    // fixed shapes, pre-partitioned edges, hinted joins — restore after
-    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // fixed shapes, pre-partitioned edges, hinted joins
+    graft.util.Par.loopScope(spark, loopParts) {
     val edges = pairsCk.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairsCk.select(col("d2").as("a"), col("d1").as("b")))
       .repartition(loopParts, col("b"))
@@ -724,9 +720,6 @@ object Dedup {
     // should hold ~flat as data grows 10×)
     graft.util.Rounds.record("cc", iter)
     labels
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
-      spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
     }
   }
 
@@ -1070,7 +1063,8 @@ object Dedup {
     * counts equal string-span counts unless two distinct grams collide
     * in 64 bits (birthday bound ~2^32 grams — not reachable per doc).
     * `dup_frac` divides two exact integers once in double. */
-  def spanDuplication(docs: DataFrame, n: Int): DataFrame = {
+  def spanDuplication(docs0: DataFrame, n: Int): DataFrame = {
+    val docs = graft.util.Par.widen(docs0) // CPU-per-row gram scan (r16)
     val grams = docs.select(col("doc_id"),
       explode(TrainPrep.ngramHashes(col("text"), n)).as("g"))
     val nd = grams.groupBy("g")
@@ -1133,7 +1127,8 @@ object Dedup {
     * driver-side state. Returns (doc_id, a = tokens, spans =
     * array<struct<s,e>> inclusive token intervals, ascending,
     * non-overlapping; empty for clean docs). */
-  def spanExcision(docs: DataFrame, n: Int): DataFrame = {
+  def spanExcision(docs0: DataFrame, n: Int): DataFrame = {
+    val docs = graft.util.Par.widen(docs0) // CPU-per-row gram scan (r16)
     val grams = docs.select(col("doc_id"),
       posexplode(TrainPrep.ngramHashes(col("text"), n)).as(Seq("pos", "g")))
     val dup = grams.groupBy("g")

@@ -84,7 +84,7 @@ object GramIndex {
     * side-table, as [[CorpusOps.surprisalScores]] does). */
   def occurrenceCounts(docs: DataFrame): DataFrame =
     cached(docs, "occ_bigram_tf") {
-      docs
+      graft.util.Par.widen(docs) // CPU-per-row tokenize (r16)
         .withColumn("__toks", split(col("text"), " "))
         .select(col("doc_id"),
           explode(expr("transform(slice(__toks, 1, size(__toks) - 1), " +
@@ -103,7 +103,7 @@ object GramIndex {
     * kernel ([[SortedIntersectCount]]). */
   def ngramSets(docs: DataFrame, n: Int): DataFrame =
     cached(docs, s"ngram_sets_$n") {
-      docs
+      graft.util.Par.widen(docs) // CPU-per-row gram hashing (r16)
         .select(col("doc_id"), array_sort(array_distinct(
           ShingleFunctions.ngram_hashes(col("text"), n))).as("hs"))
         .withColumn("s", size(col("hs")))

@@ -49,7 +49,11 @@ object LangModel {
   /** (doc_id, n_bigrams, mean_p) for every doc with >= 2 tokens —
     * the shared train-and-score frame behind [[tcBigramLm]] and
     * [[qlLmBuckets]]. */
-  private def scoredDocs(docs: DataFrame): DataFrame = {
+  private def scoredDocs(docs0: DataFrame): DataFrame = {
+    // widen (r16): the tokenize+zip+explode battery re-executes in
+    // every consumer subtree (big, c12, c1, vocab) and is CPU-per-row
+    // over a byte-small scan — single-task without this
+    val docs = graft.util.Par.widen(docs0)
     val big = bigrams(docs)
     val c12 = bigramCounts(docs)
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))

@@ -422,7 +422,8 @@ object TrainPrep {
     * shuffled). */
   def dcDecontamination(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
+
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -492,7 +493,7 @@ object TrainPrep {
     */
   def dc5OverlapFraction(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -557,7 +558,7 @@ object TrainPrep {
   def dc6SpanLadder(spark: SparkSession, dir: String): DataFrame = {
     val rungs = Seq(3, 6, 12, 24)
     val upper = rungs.tail
-    val docs = Tables.documents(spark, dir)
+    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
     val isEval = col("doc_id") % 97 === 0
     // all rungs' grams from one pass, tagged (rung, hash)
     def tagged(rs: Seq[Int]) = explode(concat(rs.map(n =>
@@ -1238,6 +1239,12 @@ object TrainPrep {
       .select(split(col("tok"), "").as("syms"), col("freq"))
       .stageCheckpoint()
     val learned = Seq.newBuilder[(String, String, Long)]
+    // loop scope (r16): each merge round is one vocab-sized argmax +
+    // one rewrite over the checkpointed frequency table — fixed shape,
+    // so AQE costs ~3 scheduled jobs per round for nothing; round
+    // parallelism derives from the materialized table's partitions
+    graft.util.Par.loopScope(docs.sparkSession,
+      seqs.rdd.getNumPartitions) {
     for (_ <- 0 until merges) {
       val pairs = seqs
         .select(col("freq"), explode(expr(
@@ -1265,6 +1272,7 @@ object TrainPrep {
           .stageCheckpoint()
       }
     }
+    } // loopScope
     (learned.result(), seqs)
   }
 

@@ -506,6 +506,14 @@ object Stats {
       .select("src", "dst", "w", "out_w"))
     val nodes = events.select(col("event_type").as("node")).distinct()
       .stageCheckpoint()
+    // loop scope (r16): the edge/node derivation above is the
+    // corpus-sized part and ran under AQE; everything from here on is
+    // node-table-sized with a fully known shape (3 fixed iterations of
+    // broadcast join + one grouped sum), so AQE's per-exchange jobs
+    // are pure scheduling cost — run the iterations AQE-off at the
+    // materialized node table's parallelism and materialize the final
+    // ranking inside the scope (22 jobs → ~9 at bench scale).
+    graft.util.Par.loopScope(spark, nodes.rdd.getNumPartitions) {
     val nNodes = nodes.count()
     val base = (15L * Scale) / (100L * nNodes) // teleport share, exact
     var rank = nodes.withColumn("r", lit(Scale / nNodes))
@@ -528,6 +536,8 @@ object Stats {
     }
     rank.select(col("node"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("node"))
+      .stageCheckpoint()
+    }
   }
 
   val grSql: String =
