@@ -491,6 +491,20 @@ object Stats {
     * `((85·r // 100) · w) // out` with r ≤ 10^6 ppm, so the inner
     * product stays < 10^6·w — int64-safe for edge weights to ~10^12. */
   def grPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, loopParts) = grPagerankParts(spark, dir)
+    // loop scope (r16): the iteration plan below the checkpoint is
+    // node-table-sized with a fully known shape — materialize it
+    // AQE-off at the node table's parallelism (22 jobs → ~12, and the
+    // scope only owns the iterations: the corpus-sized edge/node
+    // derivation ran under AQE inside grPagerankParts)
+    graft.util.Par.loopScope(spark, loopParts)(plan.stageCheckpoint())
+  }
+
+  /** The LAZY iteration plan + derived loop parallelism — split from
+    * [[grPagerank]] so PlanAuditSpec can audit the per-round join
+    * shapes (the public query materializes the plan to a leaf). */
+  private[graft] def grPagerankParts(spark: SparkSession, dir: String)
+      : (DataFrame, Int) = {
     val Scale = 1000000L // total rank mass, ppm
     val events = Tables.events(spark, dir)
     val nxt = Window.partitionBy("user_id")
@@ -506,14 +520,6 @@ object Stats {
       .select("src", "dst", "w", "out_w"))
     val nodes = events.select(col("event_type").as("node")).distinct()
       .stageCheckpoint()
-    // loop scope (r16): the edge/node derivation above is the
-    // corpus-sized part and ran under AQE; everything from here on is
-    // node-table-sized with a fully known shape (3 fixed iterations of
-    // broadcast join + one grouped sum), so AQE's per-exchange jobs
-    // are pure scheduling cost — run the iterations AQE-off at the
-    // materialized node table's parallelism and materialize the final
-    // ranking inside the scope (22 jobs → ~9 at bench scale).
-    graft.util.Par.loopScope(spark, nodes.rdd.getNumPartitions) {
     val nNodes = nodes.count()
     val base = (15L * Scale) / (100L * nNodes) // teleport share, exact
     var rank = nodes.withColumn("r", lit(Scale / nNodes))
@@ -528,16 +534,20 @@ object Stats {
           floorDiv(floorDiv(lit(85L) * col("r"), lit(100L)) * col("w"),
             col("out_w")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_r"))
+      // explicit broadcast (r16): the contrib side is O(nodes) like
+      // the rank vector already broadcast above — and under the
+      // AQE-off materialization the static planner would otherwise
+      // plan a sort-merge join on the unknown-stats checkpoint leaf
       rank = nodes
-        .join(contrib.select(col("dst").as("node"), col("in_r")),
+        .join(broadcast(
+          contrib.select(col("dst").as("node"), col("in_r"))),
           Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_r"), lit(0L))).as("r"))
     }
-    rank.select(col("node"), col("r").as("rank_ppm"))
-      .orderBy(col("rank_ppm").desc, col("node"))
-      .stageCheckpoint()
-    }
+    (rank.select(col("node"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node")),
+      nodes.rdd.getNumPartitions)
   }
 
   val grSql: String =

@@ -104,10 +104,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("simhash/fingerprint path stays inside whole-stage codegen") {
-    val p = plan(graft.functions.Dedup.withSimhash(
-      Tables.documents(spark, sf)))
-    assert(p.contains("*(1)"), "codegen stage present:\n" + p)
-    assert(!p.contains("Exchange"), "zero-shuffle simhash:\n" + p)
+    // pre-repartitioned input: Par.widen (r16) is then a no-op, so the
+    // audit sees the pure fingerprint stage — the assert's target is
+    // that simhash64/rolling_hash stay codegen (no fallback), not the
+    // input-parallelism exchange widen adds on byte-small scans
+    val df = graft.functions.Dedup.withSimhash(
+      Tables.documents(spark, sf).repartition(2))
+    df.collect() // tiny at this SF; finalizes df's own AQE plan
+    // final section only — the toString repeats the initial plan below
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("*("), "codegen stage present:\n" + p)
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      "only the input repartition exchanges:\n" + p)
   }
 
   test("q4: lateness EXISTS is a semi join, not a fan-out join") {
@@ -263,8 +272,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("gr_pagerank: rank vector broadcasts; edges never shuffle in rounds") {
-    val p = plan(graft.operators.Stats.grPagerank(spark, sf))
+    // audit the LAZY iteration plan — the public query materializes it
+    // to a checkpoint leaf inside the r16 loop scope
+    val p = plan(graft.operators.Stats.grPagerankParts(spark, sf)._1)
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "rounds stay sort-free under the static planner:\n" + p)
   }
 
   test("p15_unpivot: one Expand, combine happens map-side in the scan stage") {
