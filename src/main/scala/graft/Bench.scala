@@ -224,9 +224,14 @@ object Bench {
     // through ChangeLogSource → tx grouping → checkpointed parquet sink
     // with Trigger.AvailableNow. Generation is untimed; failures report
     // -1 rather than killing the query bench.
-    val streamReplay: String = {
+    // (full, stdout-compact): the full string goes to BENCH_LAST.json;
+    // the compact one rides the stdout line with a HARD-BOUNDED length
+    // (no attempts array / rocksdb map / latency histogram — VERDICT
+    // r16 item 2: in noisy windows those sections grew unbounded and
+    // evicted every per-query entry from the stdout JSON)
+    val (streamReplay: String, streamReplayStdout: String) = {
       val skip = only.isDefined // dev allow-list → query iteration only
-      if (skip) "" else try {
+      if (skip) ("", "") else try {
         val replayDir = "/tmp/graft_bench_replay"
         // micro-batch latency probe FIRST, in its own dir, BEFORE the
         // 10× backlog drain (VERDICT r14 item 2 tail): it measures
@@ -293,11 +298,16 @@ object Bench {
         // events_per_sec = LOG LINES/s (incl. begin/commit markers —
         // the source-side drain rate); mutations_per_sec = sink rows/s,
         // the marker-fraction-independent number to regress on
-        s""","stream_replay":{"events":$lines,"backlog_copies":$backlogCopies,"mutations_out":${med.out},"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts":$attemptsJson$rocksJson$latency}"""
+        val full =
+          s""","stream_replay":{"events":$lines,"backlog_copies":$backlogCopies,"mutations_out":${med.out},"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts":$attemptsJson$rocksJson$latency}"""
+        val compact =
+          s""","stream_replay":{"events":$lines,"sec":${"%.3f".format(med.sec)},"events_per_sec":${"%.0f".format(lines / med.sec)},"mutations_per_sec":${"%.0f".format(med.out / med.sec)},"state_commit_ms":${med.stateCommitMs},"attempts_n":${attempts.size}}"""
+        (full, compact)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream_replay failed: ${e.getMessage}")
-          ""","stream_replay":{"events_per_sec":-1}"""
+          val f = ""","stream_replay":{"events_per_sec":-1}"""
+          (f, f)
       }
     }
     // concurrent-serving leg (VERDICT r13 item 7, reworked r15 per
@@ -328,8 +338,9 @@ object Bench {
     // steal-noisy window, with every attempt's numbers alongside and
     // a noise_suspect verdict when the final number still misses under
     // recorded steal).
-    val (concurrentJson: String, concurrentDecomp: String) = {
-      if (only.isDefined) ("", "") else try {
+    val (concurrentJson: String, concurrentDecomp: String,
+        concurrentStdout: String) = {
+      if (only.isDefined) ("", "", "") else try {
         val nThreads = 4
         val memoBacked = Seq("j3_bloom_semi", "fj1_fuzzy_join",
           "sim_ivf_ann", "sim_pq_ann", "ql_classifier")
@@ -462,11 +473,22 @@ object Bench {
             s"""\"$n\":{"first":${"%.3f".format(f)},"steady":${
               "%.3f".format(s)}}"""
         }.mkString(""","concurrent_decomp":{""", ",", "}")
-        (compact, decomp)
+        // stdout variant: fixed field set, no attempts array — its
+        // length is bounded regardless of how noisy the window was
+        val stdoutCompact =
+          s""","concurrent":{"threads":$nThreads,"queries":${names.size},"failed":${b.fails},"wall_sec":${
+            "%.3f".format(b.wall)},"speedup_vs_serial":${
+            "%.2f".format(nThreads * (refFirst.values.sum +
+              refSteady.values.sum) / b.wall)},"inflation_p95":${
+            "%.2f".format(b.steady.p95)},"first_touch_p95":${
+            "%.2f".format(b.first.p95)},"steal_sec":${
+            "%.2f".format(b.steal)},"attempts_n":${attempts.size},"noise_suspect":$noiseSus}"""
+        (compact, decomp, stdoutCompact)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] concurrent leg failed: ${e.getMessage}")
-          (""","concurrent":{"threads":-1}""", "")
+          (""","concurrent":{"threads":-1}""", "",
+            ""","concurrent":{"threads":-1}""")
       }
     }
     def fmt(v: Double): String =
@@ -525,29 +547,37 @@ object Bench {
         noiseSuspect.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_cold":$coldQs,"queries_rows":$rowsQs,"queries_rounds":$roundsQs$candsJson$streamReplay$concurrentJson$concurrentDecomp$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
-    // The driver captures only the LAST 2000 chars of stdout and parses
-    // JSON lines found there (rounds 1-2: the full per-query line grew
-    // past 2000 chars, was truncated mid-line, and recorded parsed:null).
-    // Emit a stdout line guaranteed to fit — ms precision, slowest
-    // queries first, truncated to a hard budget — and mirror the
-    // full-precision map to BENCH_LAST.json.
-    val budget = 1600 // < 2000 minus sbt's trailing [success] line
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"queries_cold":$coldQs,"queries_rows":$rowsQs,"queries_rounds":$roundsQs$candsJson$streamReplay$concurrentJson$concurrentDecomp$spillJson$stealJson$noiseJson,"sf":"$sfDir"}"""
+    // Stdout line contract (VERDICT r16 item 2): per-query entries take
+    // budget PRECEDENCE over diagnostics. Every diagnostic section here
+    // is hard-bounded (no attempts arrays, noise_suspect capped at a
+    // fixed count), so queries fill budget − O(600) fixed chars —
+    // ≥ the slowest ~150 queries even with every diagnostic maxed.
+    // The full-precision map + full diagnostics mirror to
+    // BENCH_LAST.json ("full" pointer below). Budget 4000: the r16
+    // driver parsed a 2452-char line in full; 4000 keeps headroom
+    // under any plausible capture window while fitting ~170 entries.
+    val budget = 4000
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"queries":{"""
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     // compact steal/noise summary for the stdout line: run total +
     // the top-3 per-query steal attributions (full map in
-    // BENCH_LAST.json) + the always-present noise verdict
+    // BENCH_LAST.json) + the always-present noise verdict, with the
+    // name list capped (r16: ~40 names ate ~1000 chars of budget)
     val stealTop =
       if (steals.isEmpty) ""
       else s""","steal_top":${steals.toSeq.sortBy(-_._2).take(3)
         .map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
         .mkString("{", ",", "}")}"""
+    val noiseStdout =
+      s""","reruns":$rerunsTotal,"noise_suspect_n":${noiseSuspect.size},"noise_suspect":${
+        noiseSuspect.sorted.take(8).map("\"" + _ + "\"")
+          .mkString("[", ",", "]")}"""
     val stealStdout =
       s""","steal_total_sec":${"%.2f".format(runStealSec)}""" +
-        stealTop + noiseJson
+        stealTop + noiseStdout
     // allow-list (sweep/dev) runs don't write BENCH_LAST.json, so their
     // output rows + round counts must ride the stdout line. Allow-list
     // runs are consumed by scripts grepping the FULL log (never the
@@ -578,10 +608,10 @@ object Bench {
       (if (only.isDefined && rounds.nonEmpty)
         s""","queries_rounds":$roundsQs""" else "") +
       (if (only.isDefined) candsJson else "")
-    // reserve room for closing + omitted note + stream_replay object
-    // + the ,"spill_bytes":<up-to-19-digits> suffix
-    var len = head.length + 100 + streamReplay.length +
-      concurrentJson.length + stealStdout.length + rowsStdout.length +
+    // reserve room for closing + omitted note + the bounded compact
+    // diagnostics + the ,"spill_bytes":<up-to-19-digits> suffix
+    var len = head.length + 100 + streamReplayStdout.length +
+      concurrentStdout.length + stealStdout.length + rowsStdout.length +
       roundsStdout.length
     var omitted = 0
     bySlowest.foreach { case (k, v) =>
@@ -592,7 +622,7 @@ object Bench {
     val note =
       if (omitted > 0) s""","queries_omitted":$omitted,"full":"BENCH_LAST.json"""" else ""
     val stdoutJson = head + parts.mkString(",") + "}" + note +
-      streamReplay + concurrentJson + stealStdout + rowsStdout +
+      streamReplayStdout + concurrentStdout + stealStdout + rowsStdout +
       roundsStdout + s""","spill_bytes":${spills.values.sum}""" + "}"
     spark.stop()
     System.err.flush()
@@ -601,9 +631,26 @@ object Bench {
     System.out.flush()
     // full-suite runs only: a partial SPARK_GRAFT_ONLY dev run must not
     // overwrite the committed full-suite reference (VERDICT r9 item 8 —
-    // a partial overwrite also poisons the 3× outlier reference above)
+    // a partial overwrite also poisons the 3× outlier reference above).
+    // Config guard (VERDICT r16 item 5): the driver ALSO runs the full
+    // suite at a lower core count for the scaling measurement, and that
+    // run used to clobber the quiet 32-core reference — a run whose
+    // (cpus, sf) differ from the existing reference's goes to
+    // BENCH_LAST_c<cpus>.json instead.
     if (only.isEmpty) try {
-      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      val refPath = java.nio.file.Paths.get("BENCH_LAST.json")
+      val matchesRef = !java.nio.file.Files.exists(refPath) || {
+        val txt = new String(java.nio.file.Files.readAllBytes(refPath),
+          "UTF-8")
+        val refCpus = "\"cpus\":\\s*\"?([0-9]+)"
+          .r.findFirstMatchIn(txt).map(_.group(1))
+        val refSf = "\"sf\":\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        refCpus.forall(_ == cpus) && refSf.forall(_ == sfDir)
+      }
+      val out = if (matchesRef) "BENCH_LAST.json"
+        else s"BENCH_LAST_c$cpus.json"
+      val w = new java.io.PrintWriter(out)
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => }
   }

@@ -612,10 +612,13 @@ object Dedup {
     val loopParts = math.max(1, math.min(
       2 * pairsCk.rdd.getNumPartitions, 16 * cores))
     // AQE OFF for the loop operands and every round (see scaladoc):
-    // fixed shapes, pre-partitioned edges, hinted joins
-    graft.util.Par.loopScope(spark, loopParts) {
-    val edges = pairsCk.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairsCk.select(col("d2").as("a"), col("d1").as("b")))
+    // fixed shapes, pre-partitioned edges, hinted joins. The scope is
+    // a cloned session; the checkpointed pair list rebinds into it
+    // (leaf plan — exact), and the converged labels rebind back out.
+    graft.util.Par.loopScope(spark, loopParts) { scoped =>
+    val pairsS = graft.util.Par.rebind(scoped, pairsCk.toDF())
+    val edges = pairsS.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairsS.select(col("d2").as("a"), col("d1").as("b")))
       .repartition(loopParts, col("b"))
       .stageCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
@@ -719,7 +722,10 @@ object Dedup {
     // slope (pointer jumping ⇒ rounds ~ log2(diameter), so the count
     // should hold ~flat as data grows 10×)
     graft.util.Rounds.record("cc", iter)
-    labels
+    // back to the caller's session: labels is a checkpoint leaf, so
+    // the rebind is exact and downstream consumers plan under the
+    // parent conf (AQE back on)
+    graft.util.Par.rebind(spark, labels.toDF())
     }
   }
 

@@ -36,8 +36,14 @@ object LangModel {
 
   /** (doc_id, pos, w1, w2) for every adjacent token pair. */
   private def bigrams(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a"))
+    bigramsFromToks(docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a")))
+
+  /** Bigram expansion over an already-tokenized (doc_id, a) frame —
+    * split out so [[scoredDocs]] can feed its consumers from ONE
+    * materialized tokenize pass. */
+  private def bigramsFromToks(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"),
         posexplode(expr(
@@ -50,15 +56,23 @@ object LangModel {
     * the shared train-and-score frame behind [[tcBigramLm]] and
     * [[qlLmBuckets]]. */
   private def scoredDocs(docs0: DataFrame): DataFrame = {
-    // widen (r16): the tokenize+zip+explode battery re-executes in
-    // every consumer subtree (big, c12, c1, vocab) and is CPU-per-row
-    // over a byte-small scan — single-task without this
-    val docs = graft.util.Par.widen(docs0)
-    val big = bigrams(docs)
-    val c12 = bigramCounts(docs)
+    // widen (r16): the tokenize battery is CPU-per-row over a
+    // byte-small scan — single-task without this.
+    // stageCheckpoint (r17, guide §6 reuse / VERDICT r16 item 8): the
+    // four consumer subtrees (big join probe, c12, c1, vocab) used to
+    // RE-RUN tokenize+zip+explode each — the regex battery, the
+    // expensive part, now executes exactly once and the consumers read
+    // the materialized (doc_id, tokens) leaf; the cheap array
+    // expansion below stays lazy per consumer
+    import graft.util.Checkpoints.StageOps
+    val toks = graft.util.Par.widen(docs0)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a"))
+      .stageCheckpoint()
+    val big = bigramsFromToks(toks)
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = docs
-      .select(explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+    val vocab = toks
+      .select(explode(col("a")).as("t"))
       .agg(countDistinct("t").as("v"))
     big
       .join(c12, Seq("w1", "w2"))

@@ -1150,19 +1150,30 @@ object Similarity {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // SHUFFLE_HASH hints (r17, guide §3.1 / VERDICT r16 item 5 — same
+    // treatment as the CC rounds): every join below sits on the
+    // unknown-stats checkpoint leaf, so the static planner picked
+    // SortMergeJoin and planned sorts on both sides of all four joins.
+    // Each hinted build side is bounded per partition at every scale —
+    // deg is O(nodes) hash-split, the wedge build is the edge slice of
+    // one hash partition, the closure build is the edge set — so the
+    // hint is scale-safe (AQE keeps skew-splitting hinted SHJ).
     val dirE = edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("node").as("u"), col("deg").as("du"))
+        .hint("SHUFFLE_HASH"), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv"))
+        .hint("SHUFFLE_HASH"), "v")
       .select(when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    val wedges = dirE.as("e1").join(dirE.as("e2"),
+    val wedges = dirE.as("e1").join(dirE.as("e2").hint("SHUFFLE_HASH"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("apex"), col("e1.t").as("b"),
         col("e2.t").as("c"))
-    wedges.join(edges, col("b") === col("u") && col("c") === col("v"))
+    wedges.join(edges.hint("SHUFFLE_HASH"),
+        col("b") === col("u") && col("c") === col("v"))
       .select(explode(array(col("apex"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")

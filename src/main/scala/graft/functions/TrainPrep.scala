@@ -1231,8 +1231,11 @@ object TrainPrep {
       else docs.filter(
         pmod(xxhash64(col("doc_id")), lit(1000000L)) <
           lit((sampleFraction * 1000000L).toLong))
-    // distinct-token frequency table: chars as symbols, corpus count
-    var seqs = corpus
+    // distinct-token frequency table: chars as symbols, corpus count.
+    // widen (r17, VERDICT r16 item 7): the tokenize+explode frequency
+    // fold is CPU-per-row over a byte-small scan — single-task at
+    // bench scale without this, exact no-op at real scale
+    var seqs = graft.util.Par.widen(corpus, gauge = docs)
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -1244,7 +1247,8 @@ object TrainPrep {
     // so AQE costs ~3 scheduled jobs per round for nothing; round
     // parallelism derives from the materialized table's partitions
     graft.util.Par.loopScope(docs.sparkSession,
-      seqs.rdd.getNumPartitions) {
+      seqs.rdd.getNumPartitions) { scoped =>
+    seqs = graft.util.Par.rebind(scoped, seqs)
     for (_ <- 0 until merges) {
       val pairs = seqs
         .select(col("freq"), explode(expr(
@@ -1273,7 +1277,10 @@ object TrainPrep {
       }
     }
     } // loopScope
-    (learned.result(), seqs)
+    // seqs is a checkpoint leaf here — rebind back to the caller's
+    // session so downstream consumers plan under the parent conf
+    (learned.result(),
+      graft.util.Par.rebind(docs.sparkSession, seqs))
   }
 
   /** Declared query: the merge table itself (rank, pair, count at
@@ -1350,7 +1357,10 @@ object TrainPrep {
       : DataFrame = {
     val enc = vocab.select(col("tok"), size(col("syms")).as("n_sym"),
       length(col("tok")).as("n_chr"))
-    docs.select(col("doc_id"),
+    // widen (r17): the per-doc tokenize+explode encode pass is the
+    // same CPU-bound single-task shape as the learn fold above
+    graft.util.Par.widen(docs)
+      .select(col("doc_id"),
         explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .join(enc, "tok")

@@ -497,7 +497,10 @@ object Stats {
     // AQE-off at the node table's parallelism (22 jobs → ~12, and the
     // scope only owns the iterations: the corpus-sized edge/node
     // derivation ran under AQE inside grPagerankParts)
-    graft.util.Par.loopScope(spark, loopParts)(plan.stageCheckpoint())
+    graft.util.Par.loopScope(spark, loopParts) { scoped =>
+      graft.util.Par.rebind(spark,
+        graft.util.Par.rebind(scoped, plan).stageCheckpoint())
+    }
   }
 
   /** The LAZY iteration plan + derived loop parallelism — split from

@@ -57,27 +57,51 @@ object Par {
     else df
   }
 
+  /** Rebind a frame to another session of the SAME SparkContext —
+    * zero data movement, the analyzed plan is simply replanned under
+    * the target session's conf. Used to move loop operands into a
+    * [[loopScope]] session and results back out (checkpoint leaves
+    * rebind exactly: a LogicalRDD is session-independent). */
+  def rebind(spark: org.apache.spark.sql.SparkSession, df: DataFrame)
+      : DataFrame =
+    org.apache.spark.sql.graft.PlanBridge.ofRows(
+      spark, df.queryExecution.analyzed)
+
   /** Iterative-kernel loop scope (r16, guide §1.2/§2.4): run `body`
-    * with AQE OFF and shuffle partitions pinned to `parts`, restoring
-    * both after. For a loop whose per-round plan shape is fully known
-    * (CC label propagation, BPE merge rounds, power iteration), AQE's
-    * per-exchange re-optimization buys nothing and costs one scheduled
-    * job per exchange per round — measured r16: gr_cc ran 76 jobs for
-    * 7 rounds under AQE, ~40 ms each of pure scheduling. `parts`
-    * must be DERIVED from the materialized loop operand (e.g. its
-    * checkpoint's AQE-coalesced partition count), never a constant:
-    * that keeps the scope scale-adaptive — single-task rounds at bench
-    * scale, cluster-wide rounds on a cluster-sized operand. */
+    * against a session whose conf has AQE OFF and shuffle partitions
+    * pinned to `parts`. For a loop whose per-round plan shape is fully
+    * known (CC label propagation, BPE merge rounds, power iteration),
+    * AQE's per-exchange re-optimization buys nothing and costs one
+    * scheduled job per exchange per round — measured r16: gr_cc ran 76
+    * jobs for 7 rounds under AQE, ~40 ms each of pure scheduling.
+    * `parts` must be DERIVED from the materialized loop operand (e.g.
+    * its checkpoint's AQE-coalesced partition count), never a
+    * constant: that keeps the scope scale-adaptive — single-task
+    * rounds at bench scale, cluster-wide rounds on a cluster-sized
+    * operand.
+    *
+    * The scope is a CLONED session (`newSession`: shared context,
+    * catalog and blocks; PRIVATE SQLConf), not a set/restore on the
+    * caller's session — VERDICT r16 item 4: session-global conf flips
+    * are visible to every other thread, so a concurrent query on the
+    * shared session could catch a 1-partition AQE-off plan. The body
+    * receives the scoped session and must [[rebind]] its operands into
+    * it (frames keep the session they were created on — conf set on a
+    * clone does not affect a parent-session frame). */
   def loopScope[T](spark: org.apache.spark.sql.SparkSession, parts: Int)
-      (body: => T): T = {
-    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1, parts).toString)
-    try body finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
-      spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
+      (body: org.apache.spark.sql.SparkSession => T): T = {
+    val scoped = spark.newSession()
+    // carry the parent's RUNTIME conf (tuneForData ceilings, checkpoint
+    // durability mode, …): newSession starts from builder-time options
+    // only. Static/immutable entries throw — skip them.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v) catch { case _: Throwable => }
     }
+    // session-scoped optimizer rules / strategies do not clone either
+    graft.GraftCatalog.installOptimizations(scoped)
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, parts).toString)
+    body(scoped)
   }
 }

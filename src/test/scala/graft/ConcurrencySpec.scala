@@ -58,6 +58,60 @@ class ConcurrencySpec extends SparkSpec {
         "concurrent executions — the model memo must absorb the race")
   }
 
+  test("loopScope conf is private to the scope (VERDICT r16 item 4)") {
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.util.Par.loopScope(spark, 1) { scoped =>
+      // the scope sees its pinned conf …
+      assert(scoped.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(scoped.conf.get("spark.sql.shuffle.partitions") == "1")
+      // … while the shared session is untouched — a concurrent query
+      // planning on it mid-loop still plans adaptively at full width
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
+      val parent = spark.range(1000).groupBy(col("id") % 7).count()
+      assert(parent.queryExecution.executedPlan.toString
+        .contains("AdaptiveSparkPlan"),
+        "parent-session plan lost AQE while a loop scope was active")
+      // a frame rebound into the scope shuffles at the pinned count
+      val scopedDf = graft.util.Par.rebind(scoped,
+        spark.range(1000).toDF()).groupBy(col("id") % 7).count()
+      scopedDf.collect()
+      assert(scopedDf.rdd.getNumPartitions == 1,
+        "rebound frame must inherit the scope's pinned partitions")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0)
+  }
+
+  test("concurrent leg stays green while a CC-family loop runs " +
+    "on a second thread") {
+    import spark.implicits._
+    // a chain graph: CC runs several pointer-jump rounds, keeping the
+    // loop scope alive while the other thread queries the parent
+    val pairs = (0L until 400L).map(i => (i, i + 1))
+      .toDF("d1", "d2")
+    @volatile var ccLabels: Array[org.apache.spark.sql.Row] = null
+    val ccThread = new Thread(() => {
+      ccLabels = functions.Dedup.connectedComponents(pairs)
+        .orderBy("id").collect()
+    })
+    ccThread.start()
+    // parent-session queries racing the loop: correct rows AND
+    // adaptive plans throughout
+    var adaptiveSeen = true
+    while (ccThread.isAlive) {
+      val q = spark.range(10000).groupBy(col("id") % 13).count()
+      adaptiveSeen &= q.queryExecution.executedPlan.toString
+        .contains("AdaptiveSparkPlan")
+      assert(q.collect().map(_.getLong(1)).sum == 10000L)
+    }
+    ccThread.join()
+    assert(adaptiveSeen,
+      "a parent-session query planned without AQE during the CC loop")
+    assert(ccLabels.length == 401 && ccLabels.forall(_.getLong(1) == 0L),
+      "chain collapses to one component labeled by its minimum")
+  }
+
   private implicit class QAsScala[A](
       q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
     def asScala: Iterator[A] = {
