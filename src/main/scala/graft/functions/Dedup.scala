@@ -626,6 +626,8 @@ object Dedup {
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    if (debug) System.err.println(
+      s"[cc] loopParts=$loopParts pairsParts=${pairsCk.rdd.getNumPartitions}")
     // one hop as union + min-aggregate, not join + left-join: each
     // node's new label is min(own, neighbors'), so emit one self row
     // (id, label, old=label) plus one row (a, bl, old=null) per

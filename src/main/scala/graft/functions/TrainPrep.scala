@@ -1232,10 +1232,12 @@ object TrainPrep {
         pmod(xxhash64(col("doc_id")), lit(1000000L)) <
           lit((sampleFraction * 1000000L).toLong))
     // distinct-token frequency table: chars as symbols, corpus count.
-    // widen (r17, VERDICT r16 item 7): the tokenize+explode frequency
-    // fold is CPU-per-row over a byte-small scan — single-task at
-    // bench scale without this, exact no-op at real scale
-    var seqs = graft.util.Par.widen(corpus, gauge = docs)
+    // NOT widened (r17, measured-and-rejected): tried Par.widen here
+    // per VERDICT r16 item 7 — taskSec ballooned 0.33 → 9-14 s for a
+    // +0.6 s WORSE wall at bench scale (the fold is ~0.3 s of CPU
+    // total; per-task overhead under a 32-thread fan-out swamps it);
+    // see OPTIMIZATION_r17.md
+    var seqs = corpus
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -1357,10 +1359,12 @@ object TrainPrep {
       : DataFrame = {
     val enc = vocab.select(col("tok"), size(col("syms")).as("n_sym"),
       length(col("tok")).as("n_chr"))
-    // widen (r17): the per-doc tokenize+explode encode pass is the
-    // same CPU-bound single-task shape as the learn fold above
-    graft.util.Par.widen(docs)
-      .select(col("doc_id"),
+    // NOT widened (r17, measured-and-rejected): unlike the Avro/shingle
+    // batteries, this tokenize+probe stage costs ~0.6 s of CPU total at
+    // bench scale — fanning it to the core count added ~0.1-0.5 s of
+    // per-task overhead per task (allocator contention grows with
+    // thread count) for a FLAT action wall; see OPTIMIZATION_r17.md
+    docs.select(col("doc_id"),
         explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .join(enc, "tok")

@@ -280,6 +280,17 @@ class PlanAuditSpec extends SparkSpec {
       "rounds stay sort-free under the static planner:\n" + p)
   }
 
+  test("gr_triangles: wedge/closure joins are sort-free on the " +
+    "checkpointed edge list (r17)") {
+    val p = plan(graft.functions.Similarity.grTriangles(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      "hinted joins plan as shuffled-hash:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no static SMJ on the unknown-stats checkpoint leaves:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("p15_unpivot: one Expand, combine happens map-side in the scan stage") {
     val p = plan(graft.operators.RelationalExt.p15Unpivot(spark, sf))
     assert("Expand".r.findAllIn(p).length === 1,
