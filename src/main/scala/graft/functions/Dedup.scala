@@ -495,7 +495,11 @@ object Dedup {
     * proven byte-equivalent to the split+concat+hash formulation in
     * `ShingleExpressionsSpec`). */
   def withShingleHashes(docs: DataFrame): DataFrame =
-    graft.util.Par.widen(docs) // CPU-per-row shingle build (r16)
+    // widen moved to GramIndex.bigramSourceSets (r17): per-consumer
+    // A/B showed the fan-out wins on the gram-set consumers but LOSES
+    // on the signature consumers (dd_minhash_lsh 1.13x,
+    // dd_incremental_minhash 1.41x) — see OPTIMIZATION_r17.md
+    docs
       .withColumn("shingle_hashes",
       ShingleFunctions.bigram_shingle_hashes(col("text")))
 
@@ -935,7 +939,10 @@ object Dedup {
     * ([[SimHash64]]; replaced a 64-pass HOF chain that benched 30×
     * slower at sf0.1). */
   def withSimhash(docs: DataFrame): DataFrame =
-    graft.util.Par.widen(docs) // CPU-per-row hashing (r16)
+    // NOT widened (r17, measured-and-rejected): matched-noise A/B put
+    // dd_simhash at 1.64x WITH the fan-out (0.61 -> 1.01 s) — the
+    // single-pass SimHash64 kernel is cheaper than 32 tasks' overhead
+    docs
       .withColumn("tok_hashes", array_distinct(
         transform(split(col("text"), "\\s+"),
           t => HashFunctions.rolling_hash(t))))
@@ -1072,7 +1079,8 @@ object Dedup {
     * in 64 bits (birthday bound ~2^32 grams — not reachable per doc).
     * `dup_frac` divides two exact integers once in double. */
   def spanDuplication(docs0: DataFrame, n: Int): DataFrame = {
-    val docs = graft.util.Par.widen(docs0) // CPU-per-row gram scan (r16)
+    // NOT widened (r17): A/B dd_span_dedup 1.21x with the fan-out
+    val docs = docs0
     val grams = docs.select(col("doc_id"),
       explode(TrainPrep.ngramHashes(col("text"), n)).as("g"))
     val nd = grams.groupBy("g")
@@ -1136,7 +1144,10 @@ object Dedup {
     * array<struct<s,e>> inclusive token intervals, ascending,
     * non-overlapping; empty for clean docs). */
   def spanExcision(docs0: DataFrame, n: Int): DataFrame = {
-    val docs = graft.util.Par.widen(docs0) // CPU-per-row gram scan (r16)
+    // NOT widened (r17): A/B dd_span_excise 1.94x with the fan-out
+    // (the dataset-build path stays wide: its caller feeds an
+    // already-widened survivor frame)
+    val docs = docs0
     val grams = docs.select(col("doc_id"),
       posexplode(TrainPrep.ngramHashes(col("text"), n)).as(Seq("pos", "g")))
     val dup = grams.groupBy("g")

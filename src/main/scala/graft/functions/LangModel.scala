@@ -56,16 +56,16 @@ object LangModel {
     * the shared train-and-score frame behind [[tcBigramLm]] and
     * [[qlLmBuckets]]. */
   private def scoredDocs(docs0: DataFrame): DataFrame = {
-    // widen (r16): the tokenize battery is CPU-per-row over a
-    // byte-small scan — single-task without this.
     // stageCheckpoint (r17, guide §6 reuse / VERDICT r16 item 8): the
     // four consumer subtrees (big join probe, c12, c1, vocab) used to
     // RE-RUN tokenize+zip+explode each — the regex battery, the
     // expensive part, now executes exactly once and the consumers read
     // the materialized (doc_id, tokens) leaf; the cheap array
     // expansion below stays lazy per consumer
+    // (the r16 widen on this entry was dropped in r17: with the
+    // tokenize materialized once, A/B showed the fan-out at 1.06-1.13x)
     import graft.util.Checkpoints.StageOps
-    val toks = graft.util.Par.widen(docs0)
+    val toks = docs0
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a"))
       .stageCheckpoint()
     val big = bigramsFromToks(toks)

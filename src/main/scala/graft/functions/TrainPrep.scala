@@ -422,7 +422,10 @@ object TrainPrep {
     * shuffled). */
   def dcDecontamination(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
+    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
+    // 1.7-1.8x on this query class (gram scans cost well under the
+    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
+    val docs = Tables.documents(spark, dir)
 
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
@@ -493,7 +496,10 @@ object TrainPrep {
     */
   def dc5OverlapFraction(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
+    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
+    // 1.7-1.8x on this query class (gram scans cost well under the
+    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
+    val docs = Tables.documents(spark, dir)
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -558,7 +564,10 @@ object TrainPrep {
   def dc6SpanLadder(spark: SparkSession, dir: String): DataFrame = {
     val rungs = Seq(3, 6, 12, 24)
     val upper = rungs.tail
-    val docs = graft.util.Par.widen(Tables.documents(spark, dir)) // r16
+    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
+    // 1.7-1.8x on this query class (gram scans cost well under the
+    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
+    val docs = Tables.documents(spark, dir)
     val isEval = col("doc_id") % 97 === 0
     // all rungs' grams from one pass, tagged (rung, hash)
     def tagged(rs: Seq[Int]) = explode(concat(rs.map(n =>
@@ -1615,12 +1624,11 @@ object TrainPrep {
     * (the dataset build) can continue on survivors without a second
     * corpus join. */
   def funnelFlags(docs0: DataFrame, n: Int = 3): DataFrame = {
-    // the flag battery (gopher + repetition stats + stopword floor) is
-    // CPU-per-row, not bytes — widen a byte-small input so it runs on
-    // every core instead of inside a single scan task (r16: the
-    // battery owned ~3 s single-threaded at bench scale; no-op at real
-    // scale where the scan already carries >= cores partitions)
-    val docs = graft.util.Par.widen(docs0)
+    // widen moved to the DatasetBuild call sites (r17): the full
+    // dataset-build pipeline wins from the fan-out (A/B 0.94x) but the
+    // lighter funnel/curation consumers lose (tp_filter_funnel 1.82x)
+    // — the battery they run costs less than 32 tasks' overhead
+    val docs = docs0
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)

@@ -35,6 +35,11 @@ object Par {
     * widen into a permanent no-op even on a 600 KB corpus). */
   def widen(df: DataFrame, gauge: DataFrame = null): DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
+    // measurement kill-switch (r17): GRAFT_WIDEN=off disables every
+    // widen call site at once, so a single binary can A/B the lever
+    // under matched host noise (the per-site keep/revert decisions in
+    // OPTIMIZATION_r17.md came from this). Never set in production.
+    if (sys.env.get("GRAFT_WIDEN").contains("off")) return df
     // idempotence: operators compose (the dataset-build feeds a widened
     // survivor frame into spanExcision, which widens its own input) —
     // a second round-robin exchange on top of an existing repartition
