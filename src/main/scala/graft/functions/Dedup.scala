@@ -495,11 +495,13 @@ object Dedup {
     * proven byte-equivalent to the split+concat+hash formulation in
     * `ShingleExpressionsSpec`). */
   def withShingleHashes(docs: DataFrame): DataFrame =
-    // widen moved to GramIndex.bigramSourceSets (r17): per-consumer
-    // A/B showed the fan-out wins on the gram-set consumers but LOSES
-    // on the signature consumers (dd_minhash_lsh 1.13x,
-    // dd_incremental_minhash 1.41x) — see OPTIMIZATION_r17.md
-    docs
+    // full widen moved to GramIndex.bigramSourceSets (r17): the A/B
+    // showed the 32-task fan-out wins on the gram-set consumers but
+    // LOSES on the signature consumers at bench scale (dd_minhash_lsh
+    // 1.13x, dd_incremental_minhash 1.41x). Chunked width keeps the
+    // signature path single-task at bench bytes and restores the
+    // fan-out as the corpus grows (sf10: +15% without it).
+    graft.util.Par.widenChunked(docs)
       .withColumn("shingle_hashes",
       ShingleFunctions.bigram_shingle_hashes(col("text")))
 
@@ -939,10 +941,11 @@ object Dedup {
     * ([[SimHash64]]; replaced a 64-pass HOF chain that benched 30×
     * slower at sf0.1). */
   def withSimhash(docs: DataFrame): DataFrame =
-    // NOT widened (r17, measured-and-rejected): matched-noise A/B put
-    // dd_simhash at 1.64x WITH the fan-out (0.61 -> 1.01 s) — the
-    // single-pass SimHash64 kernel is cheaper than 32 tasks' overhead
-    docs
+    // chunk-widened (r17): the full fan-out measured 1.64x on
+    // dd_simhash at bench scale (0.61 -> 1.01 s — the single-pass
+    // SimHash64 kernel is cheaper than 32 tasks' overhead); chunked
+    // width is a no-op at bench bytes, wide as the corpus grows
+    graft.util.Par.widenChunked(docs)
       .withColumn("tok_hashes", array_distinct(
         transform(split(col("text"), "\\s+"),
           t => HashFunctions.rolling_hash(t))))
@@ -1079,8 +1082,8 @@ object Dedup {
     * in 64 bits (birthday bound ~2^32 grams — not reachable per doc).
     * `dup_frac` divides two exact integers once in double. */
   def spanDuplication(docs0: DataFrame, n: Int): DataFrame = {
-    // NOT widened (r17): A/B dd_span_dedup 1.21x with the fan-out
-    val docs = docs0
+    // chunk-widened (r17): full fan-out A/B'd 1.21x on dd_span_dedup
+    val docs = graft.util.Par.widenChunked(docs0)
     val grams = docs.select(col("doc_id"),
       explode(TrainPrep.ngramHashes(col("text"), n)).as("g"))
     val nd = grams.groupBy("g")
@@ -1144,10 +1147,10 @@ object Dedup {
     * array<struct<s,e>> inclusive token intervals, ascending,
     * non-overlapping; empty for clean docs). */
   def spanExcision(docs0: DataFrame, n: Int): DataFrame = {
-    // NOT widened (r17): A/B dd_span_excise 1.94x with the fan-out
-    // (the dataset-build path stays wide: its caller feeds an
-    // already-widened survivor frame)
-    val docs = docs0
+    // chunk-widened (r17): full fan-out A/B'd 1.94x on dd_span_excise
+    // (the dataset-build path stays fully wide: its caller feeds an
+    // already-widened survivor frame, which chunked leaves alone)
+    val docs = graft.util.Par.widenChunked(docs0)
     val grams = docs.select(col("doc_id"),
       posexplode(TrainPrep.ngramHashes(col("text"), n)).as(Seq("pos", "g")))
     val dup = grams.groupBy("g")

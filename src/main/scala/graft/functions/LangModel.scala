@@ -62,10 +62,12 @@ object LangModel {
     // expensive part, now executes exactly once and the consumers read
     // the materialized (doc_id, tokens) leaf; the cheap array
     // expansion below stays lazy per consumer
-    // (the r16 widen on this entry was dropped in r17: with the
-    // tokenize materialized once, A/B showed the fan-out at 1.06-1.13x)
+    // (the r16 full widen on this entry became chunked in r17: with
+    // the tokenize materialized once, A/B showed the 32-task fan-out
+    // at 1.06-1.13x at bench scale; chunked no-ops there and widens
+    // the single tokenize pass with the corpus)
     import graft.util.Checkpoints.StageOps
-    val toks = docs0
+    val toks = graft.util.Par.widenChunked(docs0)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("a"))
       .stageCheckpoint()
     val big = bigramsFromToks(toks)

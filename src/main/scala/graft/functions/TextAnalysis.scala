@@ -733,10 +733,10 @@ object TextAnalysis {
     * runs on the scored (doc, term) table partitioned by doc — never a
     * global sort. */
   def taTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // NOT widened (r17, was widened r16): matched-noise A/B put the
-    // fan-out at 1.21x here — the tokenize is cheaper than 32 tasks'
-    // overhead at bench scale
-    val docs = Tables.documents(spark, dir)
+    // chunk-widened (r17, full widen in r16): matched-noise A/B put
+    // the 32-task fan-out at 1.21x here — the tokenize is cheaper than
+    // 32 tasks' overhead at bench scale; chunked no-ops at bench bytes
+    val docs = graft.util.Par.widenChunked(Tables.documents(spark, dir))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))

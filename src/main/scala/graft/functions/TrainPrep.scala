@@ -422,10 +422,11 @@ object TrainPrep {
     * shuffled). */
   def dcDecontamination(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
-    // 1.7-1.8x on this query class (gram scans cost well under the
-    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
-    val docs = Tables.documents(spark, dir)
+    // chunk-widened (r17): matched-noise A/B showed the r16 full
+    // fan-out at 1.7-1.8x on this query class (gram scans cost well
+    // under the 32-task overhead at bench scale) — chunked width is a
+    // no-op at bench bytes and restores the fan-out at the decades
+    val docs = graft.util.Par.widenChunked(Tables.documents(spark, dir))
 
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
@@ -496,10 +497,11 @@ object TrainPrep {
     */
   def dc5OverlapFraction(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
-    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
-    // 1.7-1.8x on this query class (gram scans cost well under the
-    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
-    val docs = Tables.documents(spark, dir)
+    // chunk-widened (r17): matched-noise A/B showed the r16 full
+    // fan-out at 1.7-1.8x on this query class (gram scans cost well
+    // under the 32-task overhead at bench scale) — chunked width is a
+    // no-op at bench bytes and restores the fan-out at the decades
+    val docs = graft.util.Par.widenChunked(Tables.documents(spark, dir))
     val grams = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -564,10 +566,11 @@ object TrainPrep {
   def dc6SpanLadder(spark: SparkSession, dir: String): DataFrame = {
     val rungs = Seq(3, 6, 12, 24)
     val upper = rungs.tail
-    // NOT widened (r17): matched-noise A/B showed the r16 fan-out at
-    // 1.7-1.8x on this query class (gram scans cost well under the
-    // 32-task overhead at bench scale) — see OPTIMIZATION_r17.md
-    val docs = Tables.documents(spark, dir)
+    // chunk-widened (r17): matched-noise A/B showed the r16 full
+    // fan-out at 1.7-1.8x on this query class (gram scans cost well
+    // under the 32-task overhead at bench scale) — chunked width is a
+    // no-op at bench bytes and restores the fan-out at the decades
+    val docs = graft.util.Par.widenChunked(Tables.documents(spark, dir))
     val isEval = col("doc_id") % 97 === 0
     // all rungs' grams from one pass, tagged (rung, hash)
     def tagged(rs: Seq[Int]) = explode(concat(rs.map(n =>
@@ -1241,12 +1244,11 @@ object TrainPrep {
         pmod(xxhash64(col("doc_id")), lit(1000000L)) <
           lit((sampleFraction * 1000000L).toLong))
     // distinct-token frequency table: chars as symbols, corpus count.
-    // NOT widened (r17, measured-and-rejected): tried Par.widen here
-    // per VERDICT r16 item 7 — taskSec ballooned 0.33 → 9-14 s for a
-    // +0.6 s WORSE wall at bench scale (the fold is ~0.3 s of CPU
-    // total; per-task overhead under a 32-thread fan-out swamps it);
-    // see OPTIMIZATION_r17.md
-    var seqs = corpus
+    // chunk-widened (r17): the FULL fan-out (VERDICT r16 item 7)
+    // ballooned taskSec 0.33 → 9-14 s for a +0.6 s WORSE wall at
+    // bench scale (the fold is ~0.3 s of CPU total); chunked width is
+    // a no-op at bench bytes and widens the fold with the corpus
+    var seqs = graft.util.Par.widenChunked(corpus, gauge = docs)
       .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -1368,12 +1370,12 @@ object TrainPrep {
       : DataFrame = {
     val enc = vocab.select(col("tok"), size(col("syms")).as("n_sym"),
       length(col("tok")).as("n_chr"))
-    // NOT widened (r17, measured-and-rejected): unlike the Avro/shingle
-    // batteries, this tokenize+probe stage costs ~0.6 s of CPU total at
-    // bench scale — fanning it to the core count added ~0.1-0.5 s of
-    // per-task overhead per task (allocator contention grows with
-    // thread count) for a FLAT action wall; see OPTIMIZATION_r17.md
-    docs.select(col("doc_id"),
+    // chunk-widened (r17): the full fan-out added ~0.1-0.5 s of
+    // per-task overhead for a FLAT action wall at bench scale (the
+    // tokenize+probe pass costs ~0.6 s of CPU total); chunked width
+    // no-ops at bench bytes, widens with the corpus
+    graft.util.Par.widenChunked(docs)
+      .select(col("doc_id"),
         explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .join(enc, "tok")
@@ -1624,11 +1626,12 @@ object TrainPrep {
     * (the dataset build) can continue on survivors without a second
     * corpus join. */
   def funnelFlags(docs0: DataFrame, n: Int = 3): DataFrame = {
-    // widen moved to the DatasetBuild call sites (r17): the full
-    // dataset-build pipeline wins from the fan-out (A/B 0.94x) but the
-    // lighter funnel/curation consumers lose (tp_filter_funnel 1.82x)
-    // — the battery they run costs less than 32 tasks' overhead
-    val docs = docs0
+    // full widen moved to the DatasetBuild call sites (r17): the
+    // dataset-build pipeline wins from the 32-task fan-out (A/B 0.94x)
+    // but the lighter funnel/curation consumers lose
+    // (tp_filter_funnel 1.82x); chunked width keeps them single-task
+    // at bench bytes and widens with the corpus
+    val docs = graft.util.Par.widenChunked(docs0)
     val grams = docs.select(col("doc_id"),
       explode(ngramHashes(col("text"), n)).as("g"))
     val evalG = grams.filter(col("doc_id") % 97 === 0)

@@ -33,7 +33,29 @@ object Par {
     * to the defaultSizeInBytes sentinel (a lazy localCheckpoint plans
     * as a LogicalRDD with "unknown = huge" stats, which would turn the
     * widen into a permanent no-op even on a 600 KB corpus). */
-  def widen(df: DataFrame, gauge: DataFrame = null): DataFrame = {
+  def widen(df: DataFrame, gauge: DataFrame = null): DataFrame =
+    widenImpl(df, gauge, chunked = false)
+
+  /** Byte-proportional variant for stages whose CPU-per-byte is too
+    * LOW to amortize a full core-count fan-out on a byte-small input
+    * (r17 widen audit: splitting a sub-second split/explode/hash pass
+    * into 32 tasks measured 1.2-1.9× WORSE wall at bench scale — the
+    * per-task overhead grows with thread count). Width derives from
+    * the size estimate: `ceil(est / spark.graft.widen.chunkBytes)`
+    * capped at the core count — an EXACT no-op while the input is
+    * under one chunk (bench scale: the A/B-optimal shape) and
+    * approaching the full fan-out as the input grows (the sf10 decade:
+    * dd_minhash_groups read +15% with the r16 fan-out simply removed;
+    * this restores the scale arm without re-paying the bench-scale
+    * loss). The default chunk (4m) is measurement-derived: the light
+    * per-row passes this variant guards cost well under a second of
+    * CPU per 4 MB, the regime where the fan-out's ~0.1-0.5 s/task
+    * overhead dominates; override via conf for other hardware. */
+  def widenChunked(df: DataFrame, gauge: DataFrame = null): DataFrame =
+    widenImpl(df, gauge, chunked = true)
+
+  private def widenImpl(df: DataFrame, gauge: DataFrame,
+      chunked: Boolean): DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
     // measurement kill-switch (r17): GRAFT_WIDEN=off disables every
     // widen call site at once, so a single binary can A/B the lever
@@ -57,9 +79,17 @@ object Par {
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val g = if (gauge == null) df else gauge
     val estBytes = g.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(cores.toLong) * maxPartitionBytes)
-      df.repartition(cores)
-    else df
+    if (estBytes >= BigInt(cores.toLong) * maxPartitionBytes) return df
+    val parts =
+      if (!chunked) cores
+      else {
+        val chunk = BigInt(org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            spark.conf.get("spark.graft.widen.chunkBytes", "4m")))
+        val want = (estBytes + chunk - 1) / chunk
+        want.min(BigInt(cores)).toInt
+      }
+    if (parts <= 1) df else df.repartition(parts)
   }
 
   /** Rebind a frame to another session of the SAME SparkContext —
